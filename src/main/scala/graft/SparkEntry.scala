@@ -1,13 +1,601 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Multimodal, Ops, Similarity, Views}
+import graft.functions.{TextFns, VectorFns}
+import graft.streaming.StreamingViews
+
+/** Driver contract — every operator from SURVEY.md §2 (plus the training-data
+  * pipeline extensions) as a named query with, where SQL-expressible, a DuckDB
+  * oracle that hash-matches exactly.
+  *
+  * Oracle-parity conventions (SURVEY.md §5, FIXTURES.md caveats):
+  *  - `events.ts` is ns-precision parquet: Spark reads µs, so every oracle casts
+  *    `CAST(ts AS TIMESTAMP)` (µs) before use;
+  *  - double aggregates go through DECIMAL(18,2): all testdata doubles are exact
+  *    2-decimal values, so the cast is lossless and the sum is exact in both
+  *    engines, then cast back to DOUBLE;
+  *  - every top-N carries a full tie-break key; no wall clock inside queries;
+  *  - integer widths harmonized to BIGINT (DuckDB len/count are 64-bit).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. (lineitem-based so it
+    * runs even in a session without the nanos-as-long legacy conf.) */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // ------------------------------------------------------------------
+  // §2.1 sources/scans + §2.2 projections/filters/scalars
+  // ------------------------------------------------------------------
+  private val scanQueries = Seq(
+    Q("s6_point_read",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_custkey") === 42)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal"),
+      Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+              FROM customer WHERE c_custkey = 42""")),
+
+    Q("s7_recent_scan",
+      (s, d) => Views.recentTopN(Tables.events(s, d), 10),
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id LIMIT 10""")),
+
+    Q("s2_json_decode",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+              FROM events""")),
+
+    Q("s3_event_time",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"), date_trunc("second", col("ts")).as("ts_sec")),
+      Some("""SELECT event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_sec
+              FROM events""")),
+
+    Q("p1_projection",
+      (s, d) => Tables.events(s, d).select("event_id", "user_id", "event_type"),
+      Some("SELECT event_id, user_id, event_type FROM events")),
+
+    Q("p2_wide_projection",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey").as("order_key"), col("l_partkey").as("part_key"),
+        col("l_suppkey").as("supp_key"), col("l_linenumber").as("line_number"),
+        col("l_quantity").as("quantity"), col("l_extendedprice").as("extended_price"),
+        col("l_discount").as("discount"), col("l_tax").as("tax"),
+        col("l_returnflag").as("return_flag"), col("l_linestatus").as("line_status"),
+        col("l_shipdate").as("ship_date")),
+      Some("""SELECT l_orderkey AS order_key, l_partkey AS part_key, l_suppkey AS supp_key,
+              l_linenumber AS line_number, l_quantity AS quantity,
+              l_extendedprice AS extended_price, l_discount AS discount, l_tax AS tax,
+              l_returnflag AS return_flag, l_linestatus AS line_status,
+              CAST(l_shipdate AS TIMESTAMP) AS ship_date FROM lineitem""")),
+
+    Q("p3_eq_filter",
+      (s, d) => Tables.events(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value"),
+      Some("SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'")),
+
+    Q("p4_composite_filter",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "signup" && col("user_id") === 7)
+        .select("event_id", "user_id", "ts", "value"),
+      Some("""SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'signup' AND user_id = 7""")),
+
+    Q("p5_stream_router",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.filter(col("event_type") === "signup")
+          .select(lit("signup").as("branch"), col("event_id"), col("user_id"))
+        val b = e.filter(col("event_type") === "purchase")
+          .select(lit("purchase").as("branch"), col("event_id"), col("user_id"))
+        a.unionAll(b)
+      },
+      Some("""SELECT 'signup' AS branch, event_id, user_id FROM events WHERE event_type = 'signup'
+              UNION ALL
+              SELECT 'purchase' AS branch, event_id, user_id FROM events WHERE event_type = 'purchase'""")),
+
+    Q("p6_date_parse",
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"),
+        to_date(date_format(col("o_orderdate"), "yyyy-MM-dd"), "yyyy-MM-dd").as("order_date")),
+      Some("""SELECT o_orderkey, CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d') AS DATE) AS order_date
+              FROM orders""")),
+
+    Q("p7_iso_format",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss").as("iso_ts")),
+      Some("""SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso_ts
+              FROM events""")),
+
+    Q("p8_time_buckets",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        Ops.hourBucket(col("ts")).as("hour_bucket"),
+        Ops.dayBucket(col("ts")).as("day_bucket"),
+        Ops.min5Bucket(col("ts")).as("min5_bucket")),
+      Some("""SELECT event_id,
+              strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+              strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day_bucket,
+              strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') ||
+                lpad(CAST((minute(CAST(ts AS TIMESTAMP)) // 5) * 5 AS VARCHAR), 2, '0') AS min5_bucket
+              FROM events""")),
+
+    Q("p9_key_concat_split",
+      (s, d) => Tables.events(s, d).select(col("event_id"),
+        Ops.bucketKey("hourly", Ops.hourBucket(col("ts"))).as("bucket_key"))
+        .withColumn("bucket_part", element_at(split(col("bucket_key"), ":"), 2)),
+      Some("""SELECT event_id,
+              'hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS bucket_key,
+              string_split('hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H'), ':')[2] AS bucket_part
+              FROM events""")),
+
+    Q("p10_dict_decode",
+      (s, d) => Ops.enrichLookup(
+        Tables.nation(s, d), Tables.region(s, d).withColumnRenamed("r_regionkey", "n_regionkey"),
+        Seq("n_regionkey"), Map("r_name" -> lit("Unknown")))
+        .select(col("n_nationkey"), col("n_name"), col("r_name").as("region_name")),
+      Some("""SELECT n_nationkey, n_name, coalesce(r_name, 'Unknown') AS region_name
+              FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""")),
+
+    Q("p12_null_default",
+      (s, d) => {
+        val counts = Tables.customer(s, d).groupBy(col("c_nationkey").as("n_nationkey"))
+          .agg(count(lit(1)).as("cnt"))
+        Tables.nation(s, d).join(counts, Seq("n_nationkey"), "left")
+          .select(col("n_nationkey"), col("n_name"),
+            coalesce(col("cnt"), lit(0L)).as("customer_cnt"))
+      },
+      Some("""SELECT n_nationkey, n_name, coalesce(c.cnt, 0) AS customer_cnt
+              FROM nation LEFT JOIN
+              (SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY 1) c
+              ON n_nationkey = c_nationkey""")))
+
+  // ------------------------------------------------------------------
+  // §2.3 joins + §2.4 aggregations + §2.5 top-K (the 5 reference views)
+  // ------------------------------------------------------------------
+  private val viewQueries = Seq(
+    Q("j1_enrich_lookup",
+      (s, d) => {
+        val dim = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("user_id"), col("c_name"))
+        Ops.enrichLookup(Tables.events(s, d).select("event_id", "user_id"), dim,
+          Seq("user_id"), Map("c_name" -> lit("Unknown")))
+          .select(col("event_id"), col("user_id"), col("c_name").as("customer_name"))
+      },
+      Some("""SELECT e.event_id, e.user_id, coalesce(c.c_name, 'Unknown') AS customer_name
+              FROM events e LEFT JOIN
+              (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING') c
+              ON e.user_id = c.c_custkey""")),
+
+    Q("a1_hour_counts",
+      (s, d) => Views.hourCounts(Tables.events(s, d)),
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+              event_type, count(*) AS cnt FROM events GROUP BY 1, 2""")),
+
+    Q("a2_bucket_counts",
+      (s, d) => Views.multiGranularityCounts(Tables.events(s, d)),
+      Some("""WITH b AS (
+              SELECT '5min' AS granularity,
+                '5min:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') ||
+                lpad(CAST((minute(CAST(ts AS TIMESTAMP)) // 5) * 5 AS VARCHAR), 2, '0') AS time_bucket
+              FROM events
+              UNION ALL
+              SELECT 'hourly', 'hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') FROM events
+              UNION ALL
+              SELECT 'daily', 'daily:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') FROM events)
+              SELECT granularity, time_bucket, count(*) AS cnt FROM b GROUP BY 1, 2""")),
+
+    Q("a3_hour_totals",
+      (s, d) => Views.hourTotals(Tables.events(s, d)),
+      Some("""WITH h AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+                event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+              SELECT hour_bucket, CAST(sum(cnt) AS BIGINT) AS total FROM h GROUP BY 1""")),
+
+    Q("a4_latest_per_key",
+      (s, d) => Views.latestInfo(Tables.events(s, d))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+      Some("""SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+              WHERE rn = 1""")),
+
+    Q("s5_counter_lookup",
+      (s, d) => Views.counterLookup(Tables.events(s, d), "hourly", "hourly:2024010100"),
+      Some("""SELECT count(*) AS cnt FROM events
+              WHERE 'hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') = 'hourly:2024010100'""")),
+
+    Q("t2_topn_per_group",
+      (s, d) => Views.trendsTopNPerGroup(Tables.events(s, d), 10)
+        .withColumn("rn", col("rn").cast("long")),
+      Some("""SELECT event_id, user_id, event_type, ts, rn FROM
+              (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id) AS rn FROM events)
+              WHERE rn <= 10""")))
+
+  // ------------------------------------------------------------------
+  // general relational closure (SURVEY.md §7.2 step 3)
+  // ------------------------------------------------------------------
+  private val relationalQueries = Seq(
+    Q("q1_pricing_summary",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+              count(*) AS count_order
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              GROUP BY l_returnflag, l_linestatus""")),
+
+    Q("q3_join_topn",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01"))
+        val l = Tables.lineitem(s, d)
+        val j = c.join(o, c("c_custkey") === o("o_custkey"))
+          .join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+        Ops.topN(j, 10, Seq(col("revenue").desc, col("o_orderkey").asc))
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY o_orderkey, o_orderdate
+              ORDER BY revenue DESC, o_orderkey LIMIT 10""")),
+
+    Q("q_semi_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    Q("q_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+              WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""")),
+
+    Q("q_set_ops",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
+        ids("signup").intersect(ids("purchase")).except(ids("error"))
+      },
+      Some("""SELECT user_id FROM
+              (SELECT user_id FROM events WHERE event_type = 'signup'
+               INTERSECT
+               SELECT user_id FROM events WHERE event_type = 'purchase')
+              EXCEPT
+              SELECT user_id FROM events WHERE event_type = 'error'""")),
+
+    Q("q_distinct_agg",
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS n
+              FROM events GROUP BY event_type""")),
+
+    Q("q_rollup",
+      (s, d) => Tables.lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""")),
+
+    Q("q_cube",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"), Ops.dayBucket(col("ts")).as("day_bucket"))
+        .cube("event_type", "day_bucket").agg(count(lit(1)).as("n")),
+      Some("""WITH e AS (SELECT event_type,
+                strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day_bucket FROM events)
+              SELECT event_type, day_bucket, count(*) AS n FROM e
+              GROUP BY CUBE(event_type, day_bucket)""")),
+
+    Q("q_window_funcs",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          row_number().over(w).cast("long").as("rn"),
+          lag(col("event_id"), 1).over(w).as("prev_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"),
+          count(lit(1)).over(wf).as("running_n"),
+          sum(dec(col("value"))).over(wf).cast("double").as("running_value"))
+      },
+      Some("""SELECT event_id, user_id,
+              row_number() OVER w AS rn,
+              lag(event_id) OVER w AS prev_id,
+              lead(event_id) OVER w AS next_id,
+              count(*) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+              CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""")),
+
+    Q("q_sort_global",
+      (s, d) => Ops.topN(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        100, Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""")),
+
+    Q("q_scalar_funcs",
+      (s, d) => Tables.part(s, d).select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        abs(col("p_size") - 25).as("size_dev"),
+        (col("p_size") % 7).as("size_mod"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        round(dec(col("p_retailprice")) * dec(lit(1.1)), 2).cast("double").as("price_up"),
+        floor(col("p_retailprice")).as("price_floor"),
+        ceil(col("p_retailprice")).as("price_ceil")),
+      Some("""SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 5) AS type5,
+              CAST(length(p_name) AS BIGINT) AS name_len, abs(p_size - 25) AS size_dev,
+              p_size % 7 AS size_mod, concat_ws('-', p_brand, p_type) AS brand_type,
+              CAST(round(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(18,2)), 2) AS DOUBLE) AS price_up,
+              CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+              CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
+              FROM part""")),
+
+    Q("q_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+        val purchases = e.filter(col("event_type") === "purchase")
+        Ops.asofJoin(views, purchases, Seq("user_id"), "ts", "ts",
+          col("event_id"), col("event_id"),
+          Map("purchase_event_id" -> col("event_id")))
+      },
+      Some("""WITH u AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CAST(ts AS TIMESTAMP) AS uts, 1 AS is_l,
+                CAST(NULL AS BIGINT) AS p_id, event_id AS tie
+              FROM events WHERE event_type = 'view'
+              UNION ALL
+              SELECT NULL, user_id, NULL, CAST(ts AS TIMESTAMP), 0, event_id, event_id
+              FROM events WHERE event_type = 'purchase'),
+              f AS (SELECT *, last_value(p_id IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY uts, is_l, tie
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_event_id
+              FROM u)
+              SELECT event_id, user_id, ts, purchase_event_id FROM f WHERE is_l = 1""")),
+
+    Q("q_range_join",
+      (s, d) => Ops.rangeSelfJoin(
+        Tables.events(s, d).select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", "event_id", expr("INTERVAL 5 MINUTES")),
+      Some("""SELECT a.user_id AS user_id, a.event_id AS a_event_id, b.event_id AS b_event_id
+              FROM events a JOIN events b ON a.user_id = b.user_id
+              AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+              AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE""")),
+
+    Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      None))
+
+  // ------------------------------------------------------------------
+  // training-data pipeline: dedup / similarity / text / multimodal
+  // ------------------------------------------------------------------
+  private val pipelineQueries = Seq(
+    Q("dedup_exact",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d)),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
+              GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""")),
+
+    Q("dedup_minhash_lsh", // xxhash64-based signatures — engine-specific, rows-only
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
+      None),
+
+    Q("dedup_simhash", // xxhash64-based — rows-only
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16),
+      None),
+
+    Q("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3,
+        prefixLen = 40, threshold = 0.3),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, substr(norm, 1, 40) AS block,
+                string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, block,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+                FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
+              SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.3""")),
+
+    Q("dedup_embedding_cosine",
+      (s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64), i -> a.emb[i] * b.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4""")),
+
+    Q("sim_topk_bruteforce",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+              s AS (SELECT query_id, vec_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64), i -> qe[i] * emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM q, e WHERE query_id != vec_id),
+              r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank FROM s)
+              SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10""")),
+
+    Q("sim_lsh_topk", // hyperplane LSH buckets are hash-derived — rows-only
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64)
+      },
+      None),
+
+    Q("text_langid",
+      (s, d) => {
+        val t = col("text")
+        Tables.documents(s, d).select(col("doc_id"),
+          TextFns.markerHits(t, TextFns.langMarkers(0)._2).cast("long").as("score_en"),
+          TextFns.markerHits(t, TextFns.langMarkers(1)._2).cast("long").as("score_de"),
+          TextFns.markerHits(t, TextFns.langMarkers(2)._2).cast("long").as("score_es"),
+          TextFns.markerHits(t, TextFns.langMarkers(3)._2).cast("long").as("score_fr"),
+          TextFns.predictLang(t).as("pred_lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              s AS (SELECT doc_id,
+                len(list_filter(toks, t -> t IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS score_de,
+                len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS score_es,
+                len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS score_fr
+                FROM t)
+              SELECT doc_id, score_en, score_de, score_es, score_fr,
+                CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                     WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                     WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                     WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+              FROM s""")),
+
+    Q("text_quality",
+      (s, d) => {
+        val norm = TextFns.normalize(col("text"))
+        val toks = TextFns.tokens(col("text"))
+        val charCnt = length(regexp_replace(norm, " ", ""))
+        val punctCnt = length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))
+        val stopHits = TextFns.markerHits(col("text"), TextFns.langMarkers(0)._2)
+        Tables.documents(s, d).select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars_calc"),
+          size(toks).cast("long").as("n_tokens"),
+          round(charCnt.cast("double") / size(toks), 6).as("avg_token_len"),
+          round(punctCnt.cast("double") / length(col("text")), 6).as("punct_ratio"),
+          round(stopHits.cast("double") / size(toks), 6).as("stopword_ratio"))
+      },
+      Some("""WITH t AS (SELECT doc_id, text,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              x AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
+                length(replace(norm, ' ', '')) AS char_cnt,
+                length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt
+                FROM t)
+              SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS n_chars_calc,
+                CAST(len(toks) AS BIGINT) AS n_tokens,
+                round(CAST(char_cnt AS DOUBLE) / len(toks), 6) AS avg_token_len,
+                round(CAST(punct_cnt AS DOUBLE) / length(text), 6) AS punct_ratio,
+                round(CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in'))) AS DOUBLE)
+                  / len(toks), 6) AS stopword_ratio
+              FROM x""")),
+
+    Q("text_token_count",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),
+        TextFns.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")),
+      Some("""SELECT doc_id,
+              CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS ws_tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
+              FROM documents""")),
+
+    Q("text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        TextFns.fingerprint(col("text")).as("fingerprint")),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents)
+              SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+              FROM t""")),
+
+    Q("multimodal_blob_features",
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("byte_len"),
+        md5(col("text").cast("binary")).as("payload_md5"),
+        (ascii(substring(col("text"), 1, 1)) * 256 + ascii(substring(col("text"), 2, 1)))
+          .cast("long").as("fake_width"),
+        (ascii(substring(col("text"), 3, 1)) * 256 + ascii(substring(col("text"), 4, 1)))
+          .cast("long").as("fake_height")),
+      Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+              md5(text) AS payload_md5,
+              CAST(ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1)) AS BIGINT) AS fake_width,
+              CAST(ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1)) AS BIGINT) AS fake_height
+              FROM documents""")),
+
+    Q("multimodal_frame_sample",
+      (s, d) => Multimodal.sampleOffsets(
+        Multimodal.mediaFromDocuments(Tables.documents(s, d)), Seq(1, 101, 201, 301)),
+      Some("""SELECT doc_id AS media_id, pos, hex(encode(substr(text, pos, 1))) AS sample_hex
+              FROM documents, (SELECT unnest([1, 101, 201, 301]) AS pos) t
+              WHERE pos <= octet_length(encode(text))""")))
+
+  // ------------------------------------------------------------------
+  // §2.7 streaming — a REAL Structured Streaming query (file source →
+  // memory sink) whose settled result is oracle-checked.
+  // ------------------------------------------------------------------
+  private val streamingQueries = Seq(
+    Q("w1_stream_hour_counts",
+      (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",
+        "graft_w1_sink", src => Tables.normalizeEventTs(src)
+          .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+          .select(date_format(col("window.start"), "yyyyMMddHH").as("hour_bucket"),
+            col("cnt"))),
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+              count(*) AS cnt FROM events GROUP BY 1""")))
+
+  private val all: Seq[Q] =
+    scanQueries ++ viewQueries ++ relationalQueries ++ pipelineQueries ++ streamingQueries
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (engine-specific hashes/sketches) → rows-only check. */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql.stripMargin)).toMap
 }

@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline layer (builder
+  * brief: language-ID, quality scoring, token counting, fingerprinting, shingling).
+  * Everything here is a pure Catalyst expression tree (`functions._` + higher-order
+  * functions) — no UDFs, so whole-stage codegen applies and the DuckDB oracle can
+  * mirror the arithmetic exactly.
+  */
+object TextFns {
+
+  /** Canonical text form: lowercase, trimmed, whitespace collapsed to single spaces.
+    * The normalization step of exact dedup (reference analog: the reference dedups by
+    * primary key only — `README.md:217`; content normalization is our extension). */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** BPE-ish token count: letter-runs, digit-runs, and single punctuation marks each
+    * count as one token (a cheap stand-in for a real subword tokenizer that matches
+    * the common ~`\w+|[^\w\s]` pre-tokenizer split). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Word n-gram shingles over the whitespace tokens (MinHash/Jaccard input).
+    * Empty result when the document has fewer than n tokens. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** 64-permutation MinHash signature of a shingle set. Permutation i is simulated by
+    * seeding xxhash64 with i (hashing the (shingle, i) tuple) — the standard
+    * one-hash-function-many-seeds construction. O(|shingles| × k) inside codegen. */
+  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** LSH banding of a MinHash signature: (band, bucket-hash) structs, to be exploded
+    * and equi-joined. bands×rows must equal the signature length. */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows)), b).as("bucket")))
+
+  /** 64-bit SimHash over whitespace tokens: bit b of the result is set iff the sum of
+    * (±1 per token, sign = bit b of xxhash64(token)) is non-negative. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    val bits = array((0 until 64).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)) >= 0,
+        lit(1L)).otherwise(lit(0L))
+    }: _*)
+    // shift+or, not *2+add: packing the sign bit into a signed long must not
+    // trip ANSI overflow checking.
+    aggregate(bits, lit(0L), (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Deterministic document fingerprint: polynomial rolling hash
+    * `h = (h*31 + code) mod 1e9+7` over the character codes of the ASCII-normalized
+    * text. Oracle-expressible (DuckDB `list_reduce`); products stay < 2^63 so the
+    * arithmetic is exact in both engines. At 100 TB prefer [[fastFingerprint]]. */
+  def fingerprint(text: Column): Column = {
+    val clean = regexp_replace(normalize(text), "[^a-z0-9 ]", "")
+    val codes = transform(sequence(lit(1), length(clean)), i => ascii(substring(clean, i, lit(1))))
+    // sequence(1, 0) is DESCENDING in Spark, not empty — guard the empty-string case.
+    when(length(clean) > 0,
+      aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
+      .otherwise(lit(0L))
+  }
+
+  /** Single-pass 64-bit fingerprint (xxhash64 of the normalized text) — the scale
+    * path; not oracle-comparable (engine-specific hash), used by dedup internals. */
+  def fastFingerprint(text: Column): Column = xxhash64(normalize(text))
+
+  /** Small fixed marker-word lists for heuristic language ID. Deliberately tiny —
+    * the point is the operator shape (argmax over per-language token-hit scores),
+    * not linguistic accuracy. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  /** Number of tokens of `text` that appear in `markers` (non-distinct). */
+  def markerHits(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+
+  /** Heuristic language ID: argmax of marker-hit scores with a fixed precedence
+    * order (en > de > es > fr) for ties; "und" (undetermined) when no marker hits. */
+  def predictLang(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, s), elseCol) =>
+      when(best > 0 && s === best, lit(l)).otherwise(elseCol)
+    }
+  }
+}

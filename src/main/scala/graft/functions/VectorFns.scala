@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column functions over `array<float>` embedding columns. All pure Catalyst
+  * expression trees (zip_with / aggregate higher-order functions) — codegen-friendly,
+  * no UDFs, and the sequential left-fold accumulation order is reproducible by the
+  * DuckDB oracle (`list_reduce` over the zipped product list).
+  *
+  * Precision contract: elements are cast to double BEFORE any arithmetic, so both
+  * engines do the identical double multiply + sequential double add.
+  */
+object VectorFns {
+
+  /** array<float> → array<double>, the precision-stable form. */
+  def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold dot product of two equal-length vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Full cosine similarity. The testdata embeddings are unit-normalized (verified:
+    * every row has ||v|| = 1.0), so [[dot]] alone equals cosine there — prefer it in
+    * hot paths; this general form divides by both norms. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Similarity rounded to 6 decimals — the comparison/ranking form. Raw doubles can
+    * differ in the last ulp across engines (different but both-valid fold orders
+    * after optimizer rewrites); ranking on the rounded value with an id tie-break is
+    * deterministic. */
+  def simKey(sim: Column): Column = round(sim, 6)
+
+  /** Random-hyperplane LSH bucket for ANN search: `nbits` sign bits packed into a
+    * long. Hyperplane weights are pseudo-random but deterministic — derived from
+    * xxhash64(bit, dim) mapped to [-1, 1] — so the bucketing is reproducible across
+    * runs and engines without shipping a plane matrix. Cosine-similar vectors agree
+    * on most sign bits, so equal buckets ⇒ likely-similar (the scale path that
+    * replaces the O(n²) brute-force pair scan).
+    */
+  def hyperplaneBucket(v: Column, dim: Int, nbits: Int = 16, seed: Int = 0): Column = {
+    val vd = toDoubleArray(v)
+    val bits = (0 until nbits).map { b =>
+      val proj = (0 until dim).map { j =>
+        element_at(vd, j + 1) *
+          (pmod(xxhash64(lit(seed), lit(b), lit(j)), lit(2001L)).cast("double") / 1000.0 - 1.0)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+    }
+    bits.reduce((acc, bit) => acc * 2 + bit)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** Document deduplication for the training-data-pipeline layer: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection over a
+  * `(doc_id, text, ...)` table.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is one hash aggregation on a 64-bit fingerprint — never on the
+  *    raw text (shuffling full documents to dedup them is the classic mistake);
+  *  - near-dup pair generation is always blocked (LSH band buckets / SimHash
+  *    prefixes) so the join is equi-key and the cross product only happens inside
+  *    a bucket, never globally.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest doc_id per normalized-text group, with the
+    * group size. Groups on the full normalized text here because the oracle must
+    * reproduce it; `exactDedupByFingerprint` is the shuffle-light scale variant. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.groupBy(TextFns.normalize(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** Exact dedup, scale path: group on xxhash64(normalized text) — an 8-byte
+    * shuffle key instead of the document body. */
+  def exactDedupByFingerprint(docs: DataFrame): DataFrame =
+    docs.groupBy(TextFns.fastFingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
+  /** MinHash + LSH near-dup candidate pairs: shingle → 64-hash MinHash signature →
+    * band buckets → self-equi-join on (band, bucket) → estimate Jaccard as the
+    * fraction of agreeing signature positions; keep pairs above `threshold`.
+    *
+    * bands=16 × rows=4: detection probability at J=0.5 is 1-(1-0.5^4)^16 ≈ 0.65,
+    * at J=0.8 ≈ 0.9988 — the usual near-dup operating point.
+    */
+  def minhashLshPairs(docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
+                      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"),
+        TextFns.minhashSignature(
+          TextFns.wordShingles(col("text"), shingleSize), bands * rows).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"),
+        explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val a = buckets.alias("a")
+    val b = buckets.alias("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("a_id", "b_id")
+    pairs
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / (bands * rows))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash, block on the top `blockBits` bits
+    * (near-identical docs share them with high probability), then verify Hamming
+    * distance <= maxHamming inside each block. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
+    val sh = docs.select(col("doc_id"), TextFns.simhash64(col("text")).as("simhash"))
+      .withColumn("block", shiftrightunsigned(col("simhash"), 64 - blockBits))
+    val a = sh.alias("a")
+    val b = sh.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        TextFns.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
+    * `prefixLen` chars of the normalized text (cheap, oracle-reproducible blocking),
+    * compute |A∩B| / |A∪B| over distinct word n-grams, keep pairs >= threshold.
+    * Jaccard is a ratio of two exact integers — bit-identical across engines. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, prefixLen: Int = 40,
+                        threshold: Double = 0.3): DataFrame = {
+    val g = docs.select(col("doc_id"),
+      substring(TextFns.normalize(col("text")), 1, prefixLen).as("block"),
+      array_distinct(TextFns.wordShingles(col("text"), n)).as("grams"))
+    val a = g.alias("a")
+    val b = g.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (size(array_intersect(col("a.grams"), col("b.grams"))).cast("double") /
+          size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generalized operator library — one reusable function per SURVEY.md §2 pattern,
+  * re-expressed Spark-first. Each doc comment cites the reference pattern it
+  * generalizes (file:line under /root/reference).
+  *
+  * Scale notes are part of the contract: every operator here must survive a
+  * 1000-executor / 100 TB deployment, which mostly means (a) declare, don't iterate —
+  * all functions return lazy plans that Catalyst optimizes; (b) shuffle on the
+  * right key, once; (c) broadcast the small side of every lookup join.
+  */
+object Ops {
+
+  // ---------------------------------------------------------------- time buckets
+
+  /** P8: hour bucket `'%Y%m%d%H'` — `cassandra_subscriber.py:86-88`. */
+  def hourBucket(ts: Column): Column = date_format(ts, "yyyyMMddHH")
+
+  /** P8: day bucket `'%Y%m%d'` — `cassandra_subscriber.py:90`. */
+  def dayBucket(ts: Column): Column = date_format(ts, "yyyyMMdd")
+
+  /** P8: 5-minute floor bucket `(minute // 5) * 5` then `'%Y%m%d%H%M'` —
+    * `cassandra_subscriber.py:92-94`. String form so it is oracle-comparable;
+    * semantically identical to `window(ts, "5 minutes")`.
+    */
+  def min5Bucket(ts: Column): Column =
+    concat(date_format(ts, "yyyyMMddHH"),
+      lpad((floor(minute(ts) / 5) * 5).cast("string"), 2, "0"))
+
+  /** P9: string bucket-key composition `'hourly:' + bucket` —
+    * `cassandra_subscriber.py:96-98`, `realtime_api.py:243-255`. */
+  def bucketKey(granularity: String, bucket: Column): Column =
+    concat(lit(granularity), lit(":"), bucket)
+
+  // ---------------------------------------------------------------- dedup / recency
+
+  /** A4: last-write-wins per key (the reference's Cassandra upsert into
+    * `customer_latest_info`, `cassandra_subscriber.py:124-144` + PK `README.md:217`).
+    * Keeps exactly one row per key: greatest (orderCol, tieBreak). The tie-break makes
+    * the result deterministic under replay/reorder — mirroring the reference's
+    * clustering-key tie-break (`README.md:281-282`).
+    *
+    * Scale: one hash shuffle on `keys`; `row_number` needs no global sort. For
+    * heavily-skewed keys prefer the `max_by(struct)` formulation (partial aggregation
+    * map-side); we use row_number for exact multi-column tie-break semantics.
+    */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** T1: global top-N with full tie-break — the `global_recent_customers` read
+    * (`realtime_api.py:143-149`, clustering order `README.md:281-282`).
+    *
+    * Scale: Catalyst plans this as TakeOrderedAndProject — per-partition heap top-N
+    * then a single driver merge of N×partitions rows. No global sort, no hot
+    * partition (the reference's `fixed_partition_key='all_customers'` single-partition
+    * design, `README.md:117`, does not survive scale; this does).
+    */
+  def topN(df: DataFrame, n: Int, order: Seq[Column]): DataFrame =
+    df.orderBy(order: _*).limit(n)
+
+  /** T2 (generalized all-groups form): top-N per group — the
+    * `latest_product_category_trends` read (`realtime_api.py:282-288`,
+    * clustering `README.md:269-270`) without the single-category filter.
+    *
+    * Scale: one shuffle on `partCols`; rank-filter prunes to N per group before
+    * anything downstream. Skewed groups: AQE skew-join/shuffle handling applies.
+    */
+  def topNPerGroup(df: DataFrame, partCols: Seq[String], order: Seq[Column], n: Int,
+                   rankCol: String = "rn"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= n)
+  }
+
+  // ---------------------------------------------------------------- joins
+
+  /** J1: broadcast lookup join with miss-default — the `GEOGRAPHY_MAP` enrich
+    * (`cassandra_subscriber.py:53, 81-84, 118`; miss → "Unknown" at `:84`).
+    *
+    * @param defaults columns (from the dim side) to default on join miss:
+    *                 name → default value.
+    * Scale: `broadcast(dim)` pins a BroadcastHashJoin — no shuffle of the fact side,
+    * the single most important join decision at 100 TB.
+    */
+  def enrichLookup(fact: DataFrame, dim: DataFrame, joinCols: Seq[String],
+                   defaults: Map[String, Column]): DataFrame = {
+    val joined = fact.join(broadcast(dim), joinCols, "left")
+    defaults.foldLeft(joined) { case (d, (c, dflt)) =>
+      d.withColumn(c, coalesce(col(c), dflt))
+    }
+  }
+
+  /** As-of join (extension beyond the reference surface; SURVEY.md §2.9 lists it as
+    * absent there): for each left row, attach the latest right row with
+    * `rightTs <= leftTs` within the same `key`.
+    *
+    * Implemented as union + last(ignoreNulls) over a single window — one shuffle on
+    * `key`, NO range/cross join, no per-row subquery. This is the scalable shape: a
+    * naive `left JOIN right ON key AND rts <= lts` + argmax explodes quadratically in
+    * events-per-key, while this is O(n log n) per key.
+    *
+    * Ties: a right row at exactly `leftTs` is eligible (<=); among equal timestamps
+    * the greatest `rightTieBreak` wins — fully deterministic.
+    *
+    * @param rightPayload (name → column of `right`) values to carry to the left rows.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
+               leftTs: String, rightTs: String,
+               leftTieBreak: Column, rightTieBreak: Column,
+               rightPayload: Map[String, Column]): DataFrame = {
+    val payloadNames = rightPayload.keys.toSeq.sorted
+    val payloadType = payloadNames.map(n =>
+      n -> right.select(rightPayload(n)).schema.head.dataType).toMap
+    val lSide = payloadNames.foldLeft(
+      left.withColumn("__ts", col(leftTs))
+          .withColumn("__is_l", lit(1))
+          .withColumn("__tie", leftTieBreak)
+    ) { (d, n) => d.withColumn(n, lit(null).cast(payloadType(n))) }
+    val rSide = right.select(
+      key.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__is_l"),
+        rightTieBreak.as("__tie")) ++ payloadNames.map(n => rightPayload(n).as(n)): _*)
+    // right rows sort before left rows at equal ts (__is_l 0 < 1) so "<=" holds.
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_l").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadNames.foldLeft(
+      lSide.unionByName(rSide, allowMissingColumns = true)
+    ) { (d, n) => d.withColumn(n, last(col(n), ignoreNulls = true).over(w)) }
+    filled.filter(col("__is_l") === 1)
+      .select(left.columns.toSeq.map(col) ++ payloadNames.map(col): _*)
+  }
+
+  /** Banded range join: pairs within the same `key` with
+    * `0 < ts(b) - ts(a) <= band`. The equi-key keeps it a hash join (shuffle on key),
+    * the band predicate is applied post-match — no cartesian product.
+    * At 100 TB add a coarse time-bucket equi-key (bucket and bucket+1) to bound
+    * per-key pair blowup.
+    */
+  def rangeSelfJoin(df: DataFrame, key: Seq[String], tsCol: String, idCol: String,
+                    band: Column): DataFrame = {
+    val a = df.select((key ++ Seq(tsCol, idCol)).map(col): _*).alias("a")
+    val b = df.select((key ++ Seq(tsCol, idCol)).map(col): _*).alias("b")
+    val keyCond = key.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    a.join(b, keyCond &&
+        col(s"b.$tsCol") > col(s"a.$tsCol") &&
+        col(s"b.$tsCol") <= col(s"a.$tsCol") + band)
+      .select(key.map(k => col(s"a.$k").as(k)) ++
+        Seq(col(s"a.$idCol").as(s"a_$idCol"), col(s"b.$idCol").as(s"b_$idCol")): _*)
+  }
+
+  // ---------------------------------------------------------------- aggregation
+
+  /** A2: multi-granularity tumbling-window counts — the reference's three counter
+    * `+1`s per product event (`cassandra_subscriber.py:210-218`, buckets `:86-99`),
+    * generalized: explode each event into (granularity, bucket) pairs, then one
+    * hash aggregation.
+    *
+    * Scale: partial (map-side) aggregation happens before the single shuffle — the
+    * shuffle carries one row per (granularity, bucket) per map task, not per event.
+    */
+  def bucketCounts(events: DataFrame, ts: String): DataFrame = {
+    val t = col(ts)
+    events
+      .select(explode(array(
+        struct(lit("5min").as("granularity"), bucketKey("5min", min5Bucket(t)).as("time_bucket")),
+        struct(lit("hourly").as("granularity"), bucketKey("hourly", hourBucket(t)).as("time_bucket")),
+        struct(lit("daily").as("granularity"), bucketKey("daily", dayBucket(t)).as("time_bucket"))
+      )).as("g"))
+      .select(col("g.granularity").as("granularity"), col("g.time_bucket").as("time_bucket"))
+      .groupBy("granularity", "time_bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor / similarity search over an `array<float>`
+  * embedding column.
+  *
+  * Two paths, per the builder brief:
+  *  - [[bruteForceTopK]]: exact cosine top-k, the correctness baseline. Broadcast
+  *    the (small) query set against the corpus — O(|corpus|·|queries|) with no
+  *    corpus shuffle; fine whenever |queries| is bounded.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing — candidates only from matching
+  *    buckets (multi-probe via several independent tables), then exact re-rank.
+  *    This is the 100 TB path: the corpus is scanned once to tag buckets, and the
+  *    join is equi-key on (table, bucket).
+  */
+object Similarity {
+
+  /** Embedding-side near-duplicate pairs: all (a < b) pairs with cosine >= threshold.
+    * Brute force over all pairs — correctness baseline / oracle-checkable form.
+    * Similarity is rounded (VectorFns.simKey) before thresholding. */
+  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id"), col("embedding")).alias("a")
+    val b = emb.select(col("vec_id"), col("embedding")).alias("b")
+    a.join(b, col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        VectorFns.simKey(VectorFns.dot(col("a.embedding"), col("b.embedding"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Exact top-k neighbors for each query vector (self-matches excluded). Ranking is
+    * on (rounded similarity DESC, vec_id ASC) — fully deterministic. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(broadcastIfSmall(corpus.select(col("vec_id"), col("embedding"))), // corpus big: see note
+        col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
+    Ops.topNPerGroup(scored, Seq("query_id"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+  }
+
+  // At bench scale the corpus fits a broadcast; at 100 TB you broadcast the QUERY
+  // side instead and flip the join. Kept explicit so the intent survives review.
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+
+  /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
+    * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
+    * Recall < 1 by construction; `tables` trades recall for candidate count. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nbits: Int = 12, tables: Int = 4): DataFrame = {
+    def tagged(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFns.hyperplaneBucket(col("embedding"), dim, nbits, seed = t)
+              .as("bucket")).as(s"b$t")
+        } :+ col("vec_id").as(idAs) :+ col("embedding").as(embAs): _*)
+        .withColumn("bb", explode(array((0 until tables).map(t => col(s"b$t")): _*)))
+        .select(col(idAs), col(embAs), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val c = tagged(corpus, "vec_id", "embedding")
+    val q = tagged(queries, "query_id", "q_emb")
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), col("q_emb"), col("embedding"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
+    Ops.topNPerGroup(cand, Seq("query_id"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+  }
+}
