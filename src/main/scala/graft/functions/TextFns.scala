@@ -36,32 +36,11 @@ object TextFns {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** 64-permutation MinHash signature of a shingle set. Permutation i is simulated by
-    * seeding xxhash64 with i (hashing the (shingle, i) tuple) — the standard
-    * one-hash-function-many-seeds construction. O(|shingles| × k) inside codegen. */
-  def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingles, s => xxhash64(s, i))))
-
   /** LSH banding of a MinHash signature: (band, bucket-hash) structs, to be exploded
     * and equi-joined. bands×rows must equal the signature length. */
   def minhashBands(sig: Column, bands: Int, rows: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), xxhash64(slice(sig, b * rows + 1, lit(rows)), b).as("bucket")))
-
-  /** 64-bit SimHash over whitespace tokens: bit b of the result is set iff the sum of
-    * (±1 per token, sign = bit b of xxhash64(token)) is non-negative. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
-    val bits = array((0 until 64).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1)) >= 0,
-        lit(1L)).otherwise(lit(0L))
-    }: _*)
-    // shift+or, not *2+add: packing the sign bit into a signed long must not
-    // trip ANSI overflow checking.
-    aggregate(bits, lit(0L), (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
-  }
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

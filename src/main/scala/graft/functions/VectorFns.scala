@@ -43,13 +43,15 @@ object VectorFns {
     * replaces the O(n²) brute-force pair scan).
     */
   def hyperplaneBucket(v: Column, dim: Int, nbits: Int = 16, seed: Int = 0): Column = {
-    val vd = toDoubleArray(v)
+    // Plane weights are materialized driver-side as array literals (deterministic
+    // from the seed), so each bit is one compact zip_with/aggregate dot product.
+    // Building the weights as per-element Catalyst hash expressions instead makes a
+    // ~3000-node tree whose codegen alone dominates runtime.
+    val rnd = new scala.util.Random(seed * 1000003L + 12345L)
     val bits = (0 until nbits).map { b =>
-      val proj = (0 until dim).map { j =>
-        element_at(vd, j + 1) *
-          (pmod(xxhash64(lit(seed), lit(b), lit(j)), lit(2001L)).cast("double") / 1000.0 - 1.0)
-      }.reduce(_ + _)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
+      val plane = typedLit(Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq)
+      when(aggregate(zip_with(toDoubleArray(v), plane, (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L))
     }
     bits.reduce((acc, bit) => acc * 2 + bit)
   }

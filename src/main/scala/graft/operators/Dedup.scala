@@ -41,11 +41,20 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
                       bands: Int = 16, rows: Int = 4): DataFrame = {
-    val sigs = docs
+    val numHashes = bands * rows
+    // Explode-once / hash-once / min-aggregate: each shingle string is built and
+    // xxhash64'd exactly one time; the k permutations are cheap long re-hashes of
+    // that 8-byte value, min-reduced per doc with map-side partial aggregation.
+    // (The naive `transform(sequence(0,k-1), i -> array_min(...))` column form
+    // re-tokenizes the document k times per row — 60x slower at bench scale.)
+    val hashed = docs
       .select(col("doc_id"),
-        TextFns.minhashSignature(
-          TextFns.wordShingles(col("text"), shingleSize), bands * rows).as("sig"))
-      .filter(size(col("sig")) > 0)
+        explode(array_distinct(TextFns.wordShingles(col("text"), shingleSize))).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    val sigs = hashed.groupBy("doc_id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
     val buckets = sigs
       .select(col("doc_id"), col("sig"),
         explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
@@ -71,7 +80,20 @@ object Dedup {
     * (near-identical docs share them with high probability), then verify Hamming
     * distance <= maxHamming inside each block. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
-    val sh = docs.select(col("doc_id"), TextFns.simhash64(col("text")).as("simhash"))
+    // Same explode-once shape as MinHash: one xxhash64 per token, then 64 sign-sum
+    // aggregates (map-side combinable) instead of re-tokenizing per bit.
+    val hashed = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitAggs = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") >= 0, lit(1L)).otherwise(lit(0L))
+    }.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+    val sh = hashed.groupBy("doc_id")
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
       .withColumn("block", shiftrightunsigned(col("simhash"), 64 - blockBits))
     val a = sh.alias("a")
     val b = sh.alias("b")
