@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
 object VectorFns {
 
   /** array<float> → array<double>, the precision-stable form. */
-  def toDoubleArray(v: Column): Column = transform(v, _.cast("double"))
+  def toDoubleArray(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product of two equal-length vectors. */
+  /** Sequential-fold dot product of two equal-length vectors, as a native codegen
+    * Expression ([[DotProductExpr]]) — the HOF form (`aggregate(zip_with(..))`)
+    * is interpreted and ~20x slower in all-pairs joins. Same accumulation order. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDoubleArray(a), toDoubleArray(b), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      DotProductExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toDoubleArray(a)),
+        org.apache.spark.sql.graft.ColumnBridge.expression(toDoubleArray(b))))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

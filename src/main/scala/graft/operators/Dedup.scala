@@ -48,8 +48,9 @@ object Dedup {
     // (The naive `transform(sequence(0,k-1), i -> array_min(...))` column form
     // re-tokenizes the document k times per row — 60x slower at bench scale.)
     val hashed = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(array_distinct(TextFns.wordShingles(col("text"), shingleSize))).as("shingle"))
+        explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), shingleSize))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sigs = hashed.groupBy("doc_id")
@@ -109,9 +110,14 @@ object Dedup {
     * Jaccard is a ratio of two exact integers — bit-identical across engines. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, prefixLen: Int = 40,
                         threshold: Double = 0.3): DataFrame = {
-    val g = docs.select(col("doc_id"),
-      substring(TextFns.normalize(col("text")), 1, prefixLen).as("block"),
-      array_distinct(TextFns.wordShingles(col("text"), n)).as("grams"))
+    // Three projections, each materializing what the next references twice —
+    // normalize and tokenize run once per row (see TextFns.shinglesFromTokens).
+    val g = docs
+      .select(col("doc_id"), TextFns.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("block"),
+        split(col("norm"), " ").as("toks"))
+      .select(col("doc_id"), col("block"),
+        array_distinct(TextFns.shinglesFromTokens(col("toks"), n)).as("grams"))
     val a = g.alias("a")
     val b = g.alias("b")
     a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))

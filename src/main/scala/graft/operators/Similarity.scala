@@ -22,8 +22,11 @@ object Similarity {
     * Brute force over all pairs — correctness baseline / oracle-checkable form.
     * Similarity is rounded (VectorFns.simKey) before thresholding. */
   def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id"), col("embedding")).alias("a")
-    val b = emb.select(col("vec_id"), col("embedding")).alias("b")
+    // Cast to array<double> once per VECTOR, before the join — inside the pair
+    // projection it would run once per PAIR (O(n^2) casts instead of O(n)).
+    val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val a = e.alias("a")
+    val b = e.alias("b")
     a.join(b, col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         VectorFns.simKey(VectorFns.dot(col("a.embedding"), col("b.embedding"))).as("cosine"))
@@ -33,8 +36,10 @@ object Similarity {
   /** Exact top-k neighbors for each query vector (self-matches excluded). Ranking is
     * on (rounded similarity DESC, vec_id ASC) — fully deterministic. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .join(broadcastIfSmall(corpus.select(col("vec_id"), col("embedding"))), // corpus big: see note
+    val scored = queries
+      .select(col("vec_id").as("query_id"), VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .join(broadcastIfSmall(
+        corpus.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))),
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private def docs = Seq(
+    (1L, base),
+    (2L, "  THE   quick brown fox jumps over the lazy dog and runs far away today "), // = 1 after normalize
+    (3L, base + " extra tail words here"),                                            // near-dup of 1
+    (4L, "completely different content about spark query engines and distributed systems"),
+    (5L, "completely different content about spark query engines and distributed systems")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups normalized text, keeps min id and group size") {
+    val r = rowSet(Dedup.exactDedup(docs))
+    assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
+  test("fingerprint dedup agrees with exact dedup on group structure") {
+    val r = rowSet(Dedup.exactDedupByFingerprint(docs).select("doc_id", "dup_count"))
+    assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = rowSet(Dedup.minhashLshPairs(docs, threshold = 0.3)
+      .select("a_id", "b_id"))
+    assert(pairs.contains(Seq(1L, 2L)), "identical-after-normalize pair missed")
+    assert(pairs.contains(Seq(4L, 5L)), "identical pair missed")
+    assert(!pairs.exists(p => p.take(2).toSet == Set(1L, 4L)),
+      "unrelated docs must not pair")
+    // est_jaccard of an identical pair is exactly 1.0
+    val j = Dedup.minhashLshPairs(docs, threshold = 0.3)
+      .filter($"a_id" === 4 && $"b_id" === 5)
+      .select("est_jaccard").head().getDouble(0)
+    assert(j === 1.0)
+  }
+
+  test("simhash pairs: identical docs at hamming 0; unrelated docs don't pair") {
+    val r = Dedup.simhashPairs(docs, maxHamming = 8)
+    val m = rowList(r.select("a_id", "b_id", "hamming"))
+    assert(m.exists(p => p(0) == 1L && p(1) == 2L && p(2) == 0),
+      s"identical pair not at hamming 0: $m")
+    assert(!m.exists(p => Set(p(0), p(1)) == Set[Any](1L, 4L)))
+  }
+
+  test("ngram jaccard computes the exact set ratio within blocks") {
+    val r = Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.3)
+    val m = rowList(r.select("a_id", "b_id", "jaccard"))
+    // doc1 vs doc2: identical after normalize -> jaccard 1.0
+    assert(m.exists(p => p(0) == 1L && p(1) == 2L && p(2) == 1.0), s"got $m")
+    // doc1: 14 tokens -> 12 grams; doc3: 18 tokens -> 16 grams, 12 shared
+    // -> |A∩B|/|A∪B| = 12/16
+    val j13 = m.find(p => p(0) == 1L && p(1) == 3L).map(_(2)).get
+    assert(j13 == 12.0 / 16.0, s"got $j13")
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ops
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def events = Seq(
+    TestEvent(1, 10, "view",     ts("2024-01-01 10:02:00"), 1.0, "{}"),
+    TestEvent(2, 10, "purchase", ts("2024-01-01 10:04:30"), 5.0, "{}"),
+    TestEvent(3, 10, "view",     ts("2024-01-01 10:07:00"), 2.0, "{}"),
+    TestEvent(4, 20, "view",     ts("2024-01-01 11:59:59"), 3.0, "{}"),
+    TestEvent(5, 20, "purchase", ts("2024-01-02 00:00:00"), 7.0, "{}"),
+    // same ts as event 3, different id — exercises every tie-break
+    TestEvent(6, 10, "view",     ts("2024-01-01 10:07:00"), 4.0, "{}")
+  ).toDF()
+
+  test("P8 time buckets: hour, day, 5-minute floor") {
+    val r = events.filter($"event_id" === 2).select(
+      Ops.hourBucket($"ts"), Ops.dayBucket($"ts"), Ops.min5Bucket($"ts")).head()
+    assert(r.toSeq === Seq("2024010110", "20240101", "202401011000"))
+    // 5-min floor at an exact boundary stays at the boundary
+    val b = events.filter($"event_id" === 4).select(Ops.min5Bucket($"ts")).head()
+    assert(b.getString(0) === "202401011155")
+  }
+
+  test("P9 bucket key composition") {
+    val r = events.filter($"event_id" === 1)
+      .select(Ops.bucketKey("hourly", Ops.hourBucket($"ts"))).head()
+    assert(r.getString(0) === "hourly:2024010110")
+  }
+
+  test("A4 latestPerKey keeps exactly one deterministic row per key") {
+    val r = Ops.latestPerKey(events, Seq("user_id"),
+      Seq($"ts".desc, $"event_id".desc))
+    // user 10: events 3 and 6 tie on ts; id desc wins -> 6. user 20: event 5.
+    assert(rowSet(r.select("user_id", "event_id")) ===
+      Set(Seq(10L, 6L), Seq(20L, 5L)))
+  }
+
+  test("T1 topN with tie-break is deterministic and ordered") {
+    val r = Ops.topN(events.select("event_id", "ts"), 3,
+      Seq($"ts".desc, $"event_id".asc))
+    assert(rowList(r.select("event_id")).flatten === Seq(5L, 4L, 3L))
+  }
+
+  test("T2 topNPerGroup ranks within groups") {
+    val r = Ops.topNPerGroup(events, Seq("event_type"),
+      Seq($"ts".desc, $"event_id".asc), 2)
+    assert(rowSet(r.select("event_type", "event_id", "rn")) === Set(
+      Seq("view", 4L, 1), Seq("view", 3L, 2),          // 3 beats 6 on id asc
+      Seq("purchase", 5L, 1), Seq("purchase", 2L, 2)))
+  }
+
+  test("J1 enrichLookup defaults on miss and broadcasts the dim") {
+    val dim = Seq((10L, "Alice")).toDF("user_id", "name")
+    val r = Ops.enrichLookup(events.select("event_id", "user_id"), dim,
+      Seq("user_id"), Map("name" -> lit("Unknown")))
+    assert(rowSet(r.filter($"user_id" === 20).select("name")) === Set(Seq("Unknown")))
+    assert(rowSet(r.filter($"user_id" === 10).select("name").distinct()) === Set(Seq("Alice")))
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("as-of join attaches latest right row at or before left ts, per key") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:05:00")),
+                   (2L, 10L, ts("2024-01-01 10:00:00")),
+                   (3L, 20L, ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq((100L, 10L, ts("2024-01-01 10:00:00")),
+                    (101L, 10L, ts("2024-01-01 10:03:00")),
+                    (102L, 20L, ts("2024-01-01 09:30:00"))).toDF("rid", "k", "rt")
+    val r = Ops.asofJoin(left, right, Seq("k"), "t", "rt",
+      col("id"), col("rid"), Map("matched_rid" -> col("rid")))
+    assert(rowSet(r.select("id", "matched_rid")) === Set(
+      Seq(1L, 101L),   // latest <= 10:05 is 10:03
+      Seq(2L, 100L),   // exactly-equal ts IS eligible
+      Seq(3L, null)))  // nothing at or before 09:00
+  }
+
+  test("banded range self-join pairs within the band only") {
+    val r = Ops.rangeSelfJoin(
+      events.select("user_id", "ts", "event_id"),
+      Seq("user_id"), "ts", "event_id", expr("INTERVAL 5 MINUTES"))
+    // user 10: 1->2 (2.5m), 2->3 (2.5m), 2->6; 1->3 is 5m exactly (<= band), 1->6.
+    assert(rowSet(r.select("a_event_id", "b_event_id")) === Set(
+      Seq(1L, 2L), Seq(2L, 3L), Seq(2L, 6L), Seq(1L, 3L), Seq(1L, 6L)))
+  }
+
+  test("A2 bucketCounts: one row per granularity x bucket with exact counts") {
+    val r = Ops.bucketCounts(events, "ts")
+    val daily = rowSet(r.filter($"granularity" === "daily")
+      .select("time_bucket", "cnt"))
+    assert(daily === Set(Seq("daily:20240101", 5L), Seq("daily:20240102", 1L)))
+    val total = r.groupBy("granularity").agg(sum("cnt")).collect()
+      .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
+    assert(total === Map("5min" -> 6L, "hourly" -> 6L, "daily" -> 6L))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{Ops, Views}
+
+/** Algebraic invariants (SURVEY.md §5): properties that must hold for EVERY
+  * event multiset, not just the fixtures — checked over ScalaCheck-generated
+  * data. Gen is driven directly from fixed seeds (the scalatest-scalacheck
+  * bridge artifact is not on the offline classpath). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], runs: Int = 8)(check: A => Unit): Unit =
+    (1 to runs).foreach { i =>
+      check(gen.apply(Gen.Parameters.default, Seed(i.toLong * 7919))
+        .getOrElse(fail(s"generator exhausted at run $i")))
+    }
+
+  private val genEvent: Gen[TestEvent] = for {
+    id   <- Gen.choose(1L, 1000000L)
+    user <- Gen.choose(1L, 5L)
+    typ  <- Gen.oneOf("signup", "purchase", "view")
+    secs <- Gen.choose(0L, 3 * 24 * 3600L)
+    v    <- Gen.choose(0, 10000)
+  } yield TestEvent(id, user, typ,
+    java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(secs)),
+    v / 100.0, "{}")
+
+  private val genEvents: Gen[List[TestEvent]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n, genEvent))
+      .map(_.distinctBy(_.event_id))
+
+  test("bucket counts total the raw event count at every granularity") {
+    forAll(genEvents) { evs =>
+      val total = Ops.bucketCounts(evs.toDF(), "ts")
+        .groupBy("granularity").agg(sum("cnt").as("n")).collect()
+      assert(total.length === 3)
+      assert(total.forall(_.getLong(1) === evs.length.toLong))
+    }
+  }
+
+  test("latestPerKey is idempotent and stable under permutation/replay") {
+    forAll(genEvents) { evs =>
+      val order = Seq(col("ts").desc, col("event_id").desc)
+      val once = Ops.latestPerKey(evs.toDF(), Seq("user_id"), order)
+      // permuted AND replayed input (each event twice, reversed)
+      val replayed = (evs.reverse ++ evs).toDF()
+      val again = Ops.latestPerKey(replayed, Seq("user_id"), order)
+      assert(rowSet(once.select("user_id", "event_id")) ===
+        rowSet(again.select("user_id", "event_id").distinct()))
+      // idempotence: applying to its own output is identity
+      assert(rowSet(Ops.latestPerKey(once, Seq("user_id"), order)) === rowSet(once))
+    }
+  }
+
+  test("topN is stable under input permutation") {
+    forAll(genEvents) { evs =>
+      val order = Seq(col("ts").desc, col("event_id").asc)
+      val a = rowList(Ops.topN(evs.toDF(), 5, order).select("event_id"))
+      val b = rowList(Ops.topN(evs.reverse.toDF(), 5, order).select("event_id"))
+      assert(a === b)
+    }
+  }
+
+  test("hourTotals equals direct per-hour count") {
+    forAll(genEvents) { evs =>
+      val direct = evs.toDF()
+        .groupBy(Ops.hourBucket(col("ts")).as("hour_bucket"))
+        .agg(count(lit(1)).as("total"))
+      assert(rowSet(Views.hourTotals(evs.toDF())) === rowSet(direct))
+    }
+  }
+}

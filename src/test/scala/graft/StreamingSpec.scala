@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Views
+import graft.streaming.StreamingViews
+
+/** Stream ≡ batch parity — the contract the reference keeps implicitly between
+  * its subscriber (write path) and API (read path). Events are fed through
+  * MemoryStream in two batches (so incremental state actually exercises)
+  * and the settled streaming result must equal the batch view over all events. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val allEvents = Seq(
+    TestEvent(1, 10, "signup",   ts("2024-01-01 10:15:00"), 1.0, "{}"),
+    TestEvent(2, 10, "purchase", ts("2024-01-01 10:45:00"), 9.0, "{}"),
+    TestEvent(3, 20, "signup",   ts("2024-01-01 11:05:00"), 2.0, "{}"),
+    TestEvent(4, 20, "signup",   ts("2024-01-02 09:00:00"), 3.0, "{}"),
+    TestEvent(5, 30, "purchase", ts("2024-01-01 10:59:59"), 4.0, "{}")
+  )
+
+  private def runStream(view: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+                        sink: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = view(stream.toDF()).writeStream
+      .outputMode("complete").format("memory").queryName(sink).start()
+    try {
+      stream.addData(allEvents.take(2)); q.processAllAvailable()
+      stream.addData(allEvents.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink)
+  }
+
+  test("streaming hourCounts equals batch hourCounts over the same events") {
+    val streamed = runStream(StreamingViews.hourCounts(_), "t_hour_counts")
+    val batch = Views.hourCounts(allEvents.toDF())
+    assert(rowSet(streamed) === rowSet(batch))
+  }
+
+  test("streaming bucketCounts equals batch multiGranularityCounts") {
+    val streamed = runStream(StreamingViews.bucketCounts(_), "t_bucket_counts")
+    val batch = Views.multiGranularityCounts(allEvents.toDF())
+    assert(rowSet(streamed) === rowSet(batch))
+  }
+
+  test("streaming latestPerKey (batchwise reduction) equals batch latestInfo") {
+    val r = StreamingViews.latestPerKeyBatchwise(allEvents.toDF())
+    assert(rowSet(r.select("user_id", "event_id")) ===
+      rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
+  }
+}

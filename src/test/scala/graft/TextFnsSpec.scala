@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+class TextFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("normalize lowercases, trims, collapses whitespace") {
+    val r = one("  Hello\t\tWORLD  again\n").select(TextFns.normalize($"text")).head()
+    assert(r.getString(0) === "hello world again")
+  }
+
+  test("tokens splits the normalized text") {
+    val r = one(" A  b\tC ").select(TextFns.tokens($"text")).head()
+    assert(r.getSeq[String](0) === Seq("a", "b", "c"))
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, single punctuation") {
+    val r = one("Hello, world42! x").select(TextFns.bpeTokenCount($"text")).head()
+    // Hello , world 42 ! x -> 6
+    assert(r.getInt(0) === 6)
+  }
+
+  test("wordShingles builds n-grams; short docs give empty array") {
+    val r = one("a b c d").select(TextFns.wordShingles($"text", 3)).head()
+    assert(r.getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = one("a b").select(TextFns.wordShingles($"text", 3)).head()
+    assert(short.getSeq[String](0) === Seq.empty)
+  }
+
+  test("fingerprint is the exact polynomial rolling hash") {
+    // "ab" -> ((0*31+97)%M)*31+98 % M = 97*31+98 = 3105
+    val r = one("ab").select(TextFns.fingerprint($"text")).head()
+    assert(r.getLong(0) === 3105L)
+    val empty = one("!!!").select(TextFns.fingerprint($"text")).head()
+    assert(empty.getLong(0) === 0L)
+  }
+
+  test("markerHits counts non-distinct marker tokens") {
+    val r = one("the cat and the dog").select(
+      TextFns.markerHits($"text", TextFns.langMarkers.head._2)).head()
+    assert(r.getInt(0) === 3) // the, and, the
+  }
+
+  test("predictLang argmax with precedence tie-break and und fallback") {
+    assert(one("the cat and dog of to in").select(TextFns.predictLang($"text"))
+      .head().getString(0) === "en")
+    assert(one("der hund ist das und").select(TextFns.predictLang($"text"))
+      .head().getString(0) === "de")
+    assert(one("xyzzy plugh").select(TextFns.predictLang($"text"))
+      .head().getString(0) === "und")
+    // "la" hits both es and fr; "que y el" breaks toward es; precedence otherwise
+    assert(one("el la que y").select(TextFns.predictLang($"text"))
+      .head().getString(0) === "es")
+  }
+}
