@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Ops
+import org.apache.spark.sql.streaming.{GroupStateTimeout, StreamingQuery, Trigger}
+import graft.operators.{Ops, Views}
 
 /** Structured-Streaming maintenance of the reference's five materialized views —
   * the write path of `cassandra_subscriber.py:102-233` re-expressed as streaming
@@ -51,6 +52,66 @@ object StreamingViews {
     * MERGE — here the per-micro-batch reduction that a sink would merge. */
   def latestPerKeyBatchwise(events: DataFrame, key: String = "user_id"): DataFrame =
     Ops.latestPerKey(events, Seq(key), Seq(col("ts").desc, col("event_id").desc))
+
+  /** Carried LWW state: the winning (event time, id) per key. */
+  case class LwwState(tsMicros: Long, eventId: Long)
+
+  /** A4/W6 streaming, true stateful form: `mapGroupsWithState` keeps the winning
+    * (ts, event_id) per key across micro-batches — the state-store analog of the
+    * reference's Cassandra upsert (`cassandra_subscriber.py:124-144`), with the
+    * wall-clock write race replaced by deterministic (event time, id) ordering.
+    * Run in `update` output mode; each batch emits the current winner for every
+    * key that saw traffic. Scale: state is one 16-byte record per key, hash
+    * partitioned — 10^9 keys ≈ tens of GB across a cluster's state stores. */
+  def latestPerKeyStateful(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col(keyCol).cast("long"),
+        unix_micros(col("ts").cast("timestamp")),
+        col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[LwwState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val best = (rows.map(r => LwwState(r._2, r._3)) ++ state.getOption)
+            .maxBy(s => (s.tsMicros, s.eventId))
+          state.update(best)
+          (key, best.tsMicros, best.eventId)
+      }
+      .toDF(keyCol, "ts_micros", "event_id")
+  }
+
+  /** S4 streaming: the reference's LOGGED BATCH — each customer event lands in
+    * `customer_latest_info` AND `global_recent_customers` atomically
+    * (`cassandra_subscriber.py:121-163`) — as one foreachBatch body: both views
+    * derive from the same micro-batch, and writes are idempotent by deterministic
+    * per-batchId paths (a replayed batch overwrites itself, fixing the reference's
+    * at-least-once double-count, SURVEY.md §2 W3). Increments compact on read via
+    * [[latestFromIncrements]] — the append-plus-compact pattern a real deployment
+    * would hand to a table format's MERGE. */
+  def maintainViews(events: DataFrame, outDir: String, checkpointDir: String,
+                    trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        batch.persist()
+        try {
+          batch.write.mode("overwrite")
+            .parquet(s"$outDir/recent_log/batch=$batchId")
+          Views.latestInfo(batch).write.mode("overwrite")
+            .parquet(s"$outDir/latest_increment/batch=$batchId")
+        } finally { batch.unpersist(); () }
+      }
+      .start()
+
+  /** Read-side compaction of [[maintainViews]] increments: LWW over the per-batch
+    * LWW winners is the global LWW (the fold is associative). */
+  def latestFromIncrements(spark: SparkSession, outDir: String): DataFrame =
+    Ops.latestPerKey(spark.read.parquet(s"$outDir/latest_increment"),
+      Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
+      .drop("batch")
 
   /** Run any streaming view over a bounded parquet path via the file source and a
     * named memory sink, synchronously; returns the settled result. This is how the

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Ops, Similarity, Views}
+import graft.sources.Tables
+
+/** Physical-plan assertions — the 100 TB contract (SURVEY.md §4). Correct rows
+  * are not enough: these tests fail if a plan regression re-introduces a full
+  * scan, a global sort, or a shuffle join where a broadcast belongs. Run over
+  * the sf0.001 parquet files so scan-level pushdown is observable. */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    // explain("formatted") goes to stdout; capture the string form instead
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("S6 point read pushes the filter into the parquet scan") {
+    val p = formatted(Tables.customer(spark, d).filter(col("c_custkey") === 42)
+      .select("c_custkey", "c_name"))
+    assert(p.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,42)]"), p)
+  }
+
+  test("column pruning reaches the scan: 2-col projection reads 2 columns") {
+    val p = formatted(Tables.lineitem(spark, d).select("l_orderkey", "l_quantity"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), p)
+    assert(!readSchema.contains("l_extendedprice"), s"scan reads pruned column:\n$readSchema")
+  }
+
+  test("T1 global top-N plans as TakeOrderedAndProject, never a global sort") {
+    val p = physical(Views.recentTopN(Tables.events(spark, d), 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("+- Sort"), s"unexpected full sort:\n$p")
+  }
+
+  test("J1 enrich lookup is a BroadcastHashJoin (no shuffle of the fact side)") {
+    val dim = Tables.nation(spark, d).select(col("n_nationkey").as("user_id"), col("n_name"))
+    val p = physical(Ops.enrichLookup(
+      Tables.events(spark, d), dim, Seq("user_id"), Map("n_name" -> lit("?"))))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to shuffle:\n$p")
+  }
+
+  test("A1 hour counts does partial (map-side) aggregation before the shuffle") {
+    val p = physical(Views.hourCounts(Tables.events(spark, d)))
+    // two HashAggregates around one Exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("similarity dot product stays inside whole-stage codegen") {
+    val emb = Tables.embeddings(spark, d)
+    val df = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 2), 5)
+    df.collect() // finalize the adaptive plan so codegen stage markers materialize
+    val p = physical(df)
+    assert(p.contains("dotproductexpr"), p)
+    // the scoring projection must sit inside a codegen stage ("*(n) Project"),
+    // i.e. DotProductExpr did not force an interpreted fallback
+    assert(p.linesIterator.exists(l => l.contains("dotproductexpr") && l.contains("*(")), p)
+  }
+
+  test("as-of join is one shuffle on the key — no range or cross join") {
+    val e = Tables.events(spark, d)
+    val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+    val purchases = e.filter(col("event_type") === "purchase")
+    val p = physical(Ops.asofJoin(views, purchases, Seq("user_id"), "ts", "ts",
+      col("event_id"), col("event_id"), Map("pid" -> col("event_id"))))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("LWW dedup shuffles once on the key") {
+    val p = physical(Views.latestInfo(Tables.events(spark, d)))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+}

@@ -50,4 +50,44 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(r.select("user_id", "event_id")) ===
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
+
+  test("stateful LWW (mapGroupsWithState) converges to batch latestInfo") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.latestPerKeyStateful(stream.toDF()).writeStream
+      .outputMode("update").format("memory").queryName("t_lww_state").start()
+    try {
+      // deliberately out of order across batches: late event 2 for user 10
+      stream.addData(allEvents.filter(_.event_id != 2)); q.processAllAvailable()
+      stream.addData(allEvents.filter(_.event_id == 2)); q.processAllAvailable()
+    } finally q.stop()
+    // update-mode memory sink appends each batch's emission; the winner per key
+    // is monotone, so max(ts, id) per key is the settled state
+    val settled = graft.operators.Ops.latestPerKey(spark.table("t_lww_state"),
+      Seq("user_id"), Seq(col("ts_micros").desc, col("event_id").desc))
+    assert(rowSet(settled.select("user_id", "event_id")) ===
+      rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
+  }
+
+  test("foreachBatch view maintenance: atomic per-batch dual write, compacts to batch view") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.maintainViews(stream.toDF(), s"$dir/out", s"$dir/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      stream.addData(allEvents.take(3)); q.processAllAvailable()
+      stream.addData(allEvents.drop(3)); q.processAllAvailable()
+    } finally q.stop()
+    // both views written per micro-batch (the reference's logged-batch atomicity)
+    val batches = new java.io.File(s"$dir/out/latest_increment").list().sorted.toSeq
+    assert(batches === Seq("batch=0", "batch=1"))
+    assert(new java.io.File(s"$dir/out/recent_log/batch=0").exists())
+    // full event log survives
+    assert(spark.read.parquet(s"$dir/out/recent_log").count() === allEvents.size)
+    // compacted latest equals the batch view over all events
+    val compacted = StreamingViews.latestFromIncrements(spark, s"$dir/out")
+    assert(rowSet(compacted.select("user_id", "event_id")) ===
+      rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
+  }
 }
