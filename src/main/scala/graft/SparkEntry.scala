@@ -472,6 +472,14 @@ object SparkEntry {
       },
       None),
 
+    Q("sim_ivf_topk", // centroid cells are hash-sampled — rows-only
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     Q("text_langid",
       (s, d) => {
         val t = col("text")

@@ -51,6 +51,45 @@ object Similarity {
   // side instead and flip the join. Kept explicit so the intent survives review.
   private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
+  /** IVF (inverted-file) ANN: assign every corpus vector to its nearest of
+    * `nlist` centroid cells; a query probes only its `nprobe` nearest cells and
+    * re-ranks exactly within them. Recall loss is bounded by cell-boundary
+    * effects; identical vectors always share a cell.
+    *
+    * Centroids are a deterministic hash-sample of the corpus (smallest
+    * xxhash64(vec_id)) — the reproducible stand-in for a k-means fit; a real
+    * deployment would swap in trained centroids and persist the assignment as a
+    * bucketed table so the probe join needs no corpus shuffle at query time.
+    *
+    * Scale: assignment is one broadcast of nlist centroids against the corpus
+    * (no corpus shuffle); candidates are ~nprobe/nlist of the corpus per query.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cent = corpus
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(nlist)
+      .select(col("vec_id").as("cell"), col("emb").as("centroid"))
+    def nearestCells(df: DataFrame, idAs: String, embAs: String, top: Int): DataFrame =
+      Ops.topNPerGroup(
+        df.select(col("vec_id").as(idAs), VectorFns.toDoubleArray(col("embedding")).as(embAs))
+          .join(broadcast(cent))
+          .select(col(idAs), col(embAs), col("cell"),
+            VectorFns.simKey(VectorFns.dot(col(embAs), col("centroid"))).as("csim")),
+        Seq(idAs), Seq(col("csim").desc, col("cell").asc), top)
+        .drop("csim", "rn")
+    val assigned = nearestCells(corpus, "vec_id", "emb", 1)
+    val probed = nearestCells(queries, "query_id", "q_emb", nprobe)
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
+      .dropDuplicates("query_id", "vec_id")
+    Ops.topNPerGroup(cand, Seq("query_id"),
+      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+  }
+
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
     * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
     * Recall < 1 by construction; `tables` trades recall for candidate count. */

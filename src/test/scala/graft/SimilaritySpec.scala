@@ -43,6 +43,13 @@ class SimilaritySpec extends SparkSpec {
     assert(top === Seq(3L), s"identical vector must be rank 1, got $top")
   }
 
+  test("ivfTopK finds identical vectors (always the same cell) and excludes self") {
+    val r = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1), k = 2, nlist = 2, nprobe = 1)
+    val top = rowList(r.filter($"rank" === 1).select("vec_id")).flatten
+    assert(top === Seq(3L), s"identical vector must be rank 1, got $top")
+    assert(!rowList(r.select("vec_id")).flatten.contains(1L), "self-match must be excluded")
+  }
+
   test("hyperplaneBucket is deterministic across invocations") {
     val b1 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
     val b2 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
