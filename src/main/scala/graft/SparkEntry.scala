@@ -468,7 +468,8 @@ object SparkEntry {
     Q("sim_lsh_topk", // hyperplane LSH buckets are hash-derived — rows-only
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64)
+        // nbits ~ log2(rows/bucket-target): 6 bits = 64 buckets/table at bench SFs
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64, nbits = 6)
       },
       None),
 

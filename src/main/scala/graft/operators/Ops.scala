@@ -55,6 +55,22 @@ object Ops {
       .drop("__rn")
   }
 
+  /** A4, aggregation form: same LWW semantics as [[latestPerKey]] via
+    * `max_by(payload, struct(order...))` — lexicographic struct ordering, greatest
+    * wins (pass e.g. (ts, event_id); equal to row_number over (ts DESC, id DESC)).
+    *
+    * Scale: this is the skew-immune shape — partial aggregation reduces every hot
+    * key map-side before the shuffle, where the window form must sort the entire
+    * hot-key partition on one task. Prefer it whenever the order is a plain
+    * greatest-of-struct; keep [[latestPerKey]] for mixed asc/desc tie-breaks.
+    */
+  def latestPerKeyAgg(df: DataFrame, keys: Seq[String], ordCols: Seq[Column]): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, struct(ordCols: _*)).as("__p"))
+      .select(col("__p.*"))
+  }
+
   /** T1: global top-N with full tie-break — the `global_recent_customers` read
     * (`realtime_api.py:143-149`, clustering order `README.md:281-282`).
     *

@@ -92,9 +92,12 @@ object Similarity {
 
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
     * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
-    * Recall < 1 by construction; `tables` trades recall for candidate count. */
+    * Recall < 1 by construction; `tables` trades recall for candidate count.
+    * Size `nbits` to the corpus: ~log2(corpusRows / targetBucketSize) — buckets
+    * much finer than the corpus (2^nbits >> rows) leave most queries with no
+    * candidates at all. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-              nbits: Int = 12, tables: Int = 4): DataFrame = {
+              nbits: Int = 8, tables: Int = 4): DataFrame = {
     def tagged(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select((0 until tables).map { t =>
           struct(lit(t).as("tbl"),

@@ -55,6 +55,16 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("latestPerKeyAgg (skew-immune max_by form) equals latestPerKey (window form)") {
+    forAll(genEvents) { evs =>
+      val win = Ops.latestPerKey(evs.toDF(), Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      val agg = Ops.latestPerKeyAgg(evs.toDF(), Seq("user_id"),
+        Seq(col("ts"), col("event_id")))
+      assert(rowSet(agg) === rowSet(win))
+    }
+  }
+
   test("topN is stable under input permutation") {
     forAll(genEvents) { evs =>
       val order = Seq(col("ts").desc, col("event_id").asc)
