@@ -401,7 +401,37 @@ object SparkEntry {
     Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-      None))
+      None),
+
+    Q("q_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id").pivot("event_type", Seq("signup", "purchase", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"), coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("view"), lit(0L)).as("view")),
+      Some("""SELECT user_id,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'view') AS view
+              FROM events GROUP BY user_id""")),
+
+    Q("q_percentile",
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("median_value"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90_value")),
+      Some("""SELECT event_type,
+              round(quantile_cont(value, 0.5), 6) AS median_value,
+              round(quantile_cont(value, 0.9), 6) AS p90_value
+              FROM events GROUP BY event_type""")),
+
+    Q("q_collect_sorted",
+      (s, d) => Tables.events(s, d).filter(col("user_id") <= 5)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"),
+          count(lit(1)).as("n")),
+      Some("""SELECT user_id, list_sort(list(event_id)) AS event_ids, count(*) AS n
+              FROM events WHERE user_id <= 5 GROUP BY user_id""")))
 
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal
@@ -593,7 +623,22 @@ object SparkEntry {
           .select(date_format(col("window.start"), "yyyyMMddHH").as("hour_bucket"),
             col("cnt"))),
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
-              count(*) AS cnt FROM events GROUP BY 1""")))
+              count(*) AS cnt FROM events GROUP BY 1""")),
+
+    Q("w6_stream_lww", // stateful mapGroupsWithState LWW through a real stream
+      (s, d) => {
+        val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",
+          "graft_w6_sink", src => StreamingViews.latestPerKeyStateful(
+            Tables.normalizeEventTs(src)), outputMode = "update")
+        // update-mode sink appends every batch's winner; the true LWW is the
+        // greatest emission per key (monotone state)
+        Ops.latestPerKeyAgg(settled, Seq("user_id"),
+          Seq(col("ts_micros"), col("event_id")))
+      },
+      Some("""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_micros, event_id
+              FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+              WHERE rn = 1""")))
 
   private val all: Seq[Q] =
     scanQueries ++ viewQueries ++ relationalQueries ++ pipelineQueries ++ streamingQueries
