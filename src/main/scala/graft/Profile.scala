@@ -46,12 +46,24 @@ object Profile {
       graft.operators.Dedup.ngramJaccardPairs(docs, 3, 40, 0.3).count()
     }
     time("minhash: shingle explode+hash") {
-      docs.select(col("doc_id"),
-        explode(array_distinct(TextFns.wordShingles(col("text"), 3))).as("s"))
+      docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), 3))).as("s"))
         .select(xxhash64(col("s")).as("h")).filter(col("h").isNotNull).count()
+    }
+    time("minhash: signatures (64 min-aggs)") {
+      val hashed = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), 3))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      val aggs = (0 until 64).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+      hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*).count()
     }
     time("full minhashLshPairs") {
       graft.operators.Dedup.minhashLshPairs(docs, threshold = 0.2).count()
+    }
+    time("full simhashPairs") {
+      graft.operators.Dedup.simhashPairs(docs, maxHamming = 16).count()
     }
     spark.stop()
   }

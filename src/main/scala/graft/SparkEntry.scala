@@ -398,6 +398,15 @@ object SparkEntry {
               AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
               AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE""")),
 
+    Q("q_range_join_bucketed", // the 100 TB form — identical output, bounded per-task work
+      (s, d) => Ops.rangeSelfJoinBucketed(
+        Tables.events(s, d).select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", "event_id", bandSeconds = 300L),
+      Some("""SELECT a.user_id AS user_id, a.event_id AS a_event_id, b.event_id AS b_event_id
+              FROM events a JOIN events b ON a.user_id = b.user_id
+              AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+              AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE""")),
+
     Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),

@@ -56,19 +56,23 @@ object Dedup {
     val sigs = hashed.groupBy("doc_id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+    // Candidate generation on BARE (band, bucket, doc_id) rows — carrying the
+    // 64-long signature through the bucket shuffle would inflate it 16x (one copy
+    // per band). Signatures re-attach to the (much smaller) candidate pair set
+    // afterwards; AQE broadcasts that side when it is small.
     val buckets = sigs
-      .select(col("doc_id"), col("sig"),
-        explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .select(col("doc_id"), explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val a = buckets.alias("a")
     val b = buckets.alias("b")
-    val pairs = a.join(b,
+    val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    pairs
+    candidates
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("sig_a")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("sig_b")), "b_id")
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, 1).otherwise(0)),

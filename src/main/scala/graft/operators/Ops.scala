@@ -156,8 +156,8 @@ object Ops {
   /** Banded range join: pairs within the same `key` with
     * `0 < ts(b) - ts(a) <= band`. The equi-key keeps it a hash join (shuffle on key),
     * the band predicate is applied post-match — no cartesian product.
-    * At 100 TB add a coarse time-bucket equi-key (bucket and bucket+1) to bound
-    * per-key pair blowup.
+    * Per-key pair cost is O(events-per-key²); when single keys are hot, use
+    * [[rangeSelfJoinBucketed]].
     */
   def rangeSelfJoin(df: DataFrame, key: Seq[String], tsCol: String, idCol: String,
                     band: Column): DataFrame = {
@@ -167,6 +167,33 @@ object Ops {
     a.join(b, keyCond &&
         col(s"b.$tsCol") > col(s"a.$tsCol") &&
         col(s"b.$tsCol") <= col(s"a.$tsCol") + band)
+      .select(key.map(k => col(s"a.$k").as(k)) ++
+        Seq(col(s"a.$idCol").as(s"a_$idCol"), col(s"b.$idCol").as(s"b_$idCol")): _*)
+  }
+
+  /** [[rangeSelfJoin]], 100 TB form: adds a coarse time-bucket to the equi-key so a
+    * hot key's rows are split across buckets — the join compares each left row only
+    * against right rows in ITS bucket and the NEXT one (a right match is at most
+    * `bandSeconds` later, so it lives in one of those two), never the whole key
+    * history. Bucket width = band width ⇒ per-task work is O(rows-per-bucket²),
+    * bounded by the event rate, not the retention window.
+    * Exactly equal to [[rangeSelfJoin]] output (property-tested). */
+  def rangeSelfJoinBucketed(df: DataFrame, key: Seq[String], tsCol: String,
+                            idCol: String, bandSeconds: Long): DataFrame = {
+    val base = df.select((key ++ Seq(tsCol, idCol)).map(col): _*)
+    val bucket = floor(unix_micros(col(tsCol).cast("timestamp")) / (bandSeconds * 1000000L))
+    val left = base.withColumn("__bucket", bucket)
+    // right side appears under its own bucket AND the previous one, so every
+    // (left.bucket == right-entry.bucket) match covers left.ts..left.ts+band
+    val right = base.withColumn("__b0", bucket)
+      .withColumn("__bucket", explode(array(col("__b0"), col("__b0") - 1)))
+      .drop("__b0")
+    val a = left.alias("a")
+    val b = right.alias("b")
+    val keyCond = (key :+ "__bucket").map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    a.join(b, keyCond &&
+        col(s"b.$tsCol") > col(s"a.$tsCol") &&
+        col(s"b.$tsCol") <= col(s"a.$tsCol") + expr(s"INTERVAL $bandSeconds SECONDS"))
       .select(key.map(k => col(s"a.$k").as(k)) ++
         Seq(col(s"a.$idCol").as(s"a_$idCol"), col(s"b.$idCol").as(s"b_$idCol")): _*)
   }

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout helpers — the piece of the 100 TB design that lives at WRITE
+  * time. The reference bakes its read performance into Cassandra primary keys
+  * (`/root/reference/README.md:135-141`); the Spark-native equivalent is
+  * directory partitioning (coarse pruning key) + many parquet files per
+  * partition (parallelism), so time-ranged queries prune whole directories
+  * before any I/O (PlanSpec asserts the `PartitionFilters`).
+  */
+object Lake {
+
+  /** Write the event table date-partitioned: `path/event_date=YYYY-MM-DD/...`.
+    * Daily granularity keeps partition count ~365/year (catalog-friendly) while
+    * letting every hour/day-bucketed view prune to the days it touches. */
+  def writeEventsPartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write.mode("overwrite")
+      .partitionBy("event_date")
+      .parquet(path)
+
+  /** Read back with the partition column available for pruning. */
+  def readEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Register every testdata table plus derived views as temp views so the whole
+    * engine surface is reachable from `spark.sql(...)` — the general query
+    * interface the reference lacks (its five endpoints are hardcoded). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.events(spark, dir) else Tables.table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+    graft.operators.Views.latestInfo(Tables.events(spark, dir))
+      .createOrReplaceTempView("customer_latest_info")
+    graft.operators.Views.hourCounts(Tables.events(spark, dir))
+      .createOrReplaceTempView("geo_counts_by_hour")
+    graft.operators.Views.multiGranularityCounts(Tables.events(spark, dir))
+      .createOrReplaceTempView("counts_by_time")
+  }
+}

@@ -77,6 +77,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
   }
 
+  test("date-partitioned lake layout prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    graft.sources.Lake.writeEventsPartitioned(Tables.events(spark, d), dir)
+    val p = formatted(graft.sources.Lake.readEvents(spark, dir)
+      .filter(col("event_date") === lit(java.sql.Date.valueOf("2024-01-01")))
+      .select("event_id"))
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"), p)
+    assert(p.contains("(event_date"), p)
+  }
+
+  test("SQL surface: registered views answer ad-hoc SQL") {
+    graft.sources.Lake.registerAll(spark, d)
+    assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) === 25L)
+    val latest = spark.sql(
+      "SELECT count(*) FROM customer_latest_info").head().getLong(0)
+    assert(latest === 15L) // one row per user at sf0.001
+  }
+
   test("LWW dedup shuffles once on the key") {
     val p = physical(Views.latestInfo(Tables.events(spark, d)))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)

@@ -74,6 +74,17 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed range join equals the plain banded range join") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val plain = Ops.rangeSelfJoin(df.select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", "event_id", expr("INTERVAL 300 SECONDS"))
+      val bucketed = Ops.rangeSelfJoinBucketed(df.select("user_id", "ts", "event_id"),
+        Seq("user_id"), "ts", "event_id", bandSeconds = 300L)
+      assert(rowSet(bucketed) === rowSet(plain))
+    }
+  }
+
   test("hourTotals equals direct per-hour count") {
     forAll(genEvents) { evs =>
       val direct = evs.toDF()
