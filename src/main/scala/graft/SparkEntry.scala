@@ -434,6 +434,54 @@ object SparkEntry {
               round(quantile_cont(value, 0.9), 6) AS p90_value
               FROM events GROUP BY event_type""")),
 
+    Q("q_scalar_subquery", // decorrelated by Catalyst (RewriteCorrelatedScalarSubquery)
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("graft_c")
+        Tables.orders(s, d).createOrReplaceTempView("graft_o")
+        s.sql("""SELECT c_custkey, c_name,
+                 (SELECT count(*) FROM graft_o o WHERE o.o_custkey = c.c_custkey) AS n_orders
+                 FROM graft_c c WHERE c_custkey <= 100""")
+      },
+      Some("""SELECT c_custkey, c_name,
+              (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+              FROM customer c WHERE c_custkey <= 100""")),
+
+    Q("q_date_funcs",
+      (s, d) => Tables.orders(s, d).select(col("o_orderkey"),
+        datediff(lit("1998-12-31"), col("o_orderdate")).cast("long").as("days_to_eoy"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        dayofweek(col("o_orderdate")).cast("long").as("order_dow"),
+        last_day(col("o_orderdate")).as("month_end")),
+      Some("""SELECT o_orderkey,
+              date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+              CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+              CAST(year(o_orderdate) AS BIGINT) AS order_year,
+              CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+              CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS order_dow,
+              last_day(CAST(o_orderdate AS DATE)) AS month_end
+              FROM orders""")),
+
+    Q("q_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").like("%green%"))
+        .select(col("p_partkey"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+          translate(col("p_brand"), "#", "-").as("brand_dashed"),
+          lpad(col("p_partkey").cast("string"), 10, "0").as("padded_key"),
+          reverse(col("p_name")).as("rev_name"),
+          trim(col("p_name")).as("trimmed"),
+          instr(col("p_name"), "green").cast("long").as("green_pos")),
+      Some("""SELECT p_partkey,
+              regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+              replace(p_brand, '#', '-') AS brand_dashed,
+              lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+              reverse(p_name) AS rev_name,
+              trim(p_name, ' ') AS trimmed,
+              CAST(instr(p_name, 'green') AS BIGINT) AS green_pos
+              FROM part WHERE p_name LIKE '%green%'""")),
+
     Q("q_collect_sorted",
       (s, d) => Tables.events(s, d).filter(col("user_id") <= 5)
         .groupBy("user_id")
