@@ -51,7 +51,7 @@ object Profile {
           explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), 3))).as("s"))
         .select(xxhash64(col("s")).as("h")).filter(col("h").isNotNull).count()
     }
-    time("minhash: signatures (64 min-aggs)") {
+    time("minhash: sigs OLD 64-min-col form") {
       val hashed = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), 3))).as("s"))

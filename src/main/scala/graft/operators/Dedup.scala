@@ -43,19 +43,19 @@ object Dedup {
                       bands: Int = 16, rows: Int = 4): DataFrame = {
     val numHashes = bands * rows
     // Explode-once / hash-once / min-aggregate: each shingle string is built and
-    // xxhash64'd exactly one time; the k permutations are cheap long re-hashes of
-    // that 8-byte value, min-reduced per doc with map-side partial aggregation.
-    // (The naive `transform(sequence(0,k-1), i -> array_min(...))` column form
-    // re-tokenizes the document k times per row — 60x slower at bench scale.)
+    // xxhash64'd exactly one time; the k permutations are splitmix64 re-mixes of
+    // that 8-byte value inside ONE imperative aggregate buffer
+    // (graft.functions.MinHashSigAgg), min-reduced per doc with map-side partial
+    // aggregation. (The naive `transform(sequence(0,k-1), i -> array_min(...))`
+    // column form re-tokenizes the document k times per row — 60x slower at
+    // bench scale; k separate min() columns cost k managed buffer slots.)
     val hashed = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), shingleSize))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val minAggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
     val sigs = hashed.groupBy("doc_id")
-      .agg(minAggs.head, minAggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
     // Candidate generation on BARE (band, bucket, doc_id) rows — carrying the
     // 64-long signature through the bucket shuffle would inflate it 16x (one copy
     // per band). Signatures re-attach to the (much smaller) candidate pair set
