@@ -682,6 +682,44 @@ object SparkEntry {
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
               count(*) AS cnt FROM events GROUP BY 1""")),
 
+    Q("w_sliding_window", // sliding windows — absent from the reference (tumbling only)
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyyMMddHHmm").as("window_start"),
+          col("cnt")),
+      Some("""WITH w AS (
+              SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) AS wstart FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL 5 MINUTES, CAST(ts AS TIMESTAMP)) - INTERVAL 5 MINUTES
+              FROM events)
+              SELECT strftime(wstart, '%Y%m%d%H%M') AS window_start, count(*) AS cnt
+              FROM w GROUP BY 1""")),
+
+    Q("w_session_window", // session windows — absent from the reference
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          col("n")),
+      Some("""WITH o AS (
+                SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
+                  CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+                            >= INTERVAL 30 MINUTES
+                       THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+              s AS (
+                SELECT user_id, t,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM o)
+              SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                count(*) AS n
+              FROM s GROUP BY user_id, sid""")),
+
     Q("w6_stream_lww", // stateful mapGroupsWithState LWW through a real stream
       (s, d) => {
         val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",

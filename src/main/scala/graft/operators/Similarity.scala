@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFns
+import graft.functions.{TopKByScoreAgg, VectorFns}
 
 /** Approximate-nearest-neighbor / similarity search over an `array<float>`
   * embedding column.
@@ -43,9 +43,19 @@ object Similarity {
         col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
-    Ops.topNPerGroup(scored, Seq("query_id"),
-      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+    heapTopK(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregate ([[TopKByScoreAgg]]): each map
+    * task forwards at most k candidates per query to the shuffle — the window-rank
+    * form would shuffle and sort EVERY candidate. Output matches
+    * `row_number over (partition by query_id order by cosine desc, vec_id)` <= k. */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(TopKByScoreAgg.topKByScore(col("cosine"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("cosine"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   // At bench scale the corpus fits a broadcast; at 100 TB you broadcast the QUERY
   // side instead and flip the join. Kept explicit so the intent survives review.
@@ -86,8 +96,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
       .dropDuplicates("query_id", "vec_id")
-    Ops.topNPerGroup(cand, Seq("query_id"),
-      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+    heapTopK(cand, k)
   }
 
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
@@ -114,7 +123,6 @@ object Similarity {
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
-    Ops.topNPerGroup(cand, Seq("query_id"),
-      Seq(col("cosine").desc, col("vec_id").asc), k, rankCol = "rank")
+    heapTopK(cand, k)
   }
 }
