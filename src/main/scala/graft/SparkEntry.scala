@@ -535,6 +535,10 @@ object SparkEntry {
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4""")),
 
+    Q("dedup_embedding_cosine_lsh", // LSH-blocked scale form — recall<1, rows-only
+      (s, d) => Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4, dim = 64),
+      None),
+
     Q("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)

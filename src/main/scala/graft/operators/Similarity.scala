@@ -33,6 +33,34 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[cosineDupPairs]], 100 TB form: candidate pairs come only from shared
+    * hyperplane-LSH buckets (equi-join on (table, bucket)), then the exact cosine
+    * threshold filters them — recall < 1 by construction (a pair can land in
+    * different buckets in every table), precision = 1 (the exact filter runs on
+    * every candidate). `tables` trades recall for candidate volume; identical
+    * vectors always share every bucket. The all-pairs form is O(n²) in comparisons
+    * AND in shuffle; this is O(sum over buckets of size²) with an equi-key shuffle. */
+  def cosineDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
+                        nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val tagged = e.select(col("vec_id"), col("embedding"),
+        explode(array((0 until tables).map { t =>
+          struct(lit(t).as("tbl"),
+            VectorFns.hyperplaneBucket(col("embedding"), dim, nbits, seed = t).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+    val a = tagged.alias("a")
+    val b = tagged.alias("b")
+    a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        VectorFns.simKey(VectorFns.dot(col("ea"), col("eb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Exact top-k neighbors for each query vector (self-matches excluded). Ranking is
     * on (rounded similarity DESC, vec_id ASC) — fully deterministic. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {

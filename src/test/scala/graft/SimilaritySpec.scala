@@ -43,6 +43,14 @@ class SimilaritySpec extends SparkSpec {
     assert(top === Seq(3L), s"identical vector must be rank 1, got $top")
   }
 
+  test("cosineDupPairsLsh finds identical pairs with exact scores, subset of all-pairs") {
+    val lsh = rowSet(Similarity.cosineDupPairsLsh(emb, 0.5, dim = 4, nbits = 4)
+      .select("a_id", "b_id", "cosine"))
+    val all = rowSet(Similarity.cosineDupPairs(emb, 0.5).select("a_id", "b_id", "cosine"))
+    assert(lsh.subsetOf(all), s"LSH produced a pair the exact form lacks: ${lsh -- all}")
+    assert(lsh.contains(Seq(1L, 3L, 1.0)), "identical vectors share every bucket")
+  }
+
   test("ivfTopK finds identical vectors (always the same cell) and excludes self") {
     val r = Similarity.ivfTopK(emb, emb.filter($"vec_id" === 1), k = 2, nlist = 2, nprobe = 1)
     val top = rowList(r.filter($"rank" === 1).select("vec_id")).flatten
