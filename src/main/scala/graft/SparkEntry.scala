@@ -482,6 +482,17 @@ object SparkEntry {
               CAST(instr(p_name, 'green') AS BIGINT) AS green_pos
               FROM part WHERE p_name LIKE '%green%'""")),
 
+    Q("q_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_l")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS n
+                 FROM graft_l
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
+
     Q("q_collect_sorted",
       (s, d) => Tables.events(s, d).filter(col("user_id") <= 5)
         .groupBy("user_id")
@@ -636,6 +647,23 @@ object SparkEntry {
               CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS ws_tokens,
               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
               FROM documents""")),
+
+    Q("text_ngram_freq", // corpus-wide top-50 trigram frequency
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(TextFns.tokens(col("text")).as("toks"))
+          .select(explode(TextFns.shinglesFromTokens(col("toks"), 3)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("freq"))
+        Ops.topN(grams, 50, Seq(col("freq").desc, col("gram").asc))
+      },
+      Some("""WITH t AS (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT unnest(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS gram FROM t)
+              SELECT gram, count(*) AS freq FROM g
+              GROUP BY gram ORDER BY freq DESC, gram LIMIT 50""")),
 
     Q("text_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
