@@ -301,6 +301,12 @@ object SparkEntry {
       Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_users, count(*) AS n
               FROM events GROUP BY event_type""")),
 
+    Q("q_distinct_agg_skewsafe", // two-stage form — same oracle as countDistinct
+      (s, d) => Ops.distinctCountSkewSafe(Tables.events(s, d),
+        "event_type", "user_id", as = "uniq_users"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_users
+              FROM events GROUP BY event_type""")),
+
     Q("q_rollup",
       (s, d) => Tables.lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty")),

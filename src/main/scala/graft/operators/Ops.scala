@@ -200,6 +200,18 @@ object Ops {
 
   // ---------------------------------------------------------------- aggregation
 
+  /** Skew-safe distinct count: two-stage aggregation — dedup on (key, value)
+    * first (partial aggregation collapses duplicates map-side), then count per
+    * key. `count_distinct(value)` in one stage must haul every raw occurrence of
+    * a hot key into one task's aggregation state; here a hot key's duplicate
+    * values collapse before the second shuffle, and the second stage counts
+    * already-unique rows. Same result as `countDistinct` (oracle-checked in
+    * `q_distinct_agg_skewsafe`). */
+  def distinctCountSkewSafe(df: DataFrame, key: String, value: String,
+                            as: String = "distinct_cnt"): DataFrame =
+    df.select(key, value).distinct()
+      .groupBy(key).agg(count(lit(1)).as(as))
+
   /** A2: multi-granularity tumbling-window counts — the reference's three counter
     * `+1`s per product event (`cassandra_subscriber.py:210-218`, buckets `:86-99`),
     * generalized: explode each event into (granularity, bucket) pairs, then one
