@@ -200,12 +200,15 @@ object Ops {
 
   // ---------------------------------------------------------------- aggregation
 
-  /** Skew-safe distinct count: two-stage aggregation — dedup on (key, value)
-    * first (partial aggregation collapses duplicates map-side), then count per
-    * key. `count_distinct(value)` in one stage must haul every raw occurrence of
-    * a hot key into one task's aggregation state; here a hot key's duplicate
-    * values collapse before the second shuffle, and the second stage counts
-    * already-unique rows. Same result as `countDistinct` (oracle-checked in
+  /** Explicit two-stage distinct count: dedup on (key, value) — partial
+    * aggregation collapses duplicates map-side — then count per key.
+    *
+    * Honest scope: for a SINGLE distinct aggregate Spark already plans this
+    * rewrite internally (Expand + two aggregates), so the built-in is fine
+    * there (ScaleSmoke confirms). The explicit form matters when a query mixes
+    * SEVERAL distinct columns — the built-in's Expand then replicates the
+    * input once per distinct group, while chaining this per column keeps each
+    * pass linear. Same result as `countDistinct` (oracle-checked in
     * `q_distinct_agg_skewsafe`). */
   def distinctCountSkewSafe(df: DataFrame, key: String, value: String,
                             as: String = "distinct_cnt"): DataFrame =
