@@ -108,6 +108,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Duplicate-cluster resolution: given near-dup PAIRS, assign every document
+    * its connected-component representative (the smallest doc_id reachable
+    * through pair edges) — the keep/drop decision a dedup pipeline actually
+    * needs (keep = `doc_id == cluster_id`).
+    *
+    * Algorithm: iterative min-label propagation to a fixpoint — each round every
+    * node takes the min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. This is the scalable formulation (each round
+    * is one shuffle-join + aggregate; no driver-side union-find, no edge list on
+    * one machine); `localCheckpoint` cuts the growing lineage each round. Near-dup
+    * components are short chains in practice, so diameter stays small.
+    */
+  def resolveClusters(docs: DataFrame, pairs: DataFrame,
+                      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+    var labels = docs.select(col("doc_id").as("id"))
+      .withColumn("label", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
+      (col("id") === col("label")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
     * `prefixLen` chars of the normalized text (cheap, oracle-reproducible blocking),
     * compute |A∩B| / |A∪B| over distinct word n-grams, keep pairs >= threshold.

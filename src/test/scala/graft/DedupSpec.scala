@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
     assert(!m.exists(p => Set(p(0), p(1)) == Set[Any](1L, 4L)))
   }
 
+  test("resolveClusters: transitive chains merge, representative is min id, singletons keep") {
+    val docs6 = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"), (6L, "x"))
+      .toDF("doc_id", "text")
+    // chain 1-2-3 (transitive, no direct 1-3 pair), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val r = rowSet(Dedup.resolveClusters(docs6, pairs))
+    assert(r === Set(
+      Seq(1L, 1L, true), Seq(2L, 1L, false), Seq(3L, 1L, false),
+      Seq(4L, 4L, true), Seq(5L, 4L, false),
+      Seq(6L, 6L, true)))
+  }
+
   test("ngram jaccard computes the exact set ratio within blocks") {
     val r = Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.3)
     val m = rowList(r.select("a_id", "b_id", "jaccard"))
