@@ -122,29 +122,46 @@ object Dedup {
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame,
                       maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Materialize the pair set once: the symmetric edge union references it
+    // through TWO branches, which would evaluate the (expensive) pair-generation
+    // join twice; the edge list then re-enters the plan every round. Both are
+    // small relative to docs (pairs are the blocked candidates, already reduced).
+    val p = pairs.localCheckpoint()
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
-    var labels = docs.select(col("doc_id").as("id"))
+      .localCheckpoint()
+    // Iterate only over nodes that have edges; singletons (the vast majority of
+    // a corpus) join back at the end with label = self.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint()
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("old"))
+      // pointer compression: follow the label's own label (labels always point
+      // at node ids) — halves the rounds to O(log diameter)
+      val compressed = stepped.alias("x")
+        .join(labels.alias("y"), col("x.label") === col("y.id"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("y.label"), col("x.label"))).as("label"),
+          col("x.old").as("old"))
         .localCheckpoint()
-      converged = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
-      labels = updated
+      converged = compressed.filter(col("label") =!= col("old")).isEmpty
+      labels = compressed.select("id", "label") // compressed is already checkpointed
       i += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"),
-      (col("id") === col("label")).as("keep"))
+    docs.select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
