@@ -488,6 +488,29 @@ object SparkEntry {
               CAST(instr(p_name, 'green') AS BIGINT) AS green_pos
               FROM part WHERE p_name LIKE '%green%'""")),
 
+    Q("q_having",
+      (s, d) => Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+        .filter(col("n") >= 5),
+      Some("""SELECT user_id, count(*) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM events GROUP BY user_id HAVING count(*) >= 5""")),
+
+    Q("q_null_safe_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+          .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val a = e.alias("a"); val b = e.alias("b")
+        a.join(b, col("a.k") <=> col("b.k") && col("a.event_id") < col("b.event_id"))
+          .groupBy(col("a.k").as("k")).agg(count(lit(1)).as("pair_cnt"))
+      },
+      Some("""WITH e AS (SELECT event_id,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+              SELECT a.k AS k, count(*) AS pair_cnt
+              FROM e a JOIN e b ON a.k IS NOT DISTINCT FROM b.k
+                AND a.event_id < b.event_id
+              GROUP BY a.k""")),
+
     Q("q_grouping_sets",
       (s, d) => {
         Tables.lineitem(s, d).createOrReplaceTempView("graft_l")
@@ -681,6 +704,43 @@ object SparkEntry {
               CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS ws_tokens,
               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens
               FROM documents""")),
+
+    Q("text_redact", // PII-style scrub: emails, long digit runs, URLs
+      (s, d) => Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
+              "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+            "https?://[^\\s]+", "<URL>"),
+          "[0-9]{6,}", "<NUM>").as("redacted")),
+      Some("""SELECT doc_id,
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^\s]+', '<URL>', 'g'),
+                '[0-9]{6,}', '<NUM>', 'g') AS redacted
+              FROM documents""")),
+
+    Q("text_repetition", // repetition quality signal: top-token share per doc
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        toks.groupBy("doc_id").agg(
+          max(col("tf")).as("max_tf"),
+          sum(col("tf")).as("n_toks"),
+          round(max(col("tf")).cast("double") / sum(col("tf")), 6).as("top_token_share"))
+      },
+      Some("""WITH tf AS (
+                SELECT doc_id, t.tok, count(*) AS tf FROM (
+                  SELECT doc_id,
+                    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+                  FROM documents) t
+                GROUP BY doc_id, t.tok)
+              SELECT doc_id, max(tf) AS max_tf, CAST(sum(tf) AS BIGINT) AS n_toks,
+                round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_token_share
+              FROM tf GROUP BY doc_id""")),
 
     Q("text_ngram_freq", // corpus-wide top-50 trigram frequency
       (s, d) => {
