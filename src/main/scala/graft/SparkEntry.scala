@@ -498,17 +498,23 @@ object SparkEntry {
 
     Q("q_null_safe_join",
       (s, d) => {
-        val e = Tables.events(s, d)
-          .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
-        val a = e.alias("a"); val b = e.alias("b")
-        a.join(b, col("a.k") <=> col("b.k") && col("a.event_id") < col("b.event_id"))
+        // two bounded sides (k is low-cardinality: an unbounded self-join on it
+        // is quadratic in events — 50M pairs at sf0.1)
+        val e = Tables.events(s, d).filter(col("user_id") <= 20)
+          .select(col("event_id"), col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+        val a = e.filter(col("event_type") === "signup").alias("a")
+        val b = e.filter(col("event_type") === "purchase").alias("b")
+        a.join(b, col("a.k") <=> col("b.k"))
           .groupBy(col("a.k").as("k")).agg(count(lit(1)).as("pair_cnt"))
       },
-      Some("""WITH e AS (SELECT event_id,
-                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      Some("""WITH e AS (SELECT event_id, event_type,
+                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+                FROM events WHERE user_id <= 20)
               SELECT a.k AS k, count(*) AS pair_cnt
-              FROM e a JOIN e b ON a.k IS NOT DISTINCT FROM b.k
-                AND a.event_id < b.event_id
+              FROM (SELECT * FROM e WHERE event_type = 'signup') a
+              JOIN (SELECT * FROM e WHERE event_type = 'purchase') b
+                ON a.k IS NOT DISTINCT FROM b.k
               GROUP BY a.k""")),
 
     Q("q_grouping_sets",

@@ -85,6 +85,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("as-of join is left-preserving: exactly one output row per left row") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val left = df.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+      val right = df.filter(col("event_type") === "purchase")
+      val joined = Ops.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        col("event_id"), col("event_id"), Map("pid" -> col("event_id")))
+      assert(joined.count() === left.count())
+      assert(joined.select("event_id").distinct().count() === left.count())
+    }
+  }
+
   test("hourTotals equals direct per-hour count") {
     forAll(genEvents) { evs =>
       val direct = evs.toDF()

@@ -51,6 +51,16 @@ class StreamingSpec extends SparkSpec {
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
 
+  test("streaming sliding-window counts equal the batch form") {
+    val view = (df: org.apache.spark.sql.DataFrame) => df
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyyMMddHHmm").as("window_start"), col("cnt"))
+    val streamed = runStream(view, "t_sliding")
+    val batch = view(allEvents.toDF())
+    assert(rowSet(streamed) === rowSet(batch))
+  }
+
   test("stateful LWW (mapGroupsWithState) converges to batch latestInfo") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
