@@ -413,6 +413,25 @@ object SparkEntry {
               AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
               AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 5 MINUTE""")),
 
+    Q("q_interval_join", // symmetric interval-overlap join ([ts, ts+10m) windows)
+      (s, d) => {
+        val e = Tables.events(s, d).filter(col("user_id") <= 20)
+          .select("user_id", "event_id", "ts")
+        val a = e.alias("a"); val b = e.alias("b")
+        a.join(b, col("a.user_id") === col("b.user_id") &&
+            col("a.event_id") < col("b.event_id") &&
+            col("a.ts") < col("b.ts") + expr("INTERVAL 10 MINUTES") &&
+            col("b.ts") < col("a.ts") + expr("INTERVAL 10 MINUTES"))
+          .select(col("a.user_id").as("user_id"),
+            col("a.event_id").as("a_event_id"), col("b.event_id").as("b_event_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE user_id <= 20)
+              SELECT a.user_id AS user_id, a.event_id AS a_event_id, b.event_id AS b_event_id
+              FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+                AND a.ts < b.ts + INTERVAL 10 MINUTES
+                AND b.ts < a.ts + INTERVAL 10 MINUTES""")),
+
     Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),

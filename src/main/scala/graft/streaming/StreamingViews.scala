@@ -82,6 +82,16 @@ object StreamingViews {
       .toDF(keyCol, "ts_micros", "event_id")
   }
 
+  /** Streaming exact dedup: at-most-once per id within the watermark horizon —
+    * the streaming half of the training-pipeline dedup story (batch half:
+    * [[graft.operators.Dedup.exactDedup]]). State holds one entry per id seen
+    * inside the watermark; older duplicates are already dropped, later-than-
+    * watermark duplicates are the documented divergence (see W2). */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+                  watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
   /** S4 streaming: the reference's LOGGED BATCH — each customer event lands in
     * `customer_latest_info` AND `global_recent_customers` atomically
     * (`cassandra_subscriber.py:121-163`) — as one foreachBatch body: both views

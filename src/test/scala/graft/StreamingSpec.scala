@@ -79,6 +79,20 @@ class StreamingSpec extends SparkSpec {
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
 
+  test("streaming dedup drops replayed events across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.dedupStream(stream.toDF()).writeStream
+      .outputMode("append").format("memory").queryName("t_dedup").start()
+    try {
+      stream.addData(allEvents); q.processAllAvailable()
+      stream.addData(allEvents.take(3)); q.processAllAvailable() // replay
+    } finally q.stop()
+    val out = spark.table("t_dedup")
+    assert(out.count() === allEvents.size.toLong)
+    assert(out.select("event_id").distinct().count() === allEvents.size.toLong)
+  }
+
   test("foreachBatch view maintenance: atomic per-batch dual write, compacts to batch view") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_maintain").toString
