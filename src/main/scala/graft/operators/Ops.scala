@@ -65,7 +65,7 @@ object Ops {
     * greatest-of-struct; keep [[latestPerKey]] for mixed asc/desc tie-breaks.
     */
   def latestPerKeyAgg(df: DataFrame, keys: Seq[String], ordCols: Seq[Column]): DataFrame = {
-    val payload = struct(df.columns.map(col): _*)
+    val payload = struct(df.columns.toIndexedSeq.map(col): _*)
     df.groupBy(keys.map(col): _*)
       .agg(max_by(payload, struct(ordCols: _*)).as("__p"))
       .select(col("__p.*"))

@@ -26,6 +26,23 @@ object Lake {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Interchange formats: the engine is parquet-first (columnar, statistics,
+    * pushdown), but ingest pipelines land CSV/JSONL too. Explicit schema on
+    * read — never inferSchema (a full extra pass over 100 TB). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Register every testdata table plus derived views as temp views so the whole
     * engine surface is reachable from `spark.sql(...)` — the general query
     * interface the reference lacks (its five endpoints are hardcoded). */

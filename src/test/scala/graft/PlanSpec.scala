@@ -87,6 +87,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(event_date"), p)
   }
 
+  test("CSV and JSONL round-trip preserves rows (explicit schema, no infer pass)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    val src = Tables.nation(spark, d)
+    graft.sources.Lake.writeCsv(src, s"$dir/csv")
+    graft.sources.Lake.writeJsonl(src, s"$dir/jsonl")
+    assert(rowSet(graft.sources.Lake.readCsv(spark, s"$dir/csv", src.schema)) === rowSet(src))
+    assert(rowSet(graft.sources.Lake.readJsonl(spark, s"$dir/jsonl", src.schema)) === rowSet(src))
+  }
+
   test("SQL surface: registered views answer ad-hoc SQL") {
     graft.sources.Lake.registerAll(spark, d)
     assert(spark.sql("SELECT count(*) FROM nation").head().getLong(0) === 25L)
