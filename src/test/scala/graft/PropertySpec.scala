@@ -74,6 +74,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("normalize is idempotent and whitespace-insertion-invariant") {
+    val genText: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)), Gen.const(" "), Gen.const("\t"), Gen.const("\n")))
+      .map(_.mkString)
+    forAll(genText, runs = 12) { t =>
+      import org.apache.spark.sql.functions.col
+      val df = Seq((t, t.replace(" ", "   "))).toDF("a", "b")
+      val r = df.select(
+        graft.functions.TextFns.normalize(col("a")).as("na"),
+        graft.functions.TextFns.normalize(
+          graft.functions.TextFns.normalize(col("a"))).as("naa"),
+        graft.functions.TextFns.normalize(col("b")).as("nb")).head()
+      assert(r.getString(0) === r.getString(1), "idempotence")
+      assert(r.getString(0) === r.getString(2), "whitespace-run invariance")
+    }
+  }
+
+  test("string hour bucket agrees with window() tumbling boundaries") {
+    forAll(genEvents) { evs =>
+      import org.apache.spark.sql.functions._
+      val viaBucket = evs.toDF()
+        .groupBy(Ops.hourBucket(col("ts")).as("b")).agg(count(lit(1)).as("n"))
+      val viaWindow = evs.toDF()
+        .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyyMMddHH").as("b"), col("n"))
+      assert(rowSet(viaBucket) === rowSet(viaWindow))
+    }
+  }
+
   test("bucketed range join equals the plain banded range join") {
     forAll(genEvents) { evs =>
       val df = evs.toDF()
