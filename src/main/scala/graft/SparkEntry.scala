@@ -307,6 +307,21 @@ object SparkEntry {
       Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_users
               FROM events GROUP BY event_type""")),
 
+    Q("q_multi_distinct", // two distinct columns: built-in Expand replicates the
+      // input once per distinct group; chaining the two-stage form keeps each
+      // pass linear (join of two pre-deduped counts)
+      (s, d) => {
+        val e = Tables.events(s, d).select(col("user_id"),
+          Ops.dayBucket(col("ts")).as("day_bucket"), col("event_type"))
+        val users = Ops.distinctCountSkewSafe(e, "day_bucket", "user_id", "uniq_users")
+        val types = Ops.distinctCountSkewSafe(e, "day_bucket", "event_type", "uniq_types")
+        users.join(types, Seq("day_bucket"))
+      },
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') AS day_bucket,
+              count(DISTINCT user_id) AS uniq_users,
+              count(DISTINCT event_type) AS uniq_types
+              FROM events GROUP BY 1""")),
+
     Q("q_rollup",
       (s, d) => Tables.lineitem(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty")),
