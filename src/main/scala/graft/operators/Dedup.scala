@@ -126,16 +126,19 @@ object Dedup {
     // through TWO branches, which would evaluate the (expensive) pair-generation
     // join twice; the edge list then re-enters the plan every round. Both are
     // small relative to docs (pairs are the blocked candidates, already reduced).
-    val p = pairs.localCheckpoint()
-    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // localCheckpoint persists its RDD; everything but the final round's result
+    // is freed before returning (a library that leaks a cached RDD per call
+    // would bleed executor storage in a long-lived session).
+    var toFree: List[DataFrame] = Nil
+    def ckpt(df: DataFrame): DataFrame = { val c = df.localCheckpoint(); toFree ::= c; c }
+    val p = ckpt(pairs)
+    val edges = ckpt(p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(p.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // Iterate only over nodes that have edges; singletons (the vast majority of
     // a corpus) join back at the end with label = self.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = ckpt(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var i = 0
     var converged = false
     while (i < maxIter && !converged) {
@@ -147,16 +150,18 @@ object Dedup {
           col("label").as("old"))
       // pointer compression: follow the label's own label (labels always point
       // at node ids) — halves the rounds to O(log diameter)
-      val compressed = stepped.alias("x")
+      val compressed = ckpt(stepped.alias("x")
         .join(labels.alias("y"), col("x.label") === col("y.id"), "left")
         .select(col("x.id").as("id"),
           least(col("x.label"), coalesce(col("y.label"), col("x.label"))).as("label"),
-          col("x.old").as("old"))
-        .localCheckpoint()
+          col("x.old").as("old")))
       converged = compressed.filter(col("label") =!= col("old")).isEmpty
       labels = compressed.select("id", "label") // compressed is already checkpointed
       i += 1
     }
+    // free every intermediate checkpoint; the final one (head — backing `labels`)
+    // stays until the caller's plan has consumed it
+    toFree.drop(1).foreach(df => try df.unpersist() catch { case _: Throwable => () })
     docs.select(col("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
