@@ -447,6 +447,17 @@ object SparkEntry {
                 AND a.ts < b.ts + INTERVAL 10 MINUTES
                 AND b.ts < a.ts + INTERVAL 10 MINUTES""")),
 
+    Q("q_hash_sample", // xxhash64 bucketing — engine-specific, rows-only
+      (s, d) => Ops.hashSample(Tables.events(s, d), "event_id", 0.1)
+        .select("event_id", "user_id", "event_type"),
+      None),
+
+    Q("q_stratified_sample", // xxhash64 bucketing — rows-only
+      (s, d) => Ops.stratifiedHashSample(Tables.events(s, d), "event_id", "event_type",
+        Map("purchase" -> 1.0, "view" -> 0.1, "signup" -> 0.5))
+        .select("event_id", "event_type"),
+      None),
+
     Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),

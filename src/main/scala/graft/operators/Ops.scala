@@ -15,6 +15,33 @@ import org.apache.spark.sql.functions._
   */
 object Ops {
 
+  // ---------------------------------------------------------------- sampling
+
+  /** Deterministic hash sampling: keep rows whose key hashes into the first
+    * `rate` share of buckets. Unlike `df.sample` (seeded per-partition RNG —
+    * resample changes with partitioning), this is a pure function of the key:
+    * reproducible across runs, partitionings, and engines sharing the hash, and
+    * consistent — a row is in the 10% sample iff it is in the 20% sample. The
+    * sampling primitive a training-data pipeline needs for stable held-out
+    * splits. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+                 buckets: Int = 1000000): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) < (rate * buckets).toLong)
+  }
+
+  /** [[hashSample]] with per-stratum rates (the `sampleBy` analog): one pass,
+    * rate looked up from a map literal by the stratum column. Strata absent
+    * from `rates` are dropped (rate 0). */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+                           rates: Map[String, Double],
+                           buckets: Int = 1000000): DataFrame = {
+    val rateMap = map(rates.toSeq.flatMap { case (k, v) =>
+      Seq(lit(k), lit((v * buckets).toLong)) }: _*)
+    df.filter(pmod(xxhash64(col(keyCol)), lit(buckets)) <
+      coalesce(element_at(rateMap, col(stratumCol)), lit(0L)))
+  }
+
   // ---------------------------------------------------------------- time buckets
 
   /** P8: hour bucket `'%Y%m%d%H'` — `cassandra_subscriber.py:86-88`. */

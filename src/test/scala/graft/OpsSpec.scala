@@ -87,6 +87,23 @@ class OpsSpec extends SparkSpec {
       Seq(1L, 2L), Seq(2L, 3L), Seq(2L, 6L), Seq(1L, 3L), Seq(1L, 6L)))
   }
 
+  test("hash sampling is deterministic, consistent across rates, and stratified") {
+    val big = spark.range(10000).toDF("event_id")
+    val s10 = Ops.hashSample(big, "event_id", 0.1)
+    val s20 = Ops.hashSample(big, "event_id", 0.2)
+    assert(rowSet(s10) === rowSet(Ops.hashSample(big.repartition(7), "event_id", 0.1)),
+      "must not depend on partitioning")
+    assert(rowSet(s10).subsetOf(rowSet(s20)), "smaller sample nests in larger")
+    val n = s10.count()
+    assert(n > 700 && n < 1300, s"~10% of 10000 expected, got $n")
+    // strata: full purchase retention, absent stratum dropped
+    val typed = events
+    val strat = Ops.stratifiedHashSample(typed, "event_id", "event_type",
+      Map("purchase" -> 1.0))
+    assert(rowSet(strat.select("event_id")) ===
+      rowSet(typed.filter($"event_type" === "purchase").select("event_id")))
+  }
+
   test("A2 bucketCounts: one row per granularity x bucket with exact counts") {
     val r = Ops.bucketCounts(events, "ts")
     val daily = rowSet(r.filter($"granularity" === "daily")
