@@ -859,6 +859,22 @@ object SparkEntry {
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
               count(*) AS cnt FROM events GROUP BY 1""")),
 
+    Q("w2_stream_bucket_counts", // A2 as a real streaming query (counter table parity)
+      (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",
+        "graft_w2_sink", src => StreamingViews.bucketCounts(
+          // watermarks require TIMESTAMP (tz-aware); equal to ntz under UTC session
+          Tables.normalizeEventTs(src).withColumn("ts", col("ts").cast("timestamp")))),
+      Some("""WITH b AS (
+              SELECT '5min' AS granularity,
+                '5min:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') ||
+                lpad(CAST((minute(CAST(ts AS TIMESTAMP)) // 5) * 5 AS VARCHAR), 2, '0') AS time_bucket
+              FROM events
+              UNION ALL
+              SELECT 'hourly', 'hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') FROM events
+              UNION ALL
+              SELECT 'daily', 'daily:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d') FROM events)
+              SELECT granularity, time_bucket, count(*) AS cnt FROM b GROUP BY 1, 2""")),
+
     Q("w_sliding_window", // sliding windows — absent from the reference (tumbling only)
       (s, d) => Tables.events(s, d)
         .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
