@@ -38,6 +38,17 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("minhash signature aggregate is partition-independent (merge correctness)") {
+    import org.apache.spark.sql.functions._
+    val hashed = spark.range(1000).select(col("id"),
+      xxhash64(col("id")).as("h"), lit(1L).as("g"))
+    def sig(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), 16).as("sig"))
+      .head().getSeq[Long](1)
+    assert(sig(hashed.repartition(1)) === sig(hashed.repartition(13)),
+      "signature must not depend on partitioning (elementwise-min merge)")
+  }
+
   test("simhash pairs: identical docs at hamming 0; unrelated docs don't pair") {
     val r = Dedup.simhashPairs(docs, maxHamming = 8)
     val m = rowList(r.select("a_id", "b_id", "hamming"))

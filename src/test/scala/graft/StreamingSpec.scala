@@ -79,6 +79,34 @@ class StreamingSpec extends SparkSpec {
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
 
+  test("watermark drops beyond-horizon late events (the documented W2 divergence)") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = stream.toDF()
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyyMMddHH").as("b"), col("cnt"))
+      .writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try {
+      // batch 1 advances the watermark to 2024-01-03 23:00
+      stream.addData(TestEvent(1, 1, "a", ts("2024-01-04 00:00:00"), 0, "{}"))
+      q.processAllAvailable()
+      // batch 2: one event 2 days late (dropped), one inside the horizon (kept)
+      stream.addData(
+        TestEvent(2, 1, "a", ts("2024-01-02 00:30:00"), 0, "{}"),
+        TestEvent(3, 1, "a", ts("2024-01-03 23:30:00"), 0, "{}"))
+      q.processAllAvailable()
+      // close all windows so append mode emits them
+      stream.addData(TestEvent(4, 1, "a", ts("2024-01-06 00:00:00"), 0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_late").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!out.contains("2024010200"), s"beyond-watermark event must be dropped: $out")
+    assert(out.get("2024010323").contains(1L), s"in-horizon late event must count: $out")
+    assert(out.get("2024010400").contains(1L), out.toString)
+  }
+
   test("streaming dedup drops replayed events across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
