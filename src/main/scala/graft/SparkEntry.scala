@@ -574,11 +574,16 @@ object SparkEntry {
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),
 
     Q("q_collect_sorted",
+      // sorted-list agg, serialized to CSV text: the driver's pandas comparator
+      // cannot hash raw array cells, and the string join loses nothing (sort is
+      // numeric BEFORE the per-element cast)
       (s, d) => Tables.events(s, d).filter(col("user_id") <= 5)
         .groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_id"))).as("event_ids"),
+        .agg(array_join(transform(sort_array(collect_list(col("event_id"))),
+            x => x.cast("string")), ",").as("event_ids"),
           count(lit(1)).as("n")),
-      Some("""SELECT user_id, list_sort(list(event_id)) AS event_ids, count(*) AS n
+      Some("""SELECT user_id, array_to_string(list_sort(list(event_id)), ',') AS event_ids,
+              count(*) AS n
               FROM events WHERE user_id <= 5 GROUP BY user_id""")))
 
   // ------------------------------------------------------------------
@@ -841,7 +846,10 @@ object SparkEntry {
     Q("multimodal_frame_sample",
       (s, d) => Multimodal.sampleOffsets(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)), Seq(1, 101, 201, 301)),
-      Some("""SELECT doc_id AS media_id, pos, hex(encode(substr(text, pos, 1))) AS sample_hex
+      // byte-based slice on both sides: Spark substrings the BINARY payload, the
+      // oracle slices the blob's hex string (2 hex chars = 1 byte) — so multi-byte
+      // UTF-8 documents sample the same byte, not a re-encoded character
+      Some("""SELECT doc_id AS media_id, pos, substr(hex(encode(text)), pos * 2 - 1, 2) AS sample_hex
               FROM documents, (SELECT unnest([1, 101, 201, 301]) AS pos) t
               WHERE pos <= octet_length(encode(text))""")))
 

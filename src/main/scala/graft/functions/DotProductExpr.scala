@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Semantics contract: identical to the HOF form and to DuckDB's
   * `list_reduce(list_transform(...))` oracle — strict left-to-right sequential
   * double accumulation over min(len(a), len(b)) elements, null if either side is
-  * null. Keep all three in sync.
+  * null, and null if any consumed ELEMENT is null (the HOF form's `null * x`
+  * poisons the sum the same way). Keep all three in sync.
   */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -44,7 +45,11 @@ case class DotProductExpr(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -57,6 +62,7 @@ case class DotProductExpr(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

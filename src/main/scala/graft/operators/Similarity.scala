@@ -43,19 +43,24 @@ object Similarity {
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
                         nbits: Int = 8, tables: Int = 4): DataFrame = {
     val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
-    val tagged = e.select(col("vec_id"), col("embedding"),
+    // Candidate generation on BARE (vec_id, tbl, bucket) rows — carrying the
+    // embedding through the bucket shuffle would inflate it `tables`-fold (the
+    // same payload-last pattern as Dedup.minhashLshPairs). Vectors re-attach to
+    // the (much smaller) deduped candidate pair set for the exact cosine filter.
+    val tagged = e.select(col("vec_id"),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("tbl"),
             VectorFns.hyperplaneBucket(col("embedding"), dim, nbits, seed = t).as("bucket"))
         }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+      .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
     val a = tagged.alias("a")
     val b = tagged.alias("b")
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), "b_id")
       .select(col("a_id"), col("b_id"),
         VectorFns.simKey(VectorFns.dot(col("ea"), col("eb"))).as("cosine"))
       .filter(col("cosine") >= threshold)

@@ -33,10 +33,18 @@ object StreamingViews {
   /** A2 streaming: multi-granularity prefixed bucket counts
     * (`new_products_total_count_by_time`). One explode + one windowless groupBy on
     * the bucket string — state key is (granularity, bucket), exactly the reference's
-    * counter PK. */
-  def bucketCounts(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    * counter PK.
+    *
+    * State contract: UNBOUNDED — run in complete/update mode. The group keys are
+    * derived bucket strings, not an event-time window, so Spark cannot evict state;
+    * this exactly mirrors the reference's Cassandra counters, which keep every
+    * bucket forever and accept unboundedly-late events
+    * (`cassandra_subscriber.py:113, 210-218`). For the bounded-state production
+    * form use [[bucketCountsBounded]] (one query per granularity, real windows,
+    * watermark-evicted). */
+  def bucketCounts(events: DataFrame): DataFrame = {
     val t = col("ts")
-    events.withWatermark("ts", watermark)
+    events
       .select(t, explode(array(
         struct(lit("5min").as("granularity"), Ops.bucketKey("5min", Ops.min5Bucket(t)).as("time_bucket")),
         struct(lit("hourly").as("granularity"), Ops.bucketKey("hourly", Ops.hourBucket(t)).as("time_bucket")),
@@ -44,6 +52,30 @@ object StreamingViews {
       )).as("g"))
       .groupBy(col("g.granularity").as("granularity"), col("g.time_bucket").as("time_bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[bucketCounts]], bounded-state form: ONE granularity per query, grouped on a
+    * real `window(ts, …)` so the watermark actually evicts closed buckets and
+    * drops beyond-horizon late rows. A deployment runs three of these (5min /
+    * hourly / daily) against the same source — the streaming analog of the
+    * reference's three counter UPDATEs per event — each with state bounded by
+    * (watermark horizon / granularity) buckets instead of all buckets ever. */
+  def bucketCountsBounded(events: DataFrame, granularity: String,
+                          watermark: String = "1 day"): DataFrame = {
+    val (dur, fmt) = granularity match {
+      case "5min"   => ("5 minutes", "yyyyMMddHHmm")
+      case "hourly" => ("1 hour", "yyyyMMddHH")
+      case "daily"  => ("1 day", "yyyyMMdd")
+      case other => throw new IllegalArgumentException(
+        s"granularity must be 5min|hourly|daily, got $other")
+    }
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), dur))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(granularity).as("granularity"),
+        concat(lit(granularity + ":"), date_format(col("window.start"), fmt))
+          .as("time_bucket"),
+        col("cnt"))
   }
 
   /** A4 streaming: last-write-wins latest row per key (`customer_latest_info`
@@ -84,13 +116,14 @@ object StreamingViews {
 
   /** Streaming exact dedup: at-most-once per id within the watermark horizon —
     * the streaming half of the training-pipeline dedup story (batch half:
-    * [[graft.operators.Dedup.exactDedup]]). State holds one entry per id seen
-    * inside the watermark; older duplicates are already dropped, later-than-
-    * watermark duplicates are the documented divergence (see W2). */
+    * [[graft.operators.Dedup.exactDedup]]). `dropDuplicatesWithinWatermark` keys
+    * state on the id ALONE (a replay with the same id but a drifted timestamp is
+    * still a duplicate) and evicts each id once the watermark passes its event
+    * time; later-than-watermark duplicates are the documented divergence (W2). */
   def dedupStream(events: DataFrame, idCol: String = "event_id",
                   watermark: String = "1 day"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates(idCol, "ts")
+      .dropDuplicatesWithinWatermark(idCol)
 
   /** S4 streaming: the reference's LOGGED BATCH — each customer event lands in
     * `customer_latest_info` AND `global_recent_customers` atomically

@@ -58,6 +58,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!rowList(r.select("vec_id")).flatten.contains(1L), "self-match must be excluded")
   }
 
+  test("dot: a null ELEMENT nulls the result, matching the HOF form") {
+    val df = Seq(
+      (1L, Seq(Option(1.0), None, Option(3.0)), Seq(Option(1.0), Option(1.0), Option(1.0))),
+      (2L, Seq(Option(1.0), Option(2.0)), Seq(Option(3.0), Option(4.0)))
+    ).toDF("id", "a", "b")
+    val r = df.select($"id", VectorFns.dot($"a", $"b").as("native"),
+        aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+          .as("hof"))
+      .collect().map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) null else row.getDouble(1),
+          if (row.isNullAt(2)) null else row.getDouble(2))).toMap
+    assert(r(1L) === ((null, null)), "null element must poison the product in BOTH forms")
+    assert(r(2L) === ((11.0, 11.0)))
+  }
+
   test("hyperplaneBucket is deterministic across invocations") {
     val b1 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
     val b2 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))

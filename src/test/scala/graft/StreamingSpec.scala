@@ -107,6 +107,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.get("2024010400").contains(1L), out.toString)
   }
 
+  test("bucketCountsBounded: windowed keys let the watermark drop late rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.bucketCountsBounded(
+        stream.toDF().withColumn("ts", col("ts").cast("timestamp")),
+        "hourly", watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("t_bcb").start()
+    try {
+      stream.addData(TestEvent(1, 1, "a", ts("2024-01-04 00:00:00"), 0, "{}"))
+      q.processAllAvailable() // watermark → 2024-01-03 23:00
+      stream.addData(
+        TestEvent(2, 1, "a", ts("2024-01-02 00:30:00"), 0, "{}"),  // beyond horizon
+        TestEvent(3, 1, "a", ts("2024-01-03 23:30:00"), 0, "{}"))  // inside horizon
+      q.processAllAvailable()
+      stream.addData(TestEvent(4, 1, "a", ts("2024-01-06 00:00:00"), 0, "{}"))
+      q.processAllAvailable() // close all windows so append emits them
+    } finally q.stop()
+    val out = spark.table("t_bcb").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(!out.contains("hourly:2024010200"), s"late row must be dropped: $out")
+    assert(out.get("hourly:2024010323").contains(1L), out.toString)
+    assert(out.get("hourly:2024010400").contains(1L), out.toString)
+  }
+
+  test("streaming dedup drops same-id replays even with drifted timestamps") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.dedupStream(
+        stream.toDF().withColumn("ts", col("ts").cast("timestamp")))
+      .writeStream.outputMode("append").format("memory").queryName("t_dedup_drift").start()
+    try {
+      stream.addData(allEvents); q.processAllAvailable()
+      // replay with the timestamp shifted — same id is still a duplicate
+      stream.addData(allEvents.take(3).map(e =>
+        e.copy(ts = new java.sql.Timestamp(e.ts.getTime + 60000))))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("t_dedup_drift").count() === allEvents.size.toLong)
+  }
+
   test("streaming dedup drops replayed events across batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
