@@ -921,6 +921,17 @@ object SparkEntry {
                 count(*) AS n
               FROM s GROUP BY user_id, sid""")),
 
+    Q("w_stream_stream_join", // stream-stream interval join (view → purchase attribution)
+      (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",
+        "graft_wssj_sink", src => StreamingViews.streamStreamJoin(
+          Tables.normalizeEventTs(src).withColumn("ts", col("ts").cast("timestamp"))),
+        outputMode = "append"),
+      Some("""SELECT a.user_id AS user_id, a.event_id AS l_event_id, b.event_id AS r_event_id
+              FROM events a JOIN events b ON a.user_id = b.user_id
+               AND a.event_type = 'view' AND b.event_type = 'purchase'
+               AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
+               AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTES""")),
+
     Q("w6_stream_lww", // stateful mapGroupsWithState LWW through a real stream
       (s, d) => {
         val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",

@@ -26,6 +26,24 @@ object Lake {
   def readEvents(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Bucketed layout: hash-cluster a table on its join/agg key at WRITE time, so
+    * every future equi-join or aggregation on that key reads co-located buckets
+    * and skips the shuffle entirely (Spark plans SortMergeJoin with NO Exchange
+    * when both sides are bucketed by the join key into the same bucket count).
+    * This is the Spark-native analog of the reference keeping each Cassandra
+    * table pre-partitioned by its query key (`README.md:135-141`) — pay the
+    * shuffle once at ingest, amortize it over every read. Bucket count is a
+    * layout constant: pick ~(table size / target partition size) and keep it
+    * stable across tables that join together. */
+  def writeBucketed(df: DataFrame, path: String, table: String,
+                    bucketCol: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Interchange formats: the engine is parquet-first (columnar, statistics,
     * pushdown), but ingest pipelines land CSV/JSONL too. Explicit schema on
     * read — never inferSchema (a full extra pass over 100 TB). */

@@ -125,6 +125,34 @@ object StreamingViews {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join (absent from the reference — CQL cannot join at
+    * all): each left-branch event pairs with the right-branch events of the SAME
+    * key whose time falls in (left.ts, left.ts + maxGap]. Both branches carry a
+    * watermark and the join condition bounds event time on both sides, so Spark
+    * evicts join state once the watermark passes `ts + maxGap` — state is bounded
+    * by the gap horizon, not the stream length (the 100 TB requirement for any
+    * stream-stream join). Inner join: matches emit as soon as both sides arrive
+    * (append mode), no watermark wait.
+    *
+    * Shape precedent: the reference correlates a customer's events only through
+    * per-key tables; this is the general "what followed X within T" correlation
+    * (e.g. view → purchase attribution). */
+  def streamStreamJoin(events: DataFrame, keyCol: String = "user_id",
+                       leftType: String = "view", rightType: String = "purchase",
+                       maxGap: String = "30 minutes",
+                       watermark: String = "1 day"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val left = wm.filter(col("event_type") === leftType)
+      .select(col(keyCol).as("k"), col("event_id").as("l_event_id"), col("ts").as("l_ts"))
+    val right = wm.filter(col("event_type") === rightType)
+      .select(col(keyCol).as("rk"), col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    left.join(right,
+        col("k") === col("rk") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"))
+      .select(col("k").as(keyCol), col("l_event_id"), col("r_event_id"))
+  }
+
   /** S4 streaming: the reference's LOGGED BATCH — each customer event lands in
     * `customer_latest_info` AND `global_recent_customers` atomically
     * (`cassandra_subscriber.py:121-163`) — as one foreachBatch body: both views

@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
     assert(latest === 15L) // one row per user at sf0.001
   }
 
+  test("bucketed tables equi-join with NO shuffle (co-located join)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val events = Tables.events(spark, d)
+    graft.sources.Lake.writeBucketed(events.select("event_id", "user_id", "value"),
+      s"$dir/facts", "graft_b_facts", "user_id", 4)
+    graft.sources.Lake.writeBucketed(
+      events.groupBy("user_id").agg(count(lit(1)).as("n")),
+      s"$dir/dim", "graft_b_dim", "user_id", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the merge path
+    try {
+      val joined = spark.table("graft_b_facts").join(spark.table("graft_b_dim"), "user_id")
+      joined.collect()
+      val p = physical(joined)
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join must not shuffle:\n$p")
+      // bucketed agg on the bucket key: no exchange either
+      val agg = spark.table("graft_b_facts").groupBy("user_id").agg(sum(col("value")))
+      agg.collect()
+      assert(!physical(agg).contains("Exchange"), physical(agg))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_b_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_b_dim")
+    }
+  }
+
   test("LWW dedup shuffles once on the key") {
     val p = physical(Views.latestInfo(Tables.events(spark, d)))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)

@@ -107,6 +107,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.get("2024010400").contains(1L), out.toString)
   }
 
+  test("stream-stream interval join matches the batch self-join over the same events") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamStreamJoin(stream.toDF(), leftType = "signup")
+      .writeStream
+      .outputMode("append").format("memory").queryName("t_ssj").start()
+    try {
+      // split so the right side of the (10: signup 10:15 → purchase 10:45) match
+      // arrives in a LATER batch than its left — the join must match across batches;
+      // the 30-minute gap is exactly the bound (inclusive upper edge)
+      stream.addData(allEvents.take(1)); q.processAllAvailable()
+      stream.addData(allEvents.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = {
+      val e = allEvents.toDF()
+      val a = e.filter(col("event_type") === "signup").alias("a")
+      val b = e.filter(col("event_type") === "purchase").alias("b")
+      a.join(b, col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("a.user_id").as("user_id"),
+          col("a.event_id").as("l_event_id"), col("b.event_id").as("r_event_id"))
+    }
+    assert(rowSet(batch).nonEmpty, "fixture must produce at least one join match")
+    assert(rowSet(spark.table("t_ssj")) === rowSet(batch))
+  }
+
   test("bucketCountsBounded: windowed keys let the watermark drop late rows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
