@@ -29,6 +29,7 @@ object SparkEntry {
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def dec6(c: Column): Column = c.cast("decimal(18,6)")
 
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
@@ -246,6 +247,33 @@ object SparkEntry {
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
               GROUP BY l_returnflag, l_linestatus""")),
 
+    Q("q5_region_revenue", // TPC-H Q5 shape: 6-table join chain — Catalyst prunes,
+      // reorders, and broadcasts the small dims; the fact scan shuffles once
+      (s, d) => {
+        val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        val o = Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        r.join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+          .join(Tables.customer(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, d),
+            col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM region JOIN nation ON n_regionkey = r_regionkey
+              JOIN customer ON c_nationkey = n_nationkey
+              JOIN orders ON o_custkey = c_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+              WHERE r_name = 'ASIA' AND o_orderdate >= DATE '1996-01-01'
+                AND o_orderdate < DATE '1997-01-01'
+              GROUP BY n_name""")),
+
     Q("q3_join_topn",
       (s, d) => {
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
@@ -307,6 +335,13 @@ object SparkEntry {
       Some("""SELECT event_type, count(DISTINCT user_id) AS uniq_users
               FROM events GROUP BY event_type""")),
 
+    Q("q_salted_agg", // deterministic-salt two-stage agg — same result as direct groupBy
+      (s, d) => Ops.saltedSumCount(Tables.events(s, d), Seq("event_type"),
+          dec6(col("value")), col("event_id"), salts = 16)
+        .select(col("event_type"), col("sum_v").cast("double").as("sum_v"), col("cnt")),
+      Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+              count(*) AS cnt FROM events GROUP BY event_type""")),
+
     Q("q_multi_distinct", // two distinct columns: built-in Expand replicates the
       // input once per distinct group; chaining the two-stage form keeps each
       // pass linear (join of two pre-deduped counts)
@@ -360,6 +395,21 @@ object SparkEntry {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""")),
+
+    Q("q_window_range_frame", // event-time RANGE frame: trailing 1-hour sum per user.
+      // Frame bounds are on epoch MICROSECONDS (not an interval literal) so both
+      // engines bound the frame on the identical integer axis.
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, d).select(col("event_id"), col("user_id"),
+          sum(dec6(col("value"))).over(w).cast("double").as("hour_sum"))
+      },
+      Some("""SELECT event_id, user_id,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+              FROM events""")),
 
     Q("q_sort_global",
       (s, d) => Ops.topN(
@@ -484,6 +534,12 @@ object SparkEntry {
               round(quantile_cont(value, 0.5), 6) AS median_value,
               round(quantile_cont(value, 0.9), 6) AS p90_value
               FROM events GROUP BY event_type""")),
+
+    Q("q_approx_percentile", // bounded-error percentile sketch — engine-specific, rows-only
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50"),
+          expr("approx_percentile(value, 0.99, 1000)").as("p99")),
+      None),
 
     Q("q_scalar_subquery", // decorrelated by Catalyst (RewriteCorrelatedScalarSubquery)
       (s, d) => {

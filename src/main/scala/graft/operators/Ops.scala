@@ -242,6 +242,26 @@ object Ops {
     df.select(key, value).distinct()
       .groupBy(key).agg(count(lit(1)).as(as))
 
+  /** Two-stage SALTED aggregation for skewed group keys: stage 1 aggregates on
+    * (key, salt) — a hot key's rows spread over `salts` reducers — stage 2
+    * combines the per-salt partials. The salt is a deterministic hash of
+    * `saltCol` (never `rand()`: results must be stable under retries/replays).
+    *
+    * Honest scope: for plain sum/count Spark's map-side partial aggregation
+    * already bounds per-reducer work, so the built-in `groupBy` is fine there.
+    * Salting is the tool when per-key REDUCE state is the hot spot — huge
+    * collect_set/distinct state, or a key so hot its single final-agg task
+    * dominates the stage. Same result as the direct form (oracle-checked in
+    * `q_salted_agg`; property-tested against the unsalted plan). */
+  def saltedSumCount(df: DataFrame, key: Seq[String], valueCol: Column,
+                     saltCol: Column, salts: Int = 16,
+                     sumAs: String = "sum_v", cntAs: String = "cnt"): DataFrame =
+    df.withColumn("__salt", pmod(xxhash64(saltCol), lit(salts)))
+      .groupBy((key.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__ps"), count(lit(1)).as("__pc"))
+      .groupBy(key.map(col): _*)
+      .agg(sum(col("__ps")).as(sumAs), sum(col("__pc")).as(cntAs))
+
   /** A2: multi-granularity tumbling-window counts — the reference's three counter
     * `+1`s per product event (`cassandra_subscriber.py:210-218`, buckets `:86-99`),
     * generalized: explode each event into (granularity, bucket) pairs, then one

@@ -55,6 +55,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedSumCount equals the direct groupBy for every event multiset and salt count") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val direct = df.groupBy("event_type")
+        .agg(sum(col("value").cast("decimal(18,6)")).as("sum_v"), count(lit(1)).as("cnt"))
+      Seq(1, 2, 16).foreach { salts =>
+        val salted = Ops.saltedSumCount(df, Seq("event_type"),
+          col("value").cast("decimal(18,6)"), col("event_id"), salts)
+        assert(rowSet(salted) === rowSet(direct), s"salts=$salts")
+      }
+    }
+  }
+
   test("latestPerKeyAgg (skew-immune max_by form) equals latestPerKey (window form)") {
     forAll(genEvents) { evs =>
       val win = Ops.latestPerKey(evs.toDF(), Seq("user_id"),
