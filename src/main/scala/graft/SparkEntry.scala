@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Multimodal, Ops, Similarity, Views}
+import graft.operators.{Curation, Dedup, Multimodal, Ops, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
 import graft.streaming.StreamingViews
 
@@ -646,6 +646,32 @@ object SparkEntry {
   // training-data pipeline: dedup / similarity / text / multimodal
   // ------------------------------------------------------------------
   private val pipelineQueries = Seq(
+    Q("pipeline_curate", // flagship composition: lang filter → quality gate → dedup
+      (s, d) => Curation.curateCorpus(Tables.documents(s, d),
+        lang = "en", minTokens = 20, maxAvgTokenLen = 5.0),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              x AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+              s AS (SELECT doc_id, norm, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+                len(list_filter(toks, t -> t IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS score_de,
+                len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS score_es,
+                len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS score_fr
+                FROM x),
+              l AS (SELECT *,
+                CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                     WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                     WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                     WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+                FROM s),
+              f AS (SELECT * FROM l
+                WHERE pred_lang = 'en' AND n_tokens >= 20 AND avg_token_len <= 5.0)
+              SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                round(min(avg_token_len), 6) AS avg_token_len, count(*) AS dup_count
+              FROM f GROUP BY norm""")),
+
     Q("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
@@ -960,11 +986,13 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
           col("n")),
+      // strictly-greater break: session_window still MERGES an event exactly
+      // `gap` after the previous one (verified against the streaming sessionizer)
       Some("""WITH o AS (
                 SELECT user_id, CAST(ts AS TIMESTAMP) AS t,
                   CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
                          OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
-                            >= INTERVAL 30 MINUTES
+                            > INTERVAL 30 MINUTES
                        THEN 1 ELSE 0 END AS brk
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),

@@ -82,12 +82,26 @@ object TextFns {
 
   /** Number of tokens of `text` that appear in `markers` (non-distinct). */
   def markerHits(text: Column, markers: Seq[String]): Column =
-    size(filter(tokens(text), t => markers.map(m => t === m).reduce(_ || _)))
+    markerHitsFromTokens(tokens(text), markers)
+
+  /** [[markerHits]] over a pre-materialized token array — bind the tokens once
+    * when scoring several marker lists (each call re-tokenizing `text` would
+    * normalize the document once per language). */
+  def markerHitsFromTokens(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
 
   /** Heuristic language ID: argmax of marker-hit scores with a fixed precedence
     * order (en > de > es > fr) for ties; "und" (undetermined) when no marker hits. */
   def predictLang(text: Column): Column = {
     val scores = langMarkers.map { case (l, ms) => l -> markerHits(text, ms) }
+    argmaxLang(scores)
+  }
+
+  /** [[predictLang]] over a pre-materialized token array (one tokenize per row). */
+  def predictLangFromTokens(toks: Column): Column =
+    argmaxLang(langMarkers.map { case (l, ms) => l -> markerHitsFromTokens(toks, ms) })
+
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und")) { case ((l, s), elseCol) =>
       when(best > 0 && s === best, lit(l)).otherwise(elseCol)

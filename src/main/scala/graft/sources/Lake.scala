@@ -61,6 +61,14 @@ object Lake {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC: the other columnar interchange format (schema travels in the file,
+    * same pushdown/pruning machinery as parquet). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Register every testdata table plus derived views as temp views so the whole
     * engine surface is reachable from `spark.sql(...)` — the general query
     * interface the reference lacks (its five endpoints are hardcoded). */

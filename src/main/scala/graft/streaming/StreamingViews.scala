@@ -114,6 +114,74 @@ object StreamingViews {
       .toDF(keyCol, "ts_micros", "event_id")
   }
 
+  /** Accumulating session state: bounds + count of the in-flight session. */
+  case class SessionState(startMicros: Long, lastMicros: Long, n: Long)
+
+  /** Closed-session sessionization via `flatMapGroupsWithState` + event-time
+    * timeout: per key, consecutive events closer than `gapSeconds` extend the
+    * session; a gap (or the watermark passing last-event-time + gap) CLOSES it,
+    * emitting one (key, session_start, session_end, n) row. This is the custom-
+    * state form of `session_window` — use it when the emitted record needs
+    * logic a windowed agg can't express (e.g. first/last event payloads,
+    * abandoned-cart flags). State per key is one fixed-size record; the
+    * event-time timeout + watermark evict idle keys, so state is bounded by
+    * ACTIVE keys, not all keys ever seen. Append output mode. */
+  def sessionize(events: DataFrame, keyCol: String = "user_id",
+                 gapSeconds: Long = 1800L, watermark: String = "1 day"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMicros = gapSeconds * 1000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events
+      // the watermarked event-time column itself must reach the stateful op
+      // (a projection that rewrites it unregisters the watermark)
+      .select(col(keyCol).cast("long").as("k"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed last + gap with no new events: close the session
+            val s = state.get
+            state.remove()
+            Iterator((key, s.startMicros, s.lastMicros, s.n))
+          } else {
+            // ascending within the batch; close the open session at every >gap
+            // jump, carry the trailing one in state. A beyond-gap LATE event
+            // (inside the watermark, before the open session's reach) emits as
+            // its own closed singleton — sessions never merge backwards.
+            val sorted = rows.map(r => micros(r._2)).toArray.sorted
+            val (closed, finalCur) =
+              sorted.foldLeft((List.empty[SessionState], state.getOption)) {
+                case ((acc, None), t) => (acc, Some(SessionState(t, t, 1)))
+                case ((acc, Some(s)), t) =>
+                  // inclusive gap bound on both edges — matches session_window,
+                  // which still merges an event exactly `gap` later
+                  if (t >= s.startMicros - gapMicros && t <= s.lastMicros + gapMicros)
+                    (acc, Some(SessionState(math.min(s.startMicros, t),
+                      math.max(s.lastMicros, t), s.n + 1)))
+                  else if (t > s.lastMicros + gapMicros)
+                    (s :: acc, Some(SessionState(t, t, 1)))
+                  else // t < start - gap: already-closed past session
+                    (SessionState(t, t, 1) :: acc, Some(s))
+              }
+            val open = finalCur.get
+            state.update(open)
+            // timeout must sit above the current watermark; if the watermark
+            // already passed last+gap, fire at the next batch
+            state.setTimeoutTimestamp(math.max(
+              open.lastMicros / 1000L + gapSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            closed.reverseIterator.map(s => (key, s.startMicros, s.lastMicros, s.n))
+          }
+      }
+      .toDF(keyCol, "session_start_micros", "session_end_micros", "n")
+  }
+
   /** Streaming exact dedup: at-most-once per id within the watermark horizon —
     * the streaming half of the training-pipeline dedup story (batch half:
     * [[graft.operators.Dedup.exactDedup]]). `dropDuplicatesWithinWatermark` keys

@@ -92,8 +92,10 @@ class PlanSpec extends SparkSpec {
     val src = Tables.nation(spark, d)
     graft.sources.Lake.writeCsv(src, s"$dir/csv")
     graft.sources.Lake.writeJsonl(src, s"$dir/jsonl")
+    graft.sources.Lake.writeOrc(src, s"$dir/orc")
     assert(rowSet(graft.sources.Lake.readCsv(spark, s"$dir/csv", src.schema)) === rowSet(src))
     assert(rowSet(graft.sources.Lake.readJsonl(spark, s"$dir/jsonl", src.schema)) === rowSet(src))
+    assert(rowSet(graft.sources.Lake.readOrc(spark, s"$dir/orc")) === rowSet(src))
   }
 
   test("SQL surface: registered views answer ad-hoc SQL") {

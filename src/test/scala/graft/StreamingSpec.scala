@@ -158,6 +158,37 @@ class StreamingSpec extends SparkSpec {
     assert(out.get("hourly:2024010400").contains(1L), out.toString)
   }
 
+  test("sessionizer (flatMapGroupsWithState) emits session_window-equal closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.sessionize(stream.toDF(), gapSeconds = 1800, watermark = "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("t_sess").start()
+    try {
+      stream.addData(allEvents.take(3)); q.processAllAvailable()
+      stream.addData(allEvents.drop(3)); q.processAllAvailable()
+      // closers: far-future events advance the watermark past every fixture
+      // session's (last + gap); the event-time timeout then closes them
+      stream.addData(TestEvent(100, 99, "x", ts("2024-03-01 00:00:00"), 0, "{}"))
+      q.processAllAvailable()
+      stream.addData(TestEvent(101, 99, "x", ts("2024-03-02 00:00:00"), 0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = rowSet(spark.table("t_sess")
+      .filter(col("user_id") =!= 99) // the closer key's own session may be open
+      .select("user_id", "session_start_micros", "session_end_micros", "n"))
+    // batch truth: session_window over the same events; its `end` is
+    // last-event + gap, the sessionizer reports the last event itself
+    val batch = allEvents.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_micros"),
+        (unix_micros(col("session_window.end")) - 1800L * 1000000L).as("session_end_micros"),
+        col("n"))
+    assert(rowSet(batch).nonEmpty)
+    assert(got === rowSet(batch))
+  }
+
   test("streaming dedup drops same-id replays even with drifted timestamps") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
