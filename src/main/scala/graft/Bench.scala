@@ -3,10 +3,12 @@ import org.apache.spark.sql.SparkSession
 
 object Bench {
   /** Headline queries: one per major capability group, always the scale-path
-    * form where two forms exist. The full 75-query sweep (SPARK_GRAFT_BENCH_FULL=1)
-    * stays available for local tuning, but the driver-facing JSON line reports
+    * form where two forms exist. The driver-facing stdout JSON line reports only
     * this subset so the line stays short enough for the harness's tail capture
-    * to parse (round 1's 75-entry line was truncated → `parsed: null`). */
+    * to parse (round 1's 75-entry line was truncated → `parsed: null`), but the
+    * COMPLETE sweep over every `SparkEntry.queries` entry is always run and
+    * written to `bench_full.json` in the working directory so no query's fate
+    * is invisible (round-2 verdict finding #3). */
   private val headline = Seq(
     "q1_pricing_summary", "q3_join_topn", "j1_enrich_lookup",
     "a1_hour_counts", "a2_bucket_counts", "a4_latest_per_key",
@@ -29,6 +31,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail fast on a renamed/removed headline query instead of silently
+    // shrinking the reported total (advisor finding, round 2).
+    val missing = headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"headline names missing from SparkEntry.queries: ${missing.mkString(", ")}")
     // Untimed warmup: parquet footers, file listing, codegen/JIT baseline —
     // so the timed loop measures the operators, not session initialization.
     graft.sources.Tables.names.foreach { n =>
@@ -39,23 +45,27 @@ object Bench {
     // min over N runs per query (default 2): reports steady-state operator cost,
     // not host-noise spikes; N=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    val names = if (full) SparkEntry.queries.keys.toSeq.sorted else headline
-    val results = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
       }
+      name -> times.min
     }
-    def f(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Locale.ROOT: a comma-decimal default locale would emit `1,234` → invalid JSON.
+    def f(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jsonLine(rs: Seq[(String, Double)]): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
+    }
+    val byName = results.toMap
+    // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(jsonLine(headline.map(n => n -> byName(n))))
     spark.stop()
   }
 }

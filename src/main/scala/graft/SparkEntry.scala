@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Ops, Similarity, Views}
+import graft.operators.{Curation, Dedup, Endpoints, Multimodal, Ops, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
 import graft.streaming.StreamingViews
 
@@ -213,6 +213,18 @@ object SparkEntry {
       (s, d) => Views.counterLookup(Tables.events(s, d), "hourly", "hourly:2024010100"),
       Some("""SELECT count(*) AS cnt FROM events
               WHERE 'hourly:' || strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') = 'hourly:2024010100'""")),
+
+    Q("s_geo_distribution", // realtime_api.py:186-228 — per-city rows + total
+      (s, d) => Endpoints.geoDistributionHourly(Tables.events(s, d),
+        "2024010110", "purchase"),
+      Some("""WITH g AS (SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+                event_type AS country, CAST(json_extract_string(props, '$.k') AS BIGINT) AS city,
+                count(*) AS new_customers_count
+              FROM events GROUP BY 1, 2, 3)
+              SELECT hour_bucket, country, city, new_customers_count,
+                CAST(SUM(new_customers_count) OVER (PARTITION BY hour_bucket, country) AS BIGINT)
+                  AS total_in_hour_for_country
+              FROM g WHERE hour_bucket = '2024010110' AND country = 'purchase'""")),
 
     Q("t2_topn_per_group",
       (s, d) => Views.trendsTopNPerGroup(Tables.events(s, d), 10)

@@ -39,6 +39,13 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // A null ELEMENT yields a null result even when both inputs are non-null, so
+  // nullability cannot be derived from the children (BinaryExpression's default
+  // left.nullable || right.nullable would let nullSafeCodeGen emit
+  // `boolean isNull = false; ... isNull = true;` on a `final` local and let the
+  // optimizer constant-fold IsNull(dot_product(...)) to false).
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -33,14 +33,22 @@ object Endpoints {
   }
 
   /** `GET /analytics/geo_distribution_hourly_by_country?hour=H&country=C`
-    * (`realtime_api.py:186-228`): per-city rows for one (hour, group) plus the
-    * client-side total (A3, `:218`) — here one grouped sum. */
+    * (`realtime_api.py:186-228`): the PER-CITY rows for one (hour, country)
+    * partition (`:210-217`, the `distribution_by_city` payload) with the
+    * client-side total (`:218`) carried as a window-sum column on every row —
+    * one partition-pruned scan, no second pass. Row shape:
+    * (hour_bucket, country, city, new_customers_count, total_in_hour_for_country).
+    * A caller wanting only the scalar total sums the per-city rows (A3), which
+    * is exactly what the reference's Python loop does. */
   def geoDistributionHourly(events: DataFrame, hourBucket: String,
                             group: String): DataFrame = {
     require(hourBucket.matches("\\d{10}"), s"hour bucket must be yyyyMMddHH, got $hourBucket")
-    Views.hourCounts(events)
-      .filter(col("hour_bucket") === hourBucket && col("event_type") === group)
-      .agg(coalesce(sum(col("cnt")), lit(0L)).as("total"))
+    import org.apache.spark.sql.expressions.Window
+    Views.geoCounts(events)
+      .filter(col("hour_bucket") === hourBucket && col("country") === group)
+      .withColumn("total_in_hour_for_country",
+        sum(col("new_customers_count"))
+          .over(Window.partitionBy("hour_bucket", "country")))
   }
 
   private val validPeriods = Map(

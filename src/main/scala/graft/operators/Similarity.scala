@@ -67,15 +67,25 @@ object Similarity {
   }
 
   /** Exact top-k neighbors for each query vector (self-matches excluded). Ranking is
-    * on (rounded similarity DESC, vec_id ASC) — fully deterministic. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = queries
-      .select(col("vec_id").as("query_id"), VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
-      .join(broadcastIfSmall(
-        corpus.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))),
-        col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
+    * on (rounded similarity DESC, vec_id ASC) — fully deterministic.
+    *
+    * Broadcast side is EXPLICIT: the default (`broadcastCorpus = false`)
+    * broadcasts the QUERY set and streams the corpus — the only shape that
+    * survives a 100 TB corpus (the corpus is scanned once, never collected to
+    * the driver; per-task state is |queries| vectors). Pass
+    * `broadcastCorpus = true` only when the corpus is known-small (a reference
+    * dictionary) and the query set is the big side. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     broadcastCorpus: Boolean = false): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+    val c = corpus.select(col("vec_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val joined =
+      if (broadcastCorpus) q.join(broadcast(c), col("query_id") =!= col("vec_id"))
+      else broadcast(q).join(c, col("query_id") =!= col("vec_id"))
+    val scored = joined.select(col("query_id"), col("vec_id"),
+      VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
     heapTopK(scored, k)
   }
 
@@ -89,10 +99,6 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("cosine"),
         (col("pos") + 1).cast("int").as("rank"))
-
-  // At bench scale the corpus fits a broadcast; at 100 TB you broadcast the QUERY
-  // side instead and flip the join. Kept explicit so the intent survives review.
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 
   /** IVF (inverted-file) ANN: assign every corpus vector to its nearest of
     * `nlist` centroid cells; a query probes only its `nprobe` nearest cells and

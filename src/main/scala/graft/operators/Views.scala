@@ -42,6 +42,18 @@ object Views {
     events.groupBy(Ops.hourBucket(col("ts")).as("hour_bucket"), col(groupCol))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[hourCounts]] with the reference's FULL geo key: the counter table is
+    * `new_customer_geo_counts_by_hour (hour_bucket, country_region_name, city)`
+    * (`cassandra_subscriber.py:169-176`). Over the testdata role mapping,
+    * `event_type` plays country and `props.$.k` plays city. One grouped count —
+    * the per-city resolution the geo endpoint returns (`realtime_api.py:210-217`). */
+  def geoCounts(events: DataFrame, countryCol: String = "event_type"): DataFrame =
+    events.groupBy(
+        Ops.hourBucket(col("ts")).as("hour_bucket"),
+        col(countryCol).as("country"),
+        get_json_object(col("props"), "$.k").cast("long").as("city"))
+      .agg(count(lit(1)).as("new_customers_count"))
+
   /** `new_products_total_count_by_time` (`README.md:258-261`): multi-granularity
     * prefixed bucket counters (`cassandra_subscriber.py:208-221`). */
   def multiGranularityCounts(events: DataFrame): DataFrame =

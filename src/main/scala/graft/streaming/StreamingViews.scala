@@ -151,9 +151,12 @@ object StreamingViews {
             Iterator((key, s.startMicros, s.lastMicros, s.n))
           } else {
             // ascending within the batch; close the open session at every >gap
-            // jump, carry the trailing one in state. A beyond-gap LATE event
-            // (inside the watermark, before the open session's reach) emits as
-            // its own closed singleton — sessions never merge backwards.
+            // jump, carry the trailing one in state. Beyond-gap LATE events
+            // (inside the watermark, before the open session's reach) form their
+            // own merging runs — consecutive late events within gap of each
+            // other close as ONE session, matching batch session_window; the
+            // residual divergence (W2 knob) is that a late run closes at batch
+            // end and cannot merge with still-later arrivals in FUTURE batches.
             val sorted = rows.map(r => micros(r._2)).toArray.sorted
             val (closed, finalCur) =
               sorted.foldLeft((List.empty[SessionState], state.getOption)) {
@@ -166,8 +169,17 @@ object StreamingViews {
                       math.max(s.lastMicros, t), s.n + 1)))
                   else if (t > s.lastMicros + gapMicros)
                     (s :: acc, Some(SessionState(t, t, 1)))
-                  else // t < start - gap: already-closed past session
-                    (SessionState(t, t, 1) :: acc, Some(s))
+                  else acc match {
+                    // t < start - gap: a late run. Ascending order means every
+                    // late event lands before any in-range one, so the newest
+                    // late session is always acc's head; extend it when within
+                    // gap (h.last <= t < s.start - gap holds by construction).
+                    case h :: rest if t <= h.lastMicros + gapMicros &&
+                        h.lastMicros < s.startMicros - gapMicros =>
+                      (SessionState(h.startMicros, math.max(h.lastMicros, t),
+                        h.n + 1) :: rest, Some(s))
+                    case _ => (SessionState(t, t, 1) :: acc, Some(s))
+                  }
               }
             val open = finalCur.get
             state.update(open)

@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("dotproductexpr") && l.contains("*(")), p)
   }
 
+  test("brute-force ANN broadcasts the query side by default; corpus only on request") {
+    val emb = Tables.embeddings(spark, d)
+    val queries = emb.filter(col("vec_id") < 2)
+    // default: query set broadcast (BuildLeft — queries are the left input), the
+    // corpus streams; the shape that survives a 100 TB corpus
+    val p1 = physical(Similarity.bruteForceTopK(emb, queries, 5))
+    assert(p1.contains("BroadcastNestedLoopJoin BuildLeft"), p1)
+    // flipped: corpus broadcast only when explicitly requested (known-small corpus)
+    val p2 = physical(Similarity.bruteForceTopK(emb, queries, 5, broadcastCorpus = true))
+    assert(p2.contains("BroadcastNestedLoopJoin BuildRight"), p2)
+  }
+
   test("as-of join is one shuffle on the key — no range or cross join") {
     val e = Tables.events(spark, d)
     val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
