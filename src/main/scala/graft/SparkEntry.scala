@@ -753,8 +753,12 @@ object SparkEntry {
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4""")),
 
-    Q("dedup_embedding_cosine_lsh", // LSH-blocked scale form — recall<1, rows-only
-      (s, d) => Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4, dim = 64),
+    Q("dedup_embedding_cosine_lsh", // LSH-blocked scale form — rows-only; params
+      // sized by MEASURED recall (SimilaritySpec): the fixture is near-orthogonal
+      // (max cosine 0.48), so buckets must be coarse — nbits=3, tables=8 gives
+      // pair recall 0.879 at threshold 0.4 (the old nbits=8 default: 0.12)
+      (s, d) => Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4, dim = 64,
+        nbits = 3, tables = 8),
       None),
 
     Q("sim_topk_bruteforce",
@@ -774,18 +778,21 @@ object SparkEntry {
                 ORDER BY cosine DESC, vec_id) AS rank FROM s)
               SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10""")),
 
-    Q("sim_lsh_topk", // hyperplane LSH buckets are hash-derived — rows-only
+    Q("sim_lsh_topk", // hyperplane LSH buckets are hash-derived — rows-only;
+      // params sized by MEASURED recall@10 vs brute force (SimilaritySpec):
+      // nbits=3, tables=8 = 0.865 on the near-orthogonal fixture (nbits=6: 0.22)
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        // nbits ~ log2(rows/bucket-target): 6 bits = 64 buckets/table at bench SFs
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64, nbits = 6)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64,
+          nbits = 3, tables = 8)
       },
       None),
 
-    Q("sim_ivf_topk", // centroid cells are hash-sampled — rows-only
+    Q("sim_ivf_topk", // k-means-trained IVF — rows-only; nlist=8, nprobe=5 =
+      // measured recall@10 0.905 (SimilaritySpec gate >= 0.8)
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10, nlist = 8, nprobe = 5)
           .withColumn("rank", col("rank").cast("long"))
       },
       None),

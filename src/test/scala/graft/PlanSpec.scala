@@ -79,6 +79,25 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("BroadcastNestedLoopJoin BuildRight"), p2)
   }
 
+  test("IVF probe over a persisted assignment never shuffles the corpus") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Similarity.trainCentroids(emb, nlist = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.sources.Lake.writeBucketed(Similarity.ivfAssignments(emb, cents),
+      s"$dir/assign", "graft_ivf_assign", "cell", 4)
+    try {
+      val df = Similarity.ivfProbeAssigned(spark.table("graft_ivf_assign"), cents,
+        emb.filter(col("vec_id") < 3), 5, nprobe = 2)
+      val p = physical(df)
+      // probe set broadcast against the assignment scan — no assignment-side shuffle
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the ONLY hash exchange is the final bounded top-k agg on query_id
+      assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ivf_assign")
+    }
+  }
+
   test("as-of join is one shuffle on the key — no range or cross join") {
     val e = Tables.events(spark, d)
     val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts")

@@ -73,6 +73,104 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2L) === ((11.0, 11.0)))
   }
 
+  // ---- recall@k gates: quality evidence for every approximate path ----------
+  // The sf0.001 embeddings fixture is NEAR-ORTHOGONAL (max pairwise cosine
+  // 0.48) — the hard case for locality-sensitive methods, so the params below
+  // are deliberately coarse and the scan fraction high. All paths are fully
+  // deterministic (seeded planes, hash-seeded k-means), so the measured values
+  // are exact; floors sit at 0.8 with the measured value logged via info().
+
+  private val fixtureDir = "/root/testdata/sf0.001"
+
+  private def topMap(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+
+  private def recallOf(exact: Map[Long, Set[Long]], approx: Map[Long, Set[Long]]): Double =
+    exact.map { case (q, t) => approx.getOrElse(q, Set.empty[Long]).count(t) / t.size.toDouble }
+      .sum / exact.size
+
+  test("lshTopK recall@10 >= 0.8 vs brute force at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    val r = recallOf(exact, topMap(
+      Similarity.lshTopK(emb, queries, 10, dim = 64, nbits = 3, tables = 8)))
+    info(f"lshTopK(nbits=3, tables=8) recall@10 = $r%.3f")
+    assert(r >= 0.8, f"LSH recall $r%.3f below 0.8 floor — resize nbits/tables")
+  }
+
+  test("ivfTopK recall@10 >= 0.8 vs brute force at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    val r = recallOf(exact, topMap(
+      Similarity.ivfTopK(emb, queries, 10, nlist = 8, nprobe = 5)))
+    info(f"ivfTopK(nlist=8, nprobe=5) recall@10 = $r%.3f")
+    assert(r >= 0.8, f"IVF recall $r%.3f below 0.8 floor — resize nlist/nprobe")
+  }
+
+  test("cosineDupPairsLsh pair recall >= 0.8 vs all-pairs at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val truePairs = Similarity.cosineDupPairs(emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.cosineDupPairsLsh(emb, 0.4, dim = 64, nbits = 3, tables = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = got.count(truePairs).toDouble / truePairs.size
+    info(f"cosineDupPairsLsh(nbits=3, tables=8) pair recall = $r%.3f (${got.size}/${truePairs.size})")
+    assert(got.subsetOf(truePairs), "precision must be 1 — exact filter reruns on candidates")
+    assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor")
+  }
+
+  test("planted near-duplicates (cosine ~0.97): production params recover them") {
+    // The regime LSH is SIZED for — real near-dups, not near-orthogonal noise:
+    // 200 seeded random unit vectors, each with a jittered copy at cosine ~0.97.
+    // At nbits=8, tables=4 (the fine-bucket production shape) both the pair
+    // scan and the top-k must recover the planted twin.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 200).flatMap { i =>
+      val base = unit()
+      val noise = unit()
+      val jit = base.zip(noise).map { case (b, u) => b + 0.25 * u }
+      val n = math.sqrt(jit.map(x => x * x).sum)
+      Seq((i.toLong, base.map(_.toFloat)),
+        (i.toLong + 1000L, jit.map(x => (x / n).toFloat)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val planted = (0 until 200).map(i => (i.toLong, i.toLong + 1000L)).toSet
+    val pairs = Similarity.cosineDupPairsLsh(emb, 0.9, dim = 64, nbits = 8, tables = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairRecall = planted.count(pairs).toDouble / planted.size
+    info(f"planted pair recall (nbits=8, tables=4) = $pairRecall%.3f")
+    assert(pairRecall >= 0.8, f"planted pair recall $pairRecall%.3f below 0.8")
+
+    val queries = emb.filter($"vec_id" >= 1000L)
+    val top1 = Similarity.lshTopK(emb, queries, 1, dim = 64, nbits = 8, tables = 4)
+      .filter($"rank" === 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val topRecall = planted.count { case (b, j) => top1.get(j).contains(b) }.toDouble / planted.size
+    info(f"planted top-1 recall (nbits=8, tables=4) = $topRecall%.3f")
+    assert(topRecall >= 0.8, f"planted top-1 recall $topRecall%.3f below 0.8")
+  }
+
+  test("trainCentroids is deterministic and assigns every vector to one cell") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val c1 = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
+    val c2 = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
+    assert(c1 === c2, "k-means must be deterministic (seeded init, fixed order)")
+    assert(c1.map(_._1) === (0 until 8))
+    val assigned = Similarity.ivfAssignments(emb, c1)
+    assert(assigned.count() === emb.count())
+    assert(assigned.select("cell").distinct().count() <= 8)
+  }
+
   test("hyperplaneBucket is deterministic across invocations") {
     val b1 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
     val b2 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
