@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.operators.{Curation, Dedup, Endpoints, Multimodal, Ops, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
-import graft.streaming.StreamingViews
+import graft.streaming.{QueueIngest, StreamingViews}
 
 /** Driver contract — every operator from SURVEY.md §2 (plus the training-data
   * pipeline extensions) as a named query with, where SQL-expressible, a DuckDB
@@ -56,6 +56,15 @@ object SparkEntry {
         .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k")),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
               FROM events""")),
+
+    Q("s_queue_decode", // S1 transport shape: kafka-framed bytes -> full-schema
+      // from_json decode (cassandra_subscriber.py:102-113); round trip must
+      // preserve every typed column incl. µs event time and the nested payload
+      (s, d) => QueueIngest.decodeFrames(QueueIngest.encodeFrames(Tables.events(s, d)))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          col("value"), col("props.k").as("k")),
+      Some("""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")),
 
     Q("s3_event_time",
       (s, d) => Tables.events(s, d)
@@ -967,6 +976,15 @@ object SparkEntry {
             col("cnt"))),
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
               count(*) AS cnt FROM events GROUP BY 1""")),
+
+    Q("w_queue_stream_counts", // the reference's FULL S1 lifecycle as one stream:
+      // queue-framed bytes -> full-schema decode -> watermarked windowed view
+      (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",
+        "graft_wq_sink", src => StreamingViews.hourCounts(
+          QueueIngest.decodeFrames(QueueIngest.encodeFrames(Tables.normalizeEventTs(src)))
+            .withColumn("ts", col("ts").cast("timestamp")))),
+      Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+              event_type, count(*) AS cnt FROM events GROUP BY 1, 2""")),
 
     Q("w2_stream_bucket_counts", // A2 as a real streaming query (counter table parity)
       (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",
