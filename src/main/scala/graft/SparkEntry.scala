@@ -693,6 +693,35 @@ object SparkEntry {
                 round(min(avg_token_len), 6) AS avg_token_len, count(*) AS dup_count
               FROM f GROUP BY norm""")),
 
+    Q("pipeline_curate_fp", // same pipeline, 100 TB shuffle shape: dedup keyed on
+      // xxhash64(norm) so the exchange carries 8-byte keys, not documents —
+      // output identical to pipeline_curate (same oracle, hash-matched;
+      // PropertySpec asserts multiset equivalence for every corpus)
+      (s, d) => Curation.curateCorpusByFingerprint(Tables.documents(s, d),
+        lang = "en", minTokens = 20, maxAvgTokenLen = 5.0),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              x AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+              s AS (SELECT doc_id, norm, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+                len(list_filter(toks, t -> t IN ('the','and','of','to','in'))) AS score_en,
+                len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS score_de,
+                len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS score_es,
+                len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS score_fr
+                FROM x),
+              l AS (SELECT *,
+                CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+                     WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+                     WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+                     WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+                FROM s),
+              f AS (SELECT * FROM l
+                WHERE pred_lang = 'en' AND n_tokens >= 20 AND avg_token_len <= 5.0)
+              SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                round(min(avg_token_len), 6) AS avg_token_len, count(*) AS dup_count
+              FROM f GROUP BY norm""")),
+
     Q("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{Ops, Views}
+import graft.operators.{Curation, Ops, Views}
 
 /** Algebraic invariants (SURVEY.md §5): properties that must hold for EVERY
   * event multiset, not just the fixtures — checked over ScalaCheck-generated
@@ -136,6 +136,69 @@ class PropertySpec extends SparkSpec {
         col("event_id"), col("event_id"), Map("pid" -> col("event_id")))
       assert(joined.count() === left.count())
       assert(joined.select("event_id").distinct().count() === left.count())
+    }
+  }
+
+  // ---- curation: fingerprint-keyed dedup ≡ text-keyed dedup -----------------
+
+  private val genDocs: Gen[List[(Long, String)]] = {
+    val word = Gen.oneOf("the", "and", "of", "to", "in", "cat", "dog",
+      "data", "spark", "graft", "zz", "qq")
+    val doc = for {
+      id <- Gen.choose(1L, 1000000L)
+      n  <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, word)
+    } yield (id, ws.mkString(" "))
+    for {
+      k    <- Gen.choose(4, 20)
+      docs <- Gen.listOfN(k, doc).map(_.distinctBy(_._1))
+      // plant duplicates: same text under fresh ids, so dedup groups are real
+      dups <- Gen.someOf(docs)
+    } yield docs ++ dups.zipWithIndex.map { case ((_, t), i) => (2000000L + i, t) }
+  }
+
+  test("fingerprint-keyed curation equals text-keyed curation for every corpus") {
+    forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val byText = Curation.curateCorpus(df, lang = "en", minTokens = 1, maxAvgTokenLen = 100.0)
+      val byFp = Curation.curateCorpusByFingerprint(df, lang = "en", minTokens = 1,
+        maxAvgTokenLen = 100.0)
+      assert(rowSet(byFp) === rowSet(byText))
+    }
+  }
+
+  // ---- sketches: quantitative error bounds vs their exact twins -------------
+
+  test("approx_count_distinct is within the documented HLL error of the exact count") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val merged = df.groupBy("event_type")
+        .agg(countDistinct(col("event_id")).as("exact"),
+          approx_count_distinct(col("event_id")).as("approx"))
+        .collect()
+      merged.foreach { r =>
+        val exact = r.getLong(1).toDouble
+        val approx = r.getLong(2).toDouble
+        // default rsd = 0.05; 4 sigma + small-count slack — deterministic per
+        // multiset, the bound documents the contract a user can size against
+        assert(math.abs(approx - exact) <= math.max(4 * 0.05 * exact, 2.0),
+          s"${r.getString(0)}: approx=$approx exact=$exact")
+      }
+    }
+  }
+
+  test("approx_percentile rank error is bounded by n/accuracy") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val accuracy = 100
+      val approx = df.agg(expr(s"approx_percentile(value, 0.5, $accuracy)")).head().getDouble(0)
+      val values = evs.map(_.value).sorted
+      val n = values.length
+      // approx_percentile guarantees a rank within n/accuracy of the target
+      val rank = values.count(_ <= approx)
+      val target = 0.5 * n
+      assert(math.abs(rank - target) <= n.toDouble / accuracy + 1,
+        s"rank=$rank target=$target n=$n approx=$approx")
     }
   }
 
