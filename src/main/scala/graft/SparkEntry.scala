@@ -722,6 +722,51 @@ object SparkEntry {
                 round(min(avg_token_len), 6) AS avg_token_len, count(*) AS dup_count
               FROM f GROUP BY norm""")),
 
+    Q("pipeline_chunk", // context-length prep: overlapping token windows
+      // (chunkSize=64, overlap=16 → stride 48); every token covered, last
+      // chunk may be short; map-only expansion, tokenize-once
+      (s, d) => Curation.chunkDocuments(Tables.documents(s, d), 64, 16),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              c AS (SELECT doc_id, toks,
+                CAST(greatest(ceil((len(toks) - 64) / 48.0), 0) AS BIGINT) + 1 AS n_chunks
+                FROM t),
+              g AS (SELECT doc_id, toks,
+                unnest(generate_series(0, n_chunks - 1)) AS chunk_id FROM c)
+              SELECT doc_id, chunk_id,
+                array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ') AS chunk_text,
+                CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_tokens
+              FROM g""")),
+
+    Q("pipeline_pack", // distributed sequence packing: deterministic pack
+      // groups (doc_id mod 32 — parallelism knob), running token total per
+      // group, pack cut at each 2048-token budget crossing
+      (s, d) => Curation.packByTokenBudget(Tables.documents(s, d), 2048, 32),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              s AS (SELECT doc_id, doc_id % 32 AS pack_group,
+                CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+              w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+                FROM s)
+              SELECT doc_id, pack_group, n_tokens,
+                CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id FROM w""")),
+
+    Q("sim_quantize_int8", // int8 embedding compression (16x ANN memory) —
+      // rows-only: per-element round ties are engine-specific; SimilaritySpec
+      // asserts the reconstruction error bound and cosine preservation
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+          .select(col("vec_id"), col("emb"), VectorFns.int8Scale(col("emb")).as("scale"))
+        e.select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          aggregate(VectorFns.quantizeInt8(col("emb"), col("scale")),
+            lit(0L), (a, x) => a + x).as("q_sum"))
+      },
+      None),
+
     Q("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents

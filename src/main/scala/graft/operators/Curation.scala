@@ -66,4 +66,53 @@ object Curation {
                                 maxAvgTokenLen: Double = 5.0): DataFrame =
     dedupAgg(scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen),
       xxhash64(col("norm")).as("fp"))
+
+  /** Split each document into overlapping token windows — the context-length
+    * prep step every LLM training pipeline runs before tokenizer packing
+    * (stride = chunkSize - overlap, last chunk may be short, every token is
+    * covered). One row per (doc, chunk), map-only: tokenization is bound ONCE
+    * per document in its own projection ([[graft.functions.TextFns]] rule), the
+    * chunk expansion is a `posexplode(transform(sequence...))` over slices of
+    * that array — no shuffle, no re-tokenization per chunk, output size is
+    * sum(ceil(tokens/stride)) rows. Deterministic chunk ids. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
+    require(chunkSize > overlap && overlap >= 0,
+      s"need chunkSize > overlap >= 0, got ($chunkSize, $overlap)")
+    val stride = chunkSize - overlap
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        // chunks = ceil((n - chunkSize) / stride) + 1, floored at 1
+        (greatest(ceil((size(col("toks")) - chunkSize) / lit(stride.toDouble)), lit(0))
+          .cast("long") + 1L).as("n_chunks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0L), col("n_chunks") - 1L),
+          i => slice(col("toks"), (i * stride).cast("int") + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        concat_ws(" ", col("col")).as("chunk_text"),
+        size(col("col")).cast("long").as("n_tokens"))
+  }
+
+  /** Assign documents to fixed token-budget packs — the distributed form of
+    * sequence packing. True greedy first-fit is inherently serial; the
+    * scalable contract is: partition the corpus into `groups` deterministic
+    * pack groups (doc_id mod groups — each a parallel packing stream), order
+    * each group deterministically, and cut a new pack whenever the running
+    * token total crosses the budget. One window over (group, doc order); at
+    * 100 TB each group's window is independent, so parallelism = `groups` and
+    * no global sort exists. Oversized documents (> budget) get a pack of their
+    * own, as real packers do. */
+  def packByTokenBudget(docs: DataFrame, budgetTokens: Long = 2048,
+                        groups: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(groups.toLong)).as("pack_group"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+        floor(col("tokens_before") / budgetTokens).as("pack_id"))
+  }
 }

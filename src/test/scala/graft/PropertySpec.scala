@@ -167,6 +167,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking covers every token exactly: stride-prefixes + last chunk reconstruct the doc") {
+    forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val chunkSize = 7
+      val overlap = 3
+      val stride = chunkSize - overlap
+      val chunks = Curation.chunkDocuments(df, chunkSize, overlap)
+        .select("doc_id", "chunk_id", "chunk_text").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      docs.groupBy(_._1).view.mapValues(_.head._2).foreach { case (id, text) =>
+        val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).toList
+        val cs = chunks(id)
+        // each chunk except the last contributes its first `stride` tokens;
+        // the last contributes all of its tokens
+        val rebuilt = cs.init.flatMap(_.split(" ", -1).take(stride)) ++
+          cs.last.split(" ", -1).toList
+        assert(rebuilt === toks, s"doc $id: chunks $cs")
+        // every chunk is at most chunkSize tokens; only the last may be short
+        assert(cs.forall(_.split(" ", -1).length <= chunkSize))
+        assert(cs.init.forall(_.split(" ", -1).length === chunkSize))
+      }
+    }
+  }
+
+  test("packing: packs respect the budget boundary rule and preserve every doc once") {
+    forAll(genDocs) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val budget = 30L
+      val out = Curation.packByTokenBudget(df, budget, groups = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.length === docs.map(_._1).distinct.length)
+      // recompute the expected pack id serially per group
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).foreach { case (id, _, n, packId) =>
+          assert(packId === cum / budget, s"doc $id")
+          cum += n
+        }
+      }
+    }
+  }
+
   // ---- sketches: quantitative error bounds vs their exact twins -------------
 
   test("approx_count_distinct is within the documented HLL error of the exact count") {

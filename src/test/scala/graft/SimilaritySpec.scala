@@ -171,6 +171,33 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.select("cell").distinct().count() <= 8)
   }
 
+  test("int8 quantization: reconstruction error bounded, cosine preserved, norm exact") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+      .select($"vec_id", VectorFns.toDoubleArray($"embedding").as("emb"))
+      .select($"vec_id", $"emb",
+        VectorFns.int8Scale($"emb").as("scale"),
+        VectorFns.l2Norm($"emb").as("nrm"))
+    val r = emb.select($"vec_id", $"scale",
+        VectorFns.dequantizeInt8(VectorFns.quantizeInt8($"emb", $"scale"), $"scale").as("deq"),
+        $"emb", $"nrm",
+        VectorFns.l2Norm(VectorFns.l2NormalizeByNorm($"emb", $"nrm")).as("unit_nrm"))
+      .select($"vec_id", $"scale", $"unit_nrm",
+        // max per-element |x - dequantize(quantize(x))|
+        aggregate(zip_with($"emb", $"deq", (a, b) => abs(a - b)), lit(0.0),
+          (acc, x) => greatest(acc, x)).as("max_err"),
+        (VectorFns.dot($"emb", $"deq") /
+          (VectorFns.l2Norm($"emb") * VectorFns.l2Norm($"deq"))).as("cos"))
+      .collect()
+    r.foreach { row =>
+      val scale = row.getDouble(1)
+      assert(math.abs(row.getDouble(2) - 1.0) < 1e-9, "l2NormalizeByNorm must yield unit norm")
+      assert(row.getDouble(3) <= 0.5 / scale + 1e-12,
+        s"vec ${row.getLong(0)}: err ${row.getDouble(3)} > half-step ${0.5 / scale}")
+      assert(row.getDouble(4) >= 0.999,
+        s"vec ${row.getLong(0)}: int8 cosine drift ${row.getDouble(4)}")
+    }
+  }
+
   test("hyperplaneBucket is deterministic across invocations") {
     val b1 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
     val b2 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
