@@ -72,6 +72,47 @@ object ScaleSmoke {
           .select("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", "event_id", bandSeconds = 60L).count()
     }
+
+    // ---- ANN / vector path at 1M x 32-dim (500x the bench embedding volume):
+    // training on a 1% hash-sample, map-only assignment over the full corpus,
+    // broadcast-probe ANN, LSH tagging, int8 compression — each must stay
+    // linear in corpus size with bounded candidate sets.
+    val nVec = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
+    val dim = 32
+    val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(2000001L)) - 1000000L) / 1000000.0)
+        .as("embedding"))
+    vecs.count() // generation warmup
+    val sim = graft.operators.Similarity
+    val cents = {
+      val t0 = System.nanoTime()
+      val c = sim.trainCentroids(
+        vecs.filter(pmod(col("vec_id"), lit(100)) === 0), nlist = 64, iters = 2)
+      println(f"SCALE ${"trainCentroids 64 cells, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${c.size}")
+      c
+    }
+    val assigned = sim.ivfAssignments(vecs, cents)
+    // force the computed column (count() would prune it away unevaluated)
+    time(s"ivfAssignments map-only ($nVec x $dim x 64)") {
+      assigned.select(sum(col("cell"))).head().getLong(0)
+    }
+    time("ivfProbeAssigned 10 queries k=10") {
+      sim.ivfProbeAssigned(assigned, cents,
+        vecs.filter(col("vec_id") < 10), 10, nprobe = 8).count()
+    }
+    time("lshTopK 10 queries nbits=16") {
+      sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
+        nbits = 16, tables = 4).count()
+    }
+    time("int8 quantize full corpus") {
+      vecs.select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFns.int8Scale(col("embedding")).as("scale"))
+        .select(aggregate(
+          graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale")),
+          lit(0L), (a, x) => a + x).as("q_sum"))
+        .agg(sum(col("q_sum"))).head().getLong(0)
+    }
     spark.stop()
   }
 }

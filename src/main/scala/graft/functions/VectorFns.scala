@@ -58,33 +58,36 @@ object VectorFns {
   /** Quantize to int8 codes with a pre-materialized [[int8Scale]] column —
     * the 16x memory compression an ANN corpus ships at 100 TB (reconstruction
     * error per element is bounded by 0.5/scale; SimilaritySpec asserts the
-    * bound and cosine preservation). */
+    * bound and cosine preservation). Rounding is ties-away-from-zero via
+    * sign·floor(|x|+0.5) — `round()` expands every double through BigDecimal,
+    * which at dim rounds per row dominated the 1M-vector smoke pass. */
   def quantizeInt8(v: Column, scale: Column): Column =
-    transform(toDoubleArray(v), x => round(x * scale).cast("int"))
+    transform(toDoubleArray(v), x => {
+      val y = x * scale
+      (signum(y) * floor(abs(y) + 0.5d)).cast("int")
+    })
 
   /** Dequantize int8 codes back to doubles (codes / scale). */
   def dequantizeInt8(q: Column, scale: Column): Column =
     when(scale === 0.0, transform(q, x => x.cast("double")))
       .otherwise(transform(q, x => x.cast("double") / scale))
 
-  /** Random-hyperplane LSH bucket for ANN search: `nbits` sign bits packed into a
-    * long. Hyperplane weights are pseudo-random but deterministic — derived from
-    * xxhash64(bit, dim) mapped to [-1, 1] — so the bucketing is reproducible across
-    * runs and engines without shipping a plane matrix. Cosine-similar vectors agree
-    * on most sign bits, so equal buckets ⇒ likely-similar (the scale path that
-    * replaces the O(n²) brute-force pair scan).
-    */
-  def hyperplaneBucket(v: Column, dim: Int, nbits: Int = 16, seed: Int = 0): Column = {
-    // Plane weights are materialized driver-side as array literals (deterministic
-    // from the seed), so each bit is one compact zip_with/aggregate dot product.
-    // Building the weights as per-element Catalyst hash expressions instead makes a
-    // ~3000-node tree whose codegen alone dominates runtime.
+  /** Deterministic plane weights for [[hyperplaneBucket]]: seeded driver-side
+    * PRNG, one dim-length row per bit — reproducible across runs without
+    * shipping a plane matrix through the plan. */
+  def hyperplanes(dim: Int, nbits: Int, seed: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed * 1000003L + 12345L)
-    val bits = (0 until nbits).map { b =>
-      val plane = typedLit(Array.fill(dim)(rnd.nextDouble() * 2 - 1).toSeq)
-      when(aggregate(zip_with(toDoubleArray(v), plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L)).otherwise(lit(0L))
-    }
-    bits.reduce((acc, bit) => acc * 2 + bit)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
   }
+
+  /** Random-hyperplane LSH bucket for ANN search: `nbits` sign bits packed into a
+    * long ([[HyperplaneBucketExpr]] — one native loop over the plane matrix;
+    * the per-bit HOF-dot form it replaces cost 13x on the 1M-vector smoke, and
+    * per-element Catalyst hash expressions for the weights were worse still, a
+    * ~3000-node tree whose codegen alone dominates runtime). Cosine-similar
+    * vectors agree on most sign bits, so equal buckets ⇒ likely-similar (the
+    * scale path that replaces the O(n²) brute-force pair scan).
+    */
+  def hyperplaneBucket(v: Column, dim: Int, nbits: Int = 16, seed: Int = 0): Column =
+    HyperplaneBucketExpr.hyperplaneBucket(toDoubleArray(v), hyperplanes(dim, nbits, seed))
 }
