@@ -66,6 +66,22 @@ object SparkEntry {
       Some("""SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events""")),
 
+    Q("s_queue_decode_dlq", // corrupt-body routing: bodies truncated for every
+      // 100th event must land in the dead-letter side, never be dropped, and
+      // never crash the decode (the reference's un-guarded json.loads would)
+      (s, d) => {
+        val framed = QueueIngest.encodeFrames(Tables.events(s, d))
+        val corrupted = framed.withColumn("value",
+          when(col("offset") % 100 === 0,
+            col("value").cast("string")
+              .substr(lit(1), length(col("value").cast("string")) - 5).cast("binary"))
+            .otherwise(col("value")))
+        QueueIngest.decodeFramesWithDlq(corrupted)
+          .groupBy(col("is_valid")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT (event_id % 100 <> 0) AS is_valid, count(*) AS n
+              FROM events GROUP BY 1""")),
+
     Q("s3_event_time",
       (s, d) => Tables.events(s, d)
         .select(col("event_id"), date_trunc("second", col("ts")).as("ts_sec")),
@@ -776,8 +792,9 @@ object SparkEntry {
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
       None),
 
-    Q("dedup_simhash", // xxhash64-based — rows-only
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 16),
+    Q("dedup_simhash", // xxhash64-based — rows-only; pigeonhole banding makes
+      // recall EXACTLY 1.0 at the Hamming budget (DedupSpec equality gate)
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8),
       None),
 
     Q("dedup_ngram_jaccard",

@@ -81,10 +81,10 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
-  /** SimHash near-dup pairs: 64-bit SimHash, block on the top `blockBits` bits
-    * (near-identical docs share them with high probability), then verify Hamming
-    * distance <= maxHamming inside each block. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
+  /** Per-document 64-bit SimHash (token sign-sums). Exposed so exact twins
+    * (all-pairs Hamming in specs) and persisted-signature pipelines can reuse
+    * the hash without the pair join. */
+  def simhashes(docs: DataFrame): DataFrame = {
     // Same explode-once shape as MinHash: one xxhash64 per token, then 64 sign-sum
     // aggregates (map-side combinable) instead of re-tokenizing per bit.
     val hashed = docs
@@ -96,16 +96,45 @@ object Dedup {
     val packed = (0 until 64).map { b =>
       when(col(s"b$b") >= 0, lit(1L)).otherwise(lit(0L))
     }.reduce((acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
-    val sh = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), packed.as("simhash"))
-      .withColumn("block", shiftrightunsigned(col("simhash"), 64 - blockBits))
-    val a = sh.alias("a")
-    val b = sh.alias("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id"))
+  }
+
+  /** SimHash near-dup pairs with PIGEONHOLE blocking (Manku et al., WWW'07):
+    * the 64 bits split into `maxHamming + 1` bands — a pair within the Hamming
+    * budget differs in at most `maxHamming` bands, so it matches EXACTLY on at
+    * least one band. Candidates come from per-band equi-joins; the exact
+    * Hamming filter reruns on every candidate. Recall is therefore exactly 1.0
+    * by construction (DedupSpec asserts equality with the all-pairs twin) —
+    * unlike the top-prefix blocking this replaces, which recovered 3% of
+    * Hamming<=16 pairs on the fixture. Candidate volume grows with
+    * maxHamming (more, narrower bands): size the budget to near-dup distances
+    * (<= 8 of 64 bits), not to a similarity search. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val nb = maxHamming + 1
+    require(nb >= 2 && nb <= 32, s"maxHamming must be in [1, 31], got $maxHamming")
+    val width = 64 / nb
+    // simhash rides the band explode — it is 8 fixed bytes, not a payload
+    val tagged = simhashes(docs)
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until nb).map { i =>
+          val start = i * width
+          val w = if (i == nb - 1) 64 - start else width
+          val mask = if (w >= 64) -1L else (1L << w) - 1L
+          struct(lit(i).as("band"),
+            shiftrightunsigned(col("simhash"), start).bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.key").as("key"))
+    val a = tagged.alias("a")
+    val b = tagged.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         TextFns.hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("a_id", "b_id")
   }
 
   /** Duplicate-cluster resolution: given near-dup PAIRS, assign every document

@@ -38,6 +38,56 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  // ---- recall gates vs exact twins on the testdata fixture ------------------
+  // The documents fixture plants 28 true near-dup pairs (3-gram Jaccard >= 0.5,
+  // 27 of them >= 0.9 — the regime near-dup detection is sized for). Fully
+  // deterministic pipelines, so the measured recalls are exact.
+
+  private def fixtureDocs =
+    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+
+  /** True all-pairs 3-gram Jaccard >= threshold, computed driver-side (500 docs). */
+  private def trueJaccardPairs(threshold: Double): Set[(Long, Long)] = {
+    val grams = fixtureDocs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1)
+      r.getLong(0) -> toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).sortBy(_._1)
+    (for {
+      i <- grams.indices.iterator
+      j <- (i + 1) until grams.length
+      (ia, sa) = grams(i)
+      (ib, sb) = grams(j)
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa | sb).size >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("minhash LSH recall >= 0.8 vs true Jaccard pairs at the query-entry params") {
+    val truth = trueJaccardPairs(0.5)
+    val got = Dedup.minhashLshPairs(fixtureDocs, threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(truth).toDouble / truth.size
+    info(f"minhashLshPairs(16x4 bands, t=0.5) recall = $recall%.3f (${got.size} found / ${truth.size} true)")
+    assert(recall >= 0.8, f"minhash recall $recall%.3f below 0.8 floor")
+  }
+
+  test("simhash pigeonhole blocking is EXACT: equals the all-pairs Hamming twin") {
+    val maxHamming = 8
+    // all-pairs twin from the exposed signatures, computed driver-side
+    val hashes = Dedup.simhashes(fixtureDocs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val truth = (for {
+      i <- hashes.indices.iterator
+      j <- (i + 1) until hashes.length
+      if java.lang.Long.bitCount(hashes(i)._2 ^ hashes(j)._2) <= maxHamming
+    } yield (hashes(i)._1, hashes(j)._1)).toSet
+    val blocked = Dedup.simhashPairs(fixtureDocs, maxHamming = maxHamming)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash pairs at maxHamming=$maxHamming: ${blocked.size} (truth ${truth.size})")
+    assert(blocked === truth,
+      "pigeonhole banding must recover EVERY within-budget pair and invent none")
+  }
+
   test("minhash signature aggregate is partition-independent (merge correctness)") {
     import org.apache.spark.sql.functions._
     val hashed = spark.range(1000).select(col("id"),

@@ -82,6 +82,32 @@ class StreamingSpec extends SparkSpec {
     assert(decoded.select("partition").distinct().count() <= 3)
   }
 
+  test("corrupt queue bodies route to the dead-letter side with their coordinates") {
+    val events = Seq(
+      TestEvent(1, 10, "signup", ts("2024-01-01 10:15:00"), 1.0, """{"k": 7}"""),
+      TestEvent(2, 11, "view",   ts("2024-01-01 10:16:00"), 2.0, """{"k": 8}""")
+    ).toDF()
+    val framed = QueueIngest.encodeFrames(events)
+    // break event 2's body (truncate past the closing brace)
+    val corrupted = framed.withColumn("value",
+      when(col("offset") === 2,
+        col("value").cast("string")
+          .substr(lit(1), length(col("value").cast("string")) - 5).cast("binary"))
+        .otherwise(col("value")))
+    val decoded = QueueIngest.decodeFramesWithDlq(corrupted)
+    val good = QueueIngest.validEvents(decoded)
+    val dead = QueueIngest.deadLetters(decoded)
+    assert(rowSet(good.select("event_id")) === Set(Seq(1L)))
+    assert(dead.count() === 1)
+    val dl = dead.head()
+    assert(dl.getLong(2) === 2L, "dead letter must keep its offset for replay")
+    assert(dl.getString(0).contains("\"event_type\":\"view\""),
+      "dead letter must keep the raw body")
+    // the good side round-trips exactly like the plain decode path
+    assert(rowSet(good) === rowSet(QueueIngest.decodeFrames(
+      framed.filter(col("offset") === 1))))
+  }
+
   test("streaming decode of a queue-framed source feeds the views: stream equals batch (S1)") {
     implicit val sqlCtx = spark.sqlContext
     val frames = QueueIngest.encodeFrames(allEvents.toDF())
