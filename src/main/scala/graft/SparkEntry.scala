@@ -474,6 +474,37 @@ object SparkEntry {
               CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil
               FROM part""")),
 
+    Q("q_asof_join_tolerance", // merge_asof tolerance semantics: stale matches
+      // (right row > 30 min older than the left row) null out
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val views = e.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+        val purchases = e.filter(col("event_type") === "purchase")
+        Ops.asofJoinTolerance(views, purchases, Seq("user_id"), "ts", "ts",
+          col("event_id"), col("event_id"),
+          Map("purchase_event_id" -> col("event_id")),
+          expr("INTERVAL 30 MINUTES"))
+      },
+      Some("""WITH u AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                CAST(ts AS TIMESTAMP) AS uts, 1 AS is_l,
+                CAST(NULL AS BIGINT) AS p_id, CAST(NULL AS TIMESTAMP) AS m_ts, event_id AS tie
+              FROM events WHERE event_type = 'view'
+              UNION ALL
+              SELECT NULL, user_id, NULL, CAST(ts AS TIMESTAMP), 0, event_id,
+                CAST(ts AS TIMESTAMP), event_id
+              FROM events WHERE event_type = 'purchase'),
+              f AS (SELECT *,
+                last_value(p_id IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, is_l, tie
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_filled,
+                last_value(m_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY uts, is_l, tie
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_filled
+              FROM u)
+              SELECT event_id, user_id, ts,
+                CASE WHEN m_filled IS NOT NULL AND ts <= m_filled + INTERVAL 30 MINUTE
+                     THEN p_filled END AS purchase_event_id
+              FROM f WHERE is_l = 1""")),
+
     Q("q_asof_join",
       (s, d) => {
         val e = Tables.events(s, d)

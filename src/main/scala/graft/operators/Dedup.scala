@@ -110,7 +110,15 @@ object Dedup {
     * unlike the top-prefix blocking this replaces, which recovered 3% of
     * Hamming<=16 pairs on the fixture. Candidate volume grows with
     * maxHamming (more, narrower bands): size the budget to near-dup distances
-    * (<= 8 of 64 bits), not to a similarity search. */
+    * (<= 8 of 64 bits), not to a similarity search.
+    *
+    * 100 TB sizing rule: bucket count per band is 2^(64/(maxHamming+1)), so
+    * expected bucket occupancy is n / 2^(64/(maxHamming+1)) and per-band pair
+    * work is quadratic IN THE BUCKET. Keep
+    * maxHamming <= 64 / log2(n / targetBucketSize) - 1 — e.g. n = 10^9 docs
+    * with 1k-doc buckets needs bands of >= 20 bits, i.e. maxHamming <= 2;
+    * larger budgets at that scale call for MinHash-LSH instead (its band
+    * count is free while simhash bands are capped by the 64-bit hash). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val nb = maxHamming + 1
     require(nb >= 2 && nb <= 32, s"maxHamming must be in [1, 31], got $maxHamming")

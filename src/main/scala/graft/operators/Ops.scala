@@ -180,6 +180,26 @@ object Ops {
       .select(left.columns.toSeq.map(col) ++ payloadNames.map(col): _*)
   }
 
+  /** [[asofJoin]] with a match-freshness bound (pandas `merge_asof`'s
+    * `tolerance`): payloads null out when the matched right row is more than
+    * `tolerance` older than the left timestamp. Same single-shuffle window
+    * plan — the matched right timestamp rides along as one extra carried
+    * column and the bound is a post-window projection, not a second join. */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: Seq[String],
+                        leftTs: String, rightTs: String,
+                        leftTieBreak: Column, rightTieBreak: Column,
+                        rightPayload: Map[String, Column],
+                        tolerance: Column): DataFrame = {
+    val joined = asofJoin(left, right, key, leftTs, rightTs,
+      leftTieBreak, rightTieBreak,
+      rightPayload + ("__match_ts" -> col(rightTs)))
+    val fresh = col("__match_ts").isNotNull &&
+      col(leftTs) <= col("__match_ts") + tolerance
+    rightPayload.keys.foldLeft(joined) { (d, n) =>
+      d.withColumn(n, when(fresh, col(n)))
+    }.drop("__match_ts")
+  }
+
   /** Banded range join: pairs within the same `key` with
     * `0 < ts(b) - ts(a) <= band`. The equi-key keeps it a hash join (shuffle on key),
     * the band predicate is applied post-match — no cartesian product.

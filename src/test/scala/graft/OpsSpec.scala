@@ -78,6 +78,21 @@ class OpsSpec extends SparkSpec {
       Seq(3L, null)))  // nothing at or before 09:00
   }
 
+  test("asofJoinTolerance nulls out matches staler than the bound, keeps fresh ones") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:05:00")),
+                   (2L, 10L, ts("2024-01-01 11:00:00")),
+                   (3L, 20L, ts("2024-01-01 09:00:00"))).toDF("id", "k", "t")
+    val right = Seq((100L, 10L, ts("2024-01-01 10:00:00")),
+                    (102L, 20L, ts("2024-01-01 08:59:00"))).toDF("rid", "k", "rt")
+    val r = Ops.asofJoinTolerance(left, right, Seq("k"), "t", "rt",
+      col("id"), col("rid"), Map("matched_rid" -> col("rid")),
+      expr("INTERVAL 10 MINUTES"))
+    assert(rowSet(r.select("id", "matched_rid")) === Set(
+      Seq(1L, 100L),  // 5 min stale: within tolerance
+      Seq(2L, null),  // 60 min stale: nulled out, row preserved (left-preserving)
+      Seq(3L, 102L))) // exactly 1 min: within
+  }
+
   test("banded range self-join pairs within the band only") {
     val r = Ops.rangeSelfJoin(
       events.select("user_id", "ts", "event_id"),
