@@ -874,6 +874,35 @@ object SparkEntry {
               cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
               SELECT id AS doc_id, cluster_id, id = cluster_id AS keep FROM cc""")),
 
+    Q("dedup_clusters_star", // same components via large-star/small-star
+      // contraction — diameter-independent round bound; same oracle
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.resolveClustersStar(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.3))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, substr(norm, 1, 40) AS block,
+                string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, block,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              reach AS (
+                SELECT doc_id AS id, doc_id AS label FROM documents
+                UNION
+                SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+              cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+              SELECT id AS doc_id, cluster_id, id = cluster_id AS keep FROM cc""")),
+
     Q("dedup_embedding_cosine",
       (s, d) => Similarity.cosineDupPairs(Tables.embeddings(s, d), 0.4),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

@@ -206,6 +206,80 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** [[resolveClusters]] alternative with DIAMETER-INDEPENDENT round bounds:
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — O(log² n)
+    * rounds worst case where min-label propagation needs O(component
+    * diameter). Use this form when components can be adversarially deep
+    * (long duplicate chains); the min-label form stays preferable for the
+    * short-chain shape near-dup corpora produce (fewer shuffles per round).
+    *
+    * Per round: large-star hangs every larger-than-center neighbor onto the
+    * center's minimum (flattens deep trees without growing any star), then
+    * small-star hangs the smaller neighbors. Both are one aggregation + one
+    * equi-join re-emit over the edge list — no collect_list, no driver-side
+    * graph. Convergence = canonical edge set stable (count + order-insensitive
+    * hash checksum, one tiny agg action per round). Output schema matches
+    * [[resolveClusters]] exactly: (doc_id, cluster_id, keep) with cluster_id =
+    * the component's smallest doc_id (PropertySpec asserts equivalence on
+    * random graphs; `dedup_clusters_star` hash-matches the same recursive-CTE
+    * oracle as `dedup_clusters`). */
+  def resolveClustersStar(docs: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 30): DataFrame = {
+    var toFree: List[DataFrame] = Nil
+    def ckpt(df: DataFrame): DataFrame = { val c = df.localCheckpoint(); toFree ::= c; c }
+    def sym(e: DataFrame): DataFrame =
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val p = ckpt(pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    // canonical form: each undirected edge once, larger endpoint first
+    var canon = ckpt(p.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(canon)
+    var stable = false
+    var i = 0
+    while (i < maxIter && !stable) {
+      // large-star over the symmetric view: center u, m = min(N(u) ∪ {u});
+      // re-hang every neighbor v > u onto m
+      val s = sym(canon)
+      val minsL = s.groupBy("src").agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      val large = s.filter(col("dst") > col("src"))
+        .join(minsL, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // small-star over larger→smaller edges: m = min(N≤(u) ∪ {u}); re-hang
+      // the smaller neighbors and u itself onto m
+      val minsS = large.groupBy("src").agg(min(col("dst")).as("m"))
+      val small = large.join(minsS, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionAll(minsS.select(col("src"), col("m").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      canon = ckpt(small.select(greatest(col("src"), col("dst")).as("src"),
+          least(col("src"), col("dst")).as("dst")).distinct())
+      val cur = checksum(canon)
+      stable = cur == prev
+      prev = cur
+      i += 1
+    }
+    // converged: edges are stars (node, component-min); min() guards the
+    // pre-convergence maxIter exit
+    val labels = sym(canon).groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("lbl"))
+      .select(col("doc_id"), least(col("lbl"), col("doc_id")).as("label"))
+    toFree.drop(1).foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
     * `prefixLen` chars of the normalized text (cheap, oracle-reproducible blocking),
     * compute |A∩B| / |A∪B| over distinct word n-grams, keep pairs >= threshold.

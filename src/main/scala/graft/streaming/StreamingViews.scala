@@ -150,38 +150,30 @@ object StreamingViews {
             state.remove()
             Iterator((key, s.startMicros, s.lastMicros, s.n))
           } else {
-            // ascending within the batch; close the open session at every >gap
-            // jump, carry the trailing one in state. Beyond-gap LATE events
-            // (inside the watermark, before the open session's reach) form their
-            // own merging runs — consecutive late events within gap of each
-            // other close as ONE session, matching batch session_window; the
-            // residual divergence (W2 knob) is that a late run closes at batch
-            // end and cannot merge with still-later arrivals in FUTURE batches.
-            val sorted = rows.map(r => micros(r._2)).toArray.sorted
-            val (closed, finalCur) =
-              sorted.foldLeft((List.empty[SessionState], state.getOption)) {
-                case ((acc, None), t) => (acc, Some(SessionState(t, t, 1)))
-                case ((acc, Some(s)), t) =>
-                  // inclusive gap bound on both edges — matches session_window,
-                  // which still merges an event exactly `gap` later
-                  if (t >= s.startMicros - gapMicros && t <= s.lastMicros + gapMicros)
-                    (acc, Some(SessionState(math.min(s.startMicros, t),
-                      math.max(s.lastMicros, t), s.n + 1)))
-                  else if (t > s.lastMicros + gapMicros)
-                    (s :: acc, Some(SessionState(t, t, 1)))
-                  else acc match {
-                    // t < start - gap: a late run. Ascending order means every
-                    // late event lands before any in-range one, so the newest
-                    // late session is always acc's head; extend it when within
-                    // gap (h.last <= t < s.start - gap holds by construction).
-                    case h :: rest if t <= h.lastMicros + gapMicros &&
-                        h.lastMicros < s.startMicros - gapMicros =>
-                      (SessionState(h.startMicros, math.max(h.lastMicros, t),
-                        h.n + 1) :: rest, Some(s))
-                    case _ => (SessionState(t, t, 1) :: acc, Some(s))
-                  }
-              }
-            val open = finalCur.get
+            // Canonical interval sweep-merge over (carried state ∪ batch
+            // events) sorted by start: any two runs within `gap` of each other
+            // merge, EXACTLY batch session_window semantics within the batch —
+            // including late runs that a newer event retroactively bridges to
+            // the open session. The latest merged run stays OPEN in state; the
+            // earlier ones close and emit. Residual divergence (W2 knob): a
+            // closed run cannot merge with still-later arrivals in FUTURE
+            // batches — inherent to emitting before the watermark horizon.
+            val intervals =
+              (state.getOption.map(s => SessionState(s.startMicros, s.lastMicros, s.n)).toList ++
+                rows.map(r => { val t = micros(r._2); SessionState(t, t, 1) }).toList)
+                .sortBy(s => (s.startMicros, s.lastMicros))
+            val merged = intervals.foldLeft(List.empty[SessionState]) {
+              case (Nil, iv) => iv :: Nil
+              case (cur :: done, iv) =>
+                // inclusive gap bound — session_window still merges an event
+                // exactly `gap` later
+                if (iv.startMicros <= cur.lastMicros + gapMicros)
+                  SessionState(cur.startMicros,
+                    math.max(cur.lastMicros, iv.lastMicros), cur.n + iv.n) :: done
+                else iv :: cur :: done
+            }.reverse
+            val open = merged.last
+            val closed = merged.init.reverse // reverseIterator below re-reverses
             state.update(open)
             // timeout must sit above the current watermark; if the watermark
             // already passed last+gap, fire at the next batch

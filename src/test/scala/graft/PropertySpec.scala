@@ -210,6 +210,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("star-contraction components equal min-label components on random graphs") {
+    import graft.operators.Dedup
+    val genGraph: Gen[(List[Long], List[(Long, Long)])] = for {
+      n <- Gen.choose(2, 30)
+      nodes = (1L to n.toLong).toList
+      extra <- Gen.listOf(for {
+        a <- Gen.choose(1L, n.toLong)
+        d <- Gen.choose(1L, n.toLong - 1)
+        b = ((a - 1 + d) % n) + 1 // guaranteed != a, no filter (Gen can't exhaust)
+      } yield (math.min(a, b), math.max(a, b)))
+      // always include one long chain — the deep-diameter case star
+      // contraction exists for
+      chainLen <- Gen.choose(2, n)
+    } yield (nodes,
+      (1L until chainLen.toLong).map(i => (i, i + 1)).toList ++ extra)
+    forAll(genGraph, runs = 6) { case (nodes, edges) =>
+      val docs = nodes.map(Tuple1(_)).toDF("doc_id")
+      val pairs = if (edges.isEmpty) Seq((1L, 1L)).toDF("a_id", "b_id").limit(0)
+        else edges.toDF("a_id", "b_id")
+      val a = rowSet(Dedup.resolveClusters(docs, pairs))
+      val b = rowSet(Dedup.resolveClustersStar(docs, pairs))
+      assert(b === a)
+    }
+  }
+
   // ---- sketches: quantitative error bounds vs their exact twins -------------
 
   test("approx_count_distinct is within the documented HLL error of the exact count") {
