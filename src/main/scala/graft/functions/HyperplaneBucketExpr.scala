@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class HyperplaneBucketExpr(child: Expression, planes: Array[Array[Double]])
   extends UnaryExpression {
 
-  require(planes.nonEmpty && planes.length <= 63, "need 1..63 planes (packed into a long)")
+  // 64 bits pack exactly (the sign bit is just bit 63, same as the simhash)
+  require(planes.nonEmpty && planes.length <= 64, "need 1..64 planes (packed into a long)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

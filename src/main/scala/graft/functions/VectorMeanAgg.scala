@@ -18,9 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * bench embeddings) and needs a second shuffle to reassemble the array. This
   * aggregate shuffles one partial (sum[dim], n) per (cell, map task).
   *
-  * Semantics: rows whose array is null, whose length differs from the first row
-  * seen by the buffer, or which contain a null element are SKIPPED (malformed
-  * input must not poison a centroid). Empty group → null. Sum order follows
+  * Semantics: rows whose array is null or contains a null element are SKIPPED
+  * (malformed input must not poison a centroid); a row whose length differs
+  * from the buffer's THROWS — silently picking a dimension would make the
+  * result depend on partition order. Empty group → null. Sum order follows
   * partial-aggregation merge order, so last-ulp float variation across runs is
   * possible — fine for a model fit, not for an oracle-checked result.
   */
@@ -48,16 +49,17 @@ case class VectorMeanAgg(child: Expression,
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      if (buffer.sum == null || buffer.sum.length == n) {
-        var i = 0
-        var clean = true
-        while (clean && i < n) { clean = !arr.isNullAt(i); i += 1 }
-        if (clean && n > 0) {
-          if (buffer.sum == null) buffer.sum = new Array[Double](n)
-          i = 0
-          while (i < n) { buffer.sum(i) += arr.getDouble(i); i += 1 }
-          buffer.n += 1
-        }
+      if (buffer.sum != null && buffer.sum.length != n)
+        throw new IllegalStateException(
+          s"vector_mean: mixed dimensions in one group (${buffer.sum.length} vs $n)")
+      var i = 0
+      var clean = true
+      while (clean && i < n) { clean = !arr.isNullAt(i); i += 1 }
+      if (clean && n > 0) {
+        if (buffer.sum == null) buffer.sum = new Array[Double](n)
+        i = 0
+        while (i < n) { buffer.sum(i) += arr.getDouble(i); i += 1 }
+        buffer.n += 1
       }
     }
     buffer
@@ -70,7 +72,8 @@ case class VectorMeanAgg(child: Expression,
         var i = 0
         while (i < buffer.sum.length) { buffer.sum(i) += other.sum(i); i += 1 }
         buffer.n += other.n
-      }
+      } else throw new IllegalStateException(
+        s"vector_mean: mixed dimensions across partials (${buffer.sum.length} vs ${other.sum.length})")
     }
     buffer
   }

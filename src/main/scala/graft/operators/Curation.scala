@@ -93,15 +93,21 @@ object Curation {
         size(col("col")).cast("long").as("n_tokens"))
   }
 
-  /** Assign documents to fixed token-budget packs — the distributed form of
+  /** Assign documents to token-budget packs — the distributed form of
     * sequence packing. True greedy first-fit is inherently serial; the
     * scalable contract is: partition the corpus into `groups` deterministic
     * pack groups (doc_id mod groups — each a parallel packing stream), order
-    * each group deterministically, and cut a new pack whenever the running
-    * token total crosses the budget. One window over (group, doc order); at
-    * 100 TB each group's window is independent, so parallelism = `groups` and
-    * no global sort exists. Oversized documents (> budget) get a pack of their
-    * own, as real packers do. */
+    * each group deterministically, and assign each document to the pack its
+    * FIRST token falls in (`floor(running_total_before / budget)`). One
+    * window over (group, doc order); at 100 TB each group's window is
+    * independent, so parallelism = `groups` and no global sort exists.
+    *
+    * Budget contract: a document straddling a boundary stays whole in the
+    * pack it starts in, so a pack can exceed `budgetTokens` by up to one
+    * document's length (any window-expressible rule must accept this; a
+    * hard cap requires the serial first-fit). Run [[chunkDocuments]] first
+    * when no single document may exceed the budget — then the overhang is
+    * bounded by one chunk, not one document. */
   def packByTokenBudget(docs: DataFrame, budgetTokens: Long = 2048,
                         groups: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window

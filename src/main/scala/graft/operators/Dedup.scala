@@ -196,6 +196,10 @@ object Dedup {
       labels = compressed.select("id", "label") // compressed is already checkpointed
       i += 1
     }
+    // A truncated exit would assign non-minimal labels silently — refuse.
+    if (!converged) throw new IllegalStateException(
+      s"resolveClusters did not converge in $maxIter rounds — component diameter " +
+        "exceeds the budget; raise maxIter or use resolveClustersStar")
     // free every intermediate checkpoint; the final one (head — backing `labels`)
     // stays until the caller's plan has consumed it
     toFree.drop(1).foreach(df => try df.unpersist() catch { case _: Throwable => () })
@@ -267,8 +271,12 @@ object Dedup {
       prev = cur
       i += 1
     }
-    // converged: edges are stars (node, component-min); min() guards the
-    // pre-convergence maxIter exit
+    // A truncated exit would yield labels that look valid but split components
+    // — refuse loudly rather than dedup against wrong representatives.
+    if (!stable) throw new IllegalStateException(
+      s"resolveClustersStar did not converge in $maxIter rounds — raise maxIter " +
+        "(O(log^2 n) rounds suffice; non-convergence indicates a far larger graph)")
+    // converged: edges are stars (node, component-min)
     val labels = sym(canon).groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("lbl"))
       .select(col("doc_id"), least(col("lbl"), col("doc_id")).as("label"))

@@ -159,25 +159,29 @@ object Ops {
                leftTieBreak: Column, rightTieBreak: Column,
                rightPayload: Map[String, Column]): DataFrame = {
     val payloadNames = rightPayload.keys.toSeq.sorted
-    val payloadType = payloadNames.map(n =>
-      n -> right.select(rightPayload(n)).schema.head.dataType).toMap
-    val lSide = payloadNames.foldLeft(
-      left.withColumn("__ts", col(leftTs))
-          .withColumn("__is_l", lit(1))
-          .withColumn("__tie", leftTieBreak)
-    ) { (d, n) => d.withColumn(n, lit(null).cast(payloadType(n))) }
+    // Payloads ride in ONE struct so the fill is ROW-wise: the matched right
+    // row contributes ALL its payload values, nulls included. Filling each
+    // payload column independently with last(ignoreNulls) would mix values
+    // from different right rows whenever the newest row holds a null.
+    val bundleType = right.select(
+      struct(payloadNames.map(n => rightPayload(n).as(n)): _*)).schema.head.dataType
+    val lSide = left.withColumn("__ts", col(leftTs))
+      .withColumn("__is_l", lit(1))
+      .withColumn("__tie", leftTieBreak)
+      .withColumn("__p", lit(null).cast(bundleType))
     val rSide = right.select(
       key.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__is_l"),
-        rightTieBreak.as("__tie")) ++ payloadNames.map(n => rightPayload(n).as(n)): _*)
+        rightTieBreak.as("__tie"),
+        struct(payloadNames.map(n => rightPayload(n).as(n)): _*).as("__p")): _*)
     // right rows sort before left rows at equal ts (__is_l 0 < 1) so "<=" holds.
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(col("__ts").asc, col("__is_l").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadNames.foldLeft(
-      lSide.unionByName(rSide, allowMissingColumns = true)
-    ) { (d, n) => d.withColumn(n, last(col(n), ignoreNulls = true).over(w)) }
-    filled.filter(col("__is_l") === 1)
-      .select(left.columns.toSeq.map(col) ++ payloadNames.map(col): _*)
+    lSide.unionByName(rSide, allowMissingColumns = true)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .select(left.columns.toSeq.map(col) ++
+        payloadNames.map(n => col("__p").getField(n).as(n)): _*)
   }
 
   /** [[asofJoin]] with a match-freshness bound (pandas `merge_asof`'s

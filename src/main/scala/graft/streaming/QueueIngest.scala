@@ -122,9 +122,12 @@ object QueueIngest {
         col("e.value").as("value"),
         col("e.props").as("props"),
         col("partition"), col("offset"), col("raw"),
+        // ts is NOT required: a body without it is valid with the frame
+        // timestamp as event time — the same fallback decodeFrames applies
+        // (properties.timestamp semantics, cassandra_subscriber.py:113)
         (col("e").isNotNull && col("e._corrupt").isNull &&
           col("e.event_id").isNotNull && col("e.user_id").isNotNull &&
-          col("e.event_type").isNotNull && col("e.ts").isNotNull).as("is_valid"))
+          col("e.event_type").isNotNull).as("is_valid"))
   }
 
   /** The decoded good side of [[decodeFramesWithDlq]] (same shape as

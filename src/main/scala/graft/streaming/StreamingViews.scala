@@ -173,14 +173,14 @@ object StreamingViews {
                 else iv :: cur :: done
             }.reverse
             val open = merged.last
-            val closed = merged.init.reverse // reverseIterator below re-reverses
+            val closed = merged.init // ascending start order
             state.update(open)
             // timeout must sit above the current watermark; if the watermark
             // already passed last+gap, fire at the next batch
             state.setTimeoutTimestamp(math.max(
               open.lastMicros / 1000L + gapSeconds * 1000L,
               state.getCurrentWatermarkMs() + 1))
-            closed.reverseIterator.map(s => (key, s.startMicros, s.lastMicros, s.n))
+            closed.iterator.map(s => (key, s.startMicros, s.lastMicros, s.n))
           }
       }
       .toDF(keyCol, "session_start_micros", "session_end_micros", "n")

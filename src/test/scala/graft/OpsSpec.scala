@@ -78,6 +78,19 @@ class OpsSpec extends SparkSpec {
       Seq(3L, null)))  // nothing at or before 09:00
   }
 
+  test("asofJoin is row-wise: newest matched row's null payload is NOT backfilled") {
+    val left = Seq((1L, 10L, ts("2024-01-01 10:05:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 09:00:00"), Option(5L)),
+      (101L, 10L, ts("2024-01-01 10:00:00"), Option.empty[Long])
+    ).toDF("rid", "k", "rt", "pay")
+    val r = Ops.asofJoin(left, right, Seq("k"), "t", "rt",
+      col("id"), col("rid"), Map("pay" -> col("pay"), "matched_rid" -> col("rid")))
+    // the matched ROW is 101 (newest <= t); its null pay must come through as
+    // null, not be backfilled from row 100's non-null value
+    assert(rowSet(r.select("id", "matched_rid", "pay")) === Set(Seq(1L, 101L, null)))
+  }
+
   test("asofJoinTolerance nulls out matches staler than the bound, keeps fresh ones") {
     val left = Seq((1L, 10L, ts("2024-01-01 10:05:00")),
                    (2L, 10L, ts("2024-01-01 11:00:00")),
