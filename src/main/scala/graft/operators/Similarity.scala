@@ -116,14 +116,12 @@ object Similarity {
   private def bestCell(emb: Column, centroids: Centroids): Column =
     graft.functions.NearestCentroidExpr.nearestCentroid(emb, centroids)
 
-  /** The `nprobe` cells nearest to `emb`, best first (sim desc, cell asc).
-    * Raw dots — same rationale as [[bestCell]]. */
+  /** The `nprobe` cells nearest to `emb`, best first (sim desc, cell asc) —
+    * native [[graft.functions.NearestCellsExpr]], same constant-codegen-size
+    * rationale as [[bestCell]], so probing stays fast even when the query set
+    * is corpus-sized (batch kNN). */
   private def nearestCells(emb: Column, centroids: Centroids, nprobe: Int): Column =
-    transform(
-      slice(array_sort(array(centroids.map { case (id, c) =>
-        struct((-VectorFns.dot(emb, typedLit(c))).as("negsim"), lit(id).as("cell"))
-      }: _*)), 1, nprobe),
-      s => s.getField("cell"))
+    graft.functions.NearestCellsExpr.nearestCells(emb, centroids, nprobe)
 
   /** DataFrame-form Lloyd's k-means over the embedding column — the trained
     * centroids [[ivfTopK]] promises. Deterministic end to end: the seed set is
@@ -170,18 +168,27 @@ object Similarity {
       .withColumn("cell", bestCell(col("emb"), centroids))
 
   /** Query-time IVF probe over a (possibly persisted) assignment table: each
-    * query expands to its `nprobe` nearest cells (map-only), the probe set —
-    * |queries| × nprobe rows — is BROADCAST against the assignment (the
-    * assignment side never shuffles: the 100 TB requirement), candidates
-    * re-rank exactly. Candidates are unique by construction (one cell per
-    * corpus vector, distinct probe cells per query) — no dedup pass. */
+    * query expands to its `nprobe` nearest cells (map-only), joins the
+    * assignment on cell, candidates re-rank exactly. Candidates are unique by
+    * construction (one cell per corpus vector, distinct probe cells per
+    * query) — no dedup pass.
+    *
+    * Probe side is EXPLICIT (the lesson of `bruteForceTopK`'s broadcast flag):
+    * the default (`broadcastProbes = true`) broadcasts the |queries| × nprobe
+    * probe set so the assignment never shuffles — right for query SERVING
+    * (bounded query sets). Pass `false` for corpus-scale query sets (batch
+    * kNN, self-join dedup): the probe side then shuffles on cell while a
+    * `Lake.writeBucketed(_, .., "cell", n)` assignment still avoids any
+    * corpus-side exchange (one-sided shuffle onto the bucketed layout). */
   def ivfProbeAssigned(assigned: DataFrame, centroids: Centroids,
-                       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+                       queries: DataFrame, k: Int, nprobe: Int = 4,
+                       broadcastProbes: Boolean = true): DataFrame = {
     val probed = queries
       .select(col("vec_id").as("query_id"),
         VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
       .withColumn("cell", explode(nearestCells(col("q_emb"), centroids, nprobe)))
-    val cand = broadcast(probed).join(assigned, Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probed) else probed
+    val cand = probeSide.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
