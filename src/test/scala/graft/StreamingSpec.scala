@@ -126,6 +126,35 @@ class StreamingSpec extends SparkSpec {
       rowSet(Views.hourCounts(allEvents.toDF())))
   }
 
+  test("streaming curation composes: decode -> quality gate -> watermarked dedup in one stream") {
+    // the training-pipeline shape end to end as ONE streaming query: queue
+    // frames in, language/length-gated unique documents out
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      TestEvent(1, 10, "doc", ts("2024-01-01 10:00:00"), 1.0, """{"k": 1}"""),
+      TestEvent(2, 11, "doc", ts("2024-01-01 10:01:00"), 1.0, """{"k": 2}"""),
+      TestEvent(1, 10, "doc", ts("2024-01-01 10:02:00"), 1.0, """{"k": 1}"""), // replay of 1
+      TestEvent(3, 12, "x",   ts("2024-01-01 10:03:00"), 1.0, """{"k": 3}""")  // gated out
+    )
+    val frames = QueueIngest.encodeFrames(events.toDF()).as[QueueFrame].collect().toSeq
+    val stream = MemoryStream[QueueFrame]
+    val q = StreamingViews.dedupStream(
+        QueueIngest.validEvents(QueueIngest.decodeFramesWithDlq(stream.toDF()))
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .filter(col("event_type") === "doc"), // the quality gate of this fixture
+        idCol = "event_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_stream_curate").start()
+    try {
+      stream.addData(frames.take(2)); q.processAllAvailable()
+      stream.addData(frames.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    // one row per unique passing doc: the replay of event 1 and the gated-out
+    // type are both absent
+    assert(rowSet(spark.table("t_stream_curate").select("event_id")) ===
+      Set(Seq(1L), Seq(2L)))
+  }
+
   test("stateful LWW (mapGroupsWithState) converges to batch latestInfo") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
