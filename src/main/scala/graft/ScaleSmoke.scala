@@ -105,6 +105,38 @@ object ScaleSmoke {
       sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
         nbits = 16, tables = 4).count()
     }
+    // ---- text/curation path at 1M docs (200x the sf0.1 corpus): synthetic
+    // ~24-token documents with a planted 10% duplicate rate; every stage must
+    // stay linear — chunking/fingerprinting are map-only, packing is a
+    // per-group window, dedup is one hash-keyed shuffle.
+    val nDocs = 1000000L
+    val docs = spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 24).map { i =>
+        // 10% of docs replay doc (id - 1)'s text exactly
+        element_at(
+          array(lit("the"), lit("data"), lit("engine"), lit("spark"), lit("query"),
+            lit("stream"), lit("vector"), lit("of"), lit("and"), lit("scale")),
+          (pmod(xxhash64(when(pmod(col("id"), lit(10)) === 0, col("id") - 1)
+            .otherwise(col("id")), lit(i)), lit(10)) + 1).cast("int"))
+      }: _*).as("text"))
+    docs.count() // generation warmup
+    time(s"exactDedupByFingerprint ($nDocs docs)") {
+      graft.operators.Dedup.exactDedupByFingerprint(docs).count()
+    }
+    time("chunkDocuments 16/4 map-only") {
+      graft.operators.Curation.chunkDocuments(docs, 16, 4)
+        .select(sum(col("n_tokens"))).head().getLong(0)
+    }
+    time("packByTokenBudget window") {
+      graft.operators.Curation.packByTokenBudget(docs, 2048, 32)
+        .select(sum(col("pack_id"))).head().getLong(0)
+    }
+    time("curateCorpusByFingerprint full pipeline") {
+      graft.operators.Curation.curateCorpusByFingerprint(docs,
+        lang = "en", minTokens = 10, maxAvgTokenLen = 10.0).count()
+    }
+
     time("int8 quantize full corpus") {
       vecs.select(col("vec_id"), col("embedding"),
           graft.functions.VectorFns.int8Scale(col("embedding")).as("scale"))
