@@ -86,9 +86,12 @@ object TextFns {
 
   /** [[markerHits]] over a pre-materialized token array — bind the tokens once
     * when scoring several marker lists (each call re-tokenizing `text` would
-    * normalize the document once per language). */
+    * normalize the document once per language). Native hashed-set kernel
+    * ([[MarkerHitsExpr]]) — the HOF `size(filter(...))` form it replaces did
+    * markers-count interpreted string equalities per token and dominated the
+    * 1M-doc curation smoke. */
   def markerHitsFromTokens(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => markers.map(m => t === m).reduce(_ || _)))
+    MarkerHitsExpr.markerHits(toks, markers)
 
   /** Heuristic language ID: argmax of marker-hit scores with a fixed precedence
     * order (en > de > es > fr) for ties; "und" (undetermined) when no marker hits. */
