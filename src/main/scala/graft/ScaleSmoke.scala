@@ -137,6 +137,24 @@ object ScaleSmoke {
         lang = "en", minTokens = 10, maxAvgTokenLen = 10.0).count()
     }
 
+    // ---- streaming: 1M events through a REAL Structured Streaming query
+    // (file source → watermarked windowed agg → memory sink) — the state
+    // stays bounded by the window count, and throughput is the number that
+    // matters for the ingest story (reference consumer: prefetch_count=1,
+    // one message at a time).
+    {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_smoke_stream")
+      streamDir.toFile.deleteOnExit()
+      events.limit(1000000).write.mode("overwrite")
+        .parquet(streamDir.resolve("events").toString)
+      val t0 = System.nanoTime()
+      val n = graft.streaming.StreamingViews.runToMemory(spark,
+        streamDir.resolve("events").toString, "smoke_stream",
+        src => graft.streaming.StreamingViews.hourCounts(src)).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"SCALE ${"streaming hourCounts 1M events"}%-34s $secs%8.2f s  rows=$n (${(1000000 / secs / 1000).toLong}k ev/s)")
+    }
+
     time("int8 quantize full corpus") {
       vecs.select(col("vec_id"), col("embedding"),
           graft.functions.VectorFns.int8Scale(col("embedding")).as("scale"))

@@ -56,16 +56,13 @@ object TextFns {
 
   /** Deterministic document fingerprint: polynomial rolling hash
     * `h = (h*31 + code) mod 1e9+7` over the character codes of the ASCII-normalized
-    * text. Oracle-expressible (DuckDB `list_reduce`); products stay < 2^63 so the
-    * arithmetic is exact in both engines. At 100 TB prefer [[fastFingerprint]]. */
-  def fingerprint(text: Column): Column = {
-    val clean = regexp_replace(normalize(text), "[^a-z0-9 ]", "")
-    val codes = transform(sequence(lit(1), length(clean)), i => ascii(substring(clean, i, lit(1))))
-    // sequence(1, 0) is DESCENDING in Spark, not empty — guard the empty-string case.
-    when(length(clean) > 0,
-      aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L))
-      .otherwise(lit(0L))
-  }
+    * text — native O(n) byte loop ([[RollingHashExpr]]; the per-index
+    * `ascii(substring(clean, i, 1))` HOF it replaces re-walked the string per
+    * character, O(n²) per document). Oracle-expressible (DuckDB `list_reduce`
+    * over `ascii()` codes — identical because the cleaned text is pure ASCII);
+    * products stay < 2^63 so the arithmetic is exact in both engines. */
+  def fingerprint(text: Column): Column =
+    RollingHashExpr.rollingHash(regexp_replace(normalize(text), "[^a-z0-9 ]", ""))
 
   /** Single-pass 64-bit fingerprint (xxhash64 of the normalized text) — the scale
     * path; not oracle-comparable (engine-specific hash), used by dedup internals. */
