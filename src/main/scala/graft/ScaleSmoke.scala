@@ -137,6 +137,24 @@ object ScaleSmoke {
         lang = "en", minTokens = 10, maxAvgTokenLen = 10.0).count()
     }
 
+    // ---- multimodal: 200k ~1 KB binary payloads through the typed
+    // mapPartitions feature extractor (per-partition decoder init) and the
+    // posexplode frame sampler — both must stay map-only and linear.
+    {
+      val media = spark.range(200000).select(
+        col("id").as("media_id"), lit("application/octet-stream").as("media_type"),
+        repeat(sha2(col("id").cast("string"), 256), 16).cast("binary").as("payload"))
+      media.count() // generation warmup
+      time("multimodal extractFeatures 200k x 1KB") {
+        graft.operators.Multimodal.extractFeatures(spark, media)
+          .select(sum(col("checksum"))).head().getLong(0)
+      }
+      time("multimodal sampleOffsets x8") {
+        graft.operators.Multimodal.sampleOffsets(media, Seq(1, 128, 256, 384, 512, 640, 768, 1024))
+          .count()
+      }
+    }
+
     // ---- streaming: 1M events through a REAL Structured Streaming query
     // (file source → watermarked windowed agg → memory sink) — the state
     // stays bounded by the window count, and throughput is the number that
