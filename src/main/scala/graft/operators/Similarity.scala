@@ -18,6 +18,36 @@ import graft.functions.{TopKByScoreAgg, VectorFns}
   */
 object Similarity {
 
+  /** Analytic hyperplane-LSH recall: the probability that a pair at `cosine`
+    * shares at least one bucket under (nbits, tables). Per plane the pair's
+    * sign bits agree with probability 1 - θ/π (Goemans–Williamson); buckets
+    * are nbits independent planes, tables are independent retries. This is
+    * the sizing formula behind every measured recall gate in SimilaritySpec —
+    * the spec asserts the fixture measurements agree with it. */
+  def lshPairRecall(cosine: Double, nbits: Int, tables: Int): Double = {
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cosine))) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, nbits), tables)
+  }
+
+  /** Smallest table count reaching `targetRecall` for pairs at `cosine` with
+    * `nbits`-bit buckets (the recall knob once bucket size is fixed). */
+  def lshTablesFor(cosine: Double, nbits: Int, targetRecall: Double,
+                   maxTables: Int = 256): Int = {
+    require(targetRecall > 0 && targetRecall < 1, s"targetRecall in (0,1), got $targetRecall")
+    (1 to maxTables).find(t => lshPairRecall(cosine, nbits, t) >= targetRecall)
+      .getOrElse(throw new IllegalArgumentException(
+        f"recall $targetRecall%.2f at cosine $cosine%.2f unreachable within " +
+          s"$maxTables tables at nbits=$nbits — lower nbits (coarser buckets)"))
+  }
+
+  /** Expected LSH candidate-pair volume under uniform buckets:
+    * tables · n² / 2^(nbits+1). Compare against n²/2 (all-pairs) — when the
+    * ratio tables/2^nbits approaches 1 the corpus has no locality to exploit
+    * at that recall target and brute force is honest (the near-orthogonal
+    * fixture case; see README known limitations). */
+  def lshCandidatePairs(n: Long, nbits: Int, tables: Int): Double =
+    tables.toDouble * n.toDouble * n.toDouble / math.pow(2.0, nbits + 1)
+
   /** Embedding-side near-duplicate pairs: all (a < b) pairs with cosine >= threshold.
     * Brute force over all pairs — correctness baseline / oracle-checkable form.
     * Similarity is rounded (VectorFns.simKey) before thresholding. */

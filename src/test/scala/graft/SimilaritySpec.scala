@@ -160,6 +160,40 @@ class SimilaritySpec extends SparkSpec {
     assert(topRecall >= 0.8, f"planted top-1 recall $topRecall%.3f below 0.8")
   }
 
+  test("analytic LSH sizing agrees with measured recall; sizes params sanely") {
+    // the planted near-dup test runs at cosine ~0.97 with nbits=8, tables=4:
+    // the formula must predict the regime correctly
+    val predicted = Similarity.lshPairRecall(0.97, nbits = 8, tables = 4)
+    assert(predicted > 0.9 && predicted <= 1.0, f"predicted $predicted%.3f")
+    // measure actual planted-pair recall at that setting and compare
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 150).flatMap { i =>
+      val base = unit()
+      val jit = base.zip(unit()).map { case (b, u) => b + 0.25 * u }
+      val n = math.sqrt(jit.map(x => x * x).sum)
+      Seq((i.toLong, base.map(_.toFloat)), (i.toLong + 1000L, jit.map(x => (x / n).toFloat)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineDupPairsLsh(emb, 0.9, dim = 64, nbits = 8, tables = 4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 150).map(i => (i.toLong, i.toLong + 1000L)).toSet
+    val measured = pairs.count(planted).toDouble / planted.size
+    info(f"planted recall measured=$measured%.3f analytic(cos 0.97)=$predicted%.3f")
+    assert(math.abs(measured - predicted) < 0.2,
+      f"analytic model off: measured $measured%.3f vs predicted $predicted%.3f")
+    // sizing helpers: more tables -> monotone recall; impossible targets refuse
+    assert(Similarity.lshTablesFor(0.9, nbits = 8, targetRecall = 0.8) <= 8)
+    intercept[IllegalArgumentException](
+      Similarity.lshTablesFor(0.1, nbits = 16, targetRecall = 0.99, maxTables = 4))
+    // candidate-volume estimate: coarse buckets at high tables approach all-pairs
+    assert(Similarity.lshCandidatePairs(1000, 3, 8) === 8.0 * 1000 * 1000 / 16)
+  }
+
   test("trainCentroids is deterministic and assigns every vector to one cell") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val c1 = Similarity.trainCentroids(emb, nlist = 8, iters = 2)
