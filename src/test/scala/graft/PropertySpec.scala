@@ -127,6 +127,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("queue encode/decode round-trips every generated event multiset exactly") {
+    import graft.streaming.QueueIngest
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val decoded = QueueIngest.decodeFrames(QueueIngest.encodeFrames(df))
+      assert(rowSet(decoded.select($"event_id", $"user_id", $"event_type",
+          $"ts".cast("string"), $"value")) ===
+        rowSet(df.select($"event_id", $"user_id", $"event_type",
+          $"ts".cast("timestamp_ntz").cast("string"), $"value")))
+      // and the DLQ path marks every well-formed frame valid
+      assert(QueueIngest.deadLetters(
+        QueueIngest.decodeFramesWithDlq(QueueIngest.encodeFrames(df))).count() === 0)
+    }
+  }
+
+  test("asofJoinTolerance is left-preserving for every event multiset") {
+    forAll(genEvents) { evs =>
+      val df = evs.toDF()
+      val left = df.filter(col("event_type") === "view").select("event_id", "user_id", "ts")
+      val joined = Ops.asofJoinTolerance(left, df.filter(col("event_type") === "purchase"),
+        Seq("user_id"), "ts", "ts", col("event_id"), col("event_id"),
+        Map("pid" -> col("event_id")), expr("INTERVAL 10 MINUTES"))
+      assert(joined.count() === left.count())
+      assert(joined.select("event_id").distinct().count() === left.count())
+    }
+  }
+
   test("as-of join is left-preserving: exactly one output row per left row") {
     forAll(genEvents) { evs =>
       val df = evs.toDF()
