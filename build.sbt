@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run inherits stdout directly (no sbt `[info] ` logger prefix), so the
+// one-line bench JSON reaches the harness as a bare parseable `{...}` line —
+// every round so far came back `parsed: null` because the prefix broke the
+// driver's JSON scan even when the line itself was valid.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
