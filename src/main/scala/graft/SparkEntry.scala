@@ -708,7 +708,29 @@ object SparkEntry {
           count(lit(1)).as("n")),
       Some("""SELECT user_id, array_to_string(list_sort(list(event_id)), ',') AS event_ids,
               count(*) AS n
-              FROM events WHERE user_id <= 5 GROUP BY user_id""")))
+              FROM events WHERE user_id <= 5 GROUP BY user_id""")),
+
+    Q("q_cdc_merge", // CDC merge (MERGE INTO / APPLY CHANGES): change log of
+      // inserts/updates/deletes -> final state; latest op per key wins, a
+      // winning delete removes the key. Op derived deterministically from
+      // event_id so both engines see the same change log.
+      (s, d) => {
+        val ch = Tables.events(s, d).select(
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(pmod(col("event_id"), lit(10)) === 0, "D")
+            .when(pmod(col("event_id"), lit(10)) < 3, "U")
+            .otherwise("I").as("op"))
+        Ops.applyChanges(ch, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+      },
+      Some("""WITH ch AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+                CASE WHEN event_id % 10 = 0 THEN 'D'
+                     WHEN event_id % 10 < 3 THEN 'U' ELSE 'I' END AS op
+              FROM events),
+              r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
+              SELECT user_id, ts, event_id, value FROM r
+              WHERE rn = 1 AND op <> 'D'""")))
 
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal
@@ -921,6 +943,21 @@ object SparkEntry {
         nbits = 3, tables = 8),
       None),
 
+    Q("dedup_semantic_pairs", // SemDeDup: k-means-cell-blocked cosine pairs —
+      // rows-only (cells are trained); nlist=8, nassign=2 = measured pair
+      // recall 0.833 vs the all-pairs twin on the near-orthogonal fixture
+      // (nassign=1: 0.394 — boundary pairs need the multi-assignment);
+      // precision exactly 1 (SimilaritySpec subset + recall gates)
+      (s, d) => Similarity.semanticDupPairs(Tables.embeddings(s, d), 0.4,
+        nlist = 8, nassign = 2),
+      None),
+
+    Q("dedup_semantic", // SemDeDup keep/drop: components over within-cell
+      // pairs, smallest vec_id survives — rows-only (same trained blocking)
+      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4,
+        nlist = 8, nassign = 2),
+      None),
+
     Q("sim_topk_bruteforce",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -1075,6 +1112,24 @@ object SparkEntry {
                   ELSE [] END) AS gram FROM t)
               SELECT gram, count(*) AS freq FROM g
               GROUP BY gram ORDER BY freq DESC, gram LIMIT 50""")),
+
+    Q("text_dup_ngram_fraction", // passage-level repetition signal: per doc,
+      // fraction of its distinct trigrams shared with >= 1 other document
+      // (boilerplate that document-level dedup misses)
+      (s, d) => Dedup.dupNgramStats(Tables.documents(s, d), n = 3),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END)) AS gram FROM tk),
+              f AS (SELECT gram, count(*) AS ndocs FROM g GROUP BY gram),
+              j AS (SELECT doc_id, ndocs FROM g JOIN f USING (gram))
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(coalesce(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_shared,
+                CAST(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_gram_fraction
+              FROM j GROUP BY doc_id""")),
 
     Q("text_fingerprint",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),

@@ -288,6 +288,41 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("cluster_id"))
   }
 
+  /** Cross-document duplicate n-gram fraction — the passage-level repetition
+    * signal (cf. the duplicate-n-gram filters of Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", §A.2, and Penedo et al. 2023, RefinedWeb):
+    * for each document, the fraction of its DISTINCT word n-grams that also
+    * occur in at least one other document. High fractions flag boilerplate /
+    * templated passages that document-level dedup (exact or near-dup) misses
+    * because the surrounding text differs. Output: (doc_id, n_grams, n_shared,
+    * dup_gram_fraction); documents with fewer than `n` tokens have no n-grams
+    * and drop out (their fraction is undefined).
+    *
+    * Scale: one explode of distinct grams per doc, one count aggregation per
+    * gram, one equi-join back, one per-doc aggregation. With `hashKey = true`
+    * the shuffle/join key is xxhash64(gram) — 8 bytes instead of the gram
+    * string, the form to run at corpus scale (a 2^-64 collision merges two
+    * gram counts; doc-level fractions are insensitive to it, but the DuckDB
+    * oracle entry keeps string keys for bit-exact reproducibility). */
+  def dupNgramStats(docs: DataFrame, n: Int = 3,
+                    hashKey: Boolean = false): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), TextFns.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), n))).as("gram"))
+      .select(col("doc_id"),
+        (if (hashKey) xxhash64(col("gram")) else col("gram")).as("gram"))
+    // grams are distinct within a doc, so count(*) per gram = containing docs
+    val freq = g.groupBy("gram").agg(count(lit(1)).as("ndocs"))
+    g.join(freq, "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("dup_gram_fraction",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
     * `prefixLen` chars of the normalized text (cheap, oracle-reproducible blocking),
     * compute |A∩B| / |A∪B| over distinct word n-grams, keep pairs >= threshold.

@@ -98,6 +98,27 @@ object Ops {
       .select(col("__p.*"))
   }
 
+  /** CDC merge (`MERGE INTO` / `APPLY CHANGES` semantics): collapse a change
+    * log of upserts and deletes into final table state. Generalizes the
+    * reference's upsert-only LWW table (`customer_latest_info`,
+    * `cassandra_subscriber.py:124-144` — Cassandra upserts can't delete a key
+    * through the same path; real CDC feeds carry deletes) to the full
+    * insert/update/delete contract a lakehouse merge needs: per key the
+    * LATEST change by `order` wins, and when that winner is a delete the key
+    * vanishes from the output.
+    *
+    * Scale: identical shuffle shape to [[latestPerKey]] — ONE hash shuffle on
+    * `keys`, rank-filter, then a map-side delete filter; the delete filter
+    * runs after the rank so a delete followed by a re-insert (by `order`)
+    * correctly resurrects the key. Skewed keys: same `max_by` escape hatch as
+    * [[latestPerKeyAgg]] applies.
+    */
+  def applyChanges(changes: DataFrame, keys: Seq[String], order: Seq[Column],
+                   opCol: String = "op", deleteOp: String = "D"): DataFrame =
+    latestPerKey(changes, keys, order)
+      .filter(col(opCol) =!= deleteOp)
+      .drop(opCol)
+
   /** T1: global top-N with full tie-break — the `global_recent_customers` read
     * (`realtime_api.py:143-149`, clustering order `README.md:281-282`).
     *

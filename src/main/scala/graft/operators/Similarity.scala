@@ -238,6 +238,60 @@ object Similarity {
     ivfProbeAssigned(ivfAssignments(corpus, cents), cents, queries, k, nprobe)
   }
 
+  /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): k-means the embedding space
+    * ([[trainCentroids]]), then generate candidate pairs only WITHIN each
+    * cluster cell and exact-filter them at `threshold`. Complements the
+    * hyperplane-LSH blocking of [[cosineDupPairsLsh]]: LSH cells are
+    * data-oblivious random cuts, k-means cells adapt to the corpus's density
+    * structure — near-dup pairs concentrate inside cells, so recall at equal
+    * candidate volume is higher on clustered corpora (the spec measures both
+    * on the shared fixture).
+    *
+    * Scale shape: the cell tag is ONE map-only argmax per vector (centroid
+    * matrix rides the closure as literals — no join), the pair join is
+    * equi-key on `cell`, and per-cell work is quadratic IN THE CELL only.
+    * Size `nlist` ~ corpusRows / targetCellSize to bound it; precision is 1
+    * (exact cosine filter on every candidate), recall < 1 only through pairs
+    * whose endpoints train into different cells. The embedding rides the cell
+    * shuffle once per side — each vector has exactly one cell (unlike the
+    * `tables`-fold LSH explode), so payload-last re-attachment would cost an
+    * extra join for no shuffle reduction. */
+  def semanticDupPairs(emb: DataFrame, threshold: Double,
+                       nlist: Int = 8, nassign: Int = 1, iters: Int = 3): DataFrame = {
+    val cents = trainCentroids(emb, nlist, iters)
+    // nassign > 1 = multi-assignment (the corpus-side analog of query-time
+    // multi-probe): each vector joins its `nassign` nearest cells, recovering
+    // pairs that straddle a cell boundary at the cost of nassign x candidate
+    // volume. A pair is found iff the two vectors SHARE any assigned cell.
+    val assigned = emb
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .withColumn("cell",
+        if (nassign <= 1) bestCell(col("emb"), cents)
+        else explode(nearestCells(col("emb"), cents, nassign)))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    a.join(b, col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        VectorFns.simKey(VectorFns.dot(col("a.emb"), col("b.emb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .dropDuplicates("a_id", "b_id")
+  }
+
+  /** Keep/drop decision over [[semanticDupPairs]]: connected components over
+    * the within-cell pair edges (shared [[Dedup.resolveClusters]] min-label
+    * machinery), representative = smallest vec_id per component. Output
+    * (vec_id, cluster_id, keep) mirrors the document-side dedup contract, so
+    * a curation pipeline can swap text-based and embedding-based dedup
+    * without re-plumbing. */
+  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 8,
+                    nassign: Int = 1, iters: Int = 3): DataFrame =
+    Dedup.resolveClusters(
+        emb.select(col("vec_id").as("doc_id")),
+        semanticDupPairs(emb, threshold, nlist, nassign, iters))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
     * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
     * Recall < 1 by construction; `tables` trades recall for candidate count.

@@ -119,6 +119,24 @@ class DedupSpec extends SparkSpec {
       Seq(6L, 6L, true)))
   }
 
+  test("dupNgramStats: cross-document shared-trigram fraction, hash-keyed form agrees") {
+    val d = Seq(
+      (1L, "a b c d"),   // grams: "a b c", "b c d"
+      (2L, "a b c x"),   // grams: "a b c", "b c x" — shares "a b c" with 1
+      (3L, "q r s t"),   // grams: "q r s", "r s t" — shares nothing
+      (4L, "a b")        // < 3 tokens: no grams, drops out
+    ).toDF("doc_id", "text")
+    val expected = Set(
+      Seq(1L, 2L, 1L, 0.5),
+      Seq(2L, 2L, 1L, 0.5),
+      Seq(3L, 2L, 0L, 0.0))
+    assert(rowSet(Dedup.dupNgramStats(d, n = 3)
+      .select("doc_id", "n_grams", "n_shared", "dup_gram_fraction")) === expected)
+    // 8-byte-key scale form: same result (collisions are 2^-64 events)
+    assert(rowSet(Dedup.dupNgramStats(d, n = 3, hashKey = true)
+      .select("doc_id", "n_grams", "n_shared", "dup_gram_fraction")) === expected)
+  }
+
   test("ngram jaccard computes the exact set ratio within blocks") {
     val r = Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.3)
     val m = rowList(r.select("a_id", "b_id", "jaccard"))

@@ -39,6 +39,16 @@ class OpsSpec extends SparkSpec {
       Set(Seq(10L, 6L), Seq(20L, 5L)))
   }
 
+  test("applyChanges: latest op per key wins, deletes remove, re-inserts resurrect") {
+    val ch = Seq(
+      (1L, 1L, 10.0, "I"), (1L, 2L, 11.0, "U"), (1L, 3L, 0.0, "D"), // ends deleted
+      (2L, 1L, 20.0, "I"), (2L, 2L, 0.0, "D"), (2L, 3L, 22.0, "I"), // resurrected
+      (3L, 5L, 30.0, "I")                                           // plain insert
+    ).toDF("k", "seq", "v", "op")
+    val r = rowSet(Ops.applyChanges(ch, Seq("k"), Seq(col("seq").desc)))
+    assert(r === Set(Seq(2L, 3L, 22.0), Seq(3L, 5L, 30.0)))
+  }
+
   test("T1 topN with tie-break is deterministic and ordered") {
     val r = Ops.topN(events.select("event_id", "ts"), 3,
       Seq($"ts".desc, $"event_id".asc))

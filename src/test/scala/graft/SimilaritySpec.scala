@@ -123,6 +123,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor")
   }
 
+  test("semanticDedup keeps the smallest id per cluster; only true dups drop") {
+    // threshold 0.9: only the identical pair (1,3) qualifies — regardless of
+    // how the 4 vectors land in the 2 trained cells (identical vectors always
+    // share a cell, so recall on identical pairs is 1 by construction)
+    val r = rowSet(Similarity.semanticDedup(emb, 0.9, nlist = 2, nassign = 1, iters = 1)
+      .select("vec_id", "cluster_id", "keep"))
+    assert(r === Set(
+      Seq(1L, 1L, true), Seq(3L, 1L, false),
+      Seq(2L, 2L, true), Seq(4L, 4L, true)))
+  }
+
+  test("semanticDupPairs pair recall >= 0.8 vs all-pairs at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val truePairs = Similarity.cosineDupPairs(emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.semanticDupPairs(emb, 0.4, nlist = 8, nassign = 2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r = got.count(truePairs).toDouble / truePairs.size
+    info(f"semanticDupPairs(nlist=8, nassign=2) pair recall = $r%.3f (${got.size}/${truePairs.size})")
+    assert(got.subsetOf(truePairs), "precision must be 1 — exact filter reruns on candidates")
+    assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor — raise nassign or lower nlist")
+  }
+
   test("planted near-duplicates (cosine ~0.97): production params recover them") {
     // The regime LSH is SIZED for — real near-dups, not near-orthogonal noise:
     // 200 seeded random unit vectors, each with a jittered copy at cosine ~0.97.
