@@ -292,6 +292,102 @@ object Similarity {
         semanticDupPairs(emb, threshold, nlist, nassign, iters))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
 
+  /** PQ codebooks: [m subspaces][ksub cells][dsub dims] — a MODEL like
+    * [[Centroids]] (m·ksub·dsub doubles: kilobytes at m=8, ksub=256,
+    * dsub=128), planted into plans as a codegen reference object. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  /** Train product-quantization codebooks (Jégou et al. 2011): independent
+    * k-means per subspace. One pass per Lloyd's round for ALL subspaces —
+    * encode with the current books (map-only [[graft.functions.PQCodesExpr]]),
+    * posexplode to (sub, code, subvec), ONE partial-aggregated shuffle of
+    * (sub, code) → mean partials ([[graft.functions.VectorMeanAgg]]) — not m
+    * separate trainings (m full corpus passes per round). Deterministic: seed
+    * rows are the `ksub` smallest (xxhash64(vec_id), vec_id), sliced per
+    * subspace; empty cells keep their previous centroid.
+    *
+    * 100 TB note: same amortization story as [[trainCentroids]] — train on an
+    * `Ops.hashSample`, pay the full-corpus pass only for the final encode, and
+    * persist the (vec_id, codes) table: the corpus then serves ANN queries
+    * from m ints per vector instead of `dim` floats (a 32× memory/scan cut at
+    * m=8, dim=64 float32). */
+  def trainPQ(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+              iters: Int = 2): Codebooks = {
+    val e = corpus.select(col("vec_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    val dim = e.select(size(col("emb"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val seeds = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(ksub)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+    require(seeds.length == ksub, s"corpus has ${seeds.length} rows < ksub=$ksub")
+    var books: Codebooks = Array.tabulate(m)(sub =>
+      Array.tabulate(ksub)(c => seeds(c).slice(sub * dsub, (sub + 1) * dsub)))
+    var round = 0
+    while (round < iters) {
+      val means = e
+        .select(posexplode(graft.functions.PQExprs.pqCodes(col("emb"), books))
+          .as(Seq("sub", "code")), col("emb"))
+        .select(col("sub"), col("code"),
+          slice(col("emb"), col("sub") * dsub + 1, lit(dsub)).as("subvec"))
+        .groupBy("sub", "code")
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col("subvec")).as("mean"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(sub =>
+        Array.tabulate(ksub)(c => means.getOrElse((sub, c), books(sub)(c))))
+      round += 1
+    }
+    books
+  }
+
+  /** Corpus → (vec_id, codes): each vector compressed to its m PQ codes.
+    * Map-only; this is the table to persist — the full-precision embedding is
+    * needed again only for the optional exact-rerank stage. */
+  def pqEncode(corpus: DataFrame, books: Codebooks): DataFrame =
+    corpus.select(col("vec_id"),
+      graft.functions.PQExprs.pqCodes(
+        VectorFns.toDoubleArray(col("embedding")), books).as("codes"))
+
+  /** PQ ANN top-k: ADC scan + optional exact rerank. Unlike the candidate-
+    * generating paths (LSH buckets / IVF cells), PQ scores EVERY corpus vector
+    * — no true neighbor is ever skipped, it can only be mis-ranked by
+    * quantization distortion — so recall comes from shortlist depth, not
+    * blocking luck: stage 1 ranks all rows by the cheap ADC inner product
+    * (m code lookups + dim multiplies against centroids, over m ints/vector of
+    * memory traffic) into a `rerankFactor`·k shortlist via the bounded-heap
+    * aggregate; stage 2 re-scores only the shortlist with exact cosine on the
+    * full-precision vectors. `rerankFactor = 0` skips stage 2 and returns raw
+    * ADC ranking (score column then holds the ADC value, NOT exact cosine).
+    * Broadcast side is the query set, as in [[bruteForceTopK]] — the corpus
+    * (codes table) never collects or reshuffles. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             rerankFactor: Int = 4): DataFrame = {
+    val books = trainPQ(corpus, m, ksub, iters)
+    val codes = pqEncode(corpus, books)
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+    val adcScored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(graft.functions.PQExprs.pqAdc(col("q_emb"), col("codes"), books))
+          .as("cosine"))
+    if (rerankFactor <= 0) heapTopK(adcScored, k)
+    else {
+      val shortlist = heapTopK(adcScored, rerankFactor * k)
+        .select("query_id", "vec_id")
+      val e = corpus.select(col("vec_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+      val exact = shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine"))
+      heapTopK(exact, k)
+    }
+  }
+
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
     * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
     * Recall < 1 by construction; `tables` trades recall for candidate count.

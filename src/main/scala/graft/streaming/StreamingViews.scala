@@ -256,6 +256,40 @@ object StreamingViews {
       Seq("user_id"), Seq(col("ts").desc, col("event_id").desc))
       .drop("batch")
 
+  /** CDC ingest: maintain a change log (insert/update/delete ops) from a
+    * stream of change events. The streaming half of [[graft.operators.Ops.applyChanges]]
+    * — the upsert-only reference table can't express deletes
+    * (`cassandra_subscriber.py:124-144`); a real CDC feed must. Each
+    * micro-batch pre-compacts WITHIN the batch to the per-key winning change —
+    * crucially keeping winning DELETE rows as tombstones (filtering deletes
+    * here would let an older batch's insert resurrect a deleted key at read
+    * time) — and writes idempotently by batchId path, so replays overwrite
+    * themselves (same exactly-once story as [[maintainViews]]). */
+  def maintainChangeLog(changes: DataFrame, outDir: String, checkpointDir: String,
+                        keys: Seq[String], orderCols: Seq[String],
+                        trigger: Trigger = Trigger.ProcessingTime("30 seconds")): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        Ops.latestPerKey(batch, keys, orderCols.map(c => col(c).desc))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/changes/batch=$batchId")
+        ()
+      }
+      .start()
+
+  /** Read-side final state of [[maintainChangeLog]]: apply-changes over the
+    * per-batch winners — associative like the LWW fold (the latest change per
+    * key across batches is the latest change per key overall), with tombstones
+    * dropped only at this outermost fold. */
+  def stateFromChangeLog(spark: SparkSession, outDir: String, keys: Seq[String],
+                         orderCols: Seq[String], opCol: String = "op",
+                         deleteOp: String = "D"): DataFrame =
+    Ops.applyChanges(spark.read.parquet(s"$outDir/changes"),
+        keys, orderCols.map(c => col(c).desc), opCol, deleteOp)
+      .drop("batch")
+
   // Staged source dirs and their schemas, keyed by original path — one staging
   // and one footer read per source file per JVM, shared by every streaming
   // query in a Verify/Bench run (harness cost, not operator cost).

@@ -146,6 +146,39 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor — raise nassign or lower nlist")
   }
 
+  test("pqTopK recall@10 >= 0.8 vs brute force at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    val r = recallOf(exact, topMap(
+      Similarity.pqTopK(emb, queries, 10, m = 16, ksub = 32, iters = 3, rerankFactor = 4)))
+    info(f"pqTopK(m=16, ksub=32, rerank=4k) recall@10 = $r%.3f")
+    assert(r >= 0.8, f"PQ recall $r%.3f below 0.8 floor — raise m/ksub/rerankFactor")
+  }
+
+  test("PQ with ksub >= corpus size quantizes losslessly: ADC ranking = exact ranking") {
+    // every vector becomes its own sub-centroid (seed = itself, distance 0),
+    // so the ADC inner product IS the exact dot product — rerank disabled to
+    // prove the codes/ADC kernels alone reproduce bruteForceTopK
+    val adc = Similarity.pqTopK(emb, emb, 2, m = 2, ksub = 4, iters = 1, rerankFactor = 0)
+    val exact = Similarity.bruteForceTopK(emb, emb, 2)
+    assert(rowSet(adc) === rowSet(exact))
+  }
+
+  test("PQ codes: null element nulls the codes; encode is deterministic") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = true))))
+    val books = Similarity.trainPQ(emb, m = 2, ksub = 2, iters = 1)
+    val withNull = spark.createDataFrame(
+      java.util.Arrays.asList(Row(9L, Seq[java.lang.Double](1.0, null, 0.0, 0.0))), schema)
+    assert(Similarity.pqEncode(withNull, books).head().isNullAt(1))
+    val c1 = Similarity.pqEncode(emb, books).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c2 = Similarity.pqEncode(emb, books).collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(c1 === c2)
+  }
+
   test("planted near-duplicates (cosine ~0.97): production params recover them") {
     // The regime LSH is SIZED for — real near-dups, not near-orthogonal noise:
     // 200 seeded random unit vectors, each with a jittered copy at cosine ~0.97.

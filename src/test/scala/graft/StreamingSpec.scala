@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.Views
+import graft.operators.{Ops, Views}
 import graft.streaming.{QueueIngest, StreamingViews}
 
 /** A queue transport frame (kafka wire shape) for MemoryStream tests. */
@@ -311,6 +311,31 @@ class StreamingSpec extends SparkSpec {
     val out = spark.table("t_dedup")
     assert(out.count() === allEvents.size.toLong)
     assert(out.select("event_id").distinct().count() === allEvents.size.toLong)
+  }
+
+  test("CDC change-log maintenance: deletes tombstone across batches, re-inserts resurrect") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val stream = MemoryStream[(Long, Long, Double, String)]
+    val q = StreamingViews.maintainChangeLog(
+      stream.toDF().toDF("k", "seq", "v", "op"), s"$dir/out", s"$dir/ckpt",
+      Seq("k"), Seq("seq"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    val b0 = Seq((1L, 1L, 10.0, "I"), (2L, 1L, 20.0, "I"), (3L, 1L, 30.0, "I"))
+    val b1 = Seq((1L, 2L, 0.0, "D"),                       // delete from an EARLIER batch's insert
+                 (2L, 2L, 0.0, "D"), (2L, 3L, 22.0, "I"),  // delete + resurrect within one batch
+                 (3L, 2L, 33.0, "U"))                      // plain update
+    try {
+      stream.addData(b0); q.processAllAvailable()
+      stream.addData(b1); q.processAllAvailable()
+    } finally q.stop()
+    val state = StreamingViews.stateFromChangeLog(spark, s"$dir/out", Seq("k"), Seq("seq"))
+    // stream state == batch applyChanges over the full change log
+    assert(rowSet(state.select("k", "seq", "v")) ===
+      rowSet(Ops.applyChanges((b0 ++ b1).toDF("k", "seq", "v", "op"),
+        Seq("k"), Seq(col("seq").desc)).select("k", "seq", "v")))
+    assert(rowSet(state.select("k", "seq", "v")) ===
+      Set(Seq(2L, 3L, 22.0), Seq(3L, 2L, 33.0)))
   }
 
   test("foreachBatch view maintenance: atomic per-batch dual write, compacts to batch view") {
