@@ -730,7 +730,16 @@ object SparkEntry {
               r AS (SELECT *, row_number() OVER (PARTITION BY user_id
                 ORDER BY ts DESC, event_id DESC) AS rn FROM ch)
               SELECT user_id, ts, event_id, value FROM r
-              WHERE rn = 1 AND op <> 'D'""")))
+              WHERE rn = 1 AND op <> 'D'""")),
+
+    Q("q_heavy_hitters", // Misra-Gries heavy hitters in the EXACT regime:
+      // capacity (64) exceeds the event_type domain, so no decrement fires and
+      // the sketch returns exact counts — hash-oracled; the approximate regime
+      // (capacity << distinct) is property-tested with its undercount bound
+      (s, d) => Ops.approxHeavyHitters(Tables.events(s, d), "event_type",
+        k = 5, capacity = 64),
+      Some("""SELECT event_type AS item, count(*) AS est_count FROM events
+              GROUP BY event_type ORDER BY est_count DESC, item LIMIT 5""")))
 
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal

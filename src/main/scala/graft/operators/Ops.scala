@@ -98,6 +98,50 @@ object Ops {
       .select(col("__p.*"))
   }
 
+  /** Approximate heavy hitters via mergeable Misra-Gries summaries (Misra &
+    * Gries 1982; merge bound per Agarwal et al. 2012, "Mergeable Summaries"):
+    * each partition keeps at most `capacity` counters — an incoming item
+    * either increments its counter, claims a free slot, or decrements ALL
+    * counters by one (dropping zeros) — then partials merge by per-item sum.
+    * Estimates UNDERCOUNT by at most n/(capacity+1) total, so every item with
+    * true frequency above that bound is guaranteed to survive; with
+    * `capacity` >= the column's distinct count no decrement ever fires and the
+    * counts are EXACT (the hash-oracled regime of `q_heavy_hitters`).
+    *
+    * Scale: the one genuinely per-partition-imperative operator in the library
+    * (a bounded mutable map per task — `mapPartitions` is the right tool, cf.
+    * Multimodal's decoder); the shuffle carries at most capacity rows per
+    * partition, never the raw column. The exact `groupBy(col).count()` twin
+    * shuffles one row per DISTINCT value — prefer it unless the domain is
+    * unbounded (URLs, user agents, raw tokens), which is exactly where a
+    * capacity-bounded sketch is the only thing that survives 100 TB. */
+  def approxHeavyHitters(df: DataFrame, valueCol: String, k: Int,
+                         capacity: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
+    val partials = df.select(col(valueCol).cast("string").as("v")).as[String]
+      .mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { v =>
+          if (counts.contains(v) || counts.size < capacity) {
+            counts.update(v, counts.getOrElse(v, 0L) + 1L)
+          } else {
+            // decrement-all: O(capacity), amortized O(1) per input item
+            counts.keys.toArray.foreach { key =>
+              val c = counts(key)
+              if (c == 1L) counts.remove(key) else counts.update(key, c - 1L)
+            }
+          }
+        }
+        counts.iterator
+      }.toDF("item", "est_count")
+    partials.groupBy("item")
+      .agg(sum(col("est_count")).as("est_count"))
+      .orderBy(col("est_count").desc, col("item").asc)
+      .limit(k)
+  }
+
   /** CDC merge (`MERGE INTO` / `APPLY CHANGES` semantics): collapse a change
     * log of upserts and deletes into final table state. Generalizes the
     * reference's upsert-only LWW table (`customer_latest_info`,

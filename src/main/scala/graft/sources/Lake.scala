@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers — the piece of the 100 TB design that lives at WRITE
@@ -43,6 +43,54 @@ object Lake {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Z-order (Morton) interleave key over numeric columns: each column
+    * quantizes to `bits` bits against its [min, max] range, then the bits
+    * interleave (column j contributes bit i at position i·ncols + j, so all
+    * columns share the high-order positions equally). Rows close in EVERY
+    * dimension get close keys — range-partitioning and sorting by this key
+    * clusters multi-dimensional boxes into few files/row groups, which is what
+    * parquet min-max statistics can then skip. A single-column sort layout
+    * only ever prunes predicates on that column; Z-order trades a little
+    * per-column locality for pruning on ALL the interleaved columns.
+    * Pure column expression tree (constant size: ncols · bits terms) — no UDF,
+    * stays inside whole-stage codegen. */
+  def zorderKey(cols: Seq[Column], mins: Seq[Double], maxs: Seq[Double],
+                bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.length == mins.length && cols.length == maxs.length,
+      "one (min, max) per z-order column")
+    val nc = cols.length
+    require(nc * bits <= 63, s"ncols * bits must fit a long, got $nc x $bits")
+    val maxQ = (1L << bits) - 1
+    val quantized = cols.zipWithIndex.map { case (c, j) =>
+      val span = math.max(maxs(j) - mins(j), Double.MinPositiveValue)
+      least(greatest(
+          ((c.cast("double") - mins(j)) / span * maxQ).cast("long"), lit(0L)),
+        lit(maxQ))
+    }
+    (for (i <- 0 until bits; j <- 0 until nc) yield
+      shiftleft(shiftright(quantized(j), i).bitwiseAND(lit(1L)), i * nc + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered by the Z-order of `zCols`: range-partition into
+    * `numFiles` files by the interleave key and sort within each file, so both
+    * file-level and row-group-level min-max stats become selective for
+    * multi-column range predicates. Column ranges are computed in one tiny
+    * aggregate pass (at 100 TB: use known domain bounds or a sample instead —
+    * quantization only needs approximate ranges; clamping handles outliers). */
+  def writeZOrdered(df: DataFrame, path: String, zCols: Seq[String],
+                    numFiles: Int, bits: Int = 16): Unit = {
+    val aggs = zCols.flatMap(c => Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = zCols.indices.map(i => stats.getDouble(2 * i))
+    val maxs = zCols.indices.map(i => stats.getDouble(2 * i + 1))
+    df.withColumn("__z", zorderKey(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 
   /** Interchange formats: the engine is parquet-first (columnar, statistics,
     * pushdown), but ingest pipelines land CSV/JSONL too. Explicit schema on

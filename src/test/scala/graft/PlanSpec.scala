@@ -168,4 +168,54 @@ class PlanSpec extends SparkSpec {
     val p = physical(Views.latestInfo(Tables.events(spark, d)))
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
   }
+
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // The 100 TB shape: a big fact shuffle-joins a dim that a filter makes
+    // selective — Spark's runtime bloom filter (built on the dim side, pushed
+    // into the fact scan as might_contain) drops non-matching fact rows BEFORE
+    // the shuffle. Thresholds are production-sized, so the test lowers the
+    // application-side floor to fire at fixture scale.
+    val prev = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.get(k))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+      spark.range(200000).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .write.parquet(s"$dir/big")
+      spark.range(20000).select(col("id").as("k"), (col("id") % 100).as("tag"))
+        .write.parquet(s"$dir/dim")
+      val j = spark.read.parquet(s"$dir/big")
+        .join(spark.read.parquet(s"$dir/dim").filter(col("tag") === 7), "k")
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"expected a runtime bloom filter:\n${p.take(2000)}")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("Z-order layout localizes multi-column box queries; single-key sort cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // deterministic 256x256 grid
+    val grid = spark.range(65536).select(
+      (col("id") % 256).as("x"), (col("id") / 256).as("y"), col("id").as("payload"))
+    graft.sources.Lake.writeZOrdered(grid, s"$dir/z", Seq("x", "y"),
+      numFiles = 64, bits = 8)
+    grid.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.parquet(s"$dir/linear")
+    // files CONTAINING matching rows = the files min-max stats cannot skip
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("x").between(64, 95) && col("y").between(64, 95))
+        .select(input_file_name()).distinct().count()
+    val zf = filesTouched(s"$dir/z")
+    val lf = filesTouched(s"$dir/linear")
+    info(s"files containing box rows (of 64): z-order=$zf, x-sorted=$lf")
+    // the 32x32 box aligned at (64, 64) is one contiguous z-run of 1024 rows
+    // (~1 file); the x-sorted layout spreads the x-band over ~8 files
+    assert(zf < lf, s"z-order must localize the box: z=$zf linear=$lf")
+    assert(zf <= 4, s"aligned box should sit in at most a few z files, got $zf")
+  }
 }

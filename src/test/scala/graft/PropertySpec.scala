@@ -237,6 +237,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries heavy hitters: undercount bounded by n/(capacity+1), hot items survive") {
+    // skewed stream: "hot" is 50% of 20k rows; the tail spreads over 97 keys
+    val n = 20000
+    val capacity = 16
+    val data = (0 until n).map(i => if (i % 2 == 0) "hot" else s"t${i % 97}")
+    val df = data.toDF("item").repartition(8) // force multi-partition merge
+    val est = Ops.approxHeavyHitters(df, "item", k = capacity, capacity = capacity)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = n.toDouble / (capacity + 1)
+    est.foreach { case (item, e) =>
+      val t = exact(item)
+      assert(e <= t, s"$item overcounted: est $e > true $t")
+      assert(t - e <= bound, s"$item undercount ${t - e} exceeds bound $bound")
+    }
+    assert(est.contains("hot"), "guaranteed heavy hitter (freq >> n/capacity) missing")
+    assert(est("hot") >= n / 2 - bound.toLong)
+  }
+
   test("star-contraction components equal min-label components on random graphs") {
     import graft.operators.Dedup
     val genGraph: Gen[(List[Long], List[(Long, Long)])] = for {
