@@ -73,6 +73,22 @@ object ScaleSmoke {
         Seq("user_id"), "ts", "event_id", bandSeconds = 60L).count()
     }
 
+    time("approxHeavyHitters capacity=64") {
+      // sketch regime: 100k distinct users into 64 counters; the planted hot
+      // user (20% of traffic) is guaranteed to survive the merge
+      val hh = Ops.approxHeavyHitters(events, "user_id", k = 10, capacity = 64)
+        .collect()
+      require(hh.head.getString(0) == "0", s"hot user missing from sketch: ${hh.head}")
+      hh.length.toLong
+    }
+    time("writeZOrdered 1M x (user_id, value)") {
+      val zdir = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
+      graft.sources.Lake.writeZOrdered(
+        events.filter(col("event_id") < 1000000L), s"$zdir/z",
+        Seq("user_id", "value"), numFiles = 32)
+      spark.read.parquet(s"$zdir/z").count()
+    }
+
     // ---- ANN / vector path at 1M x 32-dim (500x the bench embedding volume):
     // training on a 1% hash-sample, map-only assignment over the full corpus,
     // broadcast-probe ANN, LSH tagging, int8 compression — each must stay
@@ -104,6 +120,31 @@ object ScaleSmoke {
     time("lshTopK 10 queries nbits=16") {
       sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
         nbits = 16, tables = 4).count()
+    }
+    // PQ: train on a 1% sample, encode + ADC-scan the full corpus — the
+    // encode/ADC kernels are native expressions precisely because unrolled
+    // codegen falls off the JIT cliff at this m x ksub (the NearestCentroid
+    // lesson); this section guards that regression at 1M rows.
+    val books = {
+      val t0 = System.nanoTime()
+      val b = sim.trainPQ(
+        vecs.filter(pmod(col("vec_id"), lit(100)) === 0), m = 8, ksub = 32, iters = 2)
+      println(f"SCALE ${"trainPQ m=8 ksub=32, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${b.length.toLong * b(0).length}")
+      b
+    }
+    val codes = sim.pqEncode(vecs, books)
+    time(s"pqEncode map-only ($nVec x $dim)") {
+      codes.select(sum(element_at(col("codes"), 1))).head().getLong(0)
+    }
+    time("pqTopKEncoded ADC 10 queries k=10") {
+      sim.pqTopKEncoded(codes, vecs, vecs.filter(col("vec_id") < 10), books,
+        10, rerankFactor = 4).count()
+    }
+    // semantic dedup: within-cell quadratic work must stay bounded by cell
+    // size — 100k vectors, nlist=256 => ~390-row cells, ~20M candidate pairs
+    time("semanticDupPairs 100k, nlist=256") {
+      sim.semanticDupPairs(vecs.filter(col("vec_id") < 100000), 0.9,
+        nlist = 256, nassign = 1, iters = 1).count()
     }
     // ---- text/curation path at 1M docs (200x the sf0.1 corpus): synthetic
     // ~24-token documents with a planted 10% duplicate rate; every stage must

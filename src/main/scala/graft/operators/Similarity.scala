@@ -366,7 +366,15 @@ object Similarity {
              m: Int = 8, ksub: Int = 16, iters: Int = 2,
              rerankFactor: Int = 4): DataFrame = {
     val books = trainPQ(corpus, m, ksub, iters)
-    val codes = pqEncode(corpus, books)
+    pqTopKEncoded(pqEncode(corpus, books), corpus, queries, books, k, rerankFactor)
+  }
+
+  /** Query-time PQ search over a (possibly persisted) codes table — the
+    * serving path, mirroring [[ivfProbeAssigned]]: train once, persist
+    * (vec_id, codes), and answer queries from the compressed table; the
+    * full-precision corpus is read only for the rerank join. */
+  def pqTopKEncoded(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                    books: Codebooks, k: Int, rerankFactor: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
     val adcScored = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
