@@ -800,6 +800,14 @@ object SparkEntry {
                 round(min(avg_token_len), 6) AS avg_token_len, count(*) AS dup_count
               FROM f GROUP BY norm""")),
 
+    Q("pipeline_curate_semantic", // quality gates + SemDeDup embedding-space
+      // dedup (catches paraphrases exact dedup cannot) — rows-only (trained
+      // cells); composition is spec-tested against its hand-built equivalent
+      (s, d) => Curation.curateCorpusSemantic(
+        Tables.documents(s, d), Tables.embeddings(s, d), threshold = 0.4,
+        minTokens = 20, nlist = 8, nassign = 2),
+      None),
+
     Q("pipeline_chunk", // context-length prep: overlapping token windows
       // (chunkSize=64, overlap=16 → stride 48); every token covered, last
       // chunk may be short; map-only expansion, tokenize-once

@@ -67,6 +67,29 @@ object Curation {
     dedupAgg(scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen),
       xxhash64(col("norm")).as("fp"))
 
+  /** [[curateCorpus]] with SEMANTIC dedup: the same language/quality gates,
+    * then near-duplicate removal in EMBEDDING space ([[Similarity.semanticDedup]],
+    * SemDeDup) instead of exact normalized-text groups — catching paraphrases
+    * and near-rewrites that exact dedup cannot. Embeddings semi-join the
+    * quality survivors BEFORE the dedup (filter-before-shuffle: failed docs
+    * never enter the k-means pass or the cell join); the representative kept
+    * per semantic cluster is the smallest surviving doc_id. `docs.doc_id`
+    * must align with `emb.vec_id` (the fixture contract; a deployment keys
+    * both off the corpus primary id). */
+  def curateCorpusSemantic(docs: DataFrame, emb: DataFrame, threshold: Double = 0.4,
+                           lang: String = "en", minTokens: Int = 20,
+                           maxAvgTokenLen: Double = 5.0,
+                           nlist: Int = 8, nassign: Int = 2): DataFrame = {
+    val survivors = scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen)
+    val survEmb = emb.join(
+      survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val kept = Similarity.semanticDedup(survEmb, threshold, nlist, nassign)
+      .filter(col("keep")).select(col("vec_id").as("doc_id"))
+    survivors.join(kept, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_token_len"), 6).as("avg_token_len"))
+  }
+
   /** Split each document into overlapping token windows — the context-length
     * prep step every LLM training pipeline runs before tokenizer packing
     * (stride = chunkSize - overlap, last chunk may be short, every token is

@@ -255,9 +255,10 @@ object Similarity {
     * Size `nlist` ~ corpusRows / targetCellSize to bound it; precision is 1
     * (exact cosine filter on every candidate), recall < 1 only through pairs
     * whose endpoints train into different cells. The embedding rides the cell
-    * shuffle once per side — each vector has exactly one cell (unlike the
-    * `tables`-fold LSH explode), so payload-last re-attachment would cost an
-    * extra join for no shuffle reduction. */
+    * shuffle `nassign` times per side (once at the default single assignment)
+    * — payload-last re-attachment only pays once nassign grows past the ~2-3
+    * a recall target needs; at that point prefer the LSH form, whose banding
+    * is built for high replication. */
   def semanticDupPairs(emb: DataFrame, threshold: Double,
                        nlist: Int = 8, nassign: Int = 1, iters: Int = 3): DataFrame = {
     val cents = trainCentroids(emb, nlist, iters)

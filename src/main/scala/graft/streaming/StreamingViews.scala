@@ -225,6 +225,37 @@ object StreamingViews {
       .select(col("k").as(keyCol), col("l_event_id"), col("r_event_id"))
   }
 
+  /** [[streamStreamJoin]], LEFT OUTER form — the attribution query that must
+    * also report the non-conversions ("views with NO purchase within T").
+    * Unlike the inner join, an unmatched left row can only emit once the
+    * watermark passes `l_ts + maxGap` (before that a matching right event
+    * could still arrive), so null-extended rows trail the watermark — the
+    * inherent outer-join latency, not a bug; state eviction is identical to
+    * the inner form (bounded by the gap horizon).
+    *
+    * Operational note: the watermark only advances on rows that REACH the
+    * EventTimeWatermark operator at runtime — Catalyst pushes the branch
+    * filters below it, so event types kept by neither branch do not move the
+    * watermark, and a quiet period on the joined types delays null-extended
+    * emission even while other traffic flows (StreamingSpec demonstrates
+    * with heartbeat rows of a kept type). */
+  def streamStreamJoinLeftOuter(events: DataFrame, keyCol: String = "user_id",
+                                leftType: String = "view", rightType: String = "purchase",
+                                maxGap: String = "30 minutes",
+                                watermark: String = "1 day"): DataFrame = {
+    val wm = events.withWatermark("ts", watermark)
+    val left = wm.filter(col("event_type") === leftType)
+      .select(col(keyCol).as("k"), col("event_id").as("l_event_id"), col("ts").as("l_ts"))
+    val right = wm.filter(col("event_type") === rightType)
+      .select(col(keyCol).as("rk"), col("event_id").as("r_event_id"), col("ts").as("r_ts"))
+    left.join(right,
+        col("k") === col("rk") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGap"),
+        "left_outer")
+      .select(col("k").as(keyCol), col("l_event_id"), col("r_event_id"))
+  }
+
   /** S4 streaming: the reference's LOGGED BATCH — each customer event lands in
     * `customer_latest_info` AND `global_recent_customers` atomically
     * (`cassandra_subscriber.py:121-163`) — as one foreachBatch body: both views

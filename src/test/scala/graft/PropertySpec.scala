@@ -194,6 +194,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semantic curation: quality gate composes with embedding-space dedup") {
+    val docs = Seq(
+      (1L, "the cat and the dog in the data"),
+      (2L, "zz qq"),                                  // fails the minTokens gate
+      (3L, "the dog and the cat of the spark"),       // embedding-identical to 1
+      (4L, "the data of the spark and the graft")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Curation.curateCorpusSemantic(docs, emb, threshold = 0.9,
+      lang = "en", minTokens = 5, maxAvgTokenLen = 100.0, nlist = 2, nassign = 1)
+    // 2 fails quality (never reaches the dedup); 3 is a semantic dup of 1
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 4L))
+  }
+
   test("chunking covers every token exactly: stride-prefixes + last chunk reconstruct the doc") {
     forAll(genDocs) { docs =>
       val df = docs.toDF("doc_id", "text")
@@ -235,6 +254,33 @@ class PropertySpec extends SparkSpec {
         }
       }
     }
+  }
+
+  test("zorderKey: interleave is exact (deinterleave recovers coords) and per-axis monotone") {
+    import graft.sources.Lake
+    val pts = (0 until 200).map { i =>
+      (math.abs(scala.util.hashing.MurmurHash3.stringHash(s"x$i")) % 256,
+        math.abs(scala.util.hashing.MurmurHash3.stringHash(s"y$i")) % 256)
+    }
+    val df = pts.toDF("x", "y")
+      .withColumn("z", Lake.zorderKey(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+        Seq(255.0, 255.0), bits = 8))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      // deinterleave: even bit positions carry x, odd carry y
+      var (dx, dy) = (0L, 0L)
+      for (i <- 0 until 8) {
+        dx |= ((z >> (2 * i)) & 1L) << i
+        dy |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(dx == x && dy == y, s"z=$z decoded to ($dx,$dy), expected ($x,$y)")
+    }
+    // monotone per axis: z strictly grows with one coordinate when the other is fixed
+    val zs = spark.range(256).select(col("id").cast("int").as("x"), lit(7).as("y"))
+      .select(col("x"), Lake.zorderKey(Seq(col("x"), col("y")), Seq(0.0, 0.0),
+        Seq(255.0, 255.0), 8).as("z"))
+      .orderBy("x").collect().map(_.getLong(1)).toSeq
+    assert(zs == zs.sorted && zs.distinct.size == zs.size)
   }
 
   test("Misra-Gries heavy hitters: undercount bounded by n/(capacity+1), hot items survive") {

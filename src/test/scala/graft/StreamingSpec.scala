@@ -228,6 +228,33 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(spark.table("t_ssj")) === rowSet(batch))
   }
 
+  test("stream-stream LEFT OUTER join emits non-conversions once the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamStreamJoinLeftOuter(stream.toDF(),
+        leftType = "signup", watermark = "1 hour")
+      .writeStream
+      .outputMode("append").format("memory").queryName("t_ssj_outer").start()
+    try {
+      stream.addData(allEvents); q.processAllAvailable()
+      // null-extended rows can only emit after the watermark clears l_ts + gap:
+      // push it far past every left row with late heartbeat batches (watermark
+      // advances at batch END, so the flush needs one more batch after it).
+      // Heartbeats must be of a type a join branch KEEPS — Catalyst pushes the
+      // branch filters below the EventTimeWatermark node, so a filtered-out
+      // type would never reach the watermark stats and it would stay stuck.
+      stream.addData(TestEvent(98, 1, "purchase", ts("2024-01-05 00:00:00"), 0.0, "{}"))
+      q.processAllAvailable()
+      stream.addData(TestEvent(99, 1, "purchase", ts("2024-01-06 00:00:00"), 0.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // signup 1 converts (purchase 2 within 30 min); signups 3 and 4 never do
+    assert(rowSet(spark.table("t_ssj_outer")) === Set(
+      Seq(10L, 1L, 2L),
+      Seq(20L, 3L, null),
+      Seq(20L, 4L, null)))
+  }
+
   test("bucketCountsBounded: windowed keys let the watermark drop late rows") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
