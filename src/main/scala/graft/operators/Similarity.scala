@@ -397,6 +397,65 @@ object Similarity {
     }
   }
 
+  /** IVFADC — the composition of the coarse quantizer and PQ (Jégou et al.
+    * 2011 §IV; the FAISS `IVFx,PQy` index): corpus vectors assign to IVF cells
+    * ([[ivfAssignments]]), their RESIDUALS (x − centroid[cell]) compress to PQ
+    * codes, and a query probes only `nprobe` cells, ADC-scoring the codes
+    * there. Residual encoding is what makes PQ codebooks sharp at scale: the
+    * coarse quantizer removes the cell mean, so the PQ codebooks only span the
+    * (much tighter) within-cell spread. The exact inner product decomposes as
+    * dot(q, x̂) = dot(q, centroid[cell]) + dot(q, residual̂) — the first term is
+    * one [[graft.functions.DotProductExpr]] against the broadcast centroid,
+    * the second the same [[graft.functions.PQAdcExpr]] as [[pqTopK]].
+    *
+    * Cost per query: nprobe/nlist of the corpus ADC-scanned from m ints per
+    * vector — both the scan FRACTION (IVF) and the BYTES per scanned vector
+    * (PQ) shrink, which is why this is the billion-scale architecture.
+    * Shortlist re-ranks exactly against full-precision vectors. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                iters: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroids(corpus, nlist, iters)
+    val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
+      .toDF("cell", "cent"))
+    // residuals: x - centroid[cell]; the centroid arrives via the broadcast
+    // dim join (kilobytes), zip_with subtracts element-wise
+    val resid = ivfAssignments(corpus, cents)
+      .join(centDf, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cent"), (a, b) => a - b).as("embedding"))
+    val books = trainPQ(resid, m, ksub, iters)
+    val coded = resid.select(col("vec_id"), col("cell"),
+      graft.functions.PQExprs.pqCodes(col("embedding"), books).as("codes"))
+    // query side: expand to nprobe cells, attach each probed centroid
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), cents, nprobe)))
+      .join(centDf, "cell")
+    val scored = broadcast(probed).join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(
+          VectorFns.dot(col("q_emb"), col("cent")) +
+            graft.functions.PQExprs.pqAdc(col("q_emb"), col("codes"), books))
+          .as("cosine"))
+    if (rerankFactor <= 0) heapTopK(scored, k)
+    else {
+      val shortlist = heapTopK(scored, rerankFactor * k).select("query_id", "vec_id")
+      val e = corpus.select(col("vec_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+      val q = queries.select(col("vec_id").as("query_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      heapTopK(shortlist
+        .join(e, "vec_id")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine")), k)
+    }
+  }
+
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
     * buckets, equi-join queries to corpus on (table, bucket), exact re-rank, top-k.
     * Recall < 1 by construction; `tables` trades recall for candidate count.

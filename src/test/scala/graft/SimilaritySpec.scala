@@ -156,6 +156,24 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"PQ recall $r%.3f below 0.8 floor — raise m/ksub/rerankFactor")
   }
 
+  test("ivfPqTopK recall@10 >= 0.8 vs brute force at its query-entry params") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    val r = recallOf(exact, topMap(Similarity.ivfPqTopK(emb, queries, 10,
+      nlist = 8, nprobe = 5, m = 16, ksub = 32, iters = 3, rerankFactor = 4)))
+    info(f"ivfPqTopK(nlist=8, nprobe=5, m=16, ksub=32, rerank=4k) recall@10 = $r%.3f")
+    assert(r >= 0.8, f"IVFADC recall $r%.3f below 0.8 floor — raise nprobe/m/rerank")
+  }
+
+  test("ivfPqTopK finds identical vectors (same cell, same residual codes)") {
+    val r = Similarity.ivfPqTopK(emb, emb.filter($"vec_id" === 1), 1,
+      nlist = 2, nprobe = 1, m = 2, ksub = 4, iters = 1, rerankFactor = 2)
+    val top = r.filter($"rank" === 1).head()
+    assert(top.getLong(1) === 3L, s"identical vector must rank first, got $top")
+    assert(top.getDouble(2) === 1.0)
+  }
+
   test("PQ with ksub >= corpus size quantizes losslessly: ADC ranking = exact ranking") {
     // every vector becomes its own sub-centroid (seed = itself, distance 0),
     // so the ADC inner product IS the exact dot product — rerank disabled to
