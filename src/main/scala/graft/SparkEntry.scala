@@ -805,7 +805,7 @@ object SparkEntry {
       // cells); composition is spec-tested against its hand-built equivalent
       (s, d) => Curation.curateCorpusSemantic(
         Tables.documents(s, d), Tables.embeddings(s, d), threshold = 0.4,
-        minTokens = 20, nlist = 8, nassign = 2),
+        minTokens = 20, nassign = 2),
       None),
 
     Q("pipeline_chunk", // context-length prep: overlapping token windows
@@ -961,18 +961,18 @@ object SparkEntry {
       None),
 
     Q("dedup_semantic_pairs", // SemDeDup: k-means-cell-blocked cosine pairs —
-      // rows-only (cells are trained); nlist=8, nassign=2 = measured pair
-      // recall 0.833 vs the all-pairs twin on the near-orthogonal fixture
-      // (nassign=1: 0.394 — boundary pairs need the multi-assignment);
-      // precision exactly 1 (SimilaritySpec subset + recall gates)
+      // rows-only (cells are trained); nlist auto-sizes to n/512 so per-cell
+      // quadratic work stays constant across scale factors; nassign=2 recovers
+      // boundary pairs (fixture recall 0.924 vs all-pairs at auto nlist=4;
+      // nassign=1 was 0.56) — precision exactly 1 (SimilaritySpec gates)
       (s, d) => Similarity.semanticDupPairs(Tables.embeddings(s, d), 0.4,
-        nlist = 8, nassign = 2),
+        nassign = 2),
       None),
 
     Q("dedup_semantic", // SemDeDup keep/drop: components over within-cell
       // pairs, smallest vec_id survives — rows-only (same trained blocking)
       (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4,
-        nlist = 8, nassign = 2),
+        nassign = 2),
       None),
 
     Q("sim_topk_bruteforce",

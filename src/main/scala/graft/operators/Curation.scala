@@ -79,7 +79,7 @@ object Curation {
   def curateCorpusSemantic(docs: DataFrame, emb: DataFrame, threshold: Double = 0.4,
                            lang: String = "en", minTokens: Int = 20,
                            maxAvgTokenLen: Double = 5.0,
-                           nlist: Int = 8, nassign: Int = 2): DataFrame = {
+                           nlist: Int = 0, nassign: Int = 2): DataFrame = {
     val survivors = scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen)
     val survEmb = emb.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")

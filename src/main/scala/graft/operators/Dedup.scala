@@ -158,7 +158,50 @@ object Dedup {
     * components are short chains in practice, so diameter stays small.
     */
   def resolveClusters(docs: DataFrame, pairs: DataFrame,
-                      maxIter: Int = 20): DataFrame = {
+                      maxIter: Int = 20,
+                      smallGraphThreshold: Long = 1000000L): DataFrame = {
+    // Size-adaptive fast path (the same decision shape as a broadcast join):
+    // near-dup edge sets are usually TINY relative to the corpus — when the
+    // blocked pair count fits the driver comfortably, a collected union-find
+    // replaces O(diameter) distributed rounds (each a shuffle join + action)
+    // with one collect + one broadcast-joined label map. The distributed
+    // path below remains the 100 TB form for edge sets that don't fit;
+    // PropertySpec asserts both paths produce identical components.
+    val pc = pairs.persist()
+    val edgeCount = pc.count()
+    if (edgeCount <= smallGraphThreshold) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      pc.select(col("a_id").cast("long"), col("b_id").cast("long")).collect()
+        .foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          // union by MIN root so the representative is the component minimum
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      val labels = parent.keys.toSeq.map(x => (x, find(x)))
+      pc.unpersist()
+      val spark = docs.sparkSession
+      import spark.implicits._
+      return docs.select(col("doc_id"))
+        .join(broadcast(labels.toDF("doc_id", "label")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .withColumn("keep", col("doc_id") === col("cluster_id"))
+    }
+    pc.unpersist()
+    resolveClustersDistributed(docs, pairs, maxIter)
+  }
+
+  /** The distributed label-propagation form of [[resolveClusters]] — always
+    * taken when the edge set exceeds the driver threshold. */
+  private[graft] def resolveClustersDistributed(docs: DataFrame, pairs: DataFrame,
+                                                maxIter: Int = 20): DataFrame = {
     // Materialize the pair set once: the symmetric edge union references it
     // through TWO branches, which would evaluate the (expensive) pair-generation
     // join twice; the edge list then re-enters the plan every round. Both are

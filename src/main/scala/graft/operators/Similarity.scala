@@ -259,9 +259,20 @@ object Similarity {
     * — payload-last re-attachment only pays once nassign grows past the ~2-3
     * a recall target needs; at that point prefer the LSH form, whose banding
     * is built for high replication. */
+  /** Cells sized to the corpus: nlist = n / targetCellSize keeps the per-cell
+    * quadratic work CONSTANT as the corpus grows — the sizing every
+    * SemDeDup-style deployment must do (a fixed nlist turns quadratic again
+    * at the next scale factor). Cell size also CAPS the join parallelism:
+    * all rows of a cell land on one task, so nlist is simultaneously the
+    * task count — prefer more, smaller cells (128 here) until training cost
+    * or recall (cell-boundary losses, recovered by nassign) says otherwise. */
+  def semanticNlistFor(n: Long, targetCellSize: Int = 128): Int =
+    math.max(4, math.ceil(n.toDouble / targetCellSize)).toInt
+
   def semanticDupPairs(emb: DataFrame, threshold: Double,
-                       nlist: Int = 8, nassign: Int = 1, iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(emb, nlist, iters)
+                       nlist: Int = 0, nassign: Int = 1, iters: Int = 3): DataFrame = {
+    val sizedNlist = if (nlist > 0) nlist else semanticNlistFor(emb.count())
+    val cents = trainCentroids(emb, sizedNlist, iters)
     // nassign > 1 = multi-assignment (the corpus-side analog of query-time
     // multi-probe): each vector joins its `nassign` nearest cells, recovering
     // pairs that straddle a cell boundary at the cost of nassign x candidate
@@ -286,7 +297,7 @@ object Similarity {
     * (vec_id, cluster_id, keep) mirrors the document-side dedup contract, so
     * a curation pipeline can swap text-based and embedding-based dedup
     * without re-plumbing. */
-  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 8,
+  def semanticDedup(emb: DataFrame, threshold: Double, nlist: Int = 0,
                     nassign: Int = 1, iters: Int = 3): DataFrame =
     Dedup.resolveClusters(
         emb.select(col("vec_id").as("doc_id")),

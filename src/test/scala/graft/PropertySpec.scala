@@ -321,9 +321,13 @@ class PropertySpec extends SparkSpec {
       val docs = nodes.map(Tuple1(_)).toDF("doc_id")
       val pairs = if (edges.isEmpty) Seq((1L, 1L)).toDF("a_id", "b_id").limit(0)
         else edges.toDF("a_id", "b_id")
-      val a = rowSet(Dedup.resolveClusters(docs, pairs))
-      val b = rowSet(Dedup.resolveClustersStar(docs, pairs))
-      assert(b === a)
+      // three forms must agree: driver union-find (small-graph fast path),
+      // distributed min-label propagation, and star contraction
+      val fast = rowSet(Dedup.resolveClusters(docs, pairs))
+      val dist = rowSet(Dedup.resolveClusters(docs, pairs, smallGraphThreshold = 0L))
+      val star = rowSet(Dedup.resolveClustersStar(docs, pairs))
+      assert(dist === fast)
+      assert(star === fast)
     }
   }
 

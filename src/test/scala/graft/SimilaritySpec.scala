@@ -138,10 +138,10 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val truePairs = Similarity.cosineDupPairs(emb, 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = Similarity.semanticDupPairs(emb, 0.4, nlist = 8, nassign = 2)
+    val got = Similarity.semanticDupPairs(emb, 0.4, nassign = 2) // nlist auto-sizes
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val r = got.count(truePairs).toDouble / truePairs.size
-    info(f"semanticDupPairs(nlist=8, nassign=2) pair recall = $r%.3f (${got.size}/${truePairs.size})")
+    info(f"semanticDupPairs(auto nlist, nassign=2) pair recall = $r%.3f (${got.size}/${truePairs.size})")
     assert(got.subsetOf(truePairs), "precision must be 1 — exact filter reruns on candidates")
     assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor — raise nassign or lower nlist")
   }
