@@ -45,7 +45,12 @@ object Bench {
     // min over N runs per query (default 2): reports steady-state operator cost,
     // not host-noise spikes; N=1 restores single-shot timing.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional args = bench only the named queries (iteration aid); the
+    // driver's no-arg invocation always sweeps everything.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
+      else { args.foreach(a => require(SparkEntry.queries.contains(a), s"unknown query: $a")); args.toSeq }
+    val results = selected.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -61,11 +66,13 @@ object Bench {
       s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs}"""
     }
     val byName = results.toMap
-    // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(jsonLine(headline.map(n => n -> byName(n))))
+    if (args.isEmpty) {
+      // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      println(jsonLine(headline.map(n => n -> byName(n))))
+    } else println(jsonLine(results))
     spark.stop()
   }
 }

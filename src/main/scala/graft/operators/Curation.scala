@@ -81,13 +81,23 @@ object Curation {
                            maxAvgTokenLen: Double = 5.0,
                            nlist: Int = 0, nassign: Int = 2): DataFrame = {
     val survivors = scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen)
+    // The dedup phase drives MANY actions over the survivor embeddings (the
+    // auto-nlist count, the k-means seed collect, one collect per Lloyd's
+    // round, the pair materialization) — each would re-run the document
+    // scoring + semi-join lineage from scratch. Persist the semi-joined
+    // embeddings once, materialize the (tiny) keep set eagerly, then release
+    // the cache; only the final survivors join recomputes the scoring pass.
     val survEmb = emb.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
-    val kept = Similarity.semanticDedup(survEmb, threshold, nlist, nassign)
-      .filter(col("keep")).select(col("vec_id").as("doc_id"))
-    survivors.join(kept, "doc_id")
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("avg_token_len"), 6).as("avg_token_len"))
+      .persist()
+    try {
+      val kept = Similarity.semanticDedup(survEmb, threshold, nlist, nassign)
+        .filter(col("keep")).select(col("vec_id").as("doc_id"))
+        .localCheckpoint(true)
+      survivors.join(kept, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"))
+    } finally survEmb.unpersist()
   }
 
   /** Split each document into overlapping token windows — the context-length
