@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, Endpoints, Multimodal, Ops, Similarity, Views}
+import graft.operators.{Curation, Dedup, Endpoints, Multimodal, Ops, Search, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
 import graft.streaming.{QueueIngest, StreamingViews}
 
@@ -1211,6 +1211,124 @@ object SparkEntry {
               WHERE pos <= octet_length(encode(text))""")))
 
   // ------------------------------------------------------------------
+  // corpus governance: decontamination, domain capping, mixture sampling,
+  // incremental dedup, and the retrieval layer (BM25, inverted index)
+  // ------------------------------------------------------------------
+  private val searchQueries = Seq(
+    Q("pipeline_decontaminate", // benchmark-overlap removal: flag corpus docs
+      // sharing any word 3-gram with the held-out "eval" slice (doc_id % 20 = 0);
+      // benchmark gram set broadcasts, corpus is never shuffled pre-aggregation
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.decontaminate(
+          corpus = docs.filter(col("doc_id") % 20 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 20 === 0), n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+              corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0),
+              cg AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+              hits AS (SELECT cg.doc_id, count(b.gram) AS m
+                FROM cg LEFT JOIN bench b USING (gram) GROUP BY cg.doc_id)
+              SELECT c.doc_id, CAST(coalesce(h.m, 0) AS BIGINT) AS matched_grams,
+                coalesce(h.m, 0) > 0 AS contaminated
+              FROM corp c LEFT JOIN hits h USING (doc_id)""")),
+
+    Q("pipeline_domain_cap", // anti-domination mixing rule: keep the 10 longest
+      // docs per source domain (full tie-break); one window per domain partition
+      (s, d) => Curation.capPerDomain(Tables.documents(s, d), maxPerDomain = 10),
+      Some("""WITH r AS (SELECT doc_id, source AS domain, n_chars,
+                CAST(row_number() OVER (PARTITION BY source
+                  ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank_in_domain
+                FROM documents)
+              SELECT doc_id, domain, n_chars, rank_in_domain
+              FROM r WHERE rank_in_domain <= 10""")),
+
+    Q("pipeline_mixture", // mixture weights → deterministic content-keyed
+      // sampling (rolling-hash fingerprint mod 10000, oracle-reproducible);
+      // map-only, no shuffle, no RNG state
+      (s, d) => Curation.mixtureSample(Tables.documents(s, d),
+        weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.0),
+        defaultWeight = 0.35),
+      Some("""WITH t AS (SELECT doc_id, source,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents),
+              f AS (SELECT doc_id, source,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM t),
+              w AS (SELECT doc_id, source AS domain, fp,
+                CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.0
+                            ELSE 0.35 END AS rate FROM f)
+              SELECT doc_id, domain FROM w
+              WHERE fp % 10000 < CAST(rate * 10000 AS BIGINT)""")),
+
+    Q("dedup_incremental", // cross-snapshot dedup: new batch (doc_id % 5 = 0)
+      // self-dedups then anti-joins the base corpus — both sides reduced to
+      // 8-byte fingerprints before any exchange (oracle groups/anti-joins on
+      // the norm text; identical barring a 64-bit collision, cf pipeline_curate_fp)
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalDedup(
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          base = docs.filter(col("doc_id") % 5 =!= 0))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              nb AS (SELECT min(doc_id) AS doc_id, count(*) AS batch_dup_count, norm
+                FROM t WHERE doc_id % 5 = 0 GROUP BY norm)
+              SELECT doc_id, batch_dup_count FROM nb
+              WHERE norm NOT IN (SELECT norm FROM t WHERE doc_id % 5 <> 0)""")),
+
+    Q("search_bm25", // Okapi BM25 top-25 for a 3-term query: map-side tf kernel,
+      // single-row stats broadcast, TakeOrderedAndProject top-k — no corpus
+      // explode, no shuffle of documents
+      (s, d) => Search.bm25TopK(Tables.documents(s, d),
+        terms = Seq("vector", "merge", "stream"), k = 25),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                CAST(len(list_filter(toks, w -> w = 'vector')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(toks, w -> w = 'merge')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf2
+                FROM t),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                FROM x),
+              sc AS (SELECT doc_id, round(
+                  ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                    * (tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                    * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                    * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+                FROM x, st)
+              SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
+    Q("search_postings", // inverted-index build: per-doc distinct tokens dedup
+      // map-side, one (term, doc) pair through the shuffle, sorted postings
+      (s, d) => Search.invertedIndex(Tables.documents(s, d), minDf = 2),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              e AS (SELECT DISTINCT doc_id, term
+                FROM (SELECT doc_id, unnest(toks) AS term FROM t))
+              SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
+              FROM e GROUP BY term HAVING count(*) >= 2""")))
+
+  // ------------------------------------------------------------------
   // §2.7 streaming — a REAL Structured Streaming query (file source →
   // memory sink) whose settled result is oracle-checked.
   // ------------------------------------------------------------------
@@ -1316,7 +1434,8 @@ object SparkEntry {
               WHERE rn = 1""")))
 
   private val all: Seq[Q] =
-    scanQueries ++ viewQueries ++ relationalQueries ++ pipelineQueries ++ streamingQueries
+    scanQueries ++ viewQueries ++ relationalQueries ++ pipelineQueries ++
+      searchQueries ++ streamingQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -100,6 +100,81 @@ object Curation {
     } finally survEmb.unpersist()
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `n`-gram with a benchmark/eval set — the overlap check every serious
+    * training-data pipeline runs before training so eval answers don't leak
+    * into the corpus (the standard 8-to-13-gram membership test; `n` is the
+    * knob). Returns one row per corpus document with the matched-gram count
+    * and the contamination verdict — callers filter `!contaminated` to get
+    * the clean corpus, keeping the flagged rows auditable.
+    *
+    * Scale shape: the benchmark side (eval suites — thousands of documents)
+    * is orders of magnitude smaller than a 100 TB corpus, so its distinct
+    * gram set is BROADCAST and the corpus-side probe is map-side only — the
+    * corpus is never shuffled; the only exchange is the per-doc count
+    * aggregation keyed on an 8-byte doc_id. Grams are distinct per document
+    * before the explode, so each (doc, gram) probes once. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.shinglesFromTokens(col("toks"), n)).as("grams"))
+    val benchGrams = grams(benchmark)
+      .select(explode(col("grams")).as("gram")).distinct()
+      .withColumn("hit", lit(1L))
+    // explode_outer keeps sub-n-token documents (empty gram arrays) in the
+    // output with matched_grams = 0; a null gram never equi-joins.
+    grams(corpus)
+      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("matched_grams"))
+      .select(col("doc_id"), col("matched_grams"),
+        (col("matched_grams") > 0).as("contaminated"))
+  }
+
+  /** Cap the number of documents kept per domain — the anti-domination rule of
+    * corpus mixing (one crawl domain must not swamp the mixture). Keeps the
+    * `maxPerDomain` best documents of each domain by the given quality ordering
+    * (default: longest first, doc_id tie-break). One window per domain
+    * partition — at 100 TB parallelism is the domain count and no global sort
+    * exists; a planted hot domain costs one skewed partition, which AQE splits. */
+  def capPerDomain(docs: DataFrame, maxPerDomain: Int,
+                   domainCol: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col(domainCol).as("domain"), col("n_chars"))
+      .withColumn("rank_in_domain", row_number().over(w).cast("long"))
+      .filter(col("rank_in_domain") <= maxPerDomain)
+  }
+
+  /** Deterministic mixture sampling: keep each document with a per-domain
+    * probability (`weights`, default `defaultWeight`), decided by a pure
+    * function of the document CONTENT — the oracle-expressible rolling-hash
+    * fingerprint mod 10000 ([[TextFns.fingerprint]]) — so the sample is
+    * reproducible across runs, engines, and partitionings, and a re-crawled
+    * duplicate draws the same verdict everywhere. This is how mixture weights
+    * ("2 parts web, 1 part code...") become a corpus at 100 TB: map-only,
+    * no shuffle, no RNG state. */
+  def mixtureSample(docs: DataFrame, weights: Map[String, Double],
+                    defaultWeight: Double = 1.0,
+                    domainCol: String = "source"): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0 && w <= 1, s"mixture weight out of [0,1]: $w"))
+    // weights is ordered (ListMap/Seq-backed) in tests; fold in sorted key
+    // order so the when-chain is deterministic regardless of Map runtime type.
+    val rate = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight)) {
+      case ((dom, w), e) => when(col(domainCol) === dom, lit(w)).otherwise(e)
+    }
+    docs
+      .select(col("doc_id"), col(domainCol).as("domain"),
+        TextFns.fingerprint(col("text")).as("fp"))
+      .filter(pmod(col("fp"), lit(10000L)) < (rate * 10000d).cast("long"))
+      .select("doc_id", "domain")
+  }
+
   /** Split each document into overlapping token windows — the context-length
     * prep step every LLM training pipeline runs before tokenizer packing
     * (stride = chunkSize - overlap, last chunk may be short, every token is

@@ -32,6 +32,30 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Incremental (cross-snapshot) dedup — how dedup actually runs in
+    * production: a new crawl `batch` arrives and must be deduplicated first
+    * against ITSELF, then against the already-ingested `base` corpus, without
+    * ever re-deduplicating the base. Returns the batch rows that survive both
+    * gates (smallest doc_id per in-batch duplicate group, then anti-join
+    * against base fingerprints).
+    *
+    * Scale shape: both sides reduce to 8-byte xxhash64 fingerprints before
+    * any exchange — the batch self-dedup is one hash aggregate on the
+    * fingerprint, and the cross-snapshot check is a LEFT ANTI join fingerprint
+    * vs fingerprint (at 100 TB the base side is a pre-materialized
+    * fingerprint table, bucketed on `fp` so the anti-join is co-located and
+    * the new batch is the only side shuffled). The document text never moves. */
+  def incrementalDedup(batch: DataFrame, base: DataFrame): DataFrame = {
+    val batchDeduped = batch
+      .select(col("doc_id"), TextFns.fastFingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dup_count"))
+    val baseFps = base.select(TextFns.fastFingerprint(col("text")).as("fp")).distinct()
+    batchDeduped
+      .join(baseFps, Seq("fp"), "left_anti")
+      .select("doc_id", "batch_dup_count")
+  }
+
   /** MinHash + LSH near-dup candidate pairs: shingle → 64-hash MinHash signature →
     * band buckets → self-equi-join on (band, bucket) → estimate Jaccard as the
     * fraction of agreeing signature positions; keep pairs above `threshold`.

@@ -218,4 +218,41 @@ class PlanSpec extends SparkSpec {
     assert(zf < lf, s"z-order must localize the box: z=$zf linear=$lf")
     assert(zf <= 4, s"aligned box should sit in at most a few z files, got $zf")
   }
+
+  test("BM25 never shuffles the corpus: one stats broadcast, top-k heap, no sort") {
+    val df = graft.operators.Search.bm25TopK(
+      Tables.documents(spark, d), Seq("vector", "merge"), k = 10)
+    df.collect()
+    val p = physical(df)
+    // corpus-side plan: scan -> map-side tf projection -> single-row stats
+    // broadcast join -> TakeOrderedAndProject; the ONLY exchange feeds the
+    // single-row global aggregate, never the per-document rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), s"stats join degraded to shuffle:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"BM25 must not hash-shuffle document rows:\n$p")
+  }
+
+  test("decontaminate broadcasts the benchmark gram set; corpus join is not shuffled") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Curation.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0), n = 3)
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"benchmark grams must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-vs-benchmark probe degraded to shuffle:\n$p")
+  }
+
+  test("incremental dedup shuffles 8-byte fingerprints, never document text") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") % 5 === 0), docs.filter(col("doc_id") % 5 =!= 0))
+    val p = physical(df)
+    // every exchange's output schema must be hash/id columns only — the text
+    // column is projected away before each shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Dedup, Search}
+
+/** Search/retrieval layer + corpus-governance operators (decontamination,
+  * domain cap, mixture sampling, incremental dedup). */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "spark join hash join merge join", "web", 31L),
+    (2L, "vector vector vector search index", "web", 33L),
+    (3L, "stream stream processing with state", "web", 35L),
+    (4L, "the quick brown fox jumps over dogs", "books", 35L),
+    (5L, "join the stream of vector data now", "books", 34L),
+    (6L, "unrelated words entirely here today", "books", 34L)
+  ).toDF("doc_id", "text", "source", "n_chars")
+
+  // ---- BM25 -----------------------------------------------------------------
+
+  test("bm25: docs with more query-term mass rank higher; zero-hit docs absent") {
+    val r = rowList(Search.bm25TopK(docs, Seq("vector", "join"), k = 10))
+    val ids = r.map(_.head.asInstanceOf[Long])
+    // docs 3, 4, 6 contain neither term -> filtered out
+    assert(ids.toSet === Set(1L, 2L, 5L), s"unexpected result ids: $ids")
+  }
+
+  test("bm25: scores ordered descending with doc_id tie-break, all positive") {
+    val r = rowList(Search.bm25TopK(docs, Seq("vector", "join", "stream"), k = 10))
+    val scores = r.map(_(1).asInstanceOf[Double])
+    assert(scores === scores.sorted.reverse, "not sorted by score desc")
+    assert(scores.forall(_ > 0))
+    // term-frequency saturation: doc 2 (3x vector) must beat doc 5 (1x of each
+    // term? no - doc 5 has all three terms, so it wins on coverage)
+    val ids = r.map(_.head.asInstanceOf[Long])
+    assert(ids.head === 5L, s"doc 5 covers all 3 terms, must rank first; got $ids")
+  }
+
+  test("bm25: rarer term contributes higher idf") {
+    // 'quick' appears in 1 doc, 'join' in 2 -> for equal tf and dl, the
+    // quick-doc's single-term score must exceed a join-doc's single-term score
+    val quick = Search.bm25TopK(docs, Seq("quick"), k = 10).collect()
+    val join = Search.bm25TopK(docs, Seq("join"), k = 10).collect()
+    assert(quick.length === 1 && quick.head.getLong(0) === 4L)
+    assert(join.map(_.getLong(0)).toSet === Set(1L, 5L))
+    // doc 4 ('quick', tf=1, dl=7) vs doc 5 ('join', tf=1, dl=7): identical tf
+    // and length, so the score ratio is pure idf — the rarer term must win.
+    // (doc 1 has tf=3, where tf saturation may outweigh idf; excluded.)
+    val joinTf1 = join.find(_.getLong(0) == 5L).get.getDouble(1)
+    assert(quick.head.getDouble(1) > joinTf1,
+      "idf of the rarer term must dominate at equal tf and dl")
+  }
+
+  // ---- inverted index -------------------------------------------------------
+
+  test("inverted index: postings sorted, df counts distinct docs, minDf bounds") {
+    val idx = Search.invertedIndex(docs, minDf = 2)
+    val byTerm = idx.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(byTerm("join") === (2L, Seq(1L, 5L)), "join: df=2 despite tf=3 in doc 1")
+    assert(byTerm("vector") === (2L, Seq(2L, 5L)))
+    assert(byTerm("stream") === (2L, Seq(3L, 5L)))
+    assert(!byTerm.contains("quick"), "df=1 term must be filtered by minDf=2")
+  }
+
+  // ---- decontamination ------------------------------------------------------
+
+  test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma' with bench
+      (11L, "zeta eta theta iota kappa"),      // disjoint
+      (12L, "one two")                         // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((90L, "prefix words alpha beta gamma suffix")).toDF("doc_id", "text")
+    val r = rowSet(Curation.decontaminate(corpus, bench, n = 3))
+    // bench trigrams: {prefix words alpha, words alpha beta, alpha beta gamma,
+    // beta gamma suffix}; doc 10 shares exactly one ('alpha beta gamma');
+    // doc 12 is sub-n-token and must still appear, clean
+    assert(r === Set(
+      Seq(10L, 1L, true), Seq(11L, 0L, false), Seq(12L, 0L, false)), s"got $r")
+  }
+
+  test("decontaminate: clean corpus filter removes only contaminated docs") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "x y z w v"), (3L, "c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e")).toDF("doc_id", "text")
+    val clean = Curation.decontaminate(corpus, bench, n = 3)
+      .filter(!col("contaminated")).select("doc_id")
+    assert(rowSet(clean) === Set(Seq(2L)))
+  }
+
+  // ---- domain cap -----------------------------------------------------------
+
+  test("capPerDomain keeps the N longest per domain with deterministic ranks") {
+    val r = rowSet(Curation.capPerDomain(docs, maxPerDomain = 2))
+    // web: 3 (35) > 2 (33) > 1 (31) -> keep 3, 2; books: 4/5/6 lengths 35,34,34
+    // -> keep 4 (35), then tie 34 broken by doc_id -> 5
+    assert(r === Set(
+      Seq(3L, "web", 35L, 1L), Seq(2L, "web", 33L, 2L),
+      Seq(4L, "books", 35L, 1L), Seq(5L, "books", 34L, 2L)))
+  }
+
+  // ---- mixture sampling -----------------------------------------------------
+
+  test("mixtureSample: weight 1 keeps all, weight 0 keeps none, deterministic") {
+    val all = Curation.mixtureSample(docs, Map("web" -> 1.0, "books" -> 0.0))
+    assert(rowSet(all.select("doc_id")) === Set(Seq(1L), Seq(2L), Seq(3L)))
+    // pure function of content: re-running yields the identical sample
+    val again = Curation.mixtureSample(docs, Map("web" -> 1.0, "books" -> 0.0))
+    assert(rowSet(all) === rowSet(again))
+    val none = Curation.mixtureSample(docs, Map("web" -> 0.0), defaultWeight = 0.0)
+    assert(none.count() === 0L)
+  }
+
+  test("mixtureSample rejects out-of-range weights") {
+    intercept[IllegalArgumentException] {
+      Curation.mixtureSample(docs, Map("web" -> 1.5))
+    }
+  }
+
+  // ---- incremental dedup ----------------------------------------------------
+
+  test("incrementalDedup: batch self-dedups, then drops docs already in base") {
+    val base = Seq((1L, "seen before text one"), (2L, "seen before text two")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen  BEFORE text one"),   // = base doc 1 after normalize -> dropped
+      (11L, "brand new document"),      // survives
+      (12L, "brand new document"),      // in-batch dup of 11 -> folded into it
+      (13L, "another fresh one")        // survives
+    ).toDF("doc_id", "text")
+    val r = rowSet(Dedup.incrementalDedup(batch, base))
+    assert(r === Set(Seq(11L, 2L), Seq(13L, 1L)))
+  }
+}
