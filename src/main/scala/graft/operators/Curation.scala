@@ -80,13 +80,14 @@ object Curation {
                            lang: String = "en", minTokens: Int = 20,
                            maxAvgTokenLen: Double = 5.0,
                            nlist: Int = 0, nassign: Int = 2): DataFrame = {
-    val survivors = scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen)
     // The dedup phase drives MANY actions over the survivor embeddings (the
     // auto-nlist count, the k-means seed collect, one collect per Lloyd's
     // round, the pair materialization) — each would re-run the document
-    // scoring + semi-join lineage from scratch. Persist the semi-joined
-    // embeddings once, materialize the (tiny) keep set eagerly, then release
-    // the cache; only the final survivors join recomputes the scoring pass.
+    // scoring + semi-join lineage from scratch. Persist the scored survivors
+    // (shared by the semi-join AND the final result join — without it the
+    // tokenize+langid pass runs twice) and the semi-joined embeddings, then
+    // release both once the keep set is materialized eagerly.
+    val survivors = scoredSurvivors(docs, lang, minTokens, maxAvgTokenLen).persist()
     val survEmb = emb.join(
       survivors.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
       .persist()
@@ -97,7 +98,8 @@ object Curation {
       survivors.join(kept, "doc_id")
         .select(col("doc_id"), col("n_tokens"),
           round(col("avg_token_len"), 6).as("avg_token_len"))
-    } finally survEmb.unpersist()
+        .localCheckpoint(true)
+    } finally { survEmb.unpersist(); survivors.unpersist() }
   }
 
   /** Benchmark decontamination: flag corpus documents that share any word

@@ -188,6 +188,66 @@ object Similarity {
     cents
   }
 
+  /** [[trainCentroids]] fitted on a driver-collected deterministic hash sample —
+    * ONE Spark action total instead of `1 + iters` full-corpus jobs. Centroid
+    * fitting is model estimation: quality needs a bounded sample, not the
+    * population (the 100 TB note on [[trainCentroids]]), and `sampleSize`
+    * vectors of `dim` doubles fit any driver (4096 × 64 ≈ 2 MB). The sample is
+    * the smallest (xxhash64(vec_id), vec_id) rows — so the seed set (its first
+    * `nlist` rows) equals [[trainCentroids]]'s exactly, and when the corpus has
+    * at most `sampleSize` rows the "sample" is the whole corpus. Assignment
+    * replicates [[graft.functions.NearestCentroidExpr]] (argmax dot, ties to
+    * the larger cell id). */
+  def trainCentroidsSampled(corpus: DataFrame, nlist: Int, iters: Int = 3,
+                            sampleSize: Int = 4096): Centroids =
+    fitCentroids(collectTrainSample(corpus, sampleSize), nlist, iters)
+
+  /** The `sampleSize` smallest (xxhash64(vec_id), vec_id) embedding vectors,
+    * collected — the deterministic training sample shared by
+    * [[trainCentroidsSampled]] and [[semanticDupPairs]]. */
+  private def collectTrainSample(corpus: DataFrame, sampleSize: Int): Array[Array[Double]] =
+    corpus
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(sampleSize)
+      .select("emb").collect().map(_.getSeq[Double](0).toArray)
+
+  /** Driver-side Lloyd's over a collected sample. */
+  private def fitCentroids(rows: Array[Array[Double]], nlist: Int, iters: Int): Centroids = {
+    require(rows.length >= nlist, s"sample has ${rows.length} rows < nlist=$nlist")
+    val dim = rows.head.length
+    var cents: Array[Array[Double]] = Array.tabulate(nlist)(i => rows(i).clone())
+    var round = 0
+    while (round < iters) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      rows.foreach { v =>
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var c = 0
+        while (c < nlist) {
+          val cent = cents(c)
+          var s = 0.0
+          var i = 0
+          val lim = math.min(v.length, cent.length)
+          while (i < lim) { s += v(i) * cent(i); i += 1 }
+          if (s >= bestSim) { bestSim = s; best = c } // ties -> larger id
+          c += 1
+        }
+        val acc = sums(best)
+        var i = 0
+        while (i < math.min(v.length, dim)) { acc(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+      round += 1
+    }
+    cents.toSeq.map(_.toSeq).zipWithIndex.map(_.swap)
+  }
+
   /** Corpus → (vec_id, emb, cell): each vector tagged with its nearest trained
     * cell. Map-only (centroids are literals). Persist via
     * `Lake.writeBucketed(ivfAssignments(..), dir, table, "cell", n)` so
@@ -270,9 +330,16 @@ object Similarity {
     math.max(4, math.ceil(n.toDouble / targetCellSize)).toInt
 
   def semanticDupPairs(emb: DataFrame, threshold: Double,
-                       nlist: Int = 0, nassign: Int = 1, iters: Int = 3): DataFrame = {
-    val sizedNlist = if (nlist > 0) nlist else semanticNlistFor(emb.count())
-    val cents = trainCentroids(emb, sizedNlist, iters)
+                       nlist: Int = 0, nassign: Int = 1, iters: Int = 3,
+                       trainSampleSize: Int = 4096): DataFrame = {
+    // One collect serves both the auto-nlist count (when the corpus fits the
+    // sample cap, its size IS the corpus size) and centroid training — the
+    // distributed Lloyd's path ([[trainCentroids]]) costs 1 + iters corpus
+    // jobs and buys nothing for a model fit.
+    val sample = collectTrainSample(emb, trainSampleSize)
+    val n = if (sample.length < trainSampleSize) sample.length.toLong else emb.count()
+    val sizedNlist = if (nlist > 0) nlist else semanticNlistFor(n)
+    val cents = fitCentroids(sample, sizedNlist, iters)
     // nassign > 1 = multi-assignment (the corpus-side analog of query-time
     // multi-probe): each vector joins its `nassign` nearest cells, recovering
     // pairs that straddle a cell boundary at the cost of nassign x candidate
