@@ -177,6 +177,41 @@ object ScaleSmoke {
       graft.operators.Curation.curateCorpusByFingerprint(docs,
         lang = "en", minTokens = 10, maxAvgTokenLen = 10.0).count()
     }
+    // decontamination: 10k-doc benchmark broadcast against the 1M corpus —
+    // the corpus side must stay map-only up to the per-doc count aggregation
+    time("decontaminate 1M corpus vs 10k bench") {
+      graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
+        n = 3).filter(col("contaminated")).count()
+    }
+    time("bm25TopK 3 terms over 1M docs") {
+      graft.operators.Search.bm25TopK(docs,
+        Seq("vector", "stream", "scale"), k = 100).count()
+    }
+    // the hot-term regime the invertedIndex doc warns about: a 10-word
+    // vocabulary puts ~every doc in every posting list (1M-element lists)
+    time("invertedIndex 1M docs, hot terms") {
+      graft.operators.Search.invertedIndex(docs)
+        .select(sum(col("df"))).head().getLong(0)
+    }
+    time("incrementalDedup 500k batch vs 500k base") {
+      graft.operators.Dedup.incrementalDedup(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)).count()
+    }
+    locally {
+      val sourced = docs.select(col("doc_id"), col("text"),
+        concat(lit("src"), pmod(col("doc_id"), lit(1000))).as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      time("capPerDomain 1000 domains x 1M docs") {
+        graft.operators.Curation.capPerDomain(sourced, maxPerDomain = 100).count()
+      }
+      time("mixtureSample content-hash 1M docs") {
+        graft.operators.Curation.mixtureSample(sourced,
+          weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,
+          fastHash = true).count()
+      }
+    }
 
     // ---- multimodal: 200k ~1 KB binary payloads through the typed
     // mapPartitions feature extractor (per-partition decoder init) and the

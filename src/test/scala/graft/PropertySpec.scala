@@ -374,4 +374,69 @@ class PropertySpec extends SparkSpec {
       assert(rowSet(Views.hourTotals(evs.toDF())) === rowSet(direct))
     }
   }
+
+  // ---- corpus governance ----------------------------------------------------
+
+  test("decontaminate partitions every corpus; the clean half is a fixpoint") {
+    forAll(genDocs, runs = 4) { docs =>
+      val all = docs.toDF("doc_id", "text")
+      val bench = all.filter(col("doc_id") % 3 === 0)
+      val corpus = all.filter(col("doc_id") % 3 =!= 0)
+      val verdicts = Curation.decontaminate(corpus, bench, n = 3)
+      // completeness: one verdict per corpus doc, no drops, no invention
+      assert(verdicts.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+        === corpus.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      // running decontamination again on the clean survivors finds nothing
+      val clean = corpus.join(
+        verdicts.filter(!col("contaminated")).select("doc_id"), "doc_id")
+      val second = Curation.decontaminate(clean, bench, n = 3)
+      assert(second.filter(col("contaminated")).count() === 0L,
+        "clean set must be a decontamination fixpoint")
+    }
+  }
+
+  test("mixtureSample keep-set grows monotonically with the domain weight") {
+    forAll(genDocs, runs = 4) { docs =>
+      val df = docs.toDF("doc_id", "text").withColumn("source", lit("web"))
+      val keeps = Seq(0.0, 0.25, 0.5, 1.0).map { w =>
+        Curation.mixtureSample(df, Map("web" -> w))
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      keeps.sliding(2).foreach { case Seq(lo, hi) =>
+        assert(lo.subsetOf(hi), s"raising the weight lost docs: ${lo -- hi}")
+      }
+      assert(keeps.head.isEmpty && keeps.last.size === df.count())
+    }
+  }
+
+  test("incrementalDedup equals the from-first-principles batch formulation") {
+    forAll(genDocs, runs = 4) { docs =>
+      val all = docs.toDF("doc_id", "text")
+      val batch = all.filter(col("doc_id") % 2 === 0)
+      val base = all.filter(col("doc_id") % 2 =!= 0)
+      val got = rowSet(graft.operators.Dedup.incrementalDedup(batch, base))
+      val norm = graft.functions.TextFns.normalize(col("text"))
+      val expected = rowSet(
+        batch.groupBy(norm.as("n"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_dup_count"))
+          .join(base.select(norm.as("n")).distinct(), Seq("n"), "left_anti")
+          .select("doc_id", "batch_dup_count"))
+      assert(got === expected)
+    }
+  }
+
+  test("inverted index round-trips: exploded postings equal distinct (doc, term) pairs") {
+    forAll(genDocs, runs = 4) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val idx = graft.operators.Search.invertedIndex(df)
+      // df column equals the postings length for every term
+      assert(idx.filter(col("df") =!= size(col("postings"))).count() === 0L)
+      val fromIndex = rowSet(idx.select(col("term"), explode(col("postings")).as("doc_id")))
+      val direct = rowSet(df
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.TextFns.tokens(col("text")))).as("term"))
+        .select("term", "doc_id"))
+      assert(fromIndex === direct)
+    }
+  }
 }
