@@ -1240,6 +1240,47 @@ object SparkEntry {
                 coalesce(h.m, 0) > 0 AS contaminated
               FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    Q("pipeline_decontaminate_stateless", // the same verdicts via the literal-
+      // probed stateless form (no join, no aggregation — the shape that runs
+      // in streaming append mode); same oracle as pipeline_decontaminate
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.decontaminateAgainstHashes(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          Curation.benchmarkGramHashes(docs.filter(col("doc_id") % 20 === 0), n = 3),
+          n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+              corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0),
+              cg AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+              hits AS (SELECT cg.doc_id, count(b.gram) AS m
+                FROM cg LEFT JOIN bench b USING (gram) GROUP BY cg.doc_id)
+              SELECT c.doc_id, CAST(coalesce(h.m, 0) AS BIGINT) AS matched_grams,
+                coalesce(h.m, 0) > 0 AS contaminated
+              FROM corp c LEFT JOIN hits h USING (doc_id)""")),
+
+    Q("w_stream_incremental_dedup", // the governance intake gate as a REAL
+      // stream: file-source docs -> in-stream dropDuplicates(fp) ->
+      // stream-static LEFT ANTI join vs the base fingerprint table; rows-only
+      // (xxhash64 fingerprints; StreamingSpec pins the per-doc semantics)
+      (s, d) => {
+        val baseFps = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+          .select(TextFns.fastFingerprint(col("text")).as("fp"))
+        StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_winc_sink", src => StreamingViews.streamIncrementalDedup(
+            src.filter(col("doc_id") % 5 === 0), baseFps)
+            .select(col("doc_id"), col("fp")),
+          outputMode = "append")
+      },
+      None),
+
     Q("pipeline_domain_cap", // anti-domination mixing rule: keep the 10 longest
       // docs per source domain (full tie-break); one window per domain partition
       (s, d) => Curation.capPerDomain(Tables.documents(s, d), maxPerDomain = 10),

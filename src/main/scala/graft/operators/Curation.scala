@@ -135,6 +135,41 @@ object Curation {
         (col("matched_grams") > 0).as("contaminated"))
   }
 
+  /** The distinct xxhash64'd word-`n`-gram set of a benchmark corpus, collected
+    * — the MODEL object of streaming decontamination (like IVF centroids:
+    * kilobytes-to-megabytes, planted into plans as a literal). Batch-side prep
+    * for [[decontaminateAgainstHashes]]. */
+  def benchmarkGramHashes(benchmark: DataFrame, n: Int = 8): Array[Long] =
+    benchmark
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .select(explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), n))).as("gram"))
+      .select(xxhash64(col("gram")).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+  /** [[decontaminate]] in STATELESS form: the benchmark gram set rides the plan
+    * as a sorted literal array and each document counts its distinct grams'
+    * membership map-side — no join, no aggregation, no shuffle, so it runs
+    * unchanged over a STREAMING corpus in append mode (the batch form's
+    * per-doc count aggregation would force update mode + per-doc state).
+    * Same verdict and matched-gram count as [[decontaminate]] (both count the
+    * document's distinct grams that appear in the benchmark; SearchSpec
+    * asserts equality). Use the join form when the benchmark outgrows a
+    * literal (broadcast has no size cliff); this form when the corpus is a
+    * stream or the benchmark is eval-suite-sized. */
+  def decontaminateAgainstHashes(corpus: DataFrame, benchHashes: Array[Long],
+                                 n: Int = 8): DataFrame = {
+    val bench = array(benchHashes.map(lit(_)): _*)
+    corpus
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g)).as("gram_hashes"))
+      .select(col("doc_id"),
+        size(array_intersect(col("gram_hashes"), bench)).cast("long").as("matched_grams"))
+      .select(col("doc_id"), col("matched_grams"),
+        (col("matched_grams") > 0).as("contaminated"))
+  }
+
   /** Cap the number of documents kept per domain — the anti-domination rule of
     * corpus mixing (one crawl domain must not swamp the mixture). Keeps the
     * `maxPerDomain` best documents of each domain by the given quality ordering

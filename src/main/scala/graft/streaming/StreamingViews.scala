@@ -197,6 +197,30 @@ object StreamingViews {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming incremental dedup — the intake gate of a continuously-crawled
+    * corpus: new documents stream in, drop in-stream repeats, then drop
+    * anything already in the STATIC base corpus via a stream-static LEFT ANTI
+    * join against its fingerprint table (the batch half:
+    * [[graft.operators.Dedup.incrementalDedup]]).
+    *
+    * Scale shape: the anti join is STATELESS — each micro-batch probes the
+    * static side (at 100 TB a `Lake.writeBucketed(fps, .., "fp", n)` table, so
+    * the probe is one-sided onto the bucketed layout); the only streaming
+    * state is the in-stream `dropDuplicates` keyed on the 8-byte fingerprint.
+    * Without an event-time watermark that state grows with the distinct-doc
+    * count (8 bytes per doc — the honest cost of GLOBAL exact dedup); pass
+    * `watermarkCol`/`watermark` when the stream carries event time to bound it
+    * to the horizon instead. */
+  def streamIncrementalDedup(docs: DataFrame, baseFps: DataFrame,
+                             watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+    val fp = docs.withColumn("fp", graft.functions.TextFns.fastFingerprint(col("text")))
+    val deduped =
+      if (watermarkCol.isEmpty) fp.dropDuplicates("fp")
+      else fp.withWatermark(watermarkCol, watermark)
+        .dropDuplicatesWithinWatermark("fp")
+    deduped.join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   /** Stream-stream interval join (absent from the reference — CQL cannot join at
     * all): each left-branch event pairs with the right-branch events of the SAME
     * key whose time falls in (left.ts, left.ts + maxGap]. Both branches carry a

@@ -90,6 +90,18 @@ class SearchSpec extends SparkSpec {
     assert(rowSet(clean) === Set(Seq(2L)))
   }
 
+  test("decontaminateAgainstHashes (stateless form) equals the join form verdict-for-verdict") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "zeta eta theta iota kappa"),
+      (12L, "one two")
+    ).toDF("doc_id", "text")
+    val bench = Seq((90L, "prefix words alpha beta gamma suffix")).toDF("doc_id", "text")
+    val hashes = Curation.benchmarkGramHashes(bench, n = 3)
+    assert(rowSet(Curation.decontaminateAgainstHashes(corpus, hashes, n = 3)) ===
+      rowSet(Curation.decontaminate(corpus, bench, n = 3)))
+  }
+
   // ---- domain cap -----------------------------------------------------------
 
   test("capPerDomain keeps the N longest per domain with deterministic ranks") {

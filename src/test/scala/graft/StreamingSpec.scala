@@ -386,4 +386,57 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(compacted.select("user_id", "event_id")) ===
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
+
+  test("streaming incremental dedup: in-stream repeats drop, base-corpus docs anti-join out") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "already ingested text one"), (2L, "already ingested text two"))
+      .toDF("doc_id", "text")
+    val baseFps = base.select(
+      graft.functions.TextFns.fastFingerprint(col("text")).as("fp"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingViews.streamIncrementalDedup(
+        stream.toDF().toDF("doc_id", "text"), baseFps)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_inc_dedup").start()
+    try {
+      stream.addData((10L, "already  INGESTED text one"), (11L, "fresh document alpha"))
+      q.processAllAvailable()
+      // cross-batch replay of 11's text + a base dup + a genuinely new doc
+      stream.addData((12L, "fresh document alpha"), (13L, "already ingested text two"),
+        (14L, "fresh document beta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val survivors = spark.table("t_inc_dedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    // 10 = base dup (normalize), 12 = cross-batch in-stream dup, 13 = base dup
+    assert(survivors === Set(11L, 14L))
+  }
+
+  test("stateless decontamination runs in append mode over a document stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((90L, "leaked eval answer text here")).toDF("doc_id", "text")
+    val hashes = graft.operators.Curation.benchmarkGramHashes(bench, n = 3)
+    val stream = MemoryStream[(Long, String)]
+    // append mode proves the operator is stateless (an aggregation would
+    // demand update/complete mode)
+    val q = graft.operators.Curation.decontaminateAgainstHashes(
+        stream.toDF().toDF("doc_id", "text"), hashes, n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_stream_decon").start()
+    try {
+      stream.addData((1L, "contains leaked eval answer inside"), (2L, "totally clean words"))
+      q.processAllAvailable()
+      stream.addData((3L, "eval answer text appears again"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("t_stream_decon").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    // bench trigrams: {leaked eval answer, eval answer text, answer text here};
+    // doc 1 shares 'leaked eval answer', doc 3 shares 'eval answer text'
+    assert(r(1L) === ((1L, true)), s"got $r")
+    assert(r(2L) === ((0L, false)))
+    assert(r(3L) === ((1L, true)))
+  }
 }
