@@ -360,6 +360,40 @@ object SparkEntry {
               EXCEPT
               SELECT user_id FROM events WHERE event_type = 'error'""")),
 
+    Q("q_set_ops_all", // multiset (ALL) set-op closure: duplicates preserved
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def ids(t: String) = e.filter(col("event_type") === t).select("user_id")
+        ids("view").exceptAll(ids("purchase"))
+      },
+      Some("""SELECT user_id FROM events WHERE event_type = 'view'
+              EXCEPT ALL
+              SELECT user_id FROM events WHERE event_type = 'purchase'""")),
+
+    Q("q_full_outer_join", // outer-join closure: per-user signup vs purchase
+      // counts, either side may be absent — null counts survive to the output
+      (s, d) => {
+        val e = Tables.events(s, d)
+        def cnt(t: String, as: String) = e.filter(col("event_type") === t)
+          .groupBy("user_id").agg(count(lit(1)).as(as))
+        cnt("signup", "signups").join(cnt("purchase", "purchases"),
+            Seq("user_id"), "full_outer")
+          .select("user_id", "signups", "purchases")
+      },
+      Some("""SELECT COALESCE(a.user_id, b.user_id) AS user_id, a.signups, b.purchases
+              FROM (SELECT user_id, count(*) AS signups FROM events
+                    WHERE event_type = 'signup' GROUP BY user_id) a
+              FULL OUTER JOIN
+                   (SELECT user_id, count(*) AS purchases FROM events
+                    WHERE event_type = 'purchase' GROUP BY user_id) b
+              ON a.user_id = b.user_id""")),
+
+    Q("q_cross_join", // explicit Cartesian closure (region x nation grid) —
+      // the ONLY place a cross product is legitimate: two tiny dimensions
+      (s, d) => Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.nation(s, d).select(col("n_name"))),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
     Q("q_distinct_agg",
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("uniq_users"), count(lit(1)).as("n")),

@@ -92,6 +92,31 @@ object Lake {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Small-file compaction — the maintenance job every streaming lake needs:
+    * micro-batch sinks (e.g. [[graft.streaming.StreamingViews.maintainViews]]'s
+    * per-batch paths) accrete files far below the efficient scan size, and at
+    * 100 TB the file-open + footer cost of millions of small files dominates
+    * reads. Rewrites `inPath` into ceil(bytes / targetFileBytes) files (floor 1)
+    * at `outPath`, preserving rows exactly; the file count derives from the
+    * ACTUAL on-disk byte size, not a row-count guess, so it tracks schema width
+    * and compression. Write-then-swap (never in place): readers keep a
+    * consistent view of `inPath` until the atomic directory swap a deployment's
+    * catalog/manifest layer performs. Optional `sortCols` re-sorts within
+    * output files so min-max stats stay selective after compaction. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              sortCols: Seq[String] = Nil): Long = {
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = ((bytes + BigInt(targetFileBytes) - 1) / targetFileBytes).toInt.max(1)
+    val repartitioned =
+      if (sortCols.isEmpty) df.repartition(files)
+      else df.repartitionByRange(files, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    repartitioned.write.mode("overwrite").parquet(outPath)
+    files.toLong
+  }
+
   /** Interchange formats: the engine is parquet-first (columnar, statistics,
     * pushdown), but ingest pipelines land CSV/JSONL too. Explicit schema on
     * read — never inferSchema (a full extra pass over 100 TB). */

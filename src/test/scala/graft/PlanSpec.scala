@@ -219,6 +219,24 @@ class PlanSpec extends SparkSpec {
     assert(zf <= 4, s"aligned box should sit in at most a few z files, got $zf")
   }
 
+  test("Lake.compact collapses a fragmented directory, preserves rows, keeps sort stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // a micro-batch-shaped mess: 64 files for a table that fits in one
+    spark.range(100000).select(col("id"), (col("id") % 997).as("k"))
+      .repartition(64).write.parquet(s"$dir/frag")
+    val before = new java.io.File(s"$dir/frag").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before === 64)
+    graft.sources.Lake.compact(spark, s"$dir/frag", s"$dir/compacted",
+      targetFileBytes = 1L << 30, sortCols = Seq("k"))
+    val after = new java.io.File(s"$dir/compacted").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after === 1, s"expected 1 compacted file, got $after")
+    // rows survive exactly
+    assert(spark.read.parquet(s"$dir/compacted").count() === 100000L)
+    // sortCols re-sorting holds within the compacted file (min-max usefulness)
+    val ks = spark.read.parquet(s"$dir/compacted").select("k").collect().map(_.getLong(0))
+    assert(ks.sameElements(ks.sorted), "compacted file must be sorted by k")
+  }
+
   test("BM25 never shuffles the corpus: one stats broadcast, top-k heap, no sort") {
     val df = graft.operators.Search.bm25TopK(
       Tables.documents(spark, d), Seq("vector", "merge"), k = 10)
