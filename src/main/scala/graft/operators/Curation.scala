@@ -219,6 +219,60 @@ object Curation {
       .select("doc_id", "domain")
   }
 
+  /** Bigram language-model quality score — the CCNet-style "how much does this
+    * document look like the corpus" signal (Wenzek et al. 2020 filter corpora
+    * by LM perplexity; this is the self-trained n-gram form). Trains bigram
+    * counts ON the corpus itself, then scores every document by its mean
+    * bigram log-probability `avg ln(C(w1 w2) / C(w1 ·))` — boilerplate and
+    * templated text score high, token soup scores low. Returns
+    * (doc_id, n_bigrams, lm_score) for documents with at least one bigram.
+    *
+    * Scale shape: the count model is two aggregates over the exploded bigram
+    * stream (vocab²-bounded — megabytes for a word vocab, independent of
+    * corpus size) and re-attaches via equi-joins that AQE broadcasts; the
+    * bigram stream is tokenize-once + one `zip_with` slice pair per doc. At
+    * 100 TB: train the counts on an [[graft.operators.Ops.hashSample]] and
+    * only the scoring pass reads every row. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    // bigrams are 2-gram shingles — same tokenize-once kernel as the dedup
+    // paths; empty array (sub-2-token doc) explodes to nothing
+    val bigrams = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    val bigramCounts = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_bg"))
+    val prefixCounts = bigramCounts
+      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"))
+    bigrams
+      .join(bigramCounts, "bg")
+      .join(prefixCounts.withColumnRenamed("w1", "bg_w1"),
+        element_at(split(col("bg"), " "), 1) === col("bg_w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("c_bg").cast("double") / col("c_w1"))), 6).as("lm_score"))
+  }
+
+  /** Per-language quantile quality gate: keep documents at or above their
+    * language's median token count — thresholds that adapt to each group's own
+    * distribution instead of one global constant (short-doc languages aren't
+    * wiped out by a global floor). One aggregate per language (exact
+    * interpolated percentile) broadcast back over the corpus; at 100 TB swap
+    * `percentile` for `approx_percentile` — the join shape is unchanged. */
+  def qualityQuantileFilter(docs: DataFrame, quantile: Double = 0.5,
+                            langCol: String = "lang"): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col(langCol).as("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
+    val thresholds = scored.groupBy("lang")
+      .agg(expr(s"percentile(n_tokens, $quantile)").as("lang_threshold"))
+    scored.join(thresholds, "lang")
+      .filter(col("n_tokens") >= col("lang_threshold"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("lang_threshold"), 6).as("lang_threshold"))
+  }
+
   /** Split each document into overlapping token windows — the context-length
     * prep step every LLM training pipeline runs before tokenizer packing
     * (stride = chunkSize - overlap, last chunk may be short, every token is

@@ -412,4 +412,37 @@ object Dedup {
           size(array_union(col("a.grams"), col("b.grams")))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs — the character-level
+    * complement of the token-level Jaccard form: catches single-character
+    * typo/OCR variants whose token sets diverge. Same prefix-blocking as
+    * [[ngramJaccardPairs]] (equi-join on the first `prefixLen` normalized
+    * chars — a pair within `maxDist` edits can only differ in the block if an
+    * edit falls inside the prefix; the standard locality trade-off, stated
+    * rather than hidden). The `threshold` arg of Spark's `levenshtein` makes
+    * the DP abandon a pair at maxDist+1 — cost is O(len·maxDist) per pair,
+    * not O(len²), which is what keeps block-quadratic comparison affordable. */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 5,
+                        prefixLen: Int = 40): DataFrame = {
+    // normalizeNonNull: a nullable join-key expression makes constraint
+    // inference re-derive the regex normalize in isnotnull() filters (see
+    // TextFns.normalizeNonNull) — with 256 surviving pairs the whole sf0.1
+    // cost was those filters, not the DP.
+    val g = docs
+      .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("block"),
+        col("norm"), length(col("norm")).as("len"))
+    val a = g.alias("a")
+    val b = g.alias("b")
+    // |len(a) - len(b)| <= maxDist is a NECESSARY condition for the distance
+    // bound and costs two cached ints per pair — it prunes candidates before
+    // any DP runs. The single `>= 0` filter is the complete distance gate:
+    // the thresholded levenshtein returns -1 for anything past maxDist.
+    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        graft.functions.BandedEditDistanceExpr.bandedEditDistance(
+          col("a.norm"), col("b.norm"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
 }

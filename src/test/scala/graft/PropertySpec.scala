@@ -375,6 +375,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("banded edit distance equals Spark's levenshtein on every random pair") {
+    val genPair: Gen[(String, String)] = for {
+      base <- Gen.listOfN(30, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)
+      // mutate a few positions so distances cluster around the threshold
+      edits <- Gen.choose(0, 12)
+      other <- Gen.listOfN(40, Gen.oneOf('a', 'b', 'c', 'd', ' ')).map(_.mkString)
+      mixed <- Gen.oneOf(base.take(30 - edits) + other.take(edits), other, base)
+    } yield (base, mixed)
+    forAll(Gen.listOfN(30, genPair), runs = 4) { pairs =>
+      val df = pairs.toDF("l", "r")
+      val k = 6
+      val got = df.select(
+        graft.functions.BandedEditDistanceExpr.bandedEditDistance(col("l"), col("r"), k).as("banded"),
+        levenshtein(col("l"), col("r"), k).as("spark")).collect()
+      got.foreach { row =>
+        assert(row.getInt(0) === row.getInt(1),
+          s"banded=${row.getInt(0)} spark=${row.getInt(1)}")
+      }
+    }
+  }
+
   // ---- corpus governance ----------------------------------------------------
 
   test("decontaminate partitions every corpus; the clean half is a fixpoint") {

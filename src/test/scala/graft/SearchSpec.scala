@@ -131,6 +131,63 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  // ---- LM quality score -----------------------------------------------------
+
+  test("lmScore: hand-computed bigram log-probabilities, sub-2-token docs absent") {
+    val corpus = Seq(
+      (1L, "a b a b"), // bigrams: "a b","b a","a b"
+      (2L, "a b c"),   // bigrams: "a b","b c"
+      (3L, "solo")     // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    // counts: C(a b)=3, C(b a)=1, C(b c)=1; prefixes: C(a .)=3, C(b .)=2
+    // doc1: avg(ln(3/3), ln(1/2), ln(3/3)) = ln(.5)/3; doc2: avg(0, ln(1/2)) = ln(.5)/2
+    val r = rowSet(Curation.lmScore(corpus))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r === Set(
+      Seq(1L, 3L, r6(math.log(0.5) / 3)),
+      Seq(2L, 2L, r6(math.log(0.5) / 2))), s"got $r")
+  }
+
+  test("lmScore ranks corpus-typical text above token soup") {
+    val template = (1L to 8L).map(i => (i, "the quick brown fox jumps over the fence"))
+    val soup = Seq((99L, "fence brown the over quick jumps fox the"))
+    val r = Curation.lmScore((template ++ soup).toDF("doc_id", "text")).collect()
+      .map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(1L) > r(99L), s"templated doc must outscore shuffled soup: $r")
+  }
+
+  // ---- per-language quantile gate -------------------------------------------
+
+  test("qualityQuantileFilter keeps each language's docs at or above its own median") {
+    val corpus = Seq(
+      (1L, "one two three four", "en"),      // 4 tokens
+      (2L, "one two", "en"),                 // 2 tokens
+      (3L, "one two three", "en"),           // 3 tokens -> en median = 3
+      (4L, "ein zwei", "de"),                // 2 tokens -> de median = 2
+      (5L, "ein", "de")                      // 1 token
+    ).toDF("doc_id", "text", "lang")
+    val kept = Curation.qualityQuantileFilter(corpus, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // en median 3 keeps 1, 3 (a global median of 2 would wrongly keep doc 2);
+    // de median 2 keeps 4 — the group-relative point
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
+  // ---- edit-distance near-dup -----------------------------------------------
+
+  test("editDistancePairs finds typo variants within the block, abandons past maxDist") {
+    val prefix = "this shared prefix is long enough to block on"
+    val corpus = Seq(
+      (1L, prefix + " and the tail text here"),
+      (2L, prefix + " and the tail texx here"),   // 1 edit from 1
+      (3L, prefix + " with a completely different much longer ending altogether"),
+      (4L, "unrelated block entirely different text")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.editDistancePairs(corpus, maxDist = 5)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === Set((1L, 2L, 1)), s"got $got")
+  }
+
   // ---- incremental dedup ----------------------------------------------------
 
   test("incrementalDedup: batch self-dedups, then drops docs already in base") {
