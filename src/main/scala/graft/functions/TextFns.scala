@@ -74,8 +74,13 @@ object TextFns {
     RollingHashExpr.rollingHash(regexp_replace(normalize(text), "[^a-z0-9 ]", ""))
 
   /** Single-pass 64-bit fingerprint (xxhash64 of the normalized text) — the scale
-    * path; not oracle-comparable (engine-specific hash), used by dedup internals. */
-  def fastFingerprint(text: Column): Column = xxhash64(normalize(text))
+    * path; not oracle-comparable (engine-specific hash), used by dedup internals.
+    * Built on [[normalizeNonNull]]: fingerprints regularly become JOIN KEYS
+    * (incremental dedup, curation fp grouping), where a nullable key expression
+    * makes constraint inference replant the whole regex pipeline as isnotnull
+    * filters. Null text therefore fingerprints as the empty document — the same
+    * grouping exactDedup's groupBy(norm) gives null texts. */
+  def fastFingerprint(text: Column): Column = xxhash64(normalizeNonNull(text))
 
   /** Small fixed marker-word lists for heuristic language ID. Deliberately tiny —
     * the point is the operator shape (argmax over per-language token-hit scores),

@@ -398,8 +398,11 @@ object Dedup {
                         threshold: Double = 0.3): DataFrame = {
     // Three projections, each materializing what the next references twice —
     // normalize and tokenize run once per row (see TextFns.shinglesFromTokens).
+    // normalizeNonNull: the block is a JOIN KEY — a nullable key would make
+    // constraint inference re-derive the regex normalize in isnotnull filters
+    // (see TextFns.normalizeNonNull).
     val g = docs
-      .select(col("doc_id"), TextFns.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
       .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("block"),
         split(col("norm"), " ").as("toks"))
       .select(col("doc_id"), col("block"),
