@@ -194,6 +194,17 @@ object ScaleSmoke {
       graft.operators.Search.invertedIndex(docs)
         .select(sum(col("df"))).head().getLong(0)
     }
+    // BPE: one distributed word-freq agg + driver merge fit, then the
+    // map-only native encode over the full corpus
+    locally {
+      val t0 = System.nanoTime()
+      val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 60)
+      println(f"SCALE ${"bpe trainMerges 60 over 1M docs"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${merges.size}")
+      time("bpe encode+count 1M docs") {
+        graft.operators.Bpe.tokenCounts(docs, merges)
+          .select(sum(col("n_bpe_tokens"))).head().getLong(0)
+      }
+    }
     time("incrementalDedup 500k batch vs 500k base") {
       graft.operators.Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),

@@ -887,6 +887,24 @@ object SparkEntry {
       },
       None),
 
+    Q("text_bpe_merges", // trained BPE vocabulary: distributed word-frequency
+      // agg + driver-side merge fit (Sennrich et al. 2016) — rows-only (the
+      // iterative merge loop is not SQL-expressible; BpeSpec hand-computes the
+      // classic low/lower example and asserts determinism)
+      (s, d) => graft.operators.Bpe.mergesTable(s,
+        graft.operators.Bpe.trainMerges(Tables.documents(s, d), numMerges = 40)),
+      None),
+
+    Q("text_bpe_token_count", // per-doc token counts under the TRAINED
+      // tokenizer (replaces the regex stand-in in text_token_count) — encode
+      // is map-only via the native BpeEncodeExpr, merges ride as a reference
+      // object
+      (s, d) => {
+        val merges = graft.operators.Bpe.trainMerges(Tables.documents(s, d), numMerges = 40)
+        graft.operators.Bpe.tokenCounts(Tables.documents(s, d), merges)
+      },
+      None),
+
     Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
       // counts, per-doc mean bigram log-probability
       (s, d) => Curation.lmScore(Tables.documents(s, d)),
