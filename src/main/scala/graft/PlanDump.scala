@@ -64,7 +64,25 @@ object PlanDump {
       ("s_queue_decode",
        "Queue-frame decode: encode→decode round trip is a single projection " +
          "chain (`to_json`/`from_json` stay inside whole-stage codegen); no " +
-         "exchange — the transport decode adds zero shuffle to any view fed by it.")
+         "exchange — the transport decode adds zero shuffle to any view fed by it."),
+      ("search_bm25",
+       "BM25: map-side tf kernels (`markerhitsexpr`) over the tokenize-once " +
+         "projection, a SINGLE-ROW global-stats broadcast (the only exchange " +
+         "feeds the one-row aggregate), top-k as `TakeOrderedAndProject` — " +
+         "document rows are never hash-shuffled."),
+      ("pipeline_decontaminate",
+       "Decontamination: the benchmark gram set is the BUILD side of a " +
+         "`BroadcastHashJoin` — the corpus probe is map-only; the only " +
+         "corpus-keyed exchange is the per-doc matched-gram count aggregate."),
+      ("dedup_incremental",
+       "Incremental dedup: both sides reduce to `xxhash64` fingerprints before " +
+         "any exchange — no `text` column appears in any Exchange's schema; the " +
+         "cross-snapshot check is a LEFT ANTI join fingerprint-vs-fingerprint."),
+      ("dedup_edit_distance",
+       "Edit-distance near-dup: prefix-block equi-join with the length-gate " +
+         "pre-filter in the join condition and the banded DP " +
+         "(`bandededitdistanceexpr`) evaluated once per surviving pair; the " +
+         "non-null normalize key suppresses constraint-inference regex re-derivation.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan
