@@ -16,7 +16,9 @@ object Bench {
     "q_semi_join", "q_cube", "t2_topn_per_group",
     "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "dedup_embedding_cosine_lsh", "sim_topk_bruteforce", "sim_lsh_topk",
-    "text_quality", "w1_stream_hour_counts")
+    "text_quality", "w1_stream_hour_counts",
+    "search_bm25", "pipeline_decontaminate", "dedup_incremental",
+    "text_bpe_token_count")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
