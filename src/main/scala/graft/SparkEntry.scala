@@ -1405,6 +1405,31 @@ object SparkEntry {
               SELECT doc_id, domain FROM w
               WHERE fp % 10000 < CAST(rate * 10000 AS BIGINT)""")),
 
+    Q("pipeline_mixture_upsample", // epoch-style mixing: weights above 1 emit
+      // floor(w) copies + a content-hash-decided fractional epoch; copy_id
+      // lets packing interleave copies
+      (s, d) => Curation.mixtureUpsample(Tables.documents(s, d),
+        weights = Map("src0" -> 2.5, "src1" -> 0.5, "src2" -> 2.0),
+        defaultWeight = 1.0),
+      Some("""WITH t AS (SELECT doc_id, source,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents),
+              f AS (SELECT doc_id, source,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM t),
+              w AS (SELECT doc_id, source AS domain, fp,
+                CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+                            WHEN 'src2' THEN 2.0 ELSE 1.0 END AS w FROM f),
+              c AS (SELECT doc_id, domain,
+                CAST(floor(w) AS BIGINT) +
+                  CASE WHEN fp % 10000 < CAST((w - floor(w)) * 10000 AS BIGINT)
+                       THEN 1 ELSE 0 END AS n_copies FROM w)
+              SELECT doc_id, domain,
+                unnest(generate_series(0, n_copies - 1)) AS copy_id
+              FROM c WHERE n_copies > 0""")),
+
     Q("dedup_incremental", // cross-snapshot dedup: new batch (doc_id % 5 = 0)
       // self-dedups then anti-joins the base corpus — both sides reduced to
       // 8-byte fingerprints before any exchange (oracle groups/anti-joins on

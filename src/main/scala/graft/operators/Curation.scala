@@ -219,6 +219,36 @@ object Curation {
       .select("doc_id", "domain")
   }
 
+  /** [[mixtureSample]] generalized to weights ABOVE 1 — epoch-style
+    * upsampling ("books × 2.5"): every document emits `floor(w)` full copies
+    * plus one more with probability `frac(w)`, decided by the same
+    * content-keyed hash as the sampling path (so the SAME documents carry the
+    * fractional epoch on every run/engine). Output carries `copy_id`
+    * (0-based) so downstream packing/shuffling can interleave copies instead
+    * of clustering them. Map-only: one `explode(sequence(...))` per doc, no
+    * shuffle, no RNG state. Weights below 1 degenerate to exactly
+    * [[mixtureSample]]'s keep rule (0 or 1 copies). */
+  def mixtureUpsample(docs: DataFrame, weights: Map[String, Double],
+                      defaultWeight: Double = 1.0,
+                      domainCol: String = "source"): DataFrame = {
+    (weights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 0, s"mixture weight must be >= 0, got $w"))
+    val rate = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight)) {
+      case ((dom, w), e) => when(col(domainCol) === dom, lit(w)).otherwise(e)
+    }
+    docs
+      .select(col("doc_id"), col(domainCol).as("domain"),
+        TextFns.fingerprint(col("text")).as("fp"), rate.as("w"))
+      .select(col("doc_id"), col("domain"),
+        (floor(col("w")).cast("long") +
+          when(pmod(col("fp"), lit(10000L)) <
+            ((col("w") - floor(col("w"))) * 10000d).cast("long"), 1L)
+            .otherwise(0L)).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("domain"),
+        explode(sequence(lit(0L), col("n_copies") - 1L)).as("copy_id"))
+  }
+
   /** Bigram language-model quality score — the CCNet-style "how much does this
     * document look like the corpus" signal (Wenzek et al. 2020 filter corpora
     * by LM perplexity; this is the self-trained n-gram form). Trains bigram

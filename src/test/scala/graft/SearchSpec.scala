@@ -125,6 +125,23 @@ class SearchSpec extends SparkSpec {
     assert(none.count() === 0L)
   }
 
+  test("mixtureUpsample: integer epochs copy exactly, fractional epochs are hash-consistent") {
+    val two = Curation.mixtureUpsample(docs, Map("web" -> 2.0, "books" -> 0.0))
+    // every web doc appears exactly twice with copy ids 0 and 1
+    assert(rowSet(two) === Set(
+      Seq(1L, "web", 0L), Seq(1L, "web", 1L),
+      Seq(2L, "web", 0L), Seq(2L, "web", 1L),
+      Seq(3L, "web", 0L), Seq(3L, "web", 1L)))
+    // fractional part: copies per doc is floor(w) or floor(w)+1, and the
+    // same docs carry the extra epoch on every run
+    val frac1 = Curation.mixtureUpsample(docs, Map("web" -> 1.5, "books" -> 1.5))
+    val frac2 = Curation.mixtureUpsample(docs, Map("web" -> 1.5, "books" -> 1.5))
+    assert(rowSet(frac1) === rowSet(frac2))
+    val perDoc = frac1.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc.size === 6 && perDoc.values.forall(c => c == 1L || c == 2L))
+  }
+
   test("mixtureSample rejects out-of-range weights") {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(docs, Map("web" -> 1.5))
