@@ -444,6 +444,46 @@ object SparkEntry {
               SELECT event_type, day_bucket, count(*) AS n FROM e
               GROUP BY CUBE(event_type, day_bucket)""")),
 
+    Q("q_window_ranking", // ranking-family closure: ntile buckets, rank with
+      // gaps, dense rank, percent_rank/cume_dist distribution positions
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+        Tables.events(s, d).select(col("event_id"), col("event_type"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT event_id, event_type,
+              rank() OVER w AS rnk,
+              dense_rank() OVER w AS drnk,
+              ntile(4) OVER w AS quartile,
+              round(percent_rank() OVER w, 6) AS pct_rank,
+              round(cume_dist() OVER w, 6) AS cume
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""")),
+
+    Q("q_map_funcs", // map-type closure: build a per-user map of
+      // event_type -> count, look one key up, then explode back to sorted
+      // rows (row-shaped output keeps the oracle engine-agnostic)
+      (s, d) => {
+        val m = Tables.events(s, d).groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("n"))))).as("m"))
+        m.select(col("user_id"),
+            element_at(col("m"), "purchase").as("purchases"),
+            explode(col("m")).as(Seq("event_type", "n")))
+          .select("user_id", "event_type", "n", "purchases")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+              p AS (SELECT user_id, n AS purchases FROM c WHERE event_type = 'purchase')
+              SELECT c.user_id, c.event_type, c.n, p.purchases
+              FROM c LEFT JOIN p USING (user_id)""")),
+
     Q("q_window_funcs",
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
