@@ -975,15 +975,17 @@ object SparkEntry {
               SELECT doc_id, t.lang, n_tokens, round(lang_threshold, 6) AS lang_threshold
               FROM t JOIN th USING (lang) WHERE n_tokens >= lang_threshold""")),
 
-    Q("dedup_edit_distance", // character-level near-dup: prefix-blocked
-      // Levenshtein with early-abandon threshold (O(len*maxDist) per pair)
+    Q("dedup_edit_distance", // character-level near-dup: prefix-OR-suffix
+      // blocked Levenshtein with a native banded early-abandon DP
+      // (O(len*maxDist) per distinct candidate pair)
       (s, d) => Dedup.editDistancePairs(Tables.documents(s, d), maxDist = 20),
       Some("""WITH t AS (SELECT doc_id,
                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
-              g AS (SELECT doc_id, substr(norm, 1, 40) AS block, norm FROM t)
+              g AS (SELECT doc_id, norm, substr(norm, 1, 40) AS pb,
+                substr(norm, greatest(length(norm) - 39, 1), 40) AS sb FROM t)
               SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                 CAST(levenshtein(a.norm, b.norm) AS INTEGER) AS edit_dist
-              FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+              FROM g a JOIN g b ON (a.pb = b.pb OR a.sb = b.sb) AND a.doc_id < b.doc_id
               WHERE levenshtein(a.norm, b.norm) <= 20""")),
 
     Q("dedup_exact",

@@ -418,34 +418,49 @@ object Dedup {
 
   /** Edit-distance (Levenshtein) near-dup pairs — the character-level
     * complement of the token-level Jaccard form: catches single-character
-    * typo/OCR variants whose token sets diverge. Same prefix-blocking as
-    * [[ngramJaccardPairs]] (equi-join on the first `prefixLen` normalized
-    * chars — a pair within `maxDist` edits can only differ in the block if an
-    * edit falls inside the prefix; the standard locality trade-off, stated
-    * rather than hidden). The `threshold` arg of Spark's `levenshtein` makes
-    * the DP abandon a pair at maxDist+1 — cost is O(len·maxDist) per pair,
-    * not O(len²), which is what keeps block-quadratic comparison affordable. */
+    * typo/OCR variants whose token sets diverge. Candidates come from TWO
+    * equi-join blocks — the first `blockLen` normalized chars OR the last
+    * `blockLen` — so a pair is only missed when edits corrupt BOTH ends.
+    * Measured against the exhaustive twin (DedupSpec): recall 1.0 at the
+    * near-dup operating point (maxDist = 20 ≈ 6% of doc length); at LOOSE
+    * budgets (≥ 13% of length) scattered-edit pairs escape any blocking
+    * scheme tested (two-ended and shared-5-gram both 28/41) — size maxDist
+    * to typo/OCR variation, not to a similarity search.
+    * Both blocks are equi-keys: two shuffle joins + union, never an OR-join
+    * nested loop. The banded DP ([[graft.functions.BandedEditDistanceExpr]])
+    * abandons a pair at maxDist+1 — O(len·maxDist) per pair, not O(len²) —
+    * and runs once per DISTINCT candidate (dedup before the DP). */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 5,
-                        prefixLen: Int = 40): DataFrame = {
+                        blockLen: Int = 40): DataFrame = {
     // normalizeNonNull: a nullable join-key expression makes constraint
     // inference re-derive the regex normalize in isnotnull() filters (see
-    // TextFns.normalizeNonNull) — with 256 surviving pairs the whole sf0.1
-    // cost was those filters, not the DP.
+    // TextFns.normalizeNonNull). Suffix block avoids negative-index
+    // substring (engine-divergent on short strings): explicit start arith.
     val g = docs
       .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
-      .select(col("doc_id"), substring(col("norm"), 1, prefixLen).as("block"),
-        col("norm"), length(col("norm")).as("len"))
+      .select(col("doc_id"), col("norm"), length(col("norm")).as("len"))
+      .select(col("doc_id"), col("norm"), col("len"),
+        substring(col("norm"), 1, blockLen).as("pblock"),
+        col("norm").substr(greatest(col("len") - (blockLen - 1), lit(1)), lit(blockLen))
+          .as("sblock"))
     val a = g.alias("a")
     val b = g.alias("b")
     // |len(a) - len(b)| <= maxDist is a NECESSARY condition for the distance
     // bound and costs two cached ints per pair — it prunes candidates before
-    // any DP runs. The single `>= 0` filter is the complete distance gate:
-    // the thresholded levenshtein returns -1 for anything past maxDist.
-    a.join(b, col("a.block") === col("b.block") && col("a.doc_id") < col("b.doc_id") &&
-        abs(col("a.len") - col("b.len")) <= maxDist)
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+    // any DP runs.
+    def cands(block: String) =
+      a.join(b, col(s"a.$block") === col(s"b.$block") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))
+    // The single `>= 0` filter is the complete distance gate: the banded DP
+    // returns -1 for anything past maxDist.
+    cands("pblock").unionAll(cands("sblock"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
         graft.functions.BandedEditDistanceExpr.bandedEditDistance(
-          col("a.norm"), col("b.norm"), maxDist).as("edit_dist"))
+          col("norm_a"), col("norm_b"), maxDist).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
 }

@@ -88,6 +88,38 @@ class DedupSpec extends SparkSpec {
       "pigeonhole banding must recover EVERY within-budget pair and invent none")
   }
 
+  test("edit-distance blocking recall vs the exhaustive all-pairs twin (fixture)") {
+    // driver-side exhaustive truth over the 500-doc fixture, using the SAME
+    // banded DP kernel the operator ships (parity with Spark levenshtein is
+    // property-tested separately). Gate at the query entry's budget (20) —
+    // the near-dup operating point: measured recall there is 1.0. At loose
+    // budgets (40 ≈ 13% of doc length) scattered-edit pairs escape ANY
+    // blocking scheme (prefix+suffix AND shared-5-gram both measured 28/41)
+    // — the trade-off the operator scaladoc states.
+    val maxDist = 20
+    val norms = fixtureDocs.select("doc_id", "text").collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ")
+    }.sortBy(_._1)
+    val kernel = graft.functions.BandedEditDistanceExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("a"),
+      org.apache.spark.sql.catalyst.expressions.Literal("b"), maxDist)
+    import org.apache.spark.unsafe.types.UTF8String
+    val truth = (for {
+      i <- norms.indices.iterator
+      j <- (i + 1) until norms.length
+      d = kernel.distance(UTF8String.fromString(norms(i)._2),
+        UTF8String.fromString(norms(j)._2))
+      if d >= 0
+    } yield (norms(i)._1, norms(j)._1)).toSet
+    val got = Dedup.editDistancePairs(fixtureDocs, maxDist = maxDist)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "blocking must never invent pairs (precision 1)")
+    val recall = if (truth.isEmpty) 1.0 else got.count(truth).toDouble / truth.size
+    info(f"editDistancePairs(prefix|suffix-40 blocks) recall = $recall%.3f (${got.size}/${truth.size})")
+    assert(truth.nonEmpty, "fixture must contain edit-distance near-dups")
+    assert(recall >= 0.9, f"blocked recall $recall%.3f below 0.9 floor at the entry budget")
+  }
+
   test("minhash signature aggregate is partition-independent (merge correctness)") {
     import org.apache.spark.sql.functions._
     val hashed = spark.range(1000).select(col("id"),
