@@ -261,6 +261,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-vs-benchmark probe degraded to shuffle:\n$p")
   }
 
+  test("mixture sampling and upsampling are map-only: no exchange anywhere") {
+    val docs = Tables.documents(spark, d)
+    val p1 = physical(graft.operators.Curation.mixtureSample(
+      docs, Map("src0" -> 0.5), defaultWeight = 0.25))
+    assert(!p1.contains("Exchange"), s"sampling must not shuffle:\n$p1")
+    val p2 = physical(graft.operators.Curation.mixtureUpsample(
+      docs, Map("src0" -> 2.5), defaultWeight = 1.0))
+    assert(!p2.contains("Exchange"), s"upsampling must not shuffle:\n$p2")
+  }
+
+  test("LM score count-model re-attaches via broadcast joins, not shuffle joins") {
+    val df = graft.operators.Curation.lmScore(Tables.documents(spark, d))
+    df.collect() // let AQE convert the small count-model joins
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"count model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
+  }
+
   test("incremental dedup shuffles 8-byte fingerprints, never document text") {
     val docs = Tables.documents(spark, d)
     val df = graft.operators.Dedup.incrementalDedup(
