@@ -655,6 +655,20 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),
       None),
 
+    Q("q_sketch_reagg", // RE-AGGREGATABLE distinct-count sketches — the
+      // incremental-dashboard pattern at 100 TB: materialize one HLL sketch
+      // column per (day, type) partition, then any rollup (here: per type
+      // across all days) MERGES sketches instead of rescanning raw events.
+      // Rows-only (sketch binary is engine-specific); OpsSpec asserts the
+      // merge-invariance (merged estimate == direct whole-corpus estimate)
+      // and the error bound vs exact
+      (s, d) => Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        .groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_est")),
+      None),
+
     Q("q_pivot",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id").pivot("event_type", Seq("signup", "purchase", "view"))

@@ -142,6 +142,39 @@ class OpsSpec extends SparkSpec {
       rowSet(typed.filter($"event_type" === "purchase").select("event_id")))
   }
 
+  test("HLL sketch re-aggregation: merged partials equal the direct sketch, within error of exact") {
+    import org.apache.spark.sql.functions._
+    val events = (1L to 2000L).map(i =>
+      (i, i % 700, if (i % 3 == 0) "purchase" else "view", (i % 5).toInt))
+      .toDF("event_id", "user_id", "event_type", "day_off")
+      .withColumn("day", date_add(lit(java.sql.Date.valueOf("2024-01-01")), col("day_off")))
+    // partial sketches per (day, type), merged per type
+    val merged = events
+      .groupBy(col("day"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    // direct whole-corpus sketch per type
+    val direct = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+    // DataSketches HLL unions are NOT bit-identical to the direct sketch (the
+    // union operator carries a different internal target type), so the honest
+    // contract is estimate-level: merged and direct agree within the sketch's
+    // own error band, and both track the exact count.
+    val directByType = direct.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.collect().foreach { r =>
+      val (t, est) = (r.getString(0), r.getLong(1))
+      val err = math.abs(est - exact(t)).toDouble / exact(t)
+      val drift = math.abs(est - directByType(t)).toDouble / directByType(t)
+      info(f"$t: merged=$est direct=${directByType(t)} exact=${exact(t)} err=${err * 100}%.2f%% drift=${drift * 100}%.2f%%")
+      assert(err <= 0.05, f"HLL error $err%.3f beyond 5%% at default lgK")
+      assert(drift <= 0.02, f"merged vs direct drift $drift%.3f beyond 2%%")
+    }
+  }
+
   test("A2 bucketCounts: one row per granularity x bucket with exact counts") {
     val r = Ops.bucketCounts(events, "ts")
     val daily = rowSet(r.filter($"granularity" === "daily")
