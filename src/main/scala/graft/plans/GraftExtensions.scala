@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{DotProductExpr, MinHashSigAgg, TopKByScoreAgg}
+import graft.functions.{BandedEditDistanceExpr, DotProductExpr, MinHashSigAgg, TopKByScoreAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native expressions
   * as SQL functions, so the custom Catalyst pieces are reachable from plain
@@ -13,6 +13,8 @@ import graft.functions.{DotProductExpr, MinHashSigAgg, TopKByScoreAgg}
   *   - `graft_dot(a, b)`            — codegen dot product ([[DotProductExpr]])
   *   - `graft_minhash_sig(h, k)`    — MinHash signature aggregate ([[MinHashSigAgg]])
   *   - `graft_top_k(score, id, k)`  — bounded top-k aggregate ([[TopKByScoreAgg]])
+  *   - `graft_edit_distance(l, r, k)` — banded thresholded Levenshtein
+  *     ([[BandedEditDistanceExpr]]; -1 past the threshold)
   *
   * Wire up with `.withExtensions(new GraftExtensions)` at session build, or
   * `spark.sql.extensions=graft.plans.GraftExtensions` in config — the standard
@@ -49,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_top_k(score, id, k)")
         TopKByScoreAgg(args(0), args(1), intArg(args(2), "graft_top_k"))
           .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_edit_distance"),
+      new ExpressionInfo(classOf[BandedEditDistanceExpr].getName, "graft_edit_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_edit_distance(left, right, maxDist)")
+        BandedEditDistanceExpr(args(0), args(1), intArg(args(2), "graft_edit_distance"))
       }))
   }
 }

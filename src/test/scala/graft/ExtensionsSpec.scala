@@ -51,4 +51,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getDouble(0), r.getLong(1))) ===
       Seq((0.9, 0L), (0.9, 2L)))   // score desc, id asc tie-break
   }
+
+  test("graft_edit_distance from SQL: within-threshold distance, -1 past it") {
+    val r = spark.sql(
+      """SELECT graft_edit_distance('kitten', 'sitting', 3) AS d,
+                graft_edit_distance('kitten', 'sitting', 2) AS over""")
+      .head()
+    assert(r.getInt(0) === 3)
+    assert(r.getInt(1) === -1)
+  }
 }
