@@ -1430,6 +1430,44 @@ object SparkEntry {
       },
       None),
 
+    Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
+      // length distribution, exact-dup rate — one keyed aggregation pass
+      (s, d) => Curation.dataCard(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT source AS domain, lang, text,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                FROM documents),
+              x AS (SELECT domain, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(length(text) AS BIGINT) AS n_chars, norm FROM t)
+              SELECT domain, lang, count(*) AS docs,
+                CAST(sum(n_tokens) AS BIGINT) AS tokens,
+                min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens,
+                round(avg(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS chars,
+                count(DISTINCT norm) AS distinct_docs,
+                round(1.0 - CAST(count(DISTINCT norm) AS DOUBLE) / count(*), 6) AS dup_rate
+              FROM x GROUP BY domain, lang""")),
+
+    Q("q_profile_nulls", // data-quality profiling closure: per-column null
+      // and distinct counts in ONE pass (count(col) skips nulls; the
+      // distincts expand to one shared shuffle)
+      (s, d) => Tables.events(s, d).agg(
+        count(lit(1)).as("rows"),
+        (count(lit(1)) - count(col("user_id"))).as("user_id_nulls"),
+        countDistinct(col("user_id")).as("user_id_distinct"),
+        (count(lit(1)) - count(col("event_type"))).as("event_type_nulls"),
+        countDistinct(col("event_type")).as("event_type_distinct"),
+        (count(lit(1)) - count(col("value"))).as("value_nulls"),
+        round(avg(col("value")), 6).as("value_mean")),
+      Some("""SELECT count(*) AS rows,
+              count(*) - count(user_id) AS user_id_nulls,
+              count(DISTINCT user_id) AS user_id_distinct,
+              count(*) - count(event_type) AS event_type_nulls,
+              count(DISTINCT event_type) AS event_type_distinct,
+              count(*) - count(value) AS value_nulls,
+              round(avg(value), 6) AS value_mean
+              FROM events""")),
+
     Q("pipeline_domain_cap", // anti-domination mixing rule: keep the 10 longest
       // docs per source domain (full tie-break); one window per domain partition
       (s, d) => Curation.capPerDomain(Tables.documents(s, d), maxPerDomain = 10),

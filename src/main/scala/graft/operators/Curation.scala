@@ -303,6 +303,33 @@ object Curation {
         round(col("lang_threshold"), 6).as("lang_threshold"))
   }
 
+  /** Corpus data card: the per-(domain, language) summary table every corpus
+    * release ships — document and token volumes, length distribution, exact
+    * duplicate rate. One aggregation pass over the tokenize-once projection
+    * plus a fingerprint-distinct count (the dedup signal); all measures are
+    * algebraic or distinct-counts, so the same query at 100 TB is one shuffle
+    * on the (domain, lang) key with map-side partials. */
+  def dataCard(docs: DataFrame, domainCol: String = "source",
+               langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(domainCol).as("domain"), col(langCol).as("lang"),
+        col("text"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("domain"), col("lang"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextFns.normalize(col("text")).as("norm"))
+      .groupBy("domain", "lang")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"),
+        sum(col("n_chars")).as("chars"),
+        countDistinct(col("norm")).as("distinct_docs"))
+      .withColumn("dup_rate",
+        round(lit(1d) - col("distinct_docs").cast("double") / col("docs"), 6))
+
   /** Split each document into overlapping token windows — the context-length
     * prep step every LLM training pipeline runs before tokenizer packing
     * (stride = chunkSize - overlap, last chunk may be short, every token is
