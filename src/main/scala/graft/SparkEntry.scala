@@ -1545,7 +1545,7 @@ object SparkEntry {
       // single-row stats broadcast, TakeOrderedAndProject top-k — no corpus
       // explode, no shuffle of documents
       (s, d) => Search.bm25TopK(Tables.documents(s, d),
-        terms = Seq("vector", "merge", "stream"), k = 25),
+        queryTerms = Seq("vector", "merge", "stream"), k = 25),
       Some("""WITH t AS (SELECT doc_id,
                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
                 FROM documents),

@@ -47,17 +47,22 @@ case class BandedEditDistanceExpr(left: Expression, right: Expression, k: Int)
     val t = b.toString
     val n = s.length
     val m = t.length
-    if (math.abs(n - m) > k) return -1
+    if (math.abs(n.toLong - m) > k) return -1
     if (n == 0) return m // <= k by the length gate
-    val inf = k + 1
+    // clamp the band to what the strings can possibly need: distance never
+    // exceeds max(n, m), and the clamp keeps `inf` and the band bounds inside
+    // Int for arbitrarily large thresholds (k = Int.MaxValue would otherwise
+    // wrap `k + 1` and empty every band row — returning -1 for EVERY pair)
+    val kk = math.min(k, math.max(n, m))
+    val inf = kk + 1
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
-    while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    while (j <= m) { prev(j) = if (j <= kk) j else inf; j += 1 }
     var i = 1
     while (i <= n) {
-      val lo = math.max(1, i - k)
-      val hi = math.min(m, i + k)
+      val lo = math.max(1, i - kk)
+      val hi = math.min(m, i + kk)
       cur(lo - 1) = if (lo == 1) math.min(i, inf) else inf
       var rowMin = cur(lo - 1)
       j = lo

@@ -91,9 +91,11 @@ object Bpe {
   }
 
   /** Map-only encode: normalized whitespace words → trained subword tokens
-    * (array<string> per document). */
+    * (array<string> per document). Null text → null tokens (→ null counts),
+    * matching the regex stand-in `TextFns.bpeTokenCount` — the encode output
+    * is a signal, not a join key, so the non-null-key rule does not apply. */
   def encode(text: Column, merges: Seq[Merge]): Column =
-    graft.functions.BpeEncodeExpr.bpeEncode(TextFns.normalizeNonNull(text), merges)
+    graft.functions.BpeEncodeExpr.bpeEncode(TextFns.normalize(text), merges)
 
   /** Per-document trained-BPE token counts — the production form of the
     * `text_token_count` signal. */

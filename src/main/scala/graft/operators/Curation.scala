@@ -181,8 +181,14 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("domain"))
       .orderBy(col("n_chars").desc, col("doc_id"))
+    // use a materialized n_chars when the corpus carries one; derive it from
+    // the text otherwise (the quality ordering must not require a column only
+    // some corpora have)
+    val nChars =
+      if (docs.columns.contains("n_chars")) col("n_chars")
+      else length(col("text")).cast("long")
     docs
-      .select(col("doc_id"), col(domainCol).as("domain"), col("n_chars"))
+      .select(col("doc_id"), col(domainCol).as("domain"), nChars.as("n_chars"))
       .withColumn("rank_in_domain", row_number().over(w).cast("long"))
       .filter(col("rank_in_domain") <= maxPerDomain)
   }
@@ -270,15 +276,19 @@ object Curation {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    // Assemble the count MODEL vocab-side first (both tables are vocab²-
+    // bounded), so the corpus-scale bigram stream pays exactly ONE equi-join
+    // on the materialized non-null `bg` — joining the corpus stream twice,
+    // the second time on a per-row derived split() key, would re-derive the
+    // key in constraint-inference filters and double the corpus shuffle.
     val bigramCounts = bigrams.groupBy(col("bg"))
       .agg(count(lit(1)).as("c_bg"))
-    val prefixCounts = bigramCounts
-      .groupBy(element_at(split(col("bg"), " "), 1).as("w1"))
-      .agg(sum(col("c_bg")).as("c_w1"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val model = bigramCounts.join(
+        bigramCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_w1")), "w1")
+      .select(col("bg"), col("c_bg"), col("c_w1"))
     bigrams
-      .join(bigramCounts, "bg")
-      .join(prefixCounts.withColumnRenamed("w1", "bg_w1"),
-        element_at(split(col("bg"), " "), 1) === col("bg_w1"))
+      .join(model, "bg")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log(col("c_bg").cast("double") / col("c_w1"))), 6).as("lm_score"))
@@ -292,8 +302,12 @@ object Curation {
     * `percentile` for `approx_percentile` — the join shape is unchanged. */
   def qualityQuantileFilter(docs: DataFrame, quantile: Double = 0.5,
                             langCol: String = "lang"): DataFrame = {
+    // null language folds into its own 'und' group rather than silently
+    // vanishing: an inner join on a null key matches nothing, so null-lang
+    // docs would be neither kept nor gated
     val scored = docs
-      .select(col("doc_id"), col(langCol).as("lang"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), coalesce(col(langCol), lit("und")).as("lang"),
+        TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("lang"), size(col("toks")).cast("long").as("n_tokens"))
     val thresholds = scored.groupBy("lang")
       .agg(expr(s"percentile(n_tokens, $quantile)").as("lang_threshold"))
@@ -317,7 +331,7 @@ object Curation {
       .select(col("domain"), col("lang"),
         size(col("toks")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
-        TextFns.normalize(col("text")).as("norm"))
+        TextFns.normalizeNonNull(col("text")).as("norm"))
       .groupBy("domain", "lang")
       .agg(
         count(lit(1)).as("docs"),
@@ -326,6 +340,9 @@ object Curation {
         max(col("n_tokens")).as("max_tokens"),
         round(avg(col("n_tokens").cast("double")), 6).as("avg_tokens"),
         sum(col("n_chars")).as("chars"),
+        // normalizeNonNull at the projection: countDistinct SKIPS nulls, so a
+        // nullable norm would undercount distinct_docs and inflate dup_rate
+        // for any group containing null texts
         countDistinct(col("norm")).as("distinct_docs"))
       .withColumn("dup_rate",
         round(lit(1d) - col("distinct_docs").cast("double") / col("docs"), 6))

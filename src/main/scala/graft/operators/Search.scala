@@ -10,14 +10,15 @@ import graft.functions.TextFns
   * (its only reads are key lookups, `realtime_api.py:99,143,207,257,282`);
   * this layer is a from-scratch Spark-first design.
   *
-  * Scale shape: scoring is ONE map-side pass over the corpus — per-document
-  * term frequencies come from the native hashed-set token kernel
-  * ([[graft.functions.MarkerHitsExpr]]), never from an explode+join of the
-  * corpus. The only non-map stage is a single-row global-stats aggregate
-  * (N, avgdl, per-term document frequency) that re-attaches via a
-  * broadcast of ONE row, and the final top-k is TakeOrderedAndProject
-  * (heap top-k, no global sort). At 100 TB: corpus pass is embarrassingly
-  * parallel; the stats row is O(#terms) bytes.
+  * Scale shape: per-document term frequencies come from the native
+  * hashed-set token kernel ([[graft.functions.MarkerHitsExpr]]), never from
+  * an explode+join of the corpus. Scoring costs TWO map-side corpus passes —
+  * one feeding the single-row global-stats aggregate (N, avgdl, per-term
+  * document frequency), one scoring against that row re-attached via a
+  * one-row broadcast — and the final top-k is TakeOrderedAndProject (heap
+  * top-k, no global sort). Both passes are embarrassingly parallel and
+  * shuffle nothing per-document; cache the tf projection to collapse them to
+  * one scan when the corpus re-reads are the bottleneck.
   */
 object Search {
 
@@ -32,9 +33,12 @@ object Search {
     * single-row stats aggregate. The score is summed left-to-right in query
     * term order so the DuckDB oracle reproduces the float exactly; the final
     * round(·, 6) absorbs last-ulp noise. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 20,
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    // tf matches against NORMALIZED tokens — normalize the query the same way
+    // or an uppercase term silently scores 0 everywhere
+    val terms = queryTerms.map(_.toLowerCase.trim).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "bm25TopK needs at least one non-empty query term")
     val tfCols = terms.indices.map(i => s"tf_$i")
     val dfCols = terms.indices.map(i => s"df_$i")
     // One tokenize projection; per-term tf via the hashed-set kernel.
@@ -73,16 +77,30 @@ object Search {
     *
     * Scale shape: per-document DISTINCT tokens are deduplicated map-side
     * (inside the token array, before the explode), so the shuffle carries each
-    * (term, doc) pair once; the postings aggregation is a single hash
-    * aggregate. At 100 TB the posting list of a stop-word-frequency term is
-    * the classic skew cell — `minDf`/`maxDf` bound the emitted rows, and a
-    * deployment shards hot terms by `pmod(doc_id, s)` before serving. */
-  def invertedIndex(docs: DataFrame, minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame =
-    docs
+    * (term, doc) pair once. With a `maxDf` bound, the build is TWO phases —
+    * count df per term first, then collect postings ONLY for terms inside
+    * [minDf, maxDf] — so no aggregation buffer ever materializes a
+    * stop-word's corpus-sized posting list just to discard it (the buffer is
+    * bounded by maxDf ids by construction). Unbounded maxDf keeps the
+    * single-phase form and accepts the hot-term buffer; a deployment serving
+    * unbounded hot terms shards them by `pmod(doc_id, s)` instead. */
+  def invertedIndex(docs: DataFrame, minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame = {
+    val pairs = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
-      .groupBy("term")
-      .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
-      .filter(col("df") >= minDf && col("df") <= maxDf)
-      .select("term", "df", "postings")
+    if (maxDf == Long.MaxValue)
+      pairs.groupBy("term")
+        .agg(count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("postings"))
+        .filter(col("df") >= minDf)
+        .select("term", "df", "postings")
+    else {
+      val kept = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf && col("df") <= maxDf)
+      pairs.join(kept, "term")
+        .groupBy("term")
+        .agg(first(col("df")).as("df"),
+          sort_array(collect_list(col("doc_id"))).as("postings"))
+        .select("term", "df", "postings")
+    }
+  }
 }

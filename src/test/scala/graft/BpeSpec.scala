@@ -50,6 +50,18 @@ class BpeSpec extends SparkSpec {
     assert(counts(2L) === 8L, "out-of-vocabulary words stay character-split")
   }
 
+  test("encode is independent of merge Seq order (reloaded-vocabulary path)") {
+    // mergesTable tells deployments to persist and reload the vocabulary; a
+    // DataFrame read returns rows in arbitrary order — encoding must depend
+    // only on ranks, never on Seq position
+    val merges = Bpe.trainMerges(corpus, numMerges = 10)
+    val shuffled = merges.reverse
+    val df = Seq((1L, "low lower lowest")).toDF("doc_id", "text")
+    val a = df.select(Bpe.encode(col("text"), merges).as("t")).head().getSeq[String](0)
+    val b = df.select(Bpe.encode(col("text"), shuffled).as("t")).head().getSeq[String](0)
+    assert(a === b, "shuffled merge rows must encode identically")
+  }
+
   test("encode round-trips content: concatenated tokens rebuild each word") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.trainMerges(docs, numMerges = 30)

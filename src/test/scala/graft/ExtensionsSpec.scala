@@ -60,4 +60,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) === 3)
     assert(r.getInt(1) === -1)
   }
+
+  test("graft_edit_distance: an effectively-unbounded threshold still measures, never -1") {
+    // k near Int.MaxValue must clamp (band arithmetic would overflow and
+    // return -1 for EVERY pair, silently inverting the contract)
+    val r = spark.sql(
+      s"SELECT graft_edit_distance('kitten', 'sitting', ${Int.MaxValue}) AS d").head()
+    assert(r.getInt(0) === 3)
+  }
 }
