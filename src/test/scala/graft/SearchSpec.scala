@@ -190,6 +190,27 @@ class SearchSpec extends SparkSpec {
     assert(kept === Set(1L, 3L, 4L))
   }
 
+  test("null-tolerant governance: null lang folds to 'und', null text counts in dup_rate") {
+    val corpus = Seq(
+      (1L, "one two three four", Option("en"), "web", 18L),
+      (2L, "one two", Option("en"), "web", 7L),
+      (3L, "some words here now", Option.empty[String], "web", 19L),
+      (4L, "other words entirely", Option.empty[String], "web", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // null-lang docs gate against their own 'und' group, not vanish
+    val kept = Curation.qualityQuantileFilter(corpus, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(3L, 4L)).nonEmpty,
+      "null-lang docs must be gated within their own group, not dropped")
+    // dataCard: a group with NO duplicates reports dup_rate 0 even with null text
+    val withNull = Seq(
+      (1L, Option("a b c"), "s", "en", 5L), (2L, Option.empty[String], "s", "en", 0L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val card = Curation.dataCard(withNull).collect()
+    assert(card.length === 1 && card.head.getAs[Double]("dup_rate") === 0.0,
+      s"null text must count as a distinct (empty) doc: ${card.toSeq}")
+  }
+
   // ---- edit-distance near-dup -----------------------------------------------
 
   test("editDistancePairs finds typo variants within the block, abandons past maxDist") {
