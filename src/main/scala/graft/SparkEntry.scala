@@ -981,7 +981,7 @@ object SparkEntry {
     Q("pipeline_quality_quantile", // group-relative quality gate: keep docs at
       // or above their own language's median token count
       (s, d) => Curation.qualityQuantileFilter(Tables.documents(s, d), 0.5),
-      Some("""WITH t AS (SELECT doc_id, lang,
+      Some("""WITH t AS (SELECT doc_id, COALESCE(lang, 'und') AS lang,
                 CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
                 FROM documents),
               th AS (SELECT lang, quantile_cont(n_tokens, 0.5) AS lang_threshold
@@ -1570,16 +1570,46 @@ object SparkEntry {
               SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
               ORDER BY bm25 DESC, doc_id LIMIT 25""")),
 
-    Q("search_postings", // inverted-index build: per-doc distinct tokens dedup
-      // map-side, one (term, doc) pair through the shuffle, sorted postings
-      (s, d) => Search.invertedIndex(Tables.documents(s, d), minDf = 2),
+    Q("search_postings", // inverted-index build, the TWO-PHASE maxDf-bounded
+      // form (the scale-safe default): df per term first, postings collected
+      // only inside [minDf, maxDf] — no aggregation buffer ever materializes a
+      // stop word's corpus-sized list. Postings emitted as a space-joined
+      // string so the result is hash-comparable (the driver's comparator
+      // cannot sort/factorize array columns).
+      (s, d) => Search.invertedIndex(Tables.documents(s, d), minDf = 2, maxDf = 200)
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), " ")),
       Some("""WITH t AS (SELECT doc_id,
                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
                 FROM documents),
               e AS (SELECT DISTINCT doc_id, term
-                FROM (SELECT doc_id, unnest(toks) AS term FROM t))
-              SELECT term, count(*) AS df, list(doc_id ORDER BY doc_id) AS postings
-              FROM e GROUP BY term HAVING count(*) >= 2""")))
+                FROM (SELECT doc_id, unnest(toks) AS term FROM t)),
+              g AS (SELECT term, count(*) AS df FROM e GROUP BY term
+                HAVING count(*) >= 2 AND count(*) <= 200)
+              SELECT term, g.df,
+                string_agg(CAST(e.doc_id AS VARCHAR), ' ' ORDER BY e.doc_id) AS postings
+              FROM e JOIN g USING (term) GROUP BY term, g.df""")),
+
+    Q("search_postings_sharded", // hot-term sharded index: full coverage with
+      // every buffer bounded — terms past maxDf split postings by
+      // pmod(doc_id, shards); each shard row carries the term's TOTAL df
+      (s, d) => Search.invertedIndexSharded(Tables.documents(s, d),
+        minDf = 2, maxDf = 150, shards = 4)
+        .withColumn("postings",
+          array_join(transform(col("postings"), _.cast("string")), " ")),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              e AS (SELECT DISTINCT doc_id, term
+                FROM (SELECT doc_id, unnest(toks) AS term FROM t)),
+              g AS (SELECT term, count(*) AS df FROM e GROUP BY term
+                HAVING count(*) >= 2),
+              sh AS (SELECT e.term,
+                CAST(CASE WHEN g.df <= 150 THEN 0 ELSE e.doc_id % 4 END AS INTEGER) AS shard,
+                g.df, e.doc_id FROM e JOIN g USING (term))
+              SELECT term, shard, df,
+                string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
+              FROM sh GROUP BY term, shard, df""")))
 
   // ------------------------------------------------------------------
   // §2.7 streaming — a REAL Structured Streaming query (file source →

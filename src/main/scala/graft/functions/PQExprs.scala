@@ -130,8 +130,8 @@ case class PQCodesExpr(child: Expression,
   * Σ_sub dot(q[sub·dsub ..], codebook[sub][codes[sub]]). The query side loses
   * nothing; all distortion comes from the corpus quantization (that asymmetry
   * is the 'A' in ADC and why PQ beats symmetric code-to-code scoring).
-  * Left: array<double> query; right: array<int> codes (length m). Null array
-  * or null element -> null. */
+  * Left: array<double> query; right: array<int> codes (length m). Null array,
+  * null element, or a codes array whose length != m -> null. */
 case class PQAdcExpr(left: Expression, right: Expression,
                      flatBooks: Array[Array[Double]],
                      m: Int, ksub: Int)
@@ -155,10 +155,13 @@ case class PQAdcExpr(left: Expression, right: Expression,
     val q = l.asInstanceOf[ArrayData]
     val codes = r.asInstanceOf[ArrayData]
     val n = q.numElements()
-    val nc = math.min(m, codes.numElements())
+    // A codes row of the wrong length is malformed input — null, never a
+    // partial (plausible-looking but wrong) score that would silently corrupt
+    // an ANN ranking.
+    if (codes.numElements() != m) return null
     var s = 0.0
     var sub = 0
-    while (sub < nc) {
+    while (sub < m) {
       if (codes.isNullAt(sub)) return null
       val cent = flatBooks(sub * ksub + codes.getInt(sub))
       var i = 0
@@ -179,7 +182,6 @@ case class PQAdcExpr(left: Expression, right: Expression,
     nullSafeCodeGen(ctx, ev, { (q, codes) =>
       val books = ctx.addReferenceObj("pqBooks", flatBooks, "double[][]")
       val n = ctx.freshName("n")
-      val nc = ctx.freshName("nc")
       val sub = ctx.freshName("sub")
       val i = ctx.freshName("i")
       val gi = ctx.freshName("gi")
@@ -187,9 +189,9 @@ case class PQAdcExpr(left: Expression, right: Expression,
       val cent = ctx.freshName("cent")
       s"""
          |final int $n = $q.numElements();
-         |final int $nc = java.lang.Math.min($m, $codes.numElements());
+         |if ($codes.numElements() != $m) { ${ev.isNull} = true; }
          |double $s = 0.0;
-         |for (int $sub = 0; $sub < $nc && !${ev.isNull}; $sub++) {
+         |for (int $sub = 0; $sub < $m && !${ev.isNull}; $sub++) {
          |  if ($codes.isNullAt($sub)) { ${ev.isNull} = true; break; }
          |  final double[] $cent = $books[$sub * $ksub + $codes.getInt($sub)];
          |  for (int $i = 0; $i < $dsub; $i++) {

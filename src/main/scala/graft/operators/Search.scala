@@ -83,7 +83,7 @@ object Search {
     * stop-word's corpus-sized posting list just to discard it (the buffer is
     * bounded by maxDf ids by construction). Unbounded maxDf keeps the
     * single-phase form and accepts the hot-term buffer; a deployment serving
-    * unbounded hot terms shards them by `pmod(doc_id, s)` instead. */
+    * unbounded hot terms uses [[invertedIndexSharded]] instead. */
   def invertedIndex(docs: DataFrame, minDf: Long = 1, maxDf: Long = Long.MaxValue): DataFrame = {
     val pairs = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
@@ -102,5 +102,38 @@ object Search {
           sort_array(collect_list(col("doc_id"))).as("postings"))
         .select("term", "df", "postings")
     }
+  }
+
+  /** Inverted index with hot-term sharding: the full-coverage answer to the
+    * stop-word buffer problem that [[invertedIndex]]'s `maxDf` bound solves by
+    * exclusion. Terms with df <= maxDf build one posting list in shard 0;
+    * hotter terms split their postings across `shards` lists keyed by
+    * `pmod(doc_id, shards)`, so NO aggregation buffer ever holds more than
+    * max(maxDf, df_max/shards) ids — size `shards ~ df_max/maxDf` and every
+    * buffer is maxDf-bounded. A reader reassembles a hot term by unioning its
+    * shard rows (each row repeats the term's TOTAL df, so stats need no
+    * re-aggregation); SearchSpec asserts shard reassembly equals the
+    * unbounded build exactly.
+    *
+    * Two phases like the bounded build: df per term first (count-only
+    * buffers), then postings grouped by (term, shard) — the shard key is in
+    * the grouping, so the hot term's pairs spread across `shards` reducers
+    * instead of converging on one. */
+  def invertedIndexSharded(docs: DataFrame, minDf: Long = 1, maxDf: Long = 1000,
+                           shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val pairs = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("term"))
+    val dfs = pairs.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    pairs.join(dfs, "term")
+      .withColumn("shard",
+        when(col("df") <= maxDf, lit(0))
+          .otherwise(pmod(col("doc_id"), lit(shards.toLong))).cast("int"))
+      .groupBy("term", "shard")
+      .agg(first(col("df")).as("df"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .select("term", "shard", "df", "postings")
   }
 }

@@ -337,8 +337,18 @@ object Similarity {
     // distributed Lloyd's path ([[trainCentroids]]) costs 1 + iters corpus
     // jobs and buys nothing for a model fit.
     val sample = collectTrainSample(emb, trainSampleSize)
-    val n = if (sample.length < trainSampleSize) sample.length.toLong else emb.count()
-    val sizedNlist = if (nlist > 0) nlist else semanticNlistFor(n)
+    // Corpus size counted under the SAME isNotNull filter the sample and the
+    // assignment path use — null-embedding rows are never clustered, so they
+    // must not inflate the cell count either.
+    val n = if (sample.length < trainSampleSize) sample.length.toLong
+            else emb.filter(col("embedding").isNotNull).count()
+    // Auto-nlist is clamped to the training sample: fitCentroids can seed at
+    // most sample.length distinct cells, so past n ~ trainSampleSize *
+    // targetCellSize the per-cell work grows again — callers at that scale
+    // should raise trainSampleSize alongside (cells stay kilobyte-scale
+    // models either way).
+    val sizedNlist = math.min(
+      if (nlist > 0) nlist else semanticNlistFor(n), sample.length)
     val cents = fitCentroids(sample, sizedNlist, iters)
     // nassign > 1 = multi-assignment (the corpus-side analog of query-time
     // multi-probe): each vector joins its `nassign` nearest cells, recovering

@@ -64,6 +64,42 @@ class SearchSpec extends SparkSpec {
     assert(!byTerm.contains("quick"), "df=1 term must be filtered by minDf=2")
   }
 
+  test("inverted index: bounded two-phase build equals the unbounded build inside [minDf, maxDf]") {
+    val unbounded = Search.invertedIndex(docs, minDf = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val bounded = Search.invertedIndex(docs, minDf = 2, maxDf = 100).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(bounded === unbounded, "maxDf above every df must change nothing")
+    // tight bound excludes exactly the hot terms
+    val tight = Search.invertedIndex(docs, minDf = 1, maxDf = 1).collect()
+      .map(_.getLong(1)).toSet
+    assert(tight === Set(1L), "maxDf=1 must keep only df=1 terms")
+  }
+
+  test("sharded index: hot terms split by pmod, shard reassembly equals the unbounded build") {
+    // 8 docs sharing the token 'hot' (df=8 > maxDf=2) + the base fixture
+    val hot = (101L to 108L).map(i => (i, s"hot filler$i", "web", 10L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val corpus = docs.union(hot)
+    val sharded = Search.invertedIndexSharded(corpus, minDf = 1, maxDf = 2, shards = 4)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getSeq[Long](3)))
+    // cold terms all land in shard 0
+    assert(sharded.filter(_._3 <= 2).forall(_._2 === 0))
+    // the hot term spans >1 shard, each row repeats total df, and no shard
+    // buffer exceeds ceil(df/shards) here (uniform ids 101..108 -> exactly 2)
+    val hotRows = sharded.filter(_._1 == "hot")
+    assert(hotRows.length === 4 && hotRows.forall(_._3 === 8L), s"got ${hotRows.toSeq}")
+    assert(hotRows.forall(_._4.length === 2), s"got ${hotRows.toSeq}")
+    assert(hotRows.forall { case (_, shard, _, ids) =>
+      ids.forall(id => (id % 4) == shard) && ids == ids.sorted })
+    // reassembly: union of shard postings per term == unbounded postings
+    val reassembled = sharded.groupBy(_._1).map { case (term, rows) =>
+      (term, rows.head._3, rows.flatMap(_._4).sorted.toSeq) }.toSet
+    val unbounded = Search.invertedIndex(corpus, minDf = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    assert(reassembled === unbounded)
+  }
+
   // ---- decontamination ------------------------------------------------------
 
   test("decontaminate: flags exactly the docs sharing an n-gram with the benchmark") {

@@ -197,6 +197,26 @@ class SimilaritySpec extends SparkSpec {
     assert(c1 === c2)
   }
 
+  test("ADC score: a codes array of the wrong length is null, never a partial score") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val books = Similarity.trainPQ(emb, m = 2, ksub = 2, iters = 1)
+    val schema = StructType(Seq(
+      StructField("q", ArrayType(DoubleType, containsNull = false)),
+      StructField("codes", ArrayType(IntegerType, containsNull = true))))
+    val dim = books.length * books(0)(0).length
+    val q = Seq.fill(dim)(java.lang.Double.valueOf(1.0))
+    val rows = java.util.Arrays.asList(
+      Row(q, Seq(Integer.valueOf(0))),                       // truncated: 1 of m=2
+      Row(q, Seq(0, 0, 0).map(Integer.valueOf)),             // overlong
+      Row(q, Seq(Integer.valueOf(0), Integer.valueOf(0))))   // well-formed
+    val df = spark.createDataFrame(rows, schema)
+      .select(graft.functions.PQExprs.pqAdc($"q", $"codes", books).as("s"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0).isEmpty && got(1).isEmpty, s"malformed codes must score null: ${got.toSeq}")
+    assert(got(2).isDefined)
+  }
+
   test("planted near-duplicates (cosine ~0.97): production params recover them") {
     // The regime LSH is SIZED for — real near-dups, not near-orthogonal noise:
     // 200 seeded random unit vectors, each with a jittered copy at cosine ~0.97.
