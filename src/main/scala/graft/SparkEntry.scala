@@ -35,6 +35,18 @@ object SparkEntry {
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
 
+  /** Pinned merge table for `text_bpe_encode_fixed` — each side is a single
+    * char or the product of an EARLIER rank (the trained-vocabulary invariant
+    * that makes rank-order replay equal lowest-rank-first encoding; the
+    * DuckDB oracle relies on it). */
+  private val fixedBpeMerges: Seq[graft.operators.Bpe.Merge] = {
+    import graft.operators.Bpe.Merge
+    Seq(Merge(0, "t", "a"), Merge(1, "ta", "b"), Merge(2, "l", "e"),
+      Merge(3, "s", "t"), Merge(4, "e", "r"), Merge(5, "st", "r"),
+      Merge(6, "a", "n"), Merge(7, "j", "o"), Merge(8, "o", "w"),
+      Merge(9, "h", "a"))
+  }
+
   // ------------------------------------------------------------------
   // §2.1 sources/scans + §2.2 projections/filters/scalars
   // ------------------------------------------------------------------
@@ -959,6 +971,36 @@ object SparkEntry {
       },
       None),
 
+    Q("text_bpe_encode_fixed", // the encode half under a PINNED literal merge
+      // table: deterministic, so hash-oracled — DuckDB replays the merges in
+      // rank order as bracket-delimited replace passes over char-wrapped words
+      // ('<s><t><r>...'; per-symbol brackets share no boundary chars, so one
+      // left-to-right replace pass per merge is exactly BpeEncodeExpr's
+      // non-chaining fuse; each merge's sides exist before its rank, so
+      // rank-order passes equal the lowest-rank-first loop). trainMerges
+      // stays rows-only (text_bpe_merges) — the merge LOOP is what SQL can't
+      // express, not the encode.
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Bpe.encode(col("text"), fixedBpeMerges).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"),
+          array_join(col("toks"), " ").as("bpe_tokens")),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              enc AS (SELECT doc_id, list_transform(toks, w ->
+                  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(w, '(.)', '<\1>', 'g'),
+                    '<t><a>', '<ta>'), '<ta><b>', '<tab>'), '<l><e>', '<le>'),
+                    '<s><t>', '<st>'), '<e><r>', '<er>'), '<st><r>', '<str>'),
+                    '<a><n>', '<an>'), '<j><o>', '<jo>'), '<o><w>', '<ow>'),
+                    '<h><a>', '<ha>')) AS encw
+                FROM t)
+              SELECT doc_id,
+                CAST(list_sum(list_transform(encw, e -> len(e) - len(replace(e, '<', '')))) AS BIGINT) AS n_bpe_tokens,
+                array_to_string(list_transform(encw, e -> trim(replace(e, '><', ' '), '<>')), ' ') AS bpe_tokens
+              FROM enc""")),
+
     Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
       // counts, per-doc mean bigram log-probability
       (s, d) => Curation.lmScore(Tables.documents(s, d)),
@@ -1609,7 +1651,42 @@ object SparkEntry {
                 g.df, e.doc_id FROM e JOIN g USING (term))
               SELECT term, shard, df,
                 string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
-              FROM sh GROUP BY term, shard, df""")))
+              FROM sh GROUP BY term, shard, df""")),
+
+    Q("search_bm25_batch", // BM25 for a query SET in ONE corpus pass (an eval
+      // harness's retrieval shape): exploded tokens broadcast-filtered to the
+      // query vocabulary, per-query heap top-k — k queries never cost k scans
+      (s, d) => {
+        import s.implicits._
+        val qs = Seq((1L, "vector merge stream"), (2L, "join hash customer"),
+          (3L, "scan filter")).toDF("query_id", "qtext")
+        Search.bm25TopKBatch(Tables.documents(s, d), qs, k = 10)
+      },
+      Some("""WITH q(query_id, qtext) AS (VALUES
+                (CAST(1 AS BIGINT), 'vector merge stream'),
+                (CAST(2 AS BIGINT), 'join hash customer'),
+                (CAST(3 AS BIGINT), 'scan filter')),
+              qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+              t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+              e AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                unnest(toks) AS term FROM t),
+              tf AS (SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf FROM e
+                WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id, dl),
+              dfs AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+              c AS (SELECT qt.query_id, tf.doc_id,
+                ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+                  / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS contrib
+                FROM tf JOIN dfs USING (term) JOIN qt USING (term), st),
+              sc AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS bm25
+                FROM c GROUP BY query_id, doc_id HAVING round(sum(contrib), 6) > 0),
+              r AS (SELECT query_id, doc_id, bm25,
+                row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+                FROM sc)
+              SELECT query_id, doc_id, bm25 FROM r WHERE rn <= 10""")))
 
   // ------------------------------------------------------------------
   // §2.7 streaming — a REAL Structured Streaming query (file source →

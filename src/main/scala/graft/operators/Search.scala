@@ -72,6 +72,63 @@ object Search {
       .filter(col("bm25") > 0)
   }
 
+  /** BM25 top-k for a whole query SET in one corpus pass — the retrieval shape
+    * an eval harness actually runs. [[bm25TopK]] takes literal terms, so k
+    * queries cost k corpus scans; this scores every query together.
+    *
+    * `queries`: (query_id: bigint, qtext: string). Output: (query_id, doc_id,
+    * bm25) — per-query top `k`, positive scores only, (bm25 DESC, doc_id ASC)
+    * tie-break: exactly [[bm25TopK]]'s semantics per query (SearchSpec asserts
+    * row-for-row agreement).
+    *
+    * Scale shape: the corpus tokenizes once; the exploded token stream is
+    * immediately broadcast-semi-joined against the distinct query terms, so
+    * only tokens some query mentions reach the (term, doc) aggregation — the
+    * shuffle is |matching tokens|, never the corpus. The query-term and
+    * per-term-df tables are broadcast (a query set is dim-sized by
+    * definition); global stats ride a one-row broadcast; the per-query top-k
+    * is the heap-bounded [[graft.functions.TopKByScoreAgg]] (each map task
+    * ships at most k candidates per query to the final shuffle). */
+  def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(array_distinct(TextFns.tokens(col("qtext")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val toks = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    val gstats = toks.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    // dl rides the grouping key — functionally dependent on doc_id, so it adds
+    // nothing to the key's cardinality but saves a corpus-sized re-join for it
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("double").as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val contrib = tf
+      .join(broadcast(dfs), "term")
+      .join(broadcast(qterms), "term")
+      .crossJoin(broadcast(gstats))
+      .select(col("query_id"), col("doc_id"),
+        (log(lit(1d) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1d) - b + lit(b) * col("dl") / col("avgdl"))))
+          .as("contrib"))
+    // round(6) as in bm25TopK: absorbs summation-order last-ulp noise so the
+    // DuckDB oracle reproduces the float; idf > 0 always (Lucene form), so
+    // pre-top-k positivity filtering selects the same rows as bm25TopK's
+    // top-k-then-filter
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKByScoreAgg.topKByScore(col("bm25"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("doc_id"), col("t.score").as("bm25"))
+  }
+
   /** Inverted index build: one row per distinct token — document frequency and
     * the sorted postings list. The index a keyword-search layer serves from.
     *

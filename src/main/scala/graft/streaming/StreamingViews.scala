@@ -363,7 +363,7 @@ object StreamingViews {
   def runToMemory(spark: SparkSession, path: String, sinkName: String,
                   view: DataFrame => DataFrame,
                   outputMode: String = "complete",
-                  shufflePartitions: Int = 8): DataFrame = {
+                  shufflePartitions: Int = 4): DataFrame = {
     // The file stream source lists a DIRECTORY; the testdata tables are single
     // parquet files, so stage the file into a temp dir once per JVM (tiny at
     // verify SF; a real deployment streams from a landing directory anyway).

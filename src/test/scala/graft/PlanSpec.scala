@@ -279,6 +279,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
   }
 
+  test("plan-regression gate: headline queries keep pinned shuffle counts, no cartesian products") {
+    // Snapshot of each headline query's finalized shuffle-exchange count at
+    // fixture scale: a Catalyst upgrade or refactor that silently de-optimizes
+    // a green query (extra shuffle, broadcast degraded to exchange, join
+    // exploding to a cartesian product) fails HERE, not in a 100 TB run.
+    // Counts are "Exchange hashpartitioning" occurrences in the finalized
+    // adaptive plan (the convention used throughout this suite); update a pin
+    // only with a plan-level justification for the new number.
+    val pinned = Map(
+      "q1_pricing_summary" -> 1, // partial+final agg around one exchange
+      "q3_join_topn" -> 1, // joins broadcast at fixture stats; one agg exchange
+      "j1_enrich_lookup" -> 0, // broadcast enrich: no shuffle at all
+      "a1_hour_counts" -> 1, // partial+final agg
+      "a4_latest_per_key" -> 1, // max_by LWW: one keyed exchange
+      "t2_topn_per_group" -> 1, // per-group heap top-N: one keyed exchange
+      "q_asof_join" -> 1, // one key shuffle, window runs on the co-partitioned stream
+      "q_range_join_bucketed" -> 0, // broadcast at fixture SF; the (user, bucket) equi-key keeps it shuffle-able at scale
+      "search_bm25" -> 0, // single-row stats broadcast only; docs never hash-shuffled
+      "dedup_incremental" -> 2) // fingerprint-only exchanges (batch dup-count agg + anti-join key shuffle)
+    val actual = pinned.keys.toSeq.sorted.map { name =>
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect() // finalize the adaptive plan before reading it
+      // a finalized AdaptiveSparkPlan prints "== Final Plan ==" followed by
+      // "== Initial Plan ==" — count only the plan that actually ran
+      val p = physical(df).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"),
+        s"$name grew a cartesian product:\n$p")
+      name -> "Exchange hashpartitioning".r.findAllIn(p).size
+    }.toMap
+    assert(actual === pinned,
+      s"shuffle-count drift:\n  actual: ${actual.toSeq.sorted}\n  pinned: ${pinned.toSeq.sorted}")
+  }
+
   test("incremental dedup shuffles 8-byte fingerprints, never document text") {
     val docs = Tables.documents(spark, d)
     val df = graft.operators.Dedup.incrementalDedup(

@@ -52,6 +52,31 @@ class SearchSpec extends SparkSpec {
       "idf of the rarer term must dominate at equal tf and dl")
   }
 
+  test("bm25 batch: agrees with per-query bm25TopK row for row") {
+    val qs = Seq((1L, "vector join"), (2L, "quick brown stream"), (3L, "absentterm"))
+      .toDF("query_id", "qtext")
+    val batch = Search.bm25TopKBatch(docs, qs, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = Seq(
+      1L -> Seq("vector", "join"), 2L -> Seq("quick", "brown", "stream"),
+      3L -> Seq("absentterm")).flatMap { case (qid, terms) =>
+      Search.bm25TopK(docs, terms, k = 4).collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    assert(batch === single, s"batch=$batch single=$single")
+    // the all-absent query contributes no rows in either form
+    assert(!batch.exists(_._1 == 3L))
+  }
+
+  test("bm25 batch: duplicate and uppercase query words dedup/normalize like literals") {
+    val qs = Seq((7L, "Vector VECTOR vector")).toDF("query_id", "qtext")
+    val batch = Search.bm25TopKBatch(docs, qs, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val single = Search.bm25TopK(docs, Seq("vector"), k = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch === single)
+  }
+
   // ---- inverted index -------------------------------------------------------
 
   test("inverted index: postings sorted, df counts distinct docs, minDf bounds") {
