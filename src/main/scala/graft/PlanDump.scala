@@ -70,6 +70,17 @@ object PlanDump {
          "projection, a SINGLE-ROW global-stats broadcast (the only exchange " +
          "feeds the one-row aggregate), top-k as `TakeOrderedAndProject` — " +
          "document rows are never hash-shuffled."),
+      ("search_bm25_batch",
+       "Batch BM25 (one corpus pass for a whole query set): the exploded token " +
+         "stream is broadcast-filtered to the query vocabulary BEFORE any " +
+         "exchange; query terms, per-term df, and the one-row global stats all " +
+         "ride broadcasts; per-query top-k is the bounded-heap aggregate. The " +
+         "only hash exchanges carry query-vocabulary matches, never the corpus."),
+      ("search_postings_sharded",
+       "Hot-term sharded inverted index: df counted first (count-only buffers), " +
+         "postings grouped by (term, pmod(doc_id, shards)) so a stop word's " +
+         "pairs spread across shards — no aggregation buffer ever holds more " +
+         "than max(maxDf, df_max/shards) ids."),
       ("pipeline_decontaminate",
        "Decontamination: the benchmark gram set is the BUILD side of a " +
          "`BroadcastHashJoin` — the corpus probe is map-only; the only " +

@@ -188,10 +188,26 @@ object ScaleSmoke {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()
     }
+    // batch retrieval: 8 queries in ONE corpus pass — must cost ~one bm25TopK
+    // scan plus the (small) per-query top-k aggregation, never 8 scans
+    locally {
+      val qs = spark.range(8).select(col("id").as("query_id"),
+        concat(lit("vector stream q"), col("id")).as("qtext"))
+      time("bm25TopKBatch 8 queries, one pass") {
+        graft.operators.Search.bm25TopKBatch(docs, qs, k = 100).count()
+      }
+    }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
     time("invertedIndex 1M docs, hot terms") {
       graft.operators.Search.invertedIndex(docs)
+        .select(sum(col("df"))).head().getLong(0)
+    }
+    // sharded build in the same regime: every aggregation buffer stays
+    // <= max(maxDf, 1M/shards) ids even though coverage is total
+    time("invertedIndexSharded 1M docs, 64 shards") {
+      graft.operators.Search.invertedIndexSharded(docs,
+        minDf = 1, maxDf = 100000, shards = 64)
         .select(sum(col("df"))).head().getLong(0)
     }
     // BPE: one distributed word-freq agg + driver merge fit, then the

@@ -1049,6 +1049,20 @@ object SparkEntry {
       Some("""SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents
               GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))""")),
 
+    Q("dedup_exact_canonical", // canonical selection: per duplicate group keep
+      // the LONGEST raw text (ties to smallest doc_id) — one skew-immune
+      // max_by aggregation, no window sort of the duplicate group
+      (s, d) => Dedup.exactDedupCanonical(Tables.documents(s, d),
+        length(col("text")).cast("long")),
+      Some("""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                FROM documents),
+              r AS (SELECT doc_id, norm,
+                row_number() OVER (PARTITION BY norm ORDER BY q DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY norm) AS dup_count FROM t)
+              SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count
+              FROM r WHERE rn = 1""")),
+
     Q("dedup_minhash_lsh", // xxhash64-based signatures — engine-specific, rows-only
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
       None),

@@ -25,6 +25,23 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Exact dedup, canonical-selection form: keep the duplicate the curation
+    * actually wants — the row maximizing `quality` (ties to the smallest
+    * doc_id) — instead of the arbitrary smallest id. "Keep the longest /
+    * highest-scoring version" is the real decision when near-identical pages
+    * differ in boilerplate trim. Same skew-immune shape as
+    * [[graft.operators.Ops]]'s max_by LWW: ONE aggregation on the key with
+    * map-side partial merge — a hot duplicate group reduces inside each map
+    * task, where a window row_number would sort the whole group on one task. */
+  def exactDedupCanonical(docs: DataFrame,
+                          quality: org.apache.spark.sql.Column): DataFrame =
+    docs.groupBy(TextFns.normalize(col("text")).as("norm"))
+      .agg(
+        max_by(col("doc_id"),
+          struct(quality.as("q"), (-col("doc_id")).as("nid"))).as("doc_id"),
+        count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
   /** Exact dedup, scale path: group on xxhash64(normalized text) — an 8-byte
     * shuffle key instead of the document body. */
   def exactDedupByFingerprint(docs: DataFrame): DataFrame =

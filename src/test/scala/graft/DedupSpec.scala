@@ -19,6 +19,15 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
   }
 
+  test("canonical exact dedup keeps the preferred duplicate, not the smallest id") {
+    import org.apache.spark.sql.functions._
+    val r = rowSet(Dedup.exactDedupCanonical(docs, length(col("text")).cast("long")))
+    // group {1,2}: doc 2's RAW text is longer (un-collapsed whitespace), so the
+    // longest-version rule picks 2 where exactDedup picked 1
+    // group {4,5}: identical raw lengths -> tie breaks to the smallest id
+    assert(r === Set(Seq(2L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
+  }
+
   test("fingerprint dedup agrees with exact dedup on group structure") {
     val r = rowSet(Dedup.exactDedupByFingerprint(docs).select("doc_id", "dup_count"))
     assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))

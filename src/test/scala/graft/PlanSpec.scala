@@ -251,6 +251,27 @@ class PlanSpec extends SparkSpec {
       s"BM25 must not hash-shuffle document rows:\n$p")
   }
 
+  test("batch BM25 broadcasts all query-side tables; corpus rows shuffle only post-filter") {
+    import spark.implicits._
+    val qs = Seq((1L, "vector merge"), (2L, "stream data")).toDF("query_id", "qtext")
+    val df = graft.operators.Search.bm25TopKBatch(
+      Tables.documents(spark, d), qs, k = 5)
+    df.collect()
+    val p = physical(df).split("== Initial Plan ==").head
+    // query terms, per-term df, and global stats all ride broadcasts — the
+    // corpus is never the probe side of a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"query-side table degraded to shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // six exchanges, none corpus-scale: tf / df / per-(query,doc) score /
+    // per-query topk aggregations over the BROADCAST-FILTERED token stream
+    // (query-vocabulary matches only), plus two query-side dim-sized
+    // distincts feeding broadcast builds — the raw exploded corpus never
+    // crosses an exchange
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n === 6, s"exchange-count drift (expected 6), got $n:\n$p")
+  }
+
   test("decontaminate broadcasts the benchmark gram set; corpus join is not shuffled") {
     val docs = Tables.documents(spark, d)
     val df = graft.operators.Curation.decontaminate(
