@@ -17,6 +17,7 @@ object PlanDump {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -42,7 +43,7 @@ object PlanDump {
          "a `WholeStageCodegen` span; per-query top-k via the bounded-heap " +
          "aggregate (`topkbyscoreagg`) — map side forwards at most k rows per query."),
       ("a4_latest_per_key",
-       "Last-write-wins via `max_by(payload, struct(ts, id))` — an ObjectHashAggregate " +
+       "Last-write-wins via the native hash-aggregatable argmax (`ArgMaxAgg`) — an ObjectHashAggregate " +
          "with map-side partial aggregation: hot keys reduce before the shuffle, where " +
          "a window `row_number` would sort the hot key's whole partition on one task."),
       ("q_range_join_bucketed",

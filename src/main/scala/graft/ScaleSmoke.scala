@@ -18,6 +18,7 @@ object ScaleSmoke {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304") // ArgMaxAgg/TopK buffers are constant-size; default 128 is sized for collect_list
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,7 +48,7 @@ object ScaleSmoke {
     time("bucketCounts 3-granularity (A2)") {
       Ops.bucketCounts(events, "ts").count()
     }
-    time("latestPerKeyAgg max_by (hot key)") {
+    time("latestPerKeyAgg argmax (hot key)") {
       Ops.latestPerKeyAgg(events, Seq("user_id"), Seq(col("ts"), col("event_id"))).count()
     }
     time("latestPerKey window (hot key)") {

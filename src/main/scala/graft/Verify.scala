@@ -13,6 +13,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4194304") // ArgMaxAgg/TopK buffers are constant-size; default 128 is sized for collect_list
       .config("spark.sql.ui.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

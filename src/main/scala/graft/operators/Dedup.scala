@@ -30,15 +30,18 @@ object Dedup {
     * doc_id) — instead of the arbitrary smallest id. "Keep the longest /
     * highest-scoring version" is the real decision when near-identical pages
     * differ in boilerplate trim. Same skew-immune shape as
-    * [[graft.operators.Ops]]'s max_by LWW: ONE aggregation on the key with
-    * map-side partial merge — a hot duplicate group reduces inside each map
-    * task, where a window row_number would sort the whole group on one task. */
+    * [[graft.operators.Ops]]'s argmax LWW ([[graft.functions.ArgMaxAgg]] —
+    * hash-aggregatable, unlike `max_by` whose struct buffer lowers to
+    * SortAggregate): ONE aggregation on the key with map-side partial merge —
+    * a hot duplicate group reduces inside each map task, where a window
+    * row_number would sort the whole group on one task. */
   def exactDedupCanonical(docs: DataFrame,
                           quality: org.apache.spark.sql.Column): DataFrame =
     docs.groupBy(TextFns.normalize(col("text")).as("norm"))
       .agg(
-        max_by(col("doc_id"),
-          struct(quality.as("q"), (-col("doc_id")).as("nid"))).as("doc_id"),
+        graft.functions.ArgMaxAgg.argMax(
+          struct(quality.as("q"), (-col("doc_id")).as("nid")),
+          col("doc_id")).as("doc_id"),
         count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 

@@ -68,7 +68,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("latestPerKeyAgg (skew-immune max_by form) equals latestPerKey (window form)") {
+  test("latestPerKeyAgg (skew-immune argmax form) equals latestPerKey (window form)") {
     forAll(genEvents) { evs =>
       val win = Ops.latestPerKey(evs.toDF(), Seq("user_id"),
         Seq(col("ts").desc, col("event_id").desc))
