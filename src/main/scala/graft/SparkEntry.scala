@@ -1580,6 +1580,44 @@ object SparkEntry {
                 unnest(generate_series(0, n_copies - 1)) AS copy_id
               FROM c WHERE n_copies > 0""")),
 
+    Q("pipeline_split", // deterministic train/val/test assignment: split is a
+      // pure content-hash function — reproducible across engines, and a
+      // re-crawled duplicate lands in the SAME split (no leakage); map-only
+      (s, d) => Curation.assignSplit(Tables.documents(s, d),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents),
+              f AS (SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM t)
+              SELECT doc_id, CASE
+                WHEN fp % 10000 < 9000 THEN 'train'
+                WHEN fp % 10000 < 9500 THEN 'val'
+                ELSE 'test' END AS split FROM f""")),
+
+    Q("q_sessionize", // gap-based batch sessionization (30-min gap per user):
+      // lag boundary detection + running sum — the batch twin of the
+      // streaming session window
+      (s, d) => Ops.sessionize(Tables.events(s, d), Seq("user_id"), "ts",
+        "event_id", gapSeconds = 1800L)
+        .select("event_id", "user_id", "session_seq"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              l AS (SELECT event_id, user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM e),
+              n AS (SELECT event_id, user_id, ts,
+                CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END AS nw FROM l)
+              SELECT event_id, user_id,
+                CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM n""")),
+
     Q("dedup_incremental", // cross-snapshot dedup: new batch (doc_id % 5 = 0)
       // self-dedups then anti-joins the base corpus — both sides reduced to
       // 8-byte fingerprints before any exchange (oracle groups/anti-joins on

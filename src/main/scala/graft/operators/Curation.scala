@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -223,6 +223,36 @@ object Curation {
       .select(col("doc_id"), col(domainCol).as("domain"), fp.as("fp"))
       .filter(col("fp") < (rate * 10000d).cast("long"))
       .select("doc_id", "domain")
+  }
+
+  /** Deterministic train/val/test split assignment: each document's split is
+    * a pure function of its CONTENT — the same oracle-expressible rolling-hash
+    * fingerprint [[mixtureSample]] uses, mod 10000 into cumulative fraction
+    * ranges — so the split reproduces across runs/engines/partitionings, and a
+    * re-crawled duplicate lands in the SAME split (no train/test leakage
+    * through re-processing — the property a random split silently loses).
+    * Map-only: no shuffle, no RNG state, any scale. `fractions` are tested in
+    * order; hash mass past the last bound falls into the last split, so
+    * fractions that sum to 1 partition exactly. `fastHash` swaps in the
+    * xxhash64 form (the 100 TB path, not oracle-comparable). */
+  def assignSplit(docs: DataFrame,
+                  fractions: Seq[(String, Double)] =
+                    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+                  fastHash: Boolean = false): DataFrame = {
+    require(fractions.nonEmpty, "assignSplit needs at least one split")
+    fractions.foreach { case (n, f) =>
+      require(f >= 0 && f <= 1, s"split fraction out of [0,1]: $n=$f") }
+    require(fractions.map(_._2).sum <= 1.0 + 1e-9,
+      s"split fractions sum above 1: ${fractions.map(_._2).sum}")
+    val fp =
+      if (fastHash) pmod(TextFns.fastFingerprint(col("text")), lit(10000L))
+      else pmod(TextFns.fingerprint(col("text")), lit(10000L))
+    val uppers = fractions.map(_._1).zip(fractions.scanLeft(0.0)(_ + _._2).tail)
+    val splitCol = uppers.init.foldRight(lit(uppers.last._1): Column) {
+      case ((name, ub), e) =>
+        when(col("__fp") < lit(ub * 10000d).cast("long"), lit(name)).otherwise(e)
+    }
+    docs.withColumn("__fp", fp).select(col("doc_id"), splitCol.as("split"))
   }
 
   /** [[mixtureSample]] generalized to weights ABOVE 1 — epoch-style

@@ -103,6 +103,33 @@ object Ops {
       .select(col("__p.*"))
   }
 
+  /** Gap-based batch sessionization: number each key's events into sessions —
+    * a new session starts when the gap since the key's previous event exceeds
+    * `gapSeconds`. The batch twin of the streaming sessionizer
+    * ([[graft.streaming.StreamingViews]]'s session windows): one window pass
+    * (lag to detect boundaries + running sum to number them), fully
+    * deterministic via the (ts, tieBreak) ordering.
+    *
+    * Scale: one shuffle on `keys`, then a per-key partition sort — the key's
+    * history is the irreducible unit of work for any batch sessionizer. A key
+    * too hot to sort on one task belongs to the streaming sessionizer
+    * (bounded state, watermark eviction) instead. */
+  def sessionize(events: DataFrame, keys: Seq[String], tsCol: String,
+                 tieBreak: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieBreak))
+    events
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col(tsCol).cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+  }
+
   /** Approximate heavy hitters via mergeable Misra-Gries summaries (Misra &
     * Gries 1982; merge bound per Agarwal et al. 2012, "Mergeable Summaries"):
     * each partition keeps at most `capacity` counters — an incoming item

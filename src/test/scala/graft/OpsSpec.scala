@@ -31,6 +31,22 @@ class OpsSpec extends SparkSpec {
     assert(r.getString(0) === "hourly:2024010110")
   }
 
+  test("sessionize: strict gap splits sessions, running seq numbers them, ties stay together") {
+    def seqs(gap: Long): Map[Long, Long] =
+      Ops.sessionize(events, Seq("user_id"), "ts", "event_id", gap)
+        .select("event_id", "session_seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r = seqs(1800L)
+    // user 10: all events within 5 minutes (incl. the ts-tied pair) -> one session
+    assert(Seq(1L, 2L, 3L, 6L).forall(r(_) === 1L), r.toString)
+    // user 20: 12h+ gap -> second session
+    assert(r(4) === 1L && r(5) === 2L, r.toString)
+    // the split is STRICTLY greater-than: user 20's gap is exactly 43201 s
+    val boundary = seqs(43201L)
+    assert(boundary(5) === 1L, "gap == threshold must not split")
+    assert(seqs(43200L)(5) === 2L, "gap one past threshold must split")
+  }
+
   test("A4 latestPerKey keeps exactly one deterministic row per key") {
     val r = Ops.latestPerKey(events, Seq("user_id"),
       Seq($"ts".desc, $"event_id".desc))

@@ -203,6 +203,29 @@ class SearchSpec extends SparkSpec {
     assert(perDoc.size === 6 && perDoc.values.forall(c => c == 1L || c == 2L))
   }
 
+  test("assignSplit: total, deterministic, and leak-proof under re-crawled duplicates") {
+    val split = Curation.assignSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // total: every doc gets exactly one split from the declared names
+    assert(split.keySet === (1L to 6L).toSet)
+    assert(split.values.toSet.subsetOf(Set("train", "val", "test")))
+    // deterministic across invocations
+    val again = Curation.assignSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(split === again)
+    // content-keyed: a re-crawled duplicate (same text, new id) lands in the
+    // SAME split — the no-leakage property a random split loses
+    val recrawled = docs.withColumn("doc_id", col("doc_id") + 100)
+    val both = Curation.assignSplit(docs.union(recrawled)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    (1L to 6L).foreach(id => assert(both(id) === both(id + 100),
+      s"duplicate of doc $id leaked across splits"))
+    // fractions sum above 1 rejected
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(docs, Seq("a" -> 0.9, "b" -> 0.2))
+    }
+  }
+
   test("mixtureSample rejects out-of-range weights") {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(docs, Map("web" -> 1.5))
