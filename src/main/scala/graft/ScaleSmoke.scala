@@ -35,9 +35,11 @@ object ScaleSmoke {
         lit(30L * 24 * 3600 * 1000000L))).as("ts"),
       (pmod(xxhash64(col("id"), lit(3)), lit(10000L)) / 100.0).as("value"))
 
+    val report = new StringBuilder
+    def emit(line: String): Unit = { println(line); report.append(line).append('\n') }
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
-      println(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      emit(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
     events.count() // materialization warmup
@@ -106,7 +108,7 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val c = sim.trainCentroids(
         vecs.filter(pmod(col("vec_id"), lit(100)) === 0), nlist = 64, iters = 2)
-      println(f"SCALE ${"trainCentroids 64 cells, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${c.size}")
+      emit(f"SCALE ${"trainCentroids 64 cells, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${c.size}")
       c
     }
     val assigned = sim.ivfAssignments(vecs, cents)
@@ -130,7 +132,7 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val b = sim.trainPQ(
         vecs.filter(pmod(col("vec_id"), lit(100)) === 0), m = 8, ksub = 32, iters = 2)
-      println(f"SCALE ${"trainPQ m=8 ksub=32, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${b.length.toLong * b(0).length}")
+      emit(f"SCALE ${"trainPQ m=8 ksub=32, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${b.length.toLong * b(0).length}")
       b
     }
     val codes = sim.pqEncode(vecs, books)
@@ -189,8 +191,11 @@ object ScaleSmoke {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()
     }
-    // batch retrieval: 8 queries in ONE corpus pass — must cost ~one bm25TopK
-    // scan plus the (small) per-query top-k aggregation, never 8 scans
+    // batch retrieval: 8 queries in ONE corpus pass. The pass is pricier than
+    // a literal-terms bm25TopK scan (explode + broadcast vocabulary filter vs
+    // the marker kernel) but amortizes over the query set — the gate is
+    // "beats 8 separate corpus scans", and headroom grows with every query
+    // added (the corpus work is query-count-independent)
     locally {
       val qs = spark.range(8).select(col("id").as("query_id"),
         concat(lit("vector stream q"), col("id")).as("qtext"))
@@ -216,7 +221,7 @@ object ScaleSmoke {
     locally {
       val t0 = System.nanoTime()
       val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 60)
-      println(f"SCALE ${"bpe trainMerges 60 over 1M docs"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${merges.size}")
+      emit(f"SCALE ${"bpe trainMerges 60 over 1M docs"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${merges.size}")
       time("bpe encode+count 1M docs") {
         graft.operators.Bpe.tokenCounts(docs, merges)
           .select(sum(col("n_bpe_tokens"))).head().getLong(0)
@@ -274,7 +279,7 @@ object ScaleSmoke {
         streamDir.resolve("events").toString, "smoke_stream",
         src => graft.streaming.StreamingViews.hourCounts(src)).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE ${"streaming hourCounts 1M events"}%-34s $secs%8.2f s  rows=$n (${(1000000 / secs / 1000).toLong}k ev/s)")
+      emit(f"SCALE ${"streaming hourCounts 1M events"}%-34s $secs%8.2f s  rows=$n (${(1000000 / secs / 1000).toLong}k ev/s)")
     }
 
     time("int8 quantize full corpus") {
@@ -285,6 +290,18 @@ object ScaleSmoke {
           lit(0L), (a, x) => a + x).as("q_sum"))
         .agg(sum(col("q_sum"))).head().getLong(0)
     }
+    // Persist the evidence next to PLANS.md: SCALE.md is the written record of
+    // the 100 TB design audit — regenerate with `sbt "runMain graft.ScaleSmoke"`
+    // on an otherwise-idle host (concurrent builds distort the timings).
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"),
+      "# SCALE — operator wall-times at stress volume\n\n" +
+      s"10M synthetic events (~20% on one hot key), 1M x 32-dim vectors, 1M docs\n" +
+      s"(10% planted dup rate) on local[32] — 100x the sf0.1 bench volume. Every\n" +
+      s"operator must stay linear and skew-bound; generated by `sbt \"runMain\n" +
+      s"graft.ScaleSmoke\"` on an idle host. The argmax-vs-window LWW pair and the\n" +
+      s"skew-safe-vs-one-stage distinct pair are deliberate A/B comparisons.\n\n" +
+      "```\n" + report.toString + "```\n")
+    println(s"SCALE.md written")
     spark.stop()
   }
 }
