@@ -98,11 +98,19 @@ object ScaleSmoke {
     // linear in corpus size with bounded candidate sets.
     val nVec = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
     val dim = 32
+    // unit-normalized, like the testdata embeddings — the library's documented
+    // contract (dot == cosine); an unnormalized fixture would make every
+    // cosine threshold below a raw-dot scale silently non-selective
     val vecs = spark.range(nVec).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(xxhash64(col("id"), i), lit(2000001L)) - 1000000L) / 1000000.0)
-        .as("embedding"))
-    vecs.count() // generation warmup
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => (pmod(xxhash64(col("id"), i), lit(2000001L)) - 1000000L) / 1000000.0)
+          .as("e0"))
+      .select(col("vec_id"), col("e0"),
+        graft.functions.VectorFns.l2Norm(col("e0")).as("nrm"))
+      .select(col("vec_id"),
+        graft.functions.VectorFns.l2NormalizeByNorm(col("e0"), col("nrm")).as("embedding"))
+      .persist() // ~256 MB: measure the operators, not fixture regeneration
+    vecs.count() // generation warmup (materializes the cache)
     val sim = graft.operators.Similarity
     val cents = {
       val t0 = System.nanoTime()
