@@ -115,20 +115,28 @@ object Curation {
     * gram set is BROADCAST and the corpus-side probe is map-side only — the
     * corpus is never shuffled; the only exchange is the per-doc count
     * aggregation keyed on an 8-byte doc_id. Grams are distinct per document
-    * before the explode, so each (doc, gram) probes once. */
+    * before the explode, so each (doc, gram) probes once — and both sides
+    * reduce grams to xxhash64 LONGS before the join (the stateless twin's
+    * representation), so the broadcast map holds 8-byte keys and the corpus
+    * probes hash a long, not a multi-word string (same verdicts barring a
+    * 64-bit collision, the caveat every fingerprint path here documents). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
+    // hash INSIDE the array, before the explode: explode_outer of an empty
+    // gram array yields a null LONG that never equi-joins (hashing after the
+    // explode would turn that null into xxhash64's seed constant instead)
+    def gramHashes(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(TextFns.shinglesFromTokens(col("toks"), n)).as("grams"))
-    val benchGrams = grams(benchmark)
-      .select(explode(col("grams")).as("gram")).distinct()
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g)).as("ghs"))
+    val benchGrams = gramHashes(benchmark)
+      .select(explode(col("ghs")).as("gh")).distinct()
       .withColumn("hit", lit(1L))
     // explode_outer keeps sub-n-token documents (empty gram arrays) in the
-    // output with matched_grams = 0; a null gram never equi-joins.
-    grams(corpus)
-      .select(col("doc_id"), explode_outer(col("grams")).as("gram"))
-      .join(broadcast(benchGrams), Seq("gram"), "left")
+    // output with matched_grams = 0
+    gramHashes(corpus)
+      .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"), "left")
       .groupBy("doc_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
