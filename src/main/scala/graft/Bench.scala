@@ -18,7 +18,10 @@ object Bench {
     "dedup_embedding_cosine_lsh", "sim_topk_bruteforce", "sim_lsh_topk",
     "text_quality", "w1_stream_hour_counts",
     "search_bm25", "pipeline_decontaminate", "dedup_incremental",
-    "text_bpe_token_count")
+    "text_bpe_token_count",
+    // round-5 capabilities
+    "search_bm25_batch", "search_postings", "dedup_exact_canonical",
+    "pipeline_split", "q_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
