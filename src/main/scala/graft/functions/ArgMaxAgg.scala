@@ -60,7 +60,6 @@ case class ArgMaxAgg(ord: Expression, payload: Expression,
       buf.ord = InternalRow.copyValue(o)
       val p = payload.eval(input)
       buf.payload = if (p == null) null else InternalRow.copyValue(p)
-      buf.hasPayload = true
     }
     buf
   }
@@ -69,7 +68,6 @@ case class ArgMaxAgg(ord: Expression, payload: Expression,
     if (other.ord != null && (buf.ord == null || ordering.compare(other.ord, buf.ord) > 0)) {
       buf.ord = other.ord
       buf.payload = other.payload
-      buf.hasPayload = other.hasPayload
     }
     buf
   }
@@ -87,9 +85,7 @@ case class ArgMaxAgg(ord: Expression, payload: Expression,
       row.pointTo(bytes, bytes.length)
       val o = InternalRow.copyValue(row.get(0, ord.dataType))
       val p = if (row.isNullAt(1)) null else InternalRow.copyValue(row.get(1, payload.dataType))
-      val buf = new ArgMaxAgg.Buf(o, p)
-      buf.hasPayload = o != null
-      buf
+      new ArgMaxAgg.Buf(o, p)
     }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ArgMaxAgg =
@@ -106,9 +102,7 @@ object ArgMaxAgg {
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Mutable argmax state: the best ordering value seen and its payload. */
-  final class Buf(var ord: Any, var payload: Any) {
-    var hasPayload: Boolean = ord != null
-  }
+  final class Buf(var ord: Any, var payload: Any)
 
   /** Column form: payload of the row maximizing `ord` within the group. */
   def argMax(ord: Column, payload: Column): Column =

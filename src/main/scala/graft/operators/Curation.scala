@@ -256,9 +256,13 @@ object Curation {
       if (fastHash) pmod(TextFns.fastFingerprint(col("text")), lit(10000L))
       else pmod(TextFns.fingerprint(col("text")), lit(10000L))
     val uppers = fractions.map(_._1).zip(fractions.scanLeft(0.0)(_ + _._2).tail)
+    // round, not truncate: a cumulative sum like 0.29 evaluates to
+    // 2899.9999999999995 * in doubles — truncation would shift that split's
+    // boundary down a bucket from the `fp % 10000 < 2900` form an oracle or
+    // downstream consumer naturally writes
     val splitCol = uppers.init.foldRight(lit(uppers.last._1): Column) {
       case ((name, ub), e) =>
-        when(col("__fp") < lit(ub * 10000d).cast("long"), lit(name)).otherwise(e)
+        when(col("__fp") < lit(math.round(ub * 10000d)), lit(name)).otherwise(e)
     }
     docs.withColumn("__fp", fp).select(col("doc_id"), splitCol.as("split"))
   }

@@ -313,7 +313,7 @@ class PlanSpec extends SparkSpec {
       "q3_join_topn" -> 1, // joins broadcast at fixture stats; one agg exchange
       "j1_enrich_lookup" -> 0, // broadcast enrich: no shuffle at all
       "a1_hour_counts" -> 1, // partial+final agg
-      "a4_latest_per_key" -> 1, // max_by LWW: one keyed exchange
+      "a4_latest_per_key" -> 1, // argmax LWW (ObjectHashAggregate): one keyed exchange
       "t2_topn_per_group" -> 1, // per-group heap top-N: one keyed exchange
       "q_asof_join" -> 1, // one key shuffle, window runs on the co-partitioned stream
       "q_range_join_bucketed" -> 0, // broadcast at fixture SF; the (user, bucket) equi-key keeps it shuffle-able at scale
