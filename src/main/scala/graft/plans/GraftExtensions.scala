@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{BandedEditDistanceExpr, DotProductExpr, MinHashSigAgg, TopKByScoreAgg}
+import graft.functions.{ArgMaxAgg, BandedEditDistanceExpr, DotProductExpr, MinHashSigAgg, TopKByScoreAgg}
 
 /** SparkSessionExtensions entry point: registers the engine's native expressions
   * as SQL functions, so the custom Catalyst pieces are reachable from plain
@@ -15,6 +15,8 @@ import graft.functions.{BandedEditDistanceExpr, DotProductExpr, MinHashSigAgg, T
   *   - `graft_top_k(score, id, k)`  — bounded top-k aggregate ([[TopKByScoreAgg]])
   *   - `graft_edit_distance(l, r, k)` — banded thresholded Levenshtein
   *     ([[BandedEditDistanceExpr]]; -1 past the threshold)
+  *   - `graft_arg_max(ord, payload)`  — hash-aggregatable argmax
+  *     ([[ArgMaxAgg]]; `max_by` without the SortAggregate lowering)
   *
   * Wire up with `.withExtensions(new GraftExtensions)` at session build, or
   * `spark.sql.extensions=graft.plans.GraftExtensions` in config — the standard
@@ -51,6 +53,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 3, "graft_top_k(score, id, k)")
         TopKByScoreAgg(args(0), args(1), intArg(args(2), "graft_top_k"))
           .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_arg_max"),
+      new ExpressionInfo(classOf[ArgMaxAgg].getName, "graft_arg_max"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_arg_max(ord, payload)")
+        ArgMaxAgg(args(0), args(1)).toAggregateExpression()
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_edit_distance"),

@@ -52,6 +52,16 @@ class ExtensionsSpec extends AnyFunSuite {
       Seq((0.9, 0L), (0.9, 2L)))   // score desc, id asc tie-break
   }
 
+  test("graft_arg_max from SQL: payload of the greatest ordering, null ord never wins") {
+    val r = spark.sql(
+      """SELECT graft_arg_max(ts, name) AS winner FROM VALUES
+         (TIMESTAMP'2024-01-01 10:00:00', 'older'),
+         (TIMESTAMP'2024-01-02 10:00:00', 'newest'),
+         (CAST(NULL AS TIMESTAMP), 'null-ts') AS t(ts, name)""")
+      .head().getString(0)
+    assert(r === "newest")
+  }
+
   test("graft_edit_distance from SQL: within-threshold distance, -1 past it") {
     val r = spark.sql(
       """SELECT graft_edit_distance('kitten', 'sitting', 3) AS d,

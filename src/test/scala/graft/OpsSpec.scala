@@ -47,6 +47,24 @@ class OpsSpec extends SparkSpec {
     assert(seqs(43200L)(5) === 2L, "gap one past threshold must split")
   }
 
+  test("A4 both LWW forms agree when timestamps are null: a real ts always beats null") {
+    // ord = struct(ts, id): a null ts field sorts below every real ts in the
+    // struct ordering (asc nulls-first), matching the window form's
+    // `ts.desc` nulls-last — pin the parity so neither form lets a
+    // null-event-time replay overwrite a real profile
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+         (1L, 10L, TIMESTAMP'2024-01-01 10:00:00', 'real'),
+         (2L, 10L, CAST(NULL AS TIMESTAMP), 'null-ts'),
+         (3L, 20L, CAST(NULL AS TIMESTAMP), 'only-null')
+         AS t(event_id, user_id, ts, tag)""")
+    val agg = Ops.latestPerKeyAgg(df, Seq("user_id"), Seq($"ts", $"event_id"))
+    val win = Ops.latestPerKey(df, Seq("user_id"), Seq($"ts".desc, $"event_id".desc))
+    val a = rowSet(agg.select("user_id", "event_id"))
+    assert(a === rowSet(win.select("user_id", "event_id")))
+    assert(a === Set(Seq(10L, 1L), Seq(20L, 3L)))
+  }
+
   test("A4 latestPerKey keeps exactly one deterministic row per key") {
     val r = Ops.latestPerKey(events, Seq("user_id"),
       Seq($"ts".desc, $"event_id".desc))
