@@ -15,7 +15,7 @@ import graft.sources.Tables
 object Demo {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = graft.sources.Sessions.builder("local[4]", 4).getOrCreate()
+    val spark = graft.sources.Sessions.builder(4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val events = Tables.events(spark, d)
 

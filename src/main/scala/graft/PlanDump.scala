@@ -12,7 +12,7 @@ import org.apache.spark.sql.execution.ExplainMode
   * evidence). Run: `sbt "runMain graft.PlanDump"`. */
 object PlanDump {
   def main(args: Array[String]): Unit = {
-    val spark = graft.sources.Sessions.builder("local[4]", 4).getOrCreate()
+    val spark = graft.sources.Sessions.builder(4).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
 

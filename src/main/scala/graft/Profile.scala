@@ -8,7 +8,7 @@ import graft.sources.Tables
 /** Ad-hoc stage profiler (dev tool, not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = graft.sources.Sessions.builder("local[32]", 32).getOrCreate()
+    val spark = graft.sources.Sessions.builder(32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     def time(name: String)(f: => Long): Unit = {

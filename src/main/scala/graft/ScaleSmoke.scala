@@ -13,7 +13,7 @@ import graft.operators.Ops
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
-    val spark = graft.sources.Sessions.builder("local[32]", 32)
+    val spark = graft.sources.Sessions.builder(32)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -215,10 +215,16 @@ object Curation {
                     fastHash: Boolean = false): DataFrame = {
     (weights.values.toSeq :+ defaultWeight).foreach(w =>
       require(w >= 0 && w <= 1, s"mixture weight out of [0,1]: $w"))
-    // fold in sorted key order so the when-chain is deterministic regardless
-    // of Map runtime type
-    val rate = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight)) {
-      case ((dom, w), e) => when(col(domainCol) === dom, lit(w)).otherwise(e)
+    // Per-domain keep thresholds rounded DRIVER-SIDE, folded in sorted key
+    // order so the when-chain is deterministic regardless of Map runtime
+    // type. Rounding matters: DuckDB's CAST(x AS BIGINT) rounds while
+    // Spark's .cast("long") truncates — a weight like 0.29 multiplies to
+    // 2899.9999999999995 in doubles, and truncation would keep one hash
+    // bucket fewer than the oracle form.
+    val threshold = weights.toSeq.sortBy(_._1).foldRight(
+        lit(math.round(defaultWeight * 10000d)): Column) {
+      case ((dom, w), e) =>
+        when(col(domainCol) === dom, lit(math.round(w * 10000d))).otherwise(e)
     }
     // Both selectors are pure functions of the content; the rolling-hash form
     // is oracle-expressible (the query entry's contract), the xxhash64 form is
@@ -229,7 +235,7 @@ object Curation {
       else pmod(TextFns.fingerprint(col("text")), lit(10000L))
     docs
       .select(col("doc_id"), col(domainCol).as("domain"), fp.as("fp"))
-      .filter(col("fp") < (rate * 10000d).cast("long"))
+      .filter(col("fp") < threshold)
       .select("doc_id", "domain")
   }
 
@@ -281,16 +287,26 @@ object Curation {
                       domainCol: String = "source"): DataFrame = {
     (weights.values.toSeq :+ defaultWeight).foreach(w =>
       require(w >= 0, s"mixture weight must be >= 0, got $w"))
-    val rate = weights.toSeq.sortBy(_._1).foldRight(lit(defaultWeight)) {
-      case ((dom, w), e) => when(col(domainCol) === dom, lit(w)).otherwise(e)
+    // same driver-side rounding as mixtureSample: compute the fractional-
+    // epoch threshold from the SAME double expression DuckDB evaluates, then
+    // round as its CAST-to-BIGINT does (Spark's .cast("long") truncates)
+    def fullCopies(w: Double): Long = math.floor(w).toLong
+    def fracThreshold(w: Double): Long = math.round((w - math.floor(w)) * 10000d)
+    val copies = weights.toSeq.sortBy(_._1).foldRight(
+        lit(fullCopies(defaultWeight)): Column) {
+      case ((dom, w), e) => when(col(domainCol) === dom, lit(fullCopies(w))).otherwise(e)
+    }
+    val fracTh = weights.toSeq.sortBy(_._1).foldRight(
+        lit(fracThreshold(defaultWeight)): Column) {
+      case ((dom, w), e) => when(col(domainCol) === dom, lit(fracThreshold(w))).otherwise(e)
     }
     docs
       .select(col("doc_id"), col(domainCol).as("domain"),
-        TextFns.fingerprint(col("text")).as("fp"), rate.as("w"))
+        TextFns.fingerprint(col("text")).as("fp"),
+        copies.as("__c"), fracTh.as("__fth"))
       .select(col("doc_id"), col("domain"),
-        (floor(col("w")).cast("long") +
-          when(pmod(col("fp"), lit(10000L)) <
-            ((col("w") - floor(col("w"))) * 10000d).cast("long"), 1L)
+        (col("__c") +
+          when(pmod(col("fp"), lit(10000L)) < col("__fth"), 1L)
             .otherwise(0L)).as("n_copies"))
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("domain"),

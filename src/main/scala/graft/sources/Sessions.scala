@@ -19,10 +19,13 @@ import org.apache.spark.sql.SparkSession
   *  - no UI: these are batch/test processes.
   */
 object Sessions {
-  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+  /** One `cores` knob drives both the local master and the shuffle-partition
+    * count — a pair like ("local[32]", 4) would silently skew every measured
+    * number, so the API makes it unrepresentable. */
+  def builder(cores: Int): SparkSession.Builder =
     SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -226,6 +226,26 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("mixture thresholds round like the oracle's CAST, never truncate (0.29 -> fp < 2900)") {
+    import graft.functions.TextFns
+    // 0.29 * 10000 = 2899.9999999999995 in doubles: truncation would test
+    // fp < 2899 while DuckDB's CAST(x AS BIGINT) — the oracle form — rounds
+    val expected = docs
+      .select($"doc_id", pmod(TextFns.fingerprint($"text"), lit(10000L)).as("fp"))
+      .filter($"fp" < 2900).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val sampled = Curation.mixtureSample(docs, Map.empty, defaultWeight = 0.29)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampled === expected)
+    // upsample's fractional epoch obeys the same boundary: weight 1.29 gives
+    // 1 full copy everywhere + the fractional copy on exactly the same docs
+    val up = Curation.mixtureUpsample(docs, Map.empty, defaultWeight = 1.29)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(up.filter(_._2 == 2L).keySet === expected)
+    assert(up.values.forall(n => n == 1L || n == 2L))
+  }
+
   test("mixtureSample rejects out-of-range weights") {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(docs, Map("web" -> 1.5))

@@ -22,7 +22,7 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = graft.sources.Sessions.builder("local[4]", 4)
+    val s = graft.sources.Sessions.builder(4)
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
-    val spark = graft.sources.Sessions.builder("local[32]", 32)
+    val spark = graft.sources.Sessions.builder(32)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
