@@ -64,6 +64,12 @@ object ScaleSmoke {
     time("countDistinct one-stage") {
       events.groupBy("event_type").agg(countDistinct(col("user_id"))).count()
     }
+    time("sessionize 30-min gap (hot key)") {
+      // per-key window pass; the hot user's 2M-event history sorts on one
+      // task — the documented regime boundary vs the streaming sessionizer
+      Ops.sessionize(events, Seq("user_id"), "ts", "event_id", 1800L)
+        .select(max(col("session_seq"))).head().getLong(0)
+    }
     time("rangeSelfJoinBucketed 60s (hot key)") {
       Ops.rangeSelfJoinBucketed(
         events.filter(pmod(col("event_id"), lit(100)) === 0) // 1% sample: pairs stay countable
@@ -241,6 +247,14 @@ object ScaleSmoke {
         length(col("text")).cast("long").as("n_chars"))
       time("capPerDomain 1000 domains x 1M docs") {
         graft.operators.Curation.capPerDomain(sourced, maxPerDomain = 100).count()
+      }
+      time("assignSplit train/val/test 1M docs") {
+        graft.operators.Curation.assignSplit(sourced, fastHash = true)
+          .filter(col("split") === "train").count()
+      }
+      time("exactDedupCanonical 1M docs") {
+        graft.operators.Dedup.exactDedupCanonical(sourced,
+          length(col("text")).cast("long")).count()
       }
       time("mixtureSample content-hash 1M docs") {
         graft.operators.Curation.mixtureSample(sourced,
