@@ -1598,6 +1598,20 @@ object SparkEntry {
                 WHEN fp % 10000 < 9500 THEN 'val'
                 ELSE 'test' END AS split FROM f""")),
 
+    Q("pipeline_shuffle", // deterministic corpus-shuffle keys: sort by
+      // (shuffle_key, doc_id) for a stable pseudo-random training order,
+      // reproducible across engines; seed inside the hash, map-only
+      (s, d) => Curation.shuffleOrder(Tables.documents(s, d), seed = 7L),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_replace(lower(trim(regexp_replace('seed7 ' || text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents)
+              SELECT doc_id,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS shuffle_key
+              FROM t""")),
+
     Q("q_sessionize", // gap-based batch sessionization (30-min gap per user):
       // lag boundary detection + running sum — the batch twin of the
       // streaming session window

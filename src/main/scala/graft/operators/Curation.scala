@@ -273,6 +273,29 @@ object Curation {
     docs.withColumn("__fp", fp).select(col("doc_id"), splitCol.as("split"))
   }
 
+  /** Deterministic corpus-shuffle keys: the "global shuffle before
+    * packing/training" step as a pure function of (seed, content) — sort by
+    * `(shuffle_key, doc_id)` and the corpus is in a stable pseudo-random
+    * order that reproduces across runs, engines, and partitionings (a random
+    * shuffle loses exactly that, and with it the ability to resume or audit a
+    * data order). A new seed is a new order. Returns the key column rather
+    * than a global rank: a rank is `row_number` over an UNPARTITIONED window
+    * — one task sorts the corpus — while sorting by the key is a range
+    * exchange + local sorts, the scale-safe total order (writers hand it to
+    * `repartitionByRange(...).sortWithinPartitions(...)`). Content-identical
+    * documents share a key; the doc_id tie-break keeps the order total.
+    * `fastHash` swaps the oracle-expressible rolling hash for xxhash64 (the
+    * 100 TB path — one hash pass, better dispersion). */
+  def shuffleOrder(docs: DataFrame, seed: Long = 0L,
+                   fastHash: Boolean = false): DataFrame = {
+    // the seed rides INSIDE the hashed text (prepended as a token), so
+    // changing it re-disperses every key — no per-seed salt column needed
+    val seeded = concat(lit(s"seed$seed "), col("text"))
+    val key = if (fastHash) TextFns.fastFingerprint(seeded)
+              else TextFns.fingerprint(seeded)
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+  }
+
   /** [[mixtureSample]] generalized to weights ABOVE 1 — epoch-style
     * upsampling ("books × 2.5"): every document emits `floor(w)` full copies
     * plus one more with probability `frac(w)`, decided by the same

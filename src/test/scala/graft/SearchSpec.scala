@@ -246,6 +246,26 @@ class SearchSpec extends SparkSpec {
     assert(up.values.forall(n => n == 1L || n == 2L))
   }
 
+  test("shuffleOrder: deterministic, seed-sensitive, content-keyed") {
+    def order(seed: Long): Seq[Long] =
+      Curation.shuffleOrder(docs, seed).orderBy($"shuffle_key", $"doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+    // deterministic across invocations
+    assert(order(7L) === order(7L))
+    // a new seed is a new order; neither is the identity order
+    assert(order(7L) !== order(8L))
+    assert(Seq(order(7L), order(8L)).exists(_ !== (1L to 6L).toSeq),
+      "shuffled order should not equal insertion order for both seeds")
+    // content-identical docs share a key (the documented adjacency caveat)
+    val dup = docs.withColumn("doc_id", $"doc_id" + 100)
+    val keys = Curation.shuffleOrder(docs.union(dup), 7L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 6L).foreach(id => assert(keys(id) === keys(id + 100)))
+    // fastHash form: same properties, engine-specific values
+    val fast = Curation.shuffleOrder(docs, 7L, fastHash = true)
+    assert(fast.select("shuffle_key").distinct().count() > 1)
+  }
+
   test("mixtureSample rejects out-of-range weights") {
     intercept[IllegalArgumentException] {
       Curation.mixtureSample(docs, Map("web" -> 1.5))
