@@ -67,11 +67,20 @@ object Demo {
     try q.processAllAvailable() finally q.stop()
     val streamed = graft.streaming.StreamingViews.latestFromIncrements(spark, s"$tmp/out")
     val batch = graft.operators.Views.latestInfo(events)
-    val sKeys = streamed.select("user_id", "event_id")
-    val bKeys = batch.select("user_id", "event_id")
-    val diff = sKeys.exceptAll(bKeys).count() + bKeys.exceptAll(sKeys).count()
-    require(diff == 0,
-      s"streamed view diverged from batch view ($diff differing rows)")
+    // full-row comparison over the columns both forms carry — the demo is the
+    // first artifact a user runs, so divergence must FAIL the process (exit 1),
+    // not print and scroll by (verdict r5 task 6)
+    val common = streamed.columns.toSeq.intersect(batch.columns.toSeq).sorted
+    val sRows = streamed.select(common.map(col): _*)
+    val bRows = batch.select(common.map(col): _*)
+    val diff = sRows.exceptAll(bRows).count() + bRows.exceptAll(sRows).count()
+    if (diff != 0) {
+      System.err.println(
+        s"DEMO FAILED: streamed view diverged from batch-computed view " +
+        s"($diff differing rows over columns ${common.mkString(", ")})")
+      spark.stop()
+      System.exit(1)
+    }
     println(s"maintained latest-profile view: ${streamed.count()} rows " +
       s"== batch-computed view (diff=0); endpoint point-read over the maintained view:")
     // the endpoint's point read against the ALREADY-MAINTAINED view is a bare

@@ -65,11 +65,13 @@ object PlanDump {
          "feeds the one-row aggregate), top-k as `TakeOrderedAndProject` — " +
          "document rows are never hash-shuffled."),
       ("search_bm25_batch",
-       "Batch BM25 (one corpus pass for a whole query set): the exploded token " +
-         "stream is broadcast-filtered to the query vocabulary BEFORE any " +
-         "exchange; query terms, per-term df, and the one-row global stats all " +
-         "ride broadcasts; per-query top-k is the bounded-heap aggregate. The " +
-         "only hash exchanges carry query-vocabulary matches, never the corpus."),
+       "Batch BM25 (query-count-independent corpus work: two scans — global " +
+         "stats + tokenize-for-scoring — however many queries): the exploded " +
+         "token stream is broadcast-filtered to the query vocabulary BEFORE any " +
+         "exchange; per-term df is a count window over the matched tf rows (no " +
+         "third corpus scan); query terms and the one-row global stats ride " +
+         "broadcasts; per-query top-k is the bounded-heap aggregate. The only " +
+         "hash exchanges carry query-vocabulary matches, never the corpus."),
       ("search_postings_sharded",
        "Hot-term sharded inverted index: df counted first (count-only buffers), " +
          "postings grouped by (term, pmod(doc_id, shards)) so a stop word's " +

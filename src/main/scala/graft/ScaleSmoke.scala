@@ -70,6 +70,12 @@ object ScaleSmoke {
       Ops.sessionize(events, Seq("user_id"), "ts", "event_id", 1800L)
         .select(max(col("session_seq"))).head().getLong(0)
     }
+    time("sessionizeSkewSafe 30-min gap / 1h ranges (hot key)") {
+      // two-level form: the hot key's history splits across (key, hour-range)
+      // tasks; no single sort exceeds rate x rangeSeconds events
+      Ops.sessionizeSkewSafe(events, Seq("user_id"), "ts", "event_id", 1800L, 3600L)
+        .select(max(col("session_seq"))).head().getLong(0)
+    }
     time("rangeSelfJoinBucketed 60s (hot key)") {
       Ops.rangeSelfJoinBucketed(
         events.filter(pmod(col("event_id"), lit(100)) === 0) // 1% sample: pairs stay countable
@@ -254,6 +260,10 @@ object ScaleSmoke {
       }
       time("exactDedupCanonical 1M docs") {
         graft.operators.Dedup.exactDedupCanonical(sourced,
+          length(col("text")).cast("long")).count()
+      }
+      time("exactDedupCanonicalByFingerprint 1M docs") {
+        graft.operators.Dedup.exactDedupCanonicalByFingerprint(sourced,
           length(col("text")).cast("long")).count()
       }
       time("mixtureSample content-hash 1M docs") {

@@ -681,6 +681,31 @@ object SparkEntry {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_users_est")),
       None),
 
+    Q("q_sketch_reagg_bounds", // driver-visible error gate for the sketch layer
+      // (verdict r5 task 5): per stratum, the merged-HLL estimate must land in
+      // [exact*(1-eps), exact*(1+eps)] against the EXACT distinct count — the
+      // boolean plus the exact count ARE hash-oracled (DuckDB computes the same
+      // exact count and expects within_bounds = TRUE; it cannot reproduce the
+      // estimate value itself, which stays driver-visible in q_sketch_reagg).
+      // eps = 0.05 ~ 3 sigma for lgConfigK=12 (rel err 1.04/sqrt(4096) = 1.6%).
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val est = ev
+          .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .join(est, Seq("event_type"))
+          .select(col("event_type"), col("exact_users"),
+            (col("est") >= col("exact_users") * 0.95 &&
+             col("est") <= col("exact_users") * 1.05).as("within_bounds"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+              TRUE AS within_bounds
+              FROM events GROUP BY event_type""")),
+
     Q("q_pivot",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id").pivot("event_type", Seq("signup", "purchase", "view"))
@@ -979,14 +1004,19 @@ object SparkEntry {
       // non-chaining fuse; each merge's sides exist before its rank, so
       // rank-order passes equal the lowest-rank-first loop). trainMerges
       // stays rows-only (text_bpe_merges) — the merge LOOP is what SQL can't
-      // express, not the encode.
+      // express, not the encode. Literal '<'/'>' chars are stripped on BOTH
+      // sides before encoding: the oracle's bracket delimiters would otherwise
+      // collide with document text containing them (advisor, round 5 — the
+      // fixture has none, but the parity must not depend on that).
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"),
-          graft.operators.Bpe.encode(col("text"), fixedBpeMerges).as("toks"))
+          graft.operators.Bpe.encode(
+            regexp_replace(col("text"), "[<>]", ""), fixedBpeMerges).as("toks"))
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_bpe_tokens"),
           array_join(col("toks"), " ").as("bpe_tokens")),
       Some("""WITH t AS (SELECT doc_id,
-                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                string_split(lower(trim(regexp_replace(
+                  regexp_replace(text, '[<>]', '', 'g'), '\s+', ' ', 'g'))), ' ') AS toks
                 FROM documents),
               enc AS (SELECT doc_id, list_transform(toks, w ->
                   replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
@@ -1062,6 +1092,15 @@ object SparkEntry {
                 count(*) OVER (PARTITION BY norm) AS dup_count FROM t)
               SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count
               FROM r WHERE rn = 1""")),
+
+    Q("dedup_exact_canonical_fp", // scale path of the canonical selection: same
+      // argmax, but keyed on the 8-byte xxhash64 fingerprint instead of the
+      // normalized text — the exchange never carries document bodies. Rows-only
+      // (xxhash64 isn't in DuckDB); DedupSpec asserts its survivor set equals
+      // dedup_exact_canonical's on the fixture.
+      (s, d) => Dedup.exactDedupCanonicalByFingerprint(Tables.documents(s, d),
+        length(col("text")).cast("long")),
+      None),
 
     Q("dedup_minhash_lsh", // xxhash64-based signatures — engine-specific, rows-only
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
@@ -1598,6 +1637,15 @@ object SparkEntry {
                 WHEN fp % 10000 < 9500 THEN 'val'
                 ELSE 'test' END AS split FROM f""")),
 
+    Q("pipeline_split_fp", // the 100 TB path of pipeline_split: identical
+      // split semantics keyed on xxhash64 instead of the char-wise rolling
+      // hash (one hash pass, ~20x at 1M docs per ScaleSmoke). Rows-only —
+      // xxhash64 isn't in DuckDB; PropertySpec gates split proportions to
+      // within 1% of the slow-hash form and asserts dup-consistency.
+      (s, d) => Curation.assignSplit(Tables.documents(s, d),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), fastHash = true),
+      None),
+
     Q("pipeline_shuffle", // deterministic corpus-shuffle keys: sort by
       // (shuffle_key, doc_id) for a stable pseudo-random training order,
       // reproducible across engines; seed inside the hash, map-only
@@ -1617,6 +1665,28 @@ object SparkEntry {
       // streaming session window
       (s, d) => Ops.sessionize(Tables.events(s, d), Seq("user_id"), "ts",
         "event_id", gapSeconds = 1800L)
+        .select("event_id", "user_id", "session_seq"),
+      Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              l AS (SELECT event_id, user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM e),
+              n AS (SELECT event_id, user_id, ts,
+                CASE WHEN prev IS NULL
+                     OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                     THEN 1 ELSE 0 END AS nw FROM l)
+              SELECT event_id, user_id,
+                CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM n""")),
+
+    Q("q_sessionize_skewsafe", // two-level skew-safe sessionization: sort
+      // within (user, 1h range) then merge boundary sessions — no task ever
+      // sorts a hot key's full history. Same oracle as q_sessionize: the
+      // two forms are output-identical by construction (hash-checked here,
+      // equality-spec'd in OpsSpec).
+      (s, d) => Ops.sessionizeSkewSafe(Tables.events(s, d), Seq("user_id"), "ts",
+        "event_id", gapSeconds = 1800L, rangeSeconds = 3600L)
         .select("event_id", "user_id", "session_seq"),
       Some("""WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
                 FROM events),

@@ -289,8 +289,13 @@ object Curation {
   def shuffleOrder(docs: DataFrame, seed: Long = 0L,
                    fastHash: Boolean = false): DataFrame = {
     // the seed rides INSIDE the hashed text (prepended as a token), so
-    // changing it re-disperses every key — no per-seed salt column needed
-    val seeded = concat(lit(s"seed$seed "), col("text"))
+    // changing it re-disperses every key — no per-seed salt column needed.
+    // Negative seeds encode strip-proof ("seedm7", not "seed-7"): the
+    // oracle-hash normalizer strips non-alphanumerics, so a '-' sign would
+    // collapse seeds 7 and -7 into the same key stream on that path while
+    // the xxhash64 path kept them distinct (advisor, round 5).
+    val seedTok = if (seed < 0) s"seedm${seed.toString.drop(1)}" else s"seed$seed"
+    val seeded = concat(lit(s"$seedTok "), col("text"))
     val key = if (fastHash) TextFns.fastFingerprint(seeded)
               else TextFns.fingerprint(seeded)
     docs.select(col("doc_id"), key.as("shuffle_key"))

@@ -45,6 +45,27 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Canonical-selection dedup, scale path: the same argmax aggregation as
+    * [[exactDedupCanonical]] but keyed on xxhash64(normalized text) — an 8-byte
+    * shuffle key instead of the document body. This is the form a production
+    * curation pipeline runs: at 100 TB the text-keyed variant's grouping key IS
+    * the document, so the exchange would carry the whole corpus; here the
+    * exchange carries (8-byte fp, quality, doc_id) and the argmax still merges
+    * map-side (hash-aggregatable, skew-immune — a hot duplicate group reduces
+    * inside each map task). Selects the identical survivor set as the text-keyed
+    * form modulo 64-bit fingerprint collision (~n²/2⁶⁵ expected collisions, the
+    * same caveat as [[exactDedupByFingerprint]]); DedupSpec asserts survivor-set
+    * equality on the fixture. */
+  def exactDedupCanonicalByFingerprint(docs: DataFrame,
+                                       quality: org.apache.spark.sql.Column): DataFrame =
+    docs.groupBy(TextFns.fastFingerprint(col("text")).as("fp"))
+      .agg(
+        graft.functions.ArgMaxAgg.argMax(
+          struct(quality.as("q"), (-col("doc_id")).as("nid")),
+          col("doc_id")).as("doc_id"),
+        count(lit(1)).as("dup_count"))
+      .select("doc_id", "dup_count")
+
   /** Exact dedup, scale path: group on xxhash64(normalized text) — an 8-byte
     * shuffle key instead of the document body. */
   def exactDedupByFingerprint(docs: DataFrame): DataFrame =

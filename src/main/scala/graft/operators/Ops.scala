@@ -130,6 +130,69 @@ object Ops {
       .drop("__prev", "__new")
   }
 
+  /** Skew-safe two-level sessionization — identical output to [[sessionize]],
+    * but no single task ever sorts a whole hot key's history. Level 1
+    * partitions each key's events into coarse time ranges of `rangeSeconds`
+    * and sessionizes WITHIN each (key, range) — the per-task sort is bounded
+    * by the key's event rate × `rangeSeconds`, however hot the key. Level 2
+    * merges boundary sessions: per (key, range) only three numbers survive
+    * (local session count, first/last event time), a per-key window over this
+    * range-count-sized summary decides which range-boundary sessions chain
+    * (gap <= `gapSeconds`) and computes each range's global numbering offset,
+    * and the offsets join back on the SAME (key, range) key the events are
+    * already partitioned on (dim-sized side — AQE broadcasts it).
+    *
+    * Requires `rangeSeconds >= gapSeconds`: then two events in NON-adjacent
+    * ranges are separated by a full empty range (> gapSeconds), so only
+    * adjacent-range sessions can ever merge and the lag-based boundary test is
+    * exhaustive. The offset algebra: a range's sessions start numbering at
+    * (sum of prior ranges' local counts) − (number of merges up to and
+    * including this range) + local_seq — each merge collapses a range's first
+    * local session into the previous range's last, shifting everything after
+    * it down by one. OpsSpec asserts equality with the one-level form on a
+    * fixture whose keys span many ranges; ScaleSmoke runs the 2M-event hot key
+    * through both. */
+  def sessionizeSkewSafe(events: DataFrame, keys: Seq[String], tsCol: String,
+                         tieBreak: String, gapSeconds: Long,
+                         rangeSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"session gap must be positive, got $gapSeconds")
+    require(rangeSeconds >= gapSeconds,
+      s"rangeSeconds ($rangeSeconds) must be >= gapSeconds ($gapSeconds) so only adjacent ranges merge")
+    val tsUs = unix_micros(col(tsCol).cast("timestamp"))
+    val ranged = events.withColumn("__range", floor(tsUs / (rangeSeconds * 1000000L)))
+    val kr = keys :+ "__range"
+    // level 1: bounded per-(key, range) sort + local session numbering
+    val w = Window.partitionBy(kr.map(col): _*).orderBy(col(tsCol), col(tieBreak))
+    val local = ranged
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col(tsCol).cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > gapSeconds * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("__local_seq", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__prev", "__new")
+    // level 2: one summary row per (key, range) — the only thing that crosses
+    // the per-key merge window, never the events themselves
+    val bounds = local.groupBy(kr.map(col): _*)
+      .agg(max(col("__local_seq")).as("__n_local"),
+        min(tsUs).as("__first_us"), max(tsUs).as("__last_us"))
+    val wk = Window.partitionBy(keys.map(col): _*).orderBy(col("__range"))
+    val offsets = bounds
+      .withColumn("__merge", when(
+          col("__first_us") - lag(col("__last_us"), 1).over(wk) <= gapSeconds * 1000000L,
+          1L).otherwise(0L)) // null lag (first range) -> otherwise-branch 0
+      .withColumn("__offset",
+        coalesce(sum(col("__n_local")).over(
+          wk.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+        sum(col("__merge")).over(
+          wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((kr.map(col) :+ col("__offset")).toIndexedSeq: _*)
+    local.join(offsets, kr, "inner")
+      .withColumn("session_seq", col("__offset") + col("__local_seq"))
+      .drop("__range", "__local_seq", "__offset")
+  }
+
   /** Approximate heavy hitters via mergeable Misra-Gries summaries (Misra &
     * Gries 1982; merge bound per Agarwal et al. 2012, "Mergeable Summaries"):
     * each partition keeps at most `capacity` counters — an incoming item

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -72,23 +73,28 @@ object Search {
       .filter(col("bm25") > 0)
   }
 
-  /** BM25 top-k for a whole query SET in one corpus pass — the retrieval shape
-    * an eval harness actually runs. [[bm25TopK]] takes literal terms, so k
-    * queries cost k corpus scans; this scores every query together.
+  /** BM25 top-k for a whole query SET with QUERY-COUNT-INDEPENDENT corpus
+    * work — the retrieval shape an eval harness actually runs. [[bm25TopK]]
+    * takes literal terms, so k queries cost k corpus scans; this scores every
+    * query together over exactly two corpus scans regardless of query count
+    * (one for the global doc-count/avgdl stats, one tokenize-for-scoring —
+    * the df counts come from a window over the already-matched tf rows, not a
+    * third scan).
     *
     * `queries`: (query_id: bigint, qtext: string). Output: (query_id, doc_id,
     * bm25) — per-query top `k`, positive scores only, (bm25 DESC, doc_id ASC)
     * tie-break: exactly [[bm25TopK]]'s semantics per query (SearchSpec asserts
     * row-for-row agreement).
     *
-    * Scale shape: the corpus tokenizes once; the exploded token stream is
-    * immediately broadcast-semi-joined against the distinct query terms, so
-    * only tokens some query mentions reach the (term, doc) aggregation — the
-    * shuffle is |matching tokens|, never the corpus. The query-term and
-    * per-term-df tables are broadcast (a query set is dim-sized by
-    * definition); global stats ride a one-row broadcast; the per-query top-k
-    * is the heap-bounded [[graft.functions.TopKByScoreAgg]] (each map task
-    * ships at most k candidates per query to the final shuffle). */
+    * Scale shape: the scoring scan's exploded token stream is immediately
+    * broadcast-semi-joined against the distinct query terms, so only tokens
+    * some query mentions reach the (term, doc) aggregation — every shuffle
+    * downstream is |matching tokens| or smaller, never the corpus. Per-term
+    * df is a count window over the matched (term, doc) rows; the query-term
+    * table is broadcast (a query set is dim-sized by definition); global
+    * stats ride a one-row broadcast; the per-query top-k is the heap-bounded
+    * [[graft.functions.TopKByScoreAgg]] (each map task ships at most k
+    * candidates per query to the final shuffle). */
   def bm25TopKBatch(docs: DataFrame, queries: DataFrame, k: Int = 20,
                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qterms = queries
@@ -106,9 +112,14 @@ object Search {
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val contrib = tf
-      .join(broadcast(dfs), "term")
+    // df from the tf rows themselves (count of matched docs per term) via a
+    // window — NOT a separate aggregate: tf is an uncached subtree, so a
+    // second reference would re-run its corpus scan (advisor, round 5). The
+    // window's term-keyed exchange carries only the (term, doc)-aggregated
+    // matched rows.
+    val withDf = tf.withColumn("df",
+      count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+    val contrib = withDf
       .join(broadcast(qterms), "term")
       .crossJoin(broadcast(gstats))
       .select(col("query_id"), col("doc_id"),

@@ -28,6 +28,18 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(Seq(2L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
   }
 
+  test("fingerprint canonical dedup selects the identical survivor set") {
+    import org.apache.spark.sql.functions._
+    val q = length(col("text")).cast("long")
+    val textKeyed = rowSet(Dedup.exactDedupCanonical(docs, q))
+    val fpKeyed = rowSet(Dedup.exactDedupCanonicalByFingerprint(docs, q))
+    assert(fpKeyed === textKeyed)
+    // and on the real fixture corpus (500 docs with planted duplicate groups)
+    val fixTxt = rowSet(Dedup.exactDedupCanonical(fixtureDocs, q))
+    val fixFp = rowSet(Dedup.exactDedupCanonicalByFingerprint(fixtureDocs, q))
+    assert(fixFp === fixTxt)
+  }
+
   test("fingerprint dedup agrees with exact dedup on group structure") {
     val r = rowSet(Dedup.exactDedupByFingerprint(docs).select("doc_id", "dup_count"))
     assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))

@@ -47,6 +47,26 @@ class OpsSpec extends SparkSpec {
     assert(seqs(43200L)(5) === 2L, "gap one past threshold must split")
   }
 
+  test("skew-safe sessionize equals the one-level form, including cross-range chains") {
+    // fixture events span hours/days per user, so a small rangeSeconds forces
+    // many ranges per key and exercises boundary merges + multi-range chains
+    val fixture = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    for (rangeSec <- Seq(1800L, 3600L, 86400L)) {
+      val one = Ops.sessionize(fixture, Seq("user_id"), "ts", "event_id", 1800L)
+        .select("event_id", "session_seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val two = Ops.sessionizeSkewSafe(fixture, Seq("user_id"), "ts", "event_id",
+          1800L, rangeSec)
+        .select("event_id", "session_seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(two === one, s"rangeSeconds=$rangeSec diverged from one-level sessionize")
+    }
+    // rangeSeconds < gapSeconds would let non-adjacent ranges merge undetected
+    intercept[IllegalArgumentException] {
+      Ops.sessionizeSkewSafe(events, Seq("user_id"), "ts", "event_id", 1800L, 60L)
+    }
+  }
+
   test("A4 both LWW forms agree when timestamps are null: a real ts always beats null") {
     // ord = struct(ts, id): a null ts field sorts below every real ts in the
     // struct ordering (asc nulls-first), matching the window form's

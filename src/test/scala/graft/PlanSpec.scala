@@ -263,13 +263,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), s"query-side table degraded to shuffle join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // six exchanges, none corpus-scale: tf / df / per-(query,doc) score /
-    // per-query topk aggregations over the BROADCAST-FILTERED token stream
-    // (query-vocabulary matches only), plus two query-side dim-sized
+    // at most six exchanges, none corpus-scale: tf / df / per-(query,doc)
+    // score / per-query topk aggregations over the BROADCAST-FILTERED token
+    // stream (query-vocabulary matches only), plus two query-side dim-sized
     // distincts feeding broadcast builds — the raw exploded corpus never
-    // crosses an exchange
+    // crosses an exchange. Upper bound, not equality: a benign planner change
+    // that REMOVES an exchange must not fail the gate (advisor, round 5).
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n === 6, s"exchange-count drift (expected 6), got $n:\n$p")
+    assert(n <= 6, s"exchange-count drift (expected <= 6), got $n:\n$p")
   }
 
   test("decontaminate broadcasts the benchmark gram set; corpus join is not shuffled") {
@@ -306,8 +307,10 @@ class PlanSpec extends SparkSpec {
     // a green query (extra shuffle, broadcast degraded to exchange, join
     // exploding to a cartesian product) fails HERE, not in a 100 TB run.
     // Counts are "Exchange hashpartitioning" occurrences in the finalized
-    // adaptive plan (the convention used throughout this suite); update a pin
-    // only with a plan-level justification for the new number.
+    // adaptive plan (the convention used throughout this suite). Each pin is an
+    // UPPER BOUND, not an equality: a Spark/AQE upgrade that removes an
+    // exchange is an improvement, not drift (advisor, round 5); tighten the pin
+    // when that happens, raise one only with a plan-level justification.
     val pinned = Map(
       "q1_pricing_summary" -> 1, // partial+final agg around one exchange
       "q3_join_topn" -> 1, // joins broadcast at fixture stats; one agg exchange
@@ -318,7 +321,15 @@ class PlanSpec extends SparkSpec {
       "q_asof_join" -> 1, // one key shuffle, window runs on the co-partitioned stream
       "q_range_join_bucketed" -> 0, // broadcast at fixture SF; the (user, bucket) equi-key keeps it shuffle-able at scale
       "search_bm25" -> 0, // single-row stats broadcast only; docs never hash-shuffled
-      "dedup_incremental" -> 2) // fingerprint-only exchanges (batch dup-count agg + anti-join key shuffle)
+      "dedup_incremental" -> 2, // fingerprint-only exchanges (batch dup-count agg + anti-join key shuffle)
+      // round-5 additions (verdict task 3): the retrieval/curation layer
+      "search_bm25_batch" -> 6, // see the dedicated batch-BM25 plan test above
+      "search_postings" -> 2, // two-phase bounded build: df-cap agg + per-term posting agg
+      "search_postings_sharded" -> 3, // + shard reassembly agg, all (term[,shard])-keyed
+      "q_sessionize" -> 1, // one user-key exchange; session walk is a co-partitioned window
+      "q_sessionize_skewsafe" -> 3, // (key,range) sort + per-key summary window + offset re-join; summaries are range-count-sized
+      "dedup_exact_canonical" -> 1, // one keyed argmax exchange (text-keyed oracle form)
+      "dedup_exact_canonical_fp" -> 1) // same argmax, 8-byte fingerprint key (scale form)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
@@ -329,8 +340,9 @@ class PlanSpec extends SparkSpec {
         s"$name grew a cartesian product:\n$p")
       name -> "Exchange hashpartitioning".r.findAllIn(p).size
     }.toMap
-    assert(actual === pinned,
-      s"shuffle-count drift:\n  actual: ${actual.toSeq.sorted}\n  pinned: ${pinned.toSeq.sorted}")
+    val drift = actual.filter { case (n, c) => c > pinned(n) }
+    assert(drift.isEmpty,
+      s"shuffle-count drift above pinned bounds:\n  actual: ${drift.toSeq.sorted}\n  pinned: ${drift.keys.toSeq.sorted.map(n => n -> pinned(n))}")
   }
 
   test("incremental dedup shuffles 8-byte fingerprints, never document text") {

@@ -194,6 +194,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fastHash split matches slow-hash proportions within 1% and keeps dups together") {
+    // the xxhash64 scale path assigns different individual documents than the
+    // rolling-hash oracle path (different hash, same semantics), but the split
+    // MASS must agree: per-split proportions within 1 percentage point on a
+    // 20k-DISTINCT-doc corpus (deterministic — fixed texts, fixed hashes).
+    // Distinct matters: the sf fixtures plant duplicate groups, which share
+    // one hash draw each and widen the small val/test strata past 1pp.
+    val corpus = (0 until 20000).map { i =>
+      (i.toLong, f"w${i * 2654435761L}%x x${i * 40503L + 7}%x tok$i")
+    }.toDF("doc_id", "text")
+    val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val n = corpus.count().toDouble
+    def props(fast: Boolean): Map[String, Double] =
+      Curation.assignSplit(corpus, fracs, fastHash = fast)
+        .groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    val slow = props(fast = false); val fastP = props(fast = true)
+    for ((name, _) <- fracs) {
+      val d = math.abs(slow.getOrElse(name, 0.0) - fastP.getOrElse(name, 0.0))
+      assert(d <= 0.01, f"split '$name' proportions diverge by ${d * 100}%.2f%% " +
+        f"(slow=${slow.getOrElse(name, 0.0)}%.4f fast=${fastP.getOrElse(name, 0.0)}%.4f)")
+    }
+    // leakage guard holds on the fast path too: content-identical docs draw
+    // the same split (pure content hash — no doc_id, no partition state)
+    val dups = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "delta epsilon zeta")).toDF("doc_id", "text")
+    val perText = Curation.assignSplit(dups, fracs, fastHash = true)
+      .join(dups, "doc_id").groupBy("text").agg(countDistinct(col("split")).as("k"))
+    assert(perText.collect().forall(_.getLong(1) === 1L), "duplicate docs split apart")
+  }
+
   test("semantic curation: quality gate composes with embedding-space dedup") {
     val docs = Seq(
       (1L, "the cat and the dog in the data"),
