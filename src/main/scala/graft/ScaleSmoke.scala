@@ -325,8 +325,14 @@ object ScaleSmoke {
       s"10M synthetic events (~20% on one hot key), 1M x 32-dim vectors, 1M docs\n" +
       s"(10% planted dup rate) on local[32] — 100x the sf0.1 bench volume. Every\n" +
       s"operator must stay linear and skew-bound; generated by `sbt \"runMain\n" +
-      s"graft.ScaleSmoke\"` on an idle host. The argmax-vs-window LWW pair and the\n" +
-      s"skew-safe-vs-one-stage distinct pair are deliberate A/B comparisons.\n\n" +
+      s"graft.ScaleSmoke\"` on an idle host. The argmax-vs-window LWW pair, the\n" +
+      s"skew-safe-vs-one-stage distinct pair, the text-vs-fingerprint canonical\n" +
+      s"dedup pair, and the one-vs-two-level sessionize pair are deliberate A/B\n" +
+      s"comparisons. The two-level sessionizer costs a constant factor here\n" +
+      s"(~1.3-2x run to run) — the price of\n" +
+      s"bounding every per-task sort to rate x rangeSeconds events; it is the\n" +
+      s"form to run when a key's history outgrows one task (at this volume the\n" +
+      s"2M-event hot key still fits, so the one-level form wins on wall-time).\n\n" +
       "```\n" + report.toString + "```\n")
     println(s"SCALE.md written")
     spark.stop()
