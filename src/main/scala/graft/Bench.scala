@@ -21,7 +21,9 @@ object Bench {
     "text_bpe_token_count",
     // round-5 capabilities
     "search_bm25_batch", "search_postings", "dedup_exact_canonical",
-    "pipeline_split", "q_sessionize")
+    "pipeline_split", "q_sessionize",
+    // round-6 capabilities
+    "dedup_dup_spans", "search_hybrid_rrf")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

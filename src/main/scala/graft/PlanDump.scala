@@ -81,6 +81,12 @@ object PlanDump {
        "Decontamination: the benchmark gram set is the BUILD side of a " +
          "`BroadcastHashJoin` — the corpus probe is map-only; the only " +
          "corpus-keyed exchange is the per-doc matched-gram count aggregate."),
+      ("dedup_dup_spans",
+       "Cross-doc duplicate spans (substring dedup): ONE corpus tokenize pass; " +
+         "exchanges are gram-keyed 8-byte hashes ((gram, doc) position agg with " +
+         "map-side partials, then a doc-count window over the gram key) and " +
+         "per-doc windows for the island merge — bounded by tokens-per-document; " +
+         "the span aggregation reuses the per-doc partitioning (no 4th exchange)."),
       ("dedup_incremental",
        "Incremental dedup: both sides reduce to `xxhash64` fingerprints before " +
          "any exchange — no `text` column appears in any Exchange's schema; the " +

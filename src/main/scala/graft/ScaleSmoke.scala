@@ -266,6 +266,11 @@ object ScaleSmoke {
         graft.operators.Dedup.exactDedupCanonicalByFingerprint(sourced,
           length(col("text")).cast("long")).count()
       }
+      time("duplicateSpans 8-gram 1M docs") {
+        // substring-dedup dataflow: gram-keyed exchanges + per-doc windows,
+        // single corpus tokenize pass
+        graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2).count()
+      }
       time("mixtureSample content-hash 1M docs") {
         graft.operators.Curation.mixtureSample(sourced,
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,

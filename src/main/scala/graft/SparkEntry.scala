@@ -1102,6 +1102,58 @@ object SparkEntry {
         length(col("text")).cast("long")),
       None),
 
+    Q("dedup_dup_spans", // cross-document duplicate SPANS (Lee et al. 2022
+      // substring dedup, dataflow form): every 8-gram shared by >= 2 docs,
+      // merged into maximal per-doc token spans. Wired on the xxhash64 gram
+      // key (the scale path); the oracle keys on the literal gram string —
+      // identical output barring a 64-bit collision (cf pipeline_curate_fp),
+      // and DedupSpec asserts hashed == string-keyed on the fixture.
+      (s, d) => Dedup.duplicateSpans(Tables.documents(s, d), n = 8, minDocs = 2),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+                FROM t WHERE len(toks) >= 8),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM g),
+              d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+              h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l)
+              SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+              FROM s GROUP BY doc_id, island""")),
+
+    Q("text_dup_span_fraction", // per-doc fraction of tokens covered by
+      // cross-doc duplicate spans — the boilerplate-share quality signal a
+      // curation gate consumes; 0.0 for documents with no duplicated span
+      (s, d) => Dedup.dupSpanFraction(Tables.documents(s, d), n = 8, minDocs = 2),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+                FROM t WHERE len(toks) >= 8),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM g),
+              d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+              h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l),
+              sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+                FROM s GROUP BY doc_id, island),
+              c AS (SELECT doc_id, sum(b - a + 1) AS cov FROM sp GROUP BY doc_id)
+              SELECT t.doc_id,
+                round(coalesce(c.cov, 0) / greatest(len(t.toks), 1), 6) AS dup_span_fraction
+              FROM t LEFT JOIN c ON t.doc_id = c.doc_id""")),
+
     Q("dedup_minhash_lsh", // xxhash64-based signatures — engine-specific, rows-only
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
       None),
@@ -1747,6 +1799,56 @@ object SparkEntry {
                 FROM x, st)
               SELECT doc_id, bm25 FROM sc WHERE bm25 > 0
               ORDER BY bm25 DESC, doc_id LIMIT 25""")),
+
+    Q("search_hybrid_rrf", // hybrid retrieval: BM25 top-50 + exact-cosine
+      // top-50 (query = embedding of vec 0) fused by Reciprocal Rank Fusion
+      // (1/(60+rank) per channel) — the standard no-calibration fusion for
+      // lexical + embedding search; both channels are rank-bounded before the
+      // dim-sized fusion join
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Search.hybridTopK(Tables.documents(s, d), emb,
+          queryTerms = Seq("vector", "merge", "stream"),
+          queryVecs = emb.filter(col("vec_id") === 0), k = 10, kRetrieval = 50)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              x AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+                CAST(len(list_filter(toks, w -> w = 'vector')) AS DOUBLE) AS tf0,
+                CAST(len(list_filter(toks, w -> w = 'merge')) AS DOUBLE) AS tf1,
+                CAST(len(list_filter(toks, w -> w = 'stream')) AS DOUBLE) AS tf2
+                FROM t),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+                sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+                FROM x),
+              sc AS (SELECT doc_id, round(
+                  ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                    * (tf0 * 2.2) / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                    * (tf1 * 2.2) / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                + ln(1 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+                    * (tf2 * 2.2) / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS bm25
+                FROM x, st),
+              lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+                FROM sc WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 50),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
+              sv AS (SELECT vec_id, round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64), i -> qe[i] * emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM q, e WHERE vec_id != 0),
+              vr AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank
+                FROM sv ORDER BY cosine DESC, vec_id LIMIT 50),
+              f AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+                round(coalesce(1.0 / (60 + l.lex_rank), 0) +
+                      coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf,
+                l.lex_rank, v.vec_rank
+                FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.vec_id)
+              SELECT doc_id, rrf, lex_rank, vec_rank FROM f
+              ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
     Q("search_postings", // inverted-index build, the TWO-PHASE maxDf-bounded
       // form (the scale-safe default): df per term first, postings collected

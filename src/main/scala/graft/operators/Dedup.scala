@@ -504,4 +504,82 @@ object Dedup {
           col("norm_a"), col("norm_b"), maxDist).as("edit_dist"))
       .filter(col("edit_dist") >= 0)
   }
+
+  /** Cross-document duplicate SPANS — exact substring dedup in the sense of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): whole-doc dedup misses boilerplate, licenses, and quoted
+    * passages duplicated INSIDE otherwise-unique documents; those shared
+    * substrings are what a trained model memorizes. Finds every `n`-token
+    * gram occurring in at least `minDocs` distinct documents and merges the
+    * per-document hits into maximal token spans: one row per (doc, span),
+    * `span_start`/`span_end` 0-based inclusive token positions, `n_grams` =
+    * duplicated grams merged into the span.
+    *
+    * The paper builds a corpus suffix array — inherently sequential and
+    * memory-resident. The Spark-native equivalent fixes the match length at
+    * `n` (the paper's min-match threshold, 50 BPE tokens there) and becomes
+    * pure dataflow: spans longer than `n` emerge naturally as runs of
+    * overlapping duplicated grams, which the island merge reassembles.
+    *
+    * Scale shape: ONE corpus tokenize pass (a second reference to the
+    * exploded-gram subtree would re-run the scan — the uncached-subtree trap);
+    * the corpus-sized exchanges are keyed by the GRAM — 8-byte xxhash64 by
+    * default (`hashGrams`; the string-keyed form exists for the oracle, same
+    * caveat as [[exactDedupByFingerprint]]). Per-(gram, doc) position lists
+    * aggregate with map-side partials (each buffer bounded by one document's
+    * repetitions of one gram, i.e. by document length), a count window over
+    * the gram key marks grams in ≥ `minDocs` docs, and the island merge is a
+    * per-doc window — bounded by tokens-per-document, never corpus-sized. */
+  def duplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                     hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2 (a span is duplicated across docs), got $minDocs")
+    val grams = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shinglesFromTokens(col("toks"), n)).as(Seq("pos", "gram")))
+    val keyed = grams.select(col("doc_id"), col("pos"),
+      (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val hits = keyed
+      .groupBy("g", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
+      .withColumn("__nd", count(lit(1)).over(wg)) // docs containing this gram
+      .filter(col("__nd") >= minDocs)
+      .select(col("doc_id"), explode(col("__ps")).as("pos"))
+    // island merge: grams starting at p and p' cover overlapping-or-adjacent
+    // token ranges iff p' - p <= n; a larger gap starts a new span
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__ni", when(lag(col("pos"), 1).over(w).isNull ||
+          col("pos") - lag(col("pos"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__ni")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Per-document fraction of tokens covered by cross-document duplicate
+    * spans ([[duplicateSpans]]) — the quality signal a curation gate consumes
+    * ("drop or trim documents that are mostly boilerplate shared with the
+    * rest of the corpus"). One row per input document; documents with no
+    * duplicated span score 0.0. Same scale shape as [[duplicateSpans]] plus
+    * one map-only token count and a doc-keyed aggregation. */
+  def dupSpanFraction(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                      hashGrams: Boolean = true): DataFrame = {
+    val covered = duplicateSpans(docs, n, minDocs, hashGrams)
+      .groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start") + 1).as("__cov"))
+    docs
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("__nt"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("__cov"), lit(0L)).cast("double") /
+          greatest(col("__nt"), lit(1L)), 6).as("dup_span_fraction"))
+  }
 }

@@ -204,4 +204,40 @@ object Search {
         sort_array(collect_list(col("doc_id"))).as("postings"))
       .select("term", "shard", "df", "postings")
   }
+
+  /** Hybrid retrieval: fuse the lexical ([[bm25TopK]]) and vector
+    * ([[graft.operators.Similarity.bruteForceTopK]] — swap in the IVF/LSH
+    * probe at scale, the fusion is channel-agnostic) top-`kRetrieval` lists by
+    * Reciprocal Rank Fusion (Cormack et al. 2009): score = Σ 1/(rrfK + rank)
+    * over the channels that retrieved the doc. RRF needs no score calibration
+    * between channels — exactly why it is the standard fusion for
+    * BM25 + embedding retrieval. Output: top `k` of (doc_id, rrf, lex_rank,
+    * vec_rank), ranks null for a channel that did not retrieve the doc;
+    * deterministic (rrf DESC, doc_id) order.
+    *
+    * Scale shape: each channel is already top-`kRetrieval`-bounded BEFORE
+    * fusion, so the rank windows and the full-outer join run on dim-sized
+    * (≤ 2·kRetrieval rows) data — the single-partition rank window is a
+    * deliberate non-issue, never corpus-sized. The corpus-scale work lives
+    * inside the channels, which keep their own plans (BM25: no corpus
+    * shuffle; ANN: bucketed probe). */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+                 queryVecs: DataFrame, k: Int = 10, kRetrieval: Int = 50,
+                 rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && kRetrieval >= k, s"need kRetrieval >= k >= 1, got k=$k kRetrieval=$kRetrieval")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val lex = bm25TopK(docs, queryTerms, kRetrieval)
+      .withColumn("lex_rank", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("l_id"), col("lex_rank"))
+    val vec = graft.operators.Similarity.bruteForceTopK(embeddings, queryVecs, kRetrieval)
+      .select(col("vec_id").as("v_id"), col("rank").cast("long").as("vec_rank"))
+    lex.join(vec, col("l_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("l_id"), col("v_id")).as("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -45,6 +45,34 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
   }
 
+  test("duplicate spans: shared 8-grams merge into maximal spans; unique tails stay out") {
+    val spans = rowSet(Dedup.duplicateSpans(docs, n = 8, minDocs = 2))
+    // base is 14 tokens; docs 1/2 normalize identical -> grams at pos 0..6,
+    // one merged span [0,13] of 7 grams. doc 3 = base + 4 unique tail tokens:
+    // only the grams fully inside the base (pos 0..6) are shared, so the span
+    // stops at token 13 and the tail is NOT marked. docs 4/5: 10 tokens, 3
+    // grams, span [0,9].
+    assert(spans === Set(
+      Seq(1L, 0L, 13L, 7L), Seq(2L, 0L, 13L, 7L), Seq(3L, 0L, 13L, 7L),
+      Seq(4L, 0L, 9L, 3L), Seq(5L, 0L, 9L, 3L)))
+    // hashed gram keys select the identical spans as literal gram strings
+    val byString = rowSet(Dedup.duplicateSpans(docs, n = 8, minDocs = 2, hashGrams = false))
+    assert(byString === spans)
+    // and on the fixture corpus
+    val fixHash = rowSet(Dedup.duplicateSpans(fixtureDocs, n = 8, minDocs = 2))
+    val fixStr = rowSet(Dedup.duplicateSpans(fixtureDocs, n = 8, minDocs = 2, hashGrams = false))
+    assert(fixHash === fixStr)
+    assert(fixHash.nonEmpty, "fixture plants duplicate groups; spans must exist")
+  }
+
+  test("dup-span fraction: full-overlap docs score 1.0, unique-tail doc scores 14/18") {
+    val fr = Dedup.dupSpanFraction(docs, n = 8, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fr(1) === 1.0 && fr(4) === 1.0 && fr(5) === 1.0)
+    assert(fr(3) === math.round(14.0 / 18.0 * 1e6) / 1e6)
+    assert(fr.size === 5, "every input doc gets a row")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = rowSet(Dedup.minhashLshPairs(docs, threshold = 0.3)
       .select("a_id", "b_id"))

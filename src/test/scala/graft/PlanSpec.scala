@@ -328,6 +328,8 @@ class PlanSpec extends SparkSpec {
       "search_postings_sharded" -> 3, // + shard reassembly agg, all (term[,shard])-keyed
       "q_sessionize" -> 1, // one user-key exchange; session walk is a co-partitioned window
       "q_sessionize_skewsafe" -> 3, // (key,range) sort + per-key summary window + offset re-join; summaries are range-count-sized
+      "dedup_dup_spans" -> 3, // (gram,doc) position agg + gram-count window + per-doc island window; span agg reuses the doc partitioning
+      "search_hybrid_rrf" -> 3, // heap-topk agg (vec channel) + the two rank-bounded channel outputs joining full-outer; all post-channel data is <= 2*kRetrieval rows
       "dedup_exact_canonical" -> 1, // one keyed argmax exchange (text-keyed oracle form)
       "dedup_exact_canonical_fp" -> 1) // same argmax, 8-byte fingerprint key (scale form)
     val actual = pinned.keys.toSeq.sorted.map { name =>
@@ -343,6 +345,19 @@ class PlanSpec extends SparkSpec {
     val drift = actual.filter { case (n, c) => c > pinned(n) }
     assert(drift.isEmpty,
       s"shuffle-count drift above pinned bounds:\n  actual: ${drift.toSeq.sorted}\n  pinned: ${drift.keys.toSeq.sorted.map(n => n -> pinned(n))}")
+  }
+
+  test("fingerprint canonical dedup shuffles 8-byte keys, never document text") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Dedup.exactDedupCanonicalByFingerprint(
+      docs, length(col("text")).cast("long"))
+    val p = physical(df)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    // the quality column (length) and doc_id ride the exchange; the text
+    // column itself must be projected away before the shuffle
+    assert(!exchanges.exists(_.contains("text#")),
+      s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
   test("incremental dedup shuffles 8-byte fingerprints, never document text") {

@@ -37,6 +37,32 @@ class SearchSpec extends SparkSpec {
     assert(ids.head === 5L, s"doc 5 covers all 3 terms, must rank first; got $ids")
   }
 
+  test("hybrid RRF: both-channel docs outrank single-channel docs at equal ranks") {
+    // embeddings aligned with doc ids: doc 2 is the vector-channel winner
+    // (identical to the query vec modulo id), doc 6 is lexically absent but
+    // vector-near, docs 1/3/5 are lexical-only (orthogonal vectors)
+    val qv = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val emb = Seq(
+      (1L, Array(0f, 1f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(0f, 0.6f, 0.8f, 0f)), (6L, Array(0.9f, 0f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding").unionAll(qv)
+    val r = rowList(Search.hybridTopK(docs, emb,
+      Seq("vector", "join", "stream"), qv, k = 5, kRetrieval = 5))
+    val ids = r.map(_.head.asInstanceOf[Long])
+    // doc 2: lexical hit AND top vector hit -> two 1/(60+r) contributions;
+    // every other doc scores in at most one channel, so doc 2 must lead
+    assert(ids.head === 2L, s"two-channel doc must fuse to the top; got $ids")
+    // doc 6 has no query term but is vector-near: present via the vector channel
+    assert(ids.contains(6L), s"vector-only doc missing from fusion: $ids")
+    // rrf scores are descending and deterministic
+    val scores = r.map(_(1).asInstanceOf[Double])
+    assert(scores === scores.sorted.reverse)
+    // channel ranks surface for interpretability: doc 2 carries both ranks
+    val d2 = r.find(_.head == 2L).get
+    assert(d2(2) != null && d2(3) != null, s"doc 2 must carry lex AND vec ranks: $d2")
+  }
+
   test("bm25: rarer term contributes higher idf") {
     // 'quick' appears in 1 doc, 'join' in 2 -> for equal tf and dl, the
     // quick-doc's single-term score must exceed a join-doc's single-term score
