@@ -271,6 +271,11 @@ object ScaleSmoke {
         // single corpus tokenize pass
         graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2).count()
       }
+      time("trimDuplicateSpans 8-gram 1M docs") {
+        // + one doc-keyed span re-join and the map-only token filter
+        graft.operators.Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)
+          .agg(sum(col("n_tokens_removed"))).head().getLong(0)
+      }
       time("mixtureSample content-hash 1M docs") {
         graft.operators.Curation.mixtureSample(sourced,
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,

@@ -1128,6 +1128,39 @@ object SparkEntry {
                 CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
               FROM s GROUP BY doc_id, island""")),
 
+    Q("dedup_trim_spans", // the removal half of substring dedup: normalized
+      // text rebuilt with every cross-doc duplicate span dropped (the
+      // conservative remove-all-occurrences ExactSubstr policy); docs with no
+      // duplicated span pass through whole
+      (s, d) => Dedup.trimDuplicateSpans(Tables.documents(s, d), n = 8, minDocs = 2),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+                FROM t WHERE len(toks) >= 8),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM g),
+              d AS (SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+              h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN d USING (gram)),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l),
+              sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 7 AS b
+                FROM s GROUP BY doc_id, island),
+              tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS j, toks FROM t),
+              tok2 AS (SELECT doc_id, j - 1 AS p, toks[j] AS w FROM tok),
+              kept AS (SELECT k.doc_id, k.p, k.w FROM tok2 k
+                WHERE NOT EXISTS (SELECT 1 FROM sp
+                  WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.a AND sp.b)),
+              agg AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS text_trimmed,
+                count(*) AS n_kept FROM kept GROUP BY doc_id)
+              SELECT t.doc_id, coalesce(agg.text_trimmed, '') AS text_trimmed,
+                CAST(len(t.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
+              FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id""")),
+
     Q("text_dup_span_fraction", // per-doc fraction of tokens covered by
       // cross-doc duplicate spans — the boilerplate-share quality signal a
       // curation gate consumes; 0.0 for documents with no duplicated span

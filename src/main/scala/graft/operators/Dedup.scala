@@ -525,11 +525,13 @@ object Dedup {
     * exploded-gram subtree would re-run the scan — the uncached-subtree trap);
     * the corpus-sized exchanges are keyed by the GRAM — 8-byte xxhash64 by
     * default (`hashGrams`; the string-keyed form exists for the oracle, same
-    * caveat as [[exactDedupByFingerprint]]). Per-(gram, doc) position lists
-    * aggregate with map-side partials (each buffer bounded by one document's
-    * repetitions of one gram, i.e. by document length), a count window over
-    * the gram key marks grams in ≥ `minDocs` docs, and the island merge is a
-    * per-doc window — bounded by tokens-per-document, never corpus-sized. */
+    * caveat as [[exactDedupByFingerprint]]). The distinct-doc count per gram
+    * is PRIMITIVE window arithmetic over one (gram, doc) sort — dense_rank
+    * then its partition max — never an object aggregation (the
+    * collect-positions form allocated one buffer per (gram, doc) group:
+    * measured 70 s → ~10 s at 1M docs / 17M grams when replaced by the
+    * windows); the island merge is a per-doc window — bounded by
+    * tokens-per-document, never corpus-sized. */
   def duplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
                      hashGrams: Boolean = true): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
@@ -540,13 +542,13 @@ object Dedup {
         posexplode(TextFns.shinglesFromTokens(col("toks"), n)).as(Seq("pos", "gram")))
     val keyed = grams.select(col("doc_id"), col("pos"),
       (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
-    val wg = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val wgOrd = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
+    val wgAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
     val hits = keyed
-      .groupBy("g", "doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("__ps"))
-      .withColumn("__nd", count(lit(1)).over(wg)) // docs containing this gram
+      .withColumn("__dr", dense_rank().over(wgOrd)) // ties = same doc
+      .withColumn("__nd", max(col("__dr")).over(wgAll)) // = distinct docs for this gram
       .filter(col("__nd") >= minDocs)
-      .select(col("doc_id"), explode(col("__ps")).as("pos"))
+      .select("doc_id", "pos")
     // island merge: grams starting at p and p' cover overlapping-or-adjacent
     // token ranges iff p' - p <= n; a larger gap starts a new span
     val w = org.apache.spark.sql.expressions.Window
@@ -562,6 +564,41 @@ object Dedup {
         (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** The removal half of substring dedup: rebuild each document's normalized
+    * text with every cross-document duplicate span ([[duplicateSpans]])
+    * dropped. This is Lee et al. 2022's conservative ExactSubstr policy —
+    * remove the duplicated substring WHEREVER it occurs (the keep-one-copy
+    * variant needs a cross-doc canonical choice per span; noted, not
+    * implemented — whole-doc canonical dedup already covers "keep the best
+    * copy" at document granularity). Output: (doc_id, text_trimmed,
+    * n_tokens_removed); documents with no duplicated span pass through with
+    * their normalized text and 0.
+    *
+    * Scale shape: [[duplicateSpans]]'s exchanges plus ONE doc-keyed left join
+    * of the corpus against its per-doc span lists (dim-sized relative to the
+    * corpus: docs with at least one duplicated span, ≤ tokens/2n spans each);
+    * the trim itself is a map-only higher-order filter over the token array —
+    * no token ever crosses an exchange. */
+  def trimDuplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
+                         hashGrams: Boolean = true): DataFrame = {
+    val spans = duplicateSpans(docs, n, minDocs, hashGrams)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start").as("a"), col("span_end").as("b"))).as("__sp"))
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("__sp", coalesce(col("__sp"),
+        array().cast("array<struct<a:bigint,b:bigint>>")))
+      .withColumn("__kept", filter(
+        zip_with(col("__toks"), sequence(lit(0L), size(col("__toks")).cast("long") - 1),
+          (w, i) => struct(w.as("w"), i.as("i"))),
+        s => !exists(col("__sp"), sp => s.getField("i") >= sp.getField("a") &&
+          s.getField("i") <= sp.getField("b"))))
+      .select(col("doc_id"),
+        array_join(col("__kept").getField("w"), " ").as("text_trimmed"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_tokens_removed"))
   }
 
   /** Per-document fraction of tokens covered by cross-document duplicate

@@ -73,6 +73,24 @@ class DedupSpec extends SparkSpec {
     assert(fr.size === 5, "every input doc gets a row")
   }
 
+  test("trim spans removes exactly the duplicated tokens, keeps unique tails") {
+    import org.apache.spark.sql.functions._
+    val r = Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    // docs 1/2: fully covered -> empty text, 14 tokens removed
+    assert(r(1) === (("", 14L)) && r(2) === (("", 14L)))
+    // doc 3: base span [0,13] trimmed, the 4 unique tail tokens survive
+    assert(r(3) === (("extra tail words here", 14L)))
+    // docs 4/5: fully covered 10-token dups
+    assert(r(4) === (("", 10L)) && r(5) === (("", 10L)))
+    // trimmed output is a fixpoint: no duplicated 8-gram survives the trim
+    val again = Dedup.duplicateSpans(
+      Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)
+        .select(col("doc_id"), col("text_trimmed").as("text")),
+      n = 8, minDocs = 2)
+    assert(again.count() === 0L, "trim must remove every duplicated span")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = rowSet(Dedup.minhashLshPairs(docs, threshold = 0.3)
       .select("a_id", "b_id"))

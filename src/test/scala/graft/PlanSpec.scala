@@ -328,8 +328,9 @@ class PlanSpec extends SparkSpec {
       "search_postings_sharded" -> 3, // + shard reassembly agg, all (term[,shard])-keyed
       "q_sessionize" -> 1, // one user-key exchange; session walk is a co-partitioned window
       "q_sessionize_skewsafe" -> 3, // (key,range) sort + per-key summary window + offset re-join; summaries are range-count-sized
-      "dedup_dup_spans" -> 3, // (gram,doc) position agg + gram-count window + per-doc island window; span agg reuses the doc partitioning
+      "dedup_dup_spans" -> 2, // one (gram, doc) sort drives both count windows + per-doc island window; span agg reuses the doc partitioning
       "search_hybrid_rrf" -> 3, // heap-topk agg (vec channel) + the two rank-bounded channel outputs joining full-outer; all post-channel data is <= 2*kRetrieval rows
+      "dedup_trim_spans" -> 2, // duplicateSpans' 2; span-list agg reuses doc partitioning, spans re-join broadcasts at fixture stats (the trim itself is map-only)
       "dedup_exact_canonical" -> 1, // one keyed argmax exchange (text-keyed oracle form)
       "dedup_exact_canonical_fp" -> 1) // same argmax, 8-byte fingerprint key (scale form)
     val actual = pinned.keys.toSeq.sorted.map { name =>
