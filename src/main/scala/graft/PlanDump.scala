@@ -83,10 +83,12 @@ object PlanDump {
          "corpus-keyed exchange is the per-doc matched-gram count aggregate."),
       ("dedup_dup_spans",
        "Cross-doc duplicate spans (substring dedup): ONE corpus tokenize pass; " +
-         "exchanges are gram-keyed 8-byte hashes ((gram, doc) position agg with " +
-         "map-side partials, then a doc-count window over the gram key) and " +
-         "per-doc windows for the island merge — bounded by tokens-per-document; " +
-         "the span aggregation reuses the per-doc partitioning (no 4th exchange)."),
+         "TWO exchanges total — the gram-keyed 8-byte (gram, doc) sort whose " +
+         "single ordering drives both distinct-doc windows (dense_rank + " +
+         "partition max: pure primitive arithmetic, no object aggregation " +
+         "buffers), and the per-doc island-merge window bounded by " +
+         "tokens-per-document; the span aggregation reuses the per-doc " +
+         "partitioning."),
       ("dedup_incremental",
        "Incremental dedup: both sides reduce to `xxhash64` fingerprints before " +
          "any exchange — no `text` column appears in any Exchange's schema; the " +
