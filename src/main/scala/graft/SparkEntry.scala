@@ -734,6 +734,27 @@ object SparkEntry {
           expr("approx_percentile(value, 0.99, 1000)").as("p99")),
       None),
 
+    Q("q_approx_percentile_bounds", // driver-visible error gate for the
+      // percentile sketch, mirroring q_sketch_reagg_bounds: per stratum the
+      // approx_percentile(_, p, 1000) element must land inside the EXACT
+      // interpolated percentiles at p ± 2/accuracy (rank error is n/accuracy
+      // rows = fraction 1/accuracy; doubled to absorb interpolation at the
+      // boundary ranks). The exact bounds and the boolean are hash-oracled —
+      // DuckDB computes the same exact quantiles and expects TRUE; the sketch
+      // value itself stays driver-visible in q_approx_percentile.
+      (s, d) => Tables.events(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.498)"), 6).as("p50_lo"),
+          round(expr("percentile(value, 0.502)"), 6).as("p50_hi"),
+          expr("approx_percentile(value, 0.5, 1000)").as("__ap"))
+        .select(col("event_type"), col("p50_lo"), col("p50_hi"),
+          (col("__ap") >= col("p50_lo") && col("__ap") <= col("p50_hi"))
+            .as("within_bounds")),
+      Some("""SELECT event_type,
+              round(quantile_cont(value, 0.498), 6) AS p50_lo,
+              round(quantile_cont(value, 0.502), 6) AS p50_hi,
+              TRUE AS within_bounds
+              FROM events GROUP BY event_type""")),
+
     Q("q_scalar_subquery", // decorrelated by Catalyst (RewriteCorrelatedScalarSubquery)
       (s, d) => {
         Tables.customer(s, d).createOrReplaceTempView("graft_c")
