@@ -987,8 +987,11 @@ object SparkEntry {
                 CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id FROM w""")),
 
     Q("sim_quantize_int8", // int8 embedding compression (16x ANN memory) —
-      // rows-only: per-element round ties are engine-specific; SimilaritySpec
-      // asserts the reconstruction error bound and cosine preservation
+      // hash-oracled: the codes are pure IEEE arithmetic (y = x·(127/max|x|),
+      // code = sign(y)·floor(|y|+0.5) — explicit ties-away-from-zero, no
+      // engine round()), so DuckDB reproduces every code bit-for-bit;
+      // SimilaritySpec additionally asserts the reconstruction error bound
+      // and cosine preservation
       (s, d) => {
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("emb"))
@@ -997,7 +1000,15 @@ object SparkEntry {
           aggregate(VectorFns.quantizeInt8(col("emb"), col("scale")),
             lit(0L), (a, x) => a + x).as("q_sum"))
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              s AS (SELECT vec_id, emb,
+                CASE WHEN list_max(list_transform(emb, x -> abs(x))) = 0 THEN 0.0
+                     ELSE 127.0 / list_max(list_transform(emb, x -> abs(x))) END AS scale
+                FROM e)
+              SELECT vec_id, round(scale, 6) AS scale,
+                CAST(list_sum(list_transform(emb, x ->
+                  CAST(sign(x * scale) * floor(abs(x * scale) + 0.5) AS BIGINT))) AS BIGINT) AS q_sum
+              FROM s""")),
 
     Q("text_bpe_merges", // trained BPE vocabulary: distributed word-frequency
       // agg + driver-side merge fit (Sennrich et al. 2016) — rows-only (the
