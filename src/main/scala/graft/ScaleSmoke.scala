@@ -271,6 +271,12 @@ object ScaleSmoke {
         // single corpus tokenize pass
         graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2).count()
       }
+      time("duplicateSpans skew-safe (agg+semi-join) 1M docs") {
+        // hot-gram-immune form: distinct-doc counting via hash aggs with
+        // map-side partials, at the price of a second tokenize pass
+        graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2,
+          skewSafe = true).count()
+      }
       time("trimDuplicateSpans 8-gram 1M docs") {
         // + one doc-keyed span re-join and the map-only token filter
         graft.operators.Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)
@@ -337,12 +343,13 @@ object ScaleSmoke {
       s"operator must stay linear and skew-bound; generated by `sbt \"runMain\n" +
       s"graft.ScaleSmoke\"` on an idle host. The argmax-vs-window LWW pair, the\n" +
       s"skew-safe-vs-one-stage distinct pair, the text-vs-fingerprint canonical\n" +
-      s"dedup pair, and the one-vs-two-level sessionize pair are deliberate A/B\n" +
-      s"comparisons. The two-level sessionizer costs a constant factor here\n" +
-      s"(~1.3-2x run to run) — the price of\n" +
-      s"bounding every per-task sort to rate x rangeSeconds events; it is the\n" +
-      s"form to run when a key's history outgrows one task (at this volume the\n" +
-      s"2M-event hot key still fits, so the one-level form wins on wall-time).\n\n" +
+      s"dedup pair, the one-vs-two-level sessionize pair, and the\n" +
+      s"window-vs-aggregation duplicate-span pair are deliberate A/B\n" +
+      s"comparisons: each skew-safe form costs a constant factor at this volume\n" +
+      s"(~1.3-2x run to run — it pays an extra pass or level to bound every\n" +
+      s"per-task sort) and is the form to run when a single key or gram\n" +
+      s"outgrows one task; at this volume the hot key still fits, so the\n" +
+      s"one-level forms win on wall-time.\n\n" +
       "```\n" + report.toString + "```\n")
     println(s"SCALE.md written")
     spark.stop()

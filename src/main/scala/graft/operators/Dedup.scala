@@ -531,9 +531,20 @@ object Dedup {
     * collect-positions form allocated one buffer per (gram, doc) group:
     * measured 70 s → ~10 s at 1M docs / 17M grams when replaced by the
     * windows); the island merge is a per-doc window — bounded by
-    * tokens-per-document, never corpus-sized. */
+    * tokens-per-document, never corpus-sized.
+    *
+    * `skewSafe`: the default single-pass window puts ALL rows of one gram in
+    * one task's sort — fine until a stop-phrase gram appears in a large
+    * fraction of a 100 TB corpus, at which point that task dies (the same
+    * hot-key regime the sessionizer's two-level form exists for). The
+    * skew-safe form counts distinct docs per gram with two hash aggregations
+    * (map-side partials combine — a hot gram reduces inside every map task)
+    * and LEFT SEMI joins the duplicated-gram keys back; it pays a second
+    * tokenize pass (the probe re-runs the exploded-gram subtree) and AQE
+    * splits any hot join key. Identical output (DedupSpec); both measured in
+    * ScaleSmoke. */
   def duplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                     hashGrams: Boolean = true): DataFrame = {
+                     hashGrams: Boolean = true, skewSafe: Boolean = false): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (a span is duplicated across docs), got $minDocs")
     val grams = docs
@@ -542,13 +553,22 @@ object Dedup {
         posexplode(TextFns.shinglesFromTokens(col("toks"), n)).as(Seq("pos", "gram")))
     val keyed = grams.select(col("doc_id"), col("pos"),
       (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
-    val wgOrd = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
-    val wgAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
-    val hits = keyed
-      .withColumn("__dr", dense_rank().over(wgOrd)) // ties = same doc
-      .withColumn("__nd", max(col("__dr")).over(wgAll)) // = distinct docs for this gram
-      .filter(col("__nd") >= minDocs)
-      .select("doc_id", "pos")
+    val hits =
+      if (skewSafe) {
+        val dupGrams = keyed.select("g", "doc_id").distinct()
+          .groupBy("g").agg(count(lit(1)).as("__nd"))
+          .filter(col("__nd") >= minDocs)
+          .select("g")
+        keyed.join(dupGrams, Seq("g"), "left_semi").select("doc_id", "pos")
+      } else {
+        val wgOrd = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
+        val wgAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+        keyed
+          .withColumn("__dr", dense_rank().over(wgOrd)) // ties = same doc
+          .withColumn("__nd", max(col("__dr")).over(wgAll)) // = distinct docs for this gram
+          .filter(col("__nd") >= minDocs)
+          .select("doc_id", "pos")
+      }
     // island merge: grams starting at p and p' cover overlapping-or-adjacent
     // token ranges iff p' - p <= n; a larger gap starts a new span
     val w = org.apache.spark.sql.expressions.Window

@@ -63,6 +63,9 @@ class DedupSpec extends SparkSpec {
     val fixStr = rowSet(Dedup.duplicateSpans(fixtureDocs, n = 8, minDocs = 2, hashGrams = false))
     assert(fixHash === fixStr)
     assert(fixHash.nonEmpty, "fixture plants duplicate groups; spans must exist")
+    // the skew-safe (agg + semi-join) form selects the identical spans
+    val fixSkew = rowSet(Dedup.duplicateSpans(fixtureDocs, n = 8, minDocs = 2, skewSafe = true))
+    assert(fixSkew === fixHash)
   }
 
   test("dup-span fraction: full-overlap docs score 1.0, unique-tail doc scores 14/18") {
