@@ -184,6 +184,51 @@ class PropertySpec extends SparkSpec {
     } yield docs ++ dups.zipWithIndex.map { case ((_, t), i) => (2000000L + i, t) }
   }
 
+  test("duplicate spans: disjoint, >= n tokens, in-bounds; trim and fraction consistent; forms agree") {
+    import graft.operators.Dedup
+    val n = 3 // small gram so the 3-25-token generated docs produce spans
+    forAll(genDocs) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val nTokens = docsList.map { case (id, t) =>
+        id -> t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).length.toLong
+      }.toMap
+      val spans = Dedup.duplicateSpans(df, n = n, minDocs = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      spans.groupBy(_._1).foreach { case (id, ss) =>
+        val sorted = ss.sortBy(_._2)
+        // structural invariants: each span holds >= n tokens, ends inside the
+        // doc, and consecutive spans are separated by at least one kept token
+        sorted.foreach { case (_, a, b) =>
+          assert(b - a + 1 >= n, s"span shorter than a gram: ($a,$b)")
+          assert(a >= 0 && b <= nTokens(id) - 1, s"span out of doc bounds: ($a,$b)")
+        }
+        sorted.sliding(2).foreach {
+          case List((_, _, b1), (_, a2, _)) =>
+            assert(a2 > b1 + 1, s"merged islands must not touch: end=$b1 next=$a2")
+          case _ => ()
+        }
+      }
+      // the skew-safe aggregation form selects the identical span set
+      val skew = Dedup.duplicateSpans(df, n = n, minDocs = 2, skewSafe = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(skew === spans.toSet)
+      // trim removes exactly the covered tokens; fraction = covered / total
+      val removed = Dedup.trimDuplicateSpans(df, n = n, minDocs = 2).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val covered = spans.groupBy(_._1).view.mapValues(_.map(s => s._3 - s._2 + 1).sum).toMap
+      docsList.foreach { case (id, _) =>
+        assert(removed(id) === covered.getOrElse(id, 0L),
+          s"doc $id: trimmed ${removed(id)} but spans cover ${covered.getOrElse(id, 0L)}")
+      }
+      Dedup.dupSpanFraction(df, n = n, minDocs = 2).collect().foreach { r =>
+        val f = r.getDouble(1)
+        assert(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f")
+        val expect = covered.getOrElse(r.getLong(0), 0L).toDouble / nTokens(r.getLong(0))
+        assert(math.abs(f - math.round(expect * 1e6) / 1e6) < 1e-9)
+      }
+    }
+  }
+
   test("fingerprint-keyed curation equals text-keyed curation for every corpus") {
     forAll(genDocs) { docs =>
       val df = docs.toDF("doc_id", "text")
