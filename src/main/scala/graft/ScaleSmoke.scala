@@ -277,6 +277,12 @@ object ScaleSmoke {
         graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2,
           skewSafe = true).count()
       }
+      time("incrementalDuplicateSpans 500k batch vs 500k base") {
+        // cross-snapshot span check: base reduces to distinct gram keys once
+        graft.operators.Dedup.incrementalDuplicateSpans(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), n = 8, minDocs = 2).count()
+      }
       time("trimDuplicateSpans 8-gram 1M docs") {
         // + one doc-keyed span re-join and the map-only token filter
         graft.operators.Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)

@@ -1160,6 +1160,41 @@ object SparkEntry {
                 CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
               FROM s GROUP BY doc_id, island""")),
 
+    Q("dedup_incremental_spans", // cross-snapshot duplicate spans: the new
+      // batch (doc_id % 5 = 0) is span-checked against ITSELF (>= 2 batch
+      // docs) and against the base corpus's gram set — the span-granularity
+      // sibling of dedup_incremental, for continual-pretraining refreshes;
+      // spans reported for batch docs only, base never re-processed
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalDuplicateSpans(
+          docs.filter(col("doc_id") % 5 === 0),
+          docs.filter(col("doc_id") % 5 =!= 0), n = 8, minDocs = 2)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 7)) AS i, toks
+                FROM t WHERE len(toks) >= 8),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+                FROM g),
+              bg AS (SELECT * FROM g2 WHERE doc_id % 5 = 0),
+              baseg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 5 <> 0),
+              nd AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM bg GROUP BY gram),
+              h AS (SELECT bg.doc_id, bg.pos FROM bg
+                JOIN nd ON bg.gram = nd.gram
+                LEFT JOIN baseg ON bg.gram = baseg.gram
+                WHERE nd.nd >= 2 OR baseg.gram IS NOT NULL),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l)
+              SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 7 AS BIGINT) AS span_end, count(*) AS n_grams
+              FROM s GROUP BY doc_id, island""")),
+
     Q("dedup_trim_spans", // the removal half of substring dedup: normalized
       // text rebuilt with every cross-doc duplicate span dropped (the
       // conservative remove-all-occurrences ExactSubstr policy); docs with no

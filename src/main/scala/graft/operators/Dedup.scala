@@ -547,12 +547,7 @@ object Dedup {
                      hashGrams: Boolean = true, skewSafe: Boolean = false): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     require(minDocs >= 2, s"minDocs must be >= 2 (a span is duplicated across docs), got $minDocs")
-    val grams = docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        posexplode(TextFns.shinglesFromTokens(col("toks"), n)).as(Seq("pos", "gram")))
-    val keyed = grams.select(col("doc_id"), col("pos"),
-      (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
+    val keyed = keyedGrams(docs, n, hashGrams)
     val hits =
       if (skewSafe) {
         val dupGrams = keyed.select("g", "doc_id").distinct()
@@ -569,8 +564,24 @@ object Dedup {
           .filter(col("__nd") >= minDocs)
           .select("doc_id", "pos")
       }
-    // island merge: grams starting at p and p' cover overlapping-or-adjacent
-    // token ranges iff p' - p <= n; a larger gap starts a new span
+    mergeIslands(hits, n)
+  }
+
+  /** One (doc_id, pos, g) row per gram start position — the exploded stream
+    * every span form is built from. */
+  private def keyedGrams(docs: DataFrame, n: Int, hashGrams: Boolean): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextFns.shinglesFromTokens(col("toks"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("g"))
+
+  /** Island merge of duplicated-gram hit positions into maximal spans: grams
+    * starting at p and p' cover overlapping-or-adjacent token ranges iff
+    * p' - p <= n; a larger gap starts a new span. Per-doc window, bounded by
+    * tokens-per-document. */
+  private def mergeIslands(hits: DataFrame, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     hits
@@ -584,6 +595,40 @@ object Dedup {
         (max(col("pos")) + lit(n - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_grams"))
       .select("doc_id", "span_start", "span_end", "n_grams")
+  }
+
+  /** Incremental (cross-snapshot) duplicate spans — [[duplicateSpans]] for
+    * the continual-pretraining refresh: a new crawl `batch` must be span-
+    * trimmed against BOTH itself (in-batch duplication, `minDocs`) and the
+    * already-ingested `base` corpus (cross-snapshot boilerplate), without
+    * re-processing the base. Returns spans for BATCH documents only — the
+    * span-granularity sibling of [[incrementalDedup]].
+    *
+    * Scale shape: the base reduces to its DISTINCT gram keys (8-byte
+    * xxhash64 — at 100 TB this is a pre-materialized table bucketed on `g`,
+    * built once per snapshot, exactly like the base fingerprint table
+    * [[incrementalDedup]] assumes); the batch gram stream LEFT-joins it for
+    * the membership flag, so only batch-sized data ever shuffles against the
+    * co-located base keys. In-batch duplication uses the same primitive
+    * dense_rank windows as [[duplicateSpans]]; a gram is a hit if EITHER
+    * condition holds. */
+  def incrementalDuplicateSpans(batch: DataFrame, base: DataFrame, n: Int = 8,
+                                minDocs: Int = 2,
+                                hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val keyed = keyedGrams(batch, n, hashGrams)
+    val baseKeys = keyedGrams(base, n, hashGrams)
+      .select("g").distinct().withColumn("__in_base", lit(true))
+    val wgOrd = org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("doc_id")
+    val wgAll = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    val hits = keyed
+      .withColumn("__dr", dense_rank().over(wgOrd))
+      .withColumn("__nd", max(col("__dr")).over(wgAll))
+      .join(baseKeys, Seq("g"), "left")
+      .filter(col("__nd") >= minDocs || col("__in_base"))
+      .select("doc_id", "pos")
+    mergeIslands(hits, n)
   }
 
   /** The removal half of substring dedup: rebuild each document's normalized

@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpec {
     assert(fr.size === 5, "every input doc gets a row")
   }
 
+  test("incremental spans: base overlap marks a batch-unique doc; batch-internal dups still found") {
+    import org.apache.spark.sql.functions._
+    val batch = Seq(
+      (1L, base), // unique WITHIN the batch, but shares all grams with base doc 101
+      (2L, "entirely novel content alpha beta gamma delta epsilon zeta eta theta"),
+      (4L, "repeated promo block appearing twice in this new crawl batch today"),
+      (5L, "repeated promo block appearing twice in this new crawl batch today")
+    ).toDF("doc_id", "text")
+    val baseCorpus = Seq(
+      (101L, base + " with an archival tail"),
+      (102L, "old corpus material nothing shared with the incoming batch docs")
+    ).toDF("doc_id", "text")
+    val spans = rowSet(Dedup.incrementalDuplicateSpans(batch, baseCorpus, n = 8, minDocs = 2))
+    // doc 1: plain duplicateSpans on the batch alone finds NOTHING for it
+    // (no second batch copy) — the base gram set is what flags it
+    assert(rowSet(Dedup.duplicateSpans(batch, n = 8, minDocs = 2))
+      .forall(_.head != 1L), "precondition: doc 1 has no in-batch duplicate")
+    assert(spans.contains(Seq(1L, 0L, 13L, 7L)), s"base overlap missed: $spans")
+    // docs 4/5: in-batch duplication still detected (11 tokens -> 4 grams)
+    assert(spans.contains(Seq(4L, 0L, 10L, 4L)) && spans.contains(Seq(5L, 0L, 10L, 4L)), spans.toString)
+    // doc 2 is genuinely novel; base docs never appear in the output
+    assert(spans.forall(r => r.head != 2L && r.head.asInstanceOf[Long] < 100L), spans.toString)
+  }
+
   test("trim spans removes exactly the duplicated tokens, keeps unique tails") {
     import org.apache.spark.sql.functions._
     val r = Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2).collect()

@@ -331,6 +331,7 @@ class PlanSpec extends SparkSpec {
       "dedup_dup_spans" -> 2, // one (gram, doc) sort drives both count windows + per-doc island window; span agg reuses the doc partitioning
       "search_hybrid_rrf" -> 3, // heap-topk agg (vec channel) + the two rank-bounded channel outputs joining full-outer; all post-channel data is <= 2*kRetrieval rows
       "dedup_trim_spans" -> 2, // duplicateSpans' 2; span-list agg reuses doc partitioning, spans re-join broadcasts at fixture stats (the trim itself is map-only)
+      "dedup_incremental_spans" -> 3, // batch gram sort + base distinct-key build + per-doc island window; the g-keyed join reuses both sides' partitioning
       "dedup_exact_canonical" -> 1, // one keyed argmax exchange (text-keyed oracle form)
       "dedup_exact_canonical_fp" -> 1) // same argmax, 8-byte fingerprint key (scale form)
     val actual = pinned.keys.toSeq.sorted.map { name =>
