@@ -23,7 +23,8 @@ object Bench {
     "search_bm25_batch", "search_postings", "dedup_exact_canonical",
     "pipeline_split", "q_sessionize",
     // round-6 capabilities
-    "dedup_dup_spans", "search_hybrid_rrf")
+    "dedup_dup_spans", "search_hybrid_rrf",
+    "text_nb_classify", "sim_centroid_classify")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -93,6 +93,21 @@ object PlanDump {
        "Incremental dedup: both sides reduce to `xxhash64` fingerprints before " +
          "any exchange — no `text` column appears in any Exchange's schema; the " +
          "cross-snapshot check is a LEFT ANTI join fingerprint-vs-fingerprint."),
+      ("sim_centroid_classify",
+       "Nearest-centroid classifier: the trained centroid table (|classes| " +
+         "rows) is assembled by class-bounded aggregates and rides a " +
+         "`BroadcastNestedLoopJoin` over the corpus (map-only scoring); the " +
+         "single corpus-keyed exchange is the per-vec `ArgMaxAgg` " +
+         "ObjectHashAggregate — partial aggregation ships ONE candidate row " +
+         "per vec, where a window form would shuffle |classes|x the corpus " +
+         "and sort it."),
+      ("text_nb_classify",
+       "Naive Bayes train+score in one plan: every model-side aggregate " +
+         "(class-term counts, class totals, vocabulary, priors) is vocab- or " +
+         "class-bounded; the corpus pays the term-keyed scoring join, the " +
+         "(doc, class) log-likelihood aggregate, and a per-doc argmax window " +
+         "whose key holds at most |classes| rows — the true label rides the " +
+         "grouping key, so no corpus-sized re-join recovers it."),
       ("dedup_edit_distance",
        "Edit-distance near-dup: prefix-block equi-join with the length-gate " +
          "pre-filter in the join condition and the banded DP " +

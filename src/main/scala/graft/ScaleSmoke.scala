@@ -160,6 +160,12 @@ object ScaleSmoke {
     }
     // semantic dedup: within-cell quadratic work must stay bounded by cell
     // size — 100k vectors, nlist=256 => ~390-row cells, ~20M candidate pairs
+    time(s"centroidClassify 10 classes ($nVec x $dim)") {
+      // one (class, dim) centroid agg, broadcast scoring, argmax-agg exchange
+      graft.operators.Classify.centroidClassify(
+        vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")))
+        .filter(col("correct")).count()
+    }
     time("semanticDupPairs 100k, nlist=256") {
       sim.semanticDupPairs(vecs.filter(col("vec_id") < 100000), 0.9,
         nlist = 256, nassign = 1, iters = 1).count()
@@ -292,6 +298,13 @@ object ScaleSmoke {
         graft.operators.Curation.mixtureSample(sourced,
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,
           fastHash = true).count()
+      }
+      time("naiveBayesSelf train+score 1M docs") {
+        // model stays vocab x classes (here 10 x 5); the corpus pays the term
+        // join, the (doc, class) agg, and the bounded argmax window
+        graft.operators.Classify.naiveBayesSelf(
+          docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))))
+          .filter(col("correct")).count()
       }
     }
 

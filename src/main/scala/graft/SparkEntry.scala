@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Curation, Dedup, Endpoints, Multimodal, Ops, Search, Similarity, Views}
+import graft.operators.{Classify, Curation, Dedup, Endpoints, Multimodal, Ops, Search, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
 import graft.streaming.{QueueIngest, StreamingViews}
 
@@ -667,6 +667,24 @@ object SparkEntry {
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),
       None),
 
+    Q("q_approx_distinct_bounds", // driver-visible error gate for
+      // approx_count_distinct (HLL++, rsd default 0.05 — a different sketch
+      // than the datasketches HLL q_sketch_reagg_bounds gates): per stratum
+      // the estimate must land in exact·[0.85, 1.15] (3·rsd); exact count and
+      // boolean hash-oracled, estimate stays driver-visible in q_approx_distinct
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("__est"))
+          .select(col("event_type"), col("exact_users"),
+            (col("__est") >= col("exact_users") * 0.85 &&
+             col("__est") <= col("exact_users") * 1.15).as("within_bounds"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+              TRUE AS within_bounds
+              FROM events GROUP BY event_type""")),
+
     Q("q_sketch_reagg", // RE-AGGREGATABLE distinct-count sketches — the
       // incremental-dashboard pattern at 100 TB: materialize one HLL sketch
       // column per (day, type) partition, then any rollup (here: per type
@@ -735,24 +753,31 @@ object SparkEntry {
       None),
 
     Q("q_approx_percentile_bounds", // driver-visible error gate for the
-      // percentile sketch, mirroring q_sketch_reagg_bounds: per stratum the
-      // approx_percentile(_, p, 1000) element must land inside the EXACT
-      // interpolated percentiles at p ± 2/accuracy (rank error is n/accuracy
-      // rows = fraction 1/accuracy; doubled to absorb interpolation at the
-      // boundary ranks). The exact bounds and the boolean are hash-oracled —
-      // DuckDB computes the same exact quantiles and expects TRUE; the sketch
-      // value itself stays driver-visible in q_approx_percentile.
-      (s, d) => Tables.events(s, d).groupBy("event_type")
-        .agg(round(expr("percentile(value, 0.498)"), 6).as("p50_lo"),
-          round(expr("percentile(value, 0.502)"), 6).as("p50_hi"),
-          expr("approx_percentile(value, 0.5, 1000)").as("__ap"))
-        .select(col("event_type"), col("p50_lo"), col("p50_hi"),
-          (col("__ap") >= col("p50_lo") && col("__ap") <= col("p50_hi"))
-            .as("within_bounds")),
-      Some("""SELECT event_type,
-              round(quantile_cont(value, 0.498), 6) AS p50_lo,
-              round(quantile_cont(value, 0.502), 6) AS p50_hi,
-              TRUE AS within_bounds
+      // percentile sketch, mirroring q_sketch_reagg_bounds — on the RANK, the
+      // quantity approx_percentile actually bounds (error <= n/accuracy ROWS):
+      // the returned element's rank interval [n_lt, n_le] must overlap
+      // 0.5·n ± (n/1000 + 1) (+1 absorbs the floor/ceil at the target rank).
+      // A VALUE window (exact percentiles at p ± 2/accuracy) is the wrong
+      // gate: at small strata it is narrower than one inter-element gap, so
+      // the discrete element fails it while honoring the rank guarantee
+      // (measured at sf0.001, n≈200/stratum). n and the boolean are
+      // hash-oracled — DuckDB computes the same n and expects TRUE; the
+      // sketch value itself stays driver-visible in q_approx_percentile.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val ap = ev.groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5, 1000)").as("__ap"))
+        ev.join(broadcast(ap), "event_type")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("value") < col("__ap"), 1L).otherwise(0L)).as("__n_lt"),
+            sum(when(col("value") <= col("__ap"), 1L).otherwise(0L)).as("__n_le"))
+          .select(col("event_type"), col("n"),
+            (col("__n_lt") <= col("n") / 2d + col("n") / 1000d + 1d &&
+             col("__n_le") >= col("n") / 2d - col("n") / 1000d - 1d)
+              .as("within_bounds"))
+      },
+      Some("""SELECT event_type, count(*) AS n, TRUE AS within_bounds
               FROM events GROUP BY event_type""")),
 
     Q("q_scalar_subquery", // decorrelated by Catalyst (RewriteCorrelatedScalarSubquery)
@@ -1081,6 +1106,38 @@ object SparkEntry {
               FROM b JOIN cb USING (bg)
               JOIN cw ON string_split(bg, ' ')[1] = cw.w1
               GROUP BY doc_id""")),
+
+    Q("text_nb_classify", // model-based filtering: multinomial Naive Bayes
+      // (add-one smoothing) self-trained on the lang label and self-scored —
+      // the CCNet/fastText classifier-routing step as one closed-form
+      // Catalyst plan (train = one agg pass, model dense over vocab x classes,
+      // score = one corpus equi-join; fixture self-accuracy 0.47 vs 0.20
+      // chance, gated in ClassifySpec)
+      (s, d) => Classify.naiveBayesSelf(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+                FROM documents),
+              tok AS (SELECT doc_id, lang, term FROM t WHERE len(term) > 0),
+              ct AS (SELECT lang AS cand, term, count(*) AS c_ct FROM tok GROUP BY 1, 2),
+              cc AS (SELECT cand, sum(c_ct) AS c_c FROM ct GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vsz FROM tok),
+              pri AS (SELECT lang AS cand,
+                ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS logprior
+                FROM documents GROUP BY 1),
+              vocab AS (SELECT DISTINCT term FROM ct),
+              model AS (SELECT vocab.term, pri.cand,
+                ln((CAST(coalesce(ct.c_ct, 0) AS DOUBLE) + 1.0) / (CAST(cc.c_c AS DOUBLE) + v.vsz)) AS logp
+                FROM vocab CROSS JOIN pri JOIN cc USING (cand)
+                LEFT JOIN ct ON ct.term = vocab.term AND ct.cand = pri.cand, v),
+              sc AS (SELECT tok.doc_id, model.cand, sum(model.logp) AS loglik
+                FROM tok JOIN model ON tok.term = model.term GROUP BY 1, 2),
+              scored AS (SELECT doc_id, cand, round(loglik + logprior, 6) AS nb_score
+                FROM sc JOIN pri USING (cand)),
+              pred AS (SELECT doc_id, cand AS pred_lang, nb_score,
+                row_number() OVER (PARTITION BY doc_id ORDER BY nb_score DESC, cand ASC) AS rn
+                FROM scored)
+              SELECT p.doc_id, d.lang, p.pred_lang, p.nb_score, p.pred_lang = d.lang AS correct
+              FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1""")),
 
     Q("pipeline_quality_quantile", // group-relative quality gate: keep docs at
       // or above their own language's median token count
@@ -1430,6 +1487,29 @@ object SparkEntry {
           .withColumn("rank", col("rank").cast("long"))
       },
       None),
+
+    Q("sim_centroid_classify", // nearest-class-centroid (Rocchio) classifier:
+      // per-class mean vector via ONE (class, dim) agg, cosine scoring over a
+      // broadcast |classes|-row centroid table, bounded per-vec argmax — the
+      // linear embedding router + the class-separation sanity gate (fixture
+      // self-accuracy 0.41 vs 0.10 chance, gated in ClassifySpec)
+      (s, d) => Classify.centroidClassify(Tables.embeddings(s, d)),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              d AS (SELECT label AS cand, unnest(v) AS x,
+                unnest(generate_series(1, len(v))) AS dim FROM e),
+              cd AS (SELECT cand, dim, avg(x) AS m FROM d GROUP BY 1, 2),
+              cent AS (SELECT cand, array_agg(m ORDER BY dim) AS c FROM cd GROUP BY 1),
+              sc AS (SELECT e.vec_id, e.label, cent.cand,
+                round(
+                  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> e.v[i] * cent.c[i])), (acc, x) -> acc + x)
+                  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))
+                   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> cent.c[i] * cent.c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
+                FROM e CROSS JOIN cent),
+              pred AS (SELECT vec_id, label, cand AS pred_label, centroid_cos,
+                row_number() OVER (PARTITION BY vec_id ORDER BY centroid_cos DESC, cand ASC) AS rn
+                FROM sc)
+              SELECT vec_id, label, pred_label, centroid_cos, pred_label = label AS correct
+              FROM pred WHERE rn = 1""")),
 
     Q("text_langid",
       (s, d) => {

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFns, VectorFns}
+
+/** Trained model-based filtering — the classifier step of a curation pipeline
+  * (CCNet / fastText-style language-and-quality routing; the reference has no
+  * model layer at all, so this is part of the training-data extension the
+  * brief demands). Both models here are deliberately CLOSED-FORM: training is
+  * one aggregation pass (no iterative fit, no driver-side optimizer state),
+  * so the whole train+score graph is a single Catalyst plan that scales like
+  * any other agg+join — and is exactly reproducible in the DuckDB oracle,
+  * which an SGD fit would not be.
+  *
+  * Scale shapes (both):
+  *  - the trained MODEL is class-bounded (|vocab|·|classes| rows for NB,
+  *    |classes| centroid rows), never corpus-sized → it rides broadcast
+  *    joins; the corpus-scale stream pays one equi-join (NB) or one
+  *    broadcast nested-loop over |classes| rows (centroid).
+  *  - scoring is a hash aggregation keyed on (doc, class) — partial
+  *    aggregation applies, and per-key row count is bounded by |classes|,
+  *    so the final per-doc argmax window sorts ≤|classes| rows per key: no
+  *    skew surface anywhere.
+  */
+object Classify {
+
+  /** Multinomial Naive Bayes with add-one smoothing, self-trained on a label
+    * column and self-scored (the in-corpus evaluation shape; to score a NEW
+    * corpus with a frozen model, feed the model DataFrame this builds —
+    * the join shape is identical).
+    *
+    * P(class | doc) ∝ log P(class) + Σ_tokens log((c_ct + 1) / (c_c + |V|)).
+    * Every (term, class) pair gets a DENSE model row (vocab × classes,
+    * smoothed zeros included), so scoring is ONE equi-join on the term —
+    * missing-term smoothing never needs a second pass.
+    *
+    * Output: (doc_id, lang, pred_lang, nb_score, correct), one row per doc
+    * that has ≥1 token. Scores rounded to 6 before the argmax so the
+    * prediction is stable across summation orders and engines; ties break to
+    * the lexicographically smallest class.
+    *
+    * Like [[Curation.lmScore]], the corpus tokenizes twice (model pass +
+    * scoring pass) — both scans are map-side-partial aggregations, and
+    * caching the token stream at 100 TB would cost more than the re-scan. */
+  def naiveBayesSelf(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), col(labelCol).as("lang"),
+        explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+
+    // class-conditional counts: |vocab|·|classes| upper bound, vocab-sized
+    val classTerm = toks.groupBy(col("lang").as("cand"), col("term"))
+      .agg(count(lit(1)).as("c_ct"))
+    val classTotals = classTerm.groupBy("cand").agg(sum(col("c_ct")).as("c_c"))
+    val vocab = classTerm.select("term").distinct()
+    val vocabSize = vocab.agg(count(lit(1)).cast("double").as("vsz"))
+
+    // log priors from document counts (not token counts)
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val priors = docs.groupBy(col(labelCol).as("cand"))
+      .agg(count(lit(1)).cast("double").as("c_docs"))
+      .crossJoin(nDocs)
+      .select(col("cand"), log(col("c_docs") / col("n_docs")).as("logprior"))
+
+    // dense smoothed model: every (term, cand) row exists, zeros included
+    val model = vocab.crossJoin(priors.select("cand"))
+      .join(classTerm, Seq("term", "cand"), "left")
+      .join(classTotals, "cand")
+      .crossJoin(vocabSize)
+      .select(col("term"), col("cand"),
+        log((coalesce(col("c_ct"), lit(0L)).cast("double") + 1d) /
+          (col("c_c").cast("double") + col("vsz"))).as("logp"))
+
+    // scoring: one corpus-stream equi-join on term; (doc, cand) hash agg.
+    // The true label rides the grouping key — functionally dependent on
+    // doc_id, so it adds nothing to the key's cardinality but saves a
+    // corpus-sized re-join to recover it (the bm25TopKBatch `dl` trick)
+    val scored = toks
+      .join(model, "term")
+      .groupBy(col("doc_id"), col("lang"), col("cand"))
+      .agg(sum(col("logp")).as("loglik"))
+      .join(priors, "cand")
+      .select(col("doc_id"), col("lang"), col("cand"),
+        round(col("loglik") + col("logprior"), 6).as("nb_score"))
+
+    // per-doc argmax as a window, not ArgMaxAgg: the tie-break is ASCENDING
+    // on a string class while the score is descending — and the window key
+    // holds ≤|classes| rows, so the per-key sort is constant-bounded (no
+    // skew surface; the aggregation form's shuffle saving is |classes|x,
+    // also a constant)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("nb_score").desc, col("cand").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("lang"), col("cand").as("pred_lang"),
+        col("nb_score"), (col("cand") === col("lang")).as("correct"))
+  }
+
+  /** Nearest-class-centroid classifier over an embedding column (Rocchio /
+    * nearest-class-mean): train = ONE per-(class, dim) average, score = cosine
+    * to each of the |classes| centroids, predict the closest. The linear
+    * classifier an embedding-quality router actually runs when a full k-NN is
+    * too expensive — and the sanity check for embedding spaces (class means
+    * should separate; accuracy here gates that).
+    *
+    * Centroids are |classes|·dim values — broadcast by construction; the
+    * corpus side is a map-only broadcast nested-loop over |classes| rows, then
+    * a bounded per-vec argmax. Cosine (not dot): centroids of unit vectors are
+    * NOT unit themselves, so the norm division matters.
+    *
+    * Output: (vec_id, label, pred_label, centroid_cos, correct). Cosine
+    * rounded to 6 before the argmax; ties break to the smallest label. */
+  def centroidClassify(embeddings: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("label"),
+      VectorFns.toDoubleArray(col("embedding")).as("v"))
+
+    // per-class mean vector: (class, dim) hash agg, reassembled in dim order
+    val centroids = vecs
+      .select(col("label").as("cand"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cand", "dim").agg(avg(col("x")).as("m"))
+      .groupBy("cand")
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cand"), transform(col("pairs"), p => p.getField("m")).as("c"))
+
+    // per-vec argmax via the native hash-aggregatable ArgMaxAgg (not a
+    // window): partial aggregation reduces the |classes|-per-vec candidate
+    // rows map-side, so the exchange carries one row per vec, and nothing
+    // sorts. ord = (cos, -label): greatest-struct semantics give the highest
+    // cosine with ties to the SMALLEST label (int negates cleanly — the NB
+    // twin's string class can't, so it keeps the window form)
+    val cos = round(VectorFns.cosine(col("v"), col("c")), 6)
+    vecs
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("cand"), cos.as("centroid_cos"))
+      .groupBy("vec_id")
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("centroid_cos"), -col("cand")),
+        struct(col("label"), col("cand"), col("centroid_cos"))).as("best"))
+      .select(col("vec_id"), col("best.label").as("label"),
+        col("best.cand").as("pred_label"),
+        col("best.centroid_cos").as("centroid_cos"),
+        (col("best.cand") === col("best.label")).as("correct"))
+  }
+}

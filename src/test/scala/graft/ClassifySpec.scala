@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classify
+
+class ClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Naive Bayes: hand-fit semantics ------------------------------------
+
+  private def nbDocs = Seq(
+    (1L, "apple apple banana", "A"),
+    (2L, "carrot carrot date", "B")
+  ).toDF("doc_id", "text", "lang")
+
+  test("naiveBayesSelf reproduces the hand-computed add-one-smoothed scores") {
+    // vocab = {apple, banana, carrot, date}, |V| = 4; c_A = c_B = 3 tokens;
+    // priors 1/2. doc1 under A: 2·ln(3/7) + ln(2/7) + ln(1/2); under B:
+    // 3·ln(1/7) + ln(1/2). A wins (and symmetrically for doc2 under B).
+    val r = Classify.naiveBayesSelf(nbDocs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getString(2) === "A" && r(1L).getBoolean(4))
+    assert(r(2L).getString(2) === "B" && r(2L).getBoolean(4))
+    val expected1 = 2 * math.log(3d / 7) + math.log(2d / 7) + math.log(0.5)
+    assert(math.abs(r(1L).getDouble(3) - expected1) < 1e-5)
+  }
+
+  test("naiveBayesSelf breaks exact score ties to the smallest class") {
+    // identical texts in two classes → fully symmetric model, scores tie
+    // exactly → both docs predict class "a"
+    val docs = Seq((1L, "same text", "a"), (2L, "same text", "b"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classify.naiveBayesSelf(docs).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r === Map(1L -> "a", 2L -> "a"))
+  }
+
+  test("naiveBayesSelf drops zero-token docs, keeps one row per scorable doc") {
+    val docs = Seq((1L, "apple", "A"), (2L, "   ", "A"), (3L, "banana", "B"))
+      .toDF("doc_id", "text", "lang")
+    val r = Classify.naiveBayesSelf(docs)
+    assert(r.select("doc_id").as[Long].collect().sorted === Array(1L, 3L))
+    assert(r.count() === r.select("doc_id").distinct().count())
+  }
+
+  // ---- centroid classifier: hand-fit semantics ----------------------------
+
+  test("centroidClassify assigns each vector to its nearest class mean") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.1f, 0.9f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Classify.centroidClassify(emb).collect()
+    assert(r.length === 4)
+    assert(r.forall(_.getBoolean(4)), s"every vec nearest its own class mean: ${r.mkString(", ")}")
+  }
+
+  test("centroidClassify breaks exact cosine ties to the smallest label") {
+    // identical single vectors in classes 0 and 1 → identical centroids →
+    // both cands tie at cos 1 → both vecs predict label 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Classify.centroidClassify(emb).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r === Map(1L -> 0, 2L -> 0))
+  }
+
+  // ---- accuracy gates on the fixture (quality evidence, chance = 1/classes)
+
+  test("naiveBayesSelf fixture self-accuracy >= 0.35 (chance 0.20)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = Classify.naiveBayesSelf(docs)
+      .agg(avg(col("correct").cast("double"))).head().getDouble(0)
+    info(f"NB self-accuracy = $r%.3f")
+    assert(r >= 0.35, f"NB self-accuracy $r%.3f below 0.35 floor (chance 0.20)")
+  }
+
+  test("centroidClassify fixture self-accuracy >= 0.30 (chance 0.10)") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Classify.centroidClassify(emb)
+      .agg(avg(col("correct").cast("double"))).head().getDouble(0)
+    info(f"centroid self-accuracy = $r%.3f")
+    assert(r >= 0.30, f"centroid self-accuracy $r%.3f below 0.30 floor (chance 0.10)")
+  }
+}

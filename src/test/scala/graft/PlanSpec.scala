@@ -333,7 +333,11 @@ class PlanSpec extends SparkSpec {
       "dedup_trim_spans" -> 2, // duplicateSpans' 2; span-list agg reuses doc partitioning, spans re-join broadcasts at fixture stats (the trim itself is map-only)
       "dedup_incremental_spans" -> 3, // batch gram sort + base distinct-key build + per-doc island window; the g-keyed join reuses both sides' partitioning
       "dedup_exact_canonical" -> 1, // one keyed argmax exchange (text-keyed oracle form)
-      "dedup_exact_canonical_fp" -> 1) // same argmax, 8-byte fingerprint key (scale form)
+      "dedup_exact_canonical_fp" -> 1, // same argmax, 8-byte fingerprint key (scale form)
+      // round-6 additions: sketch bounds + the classifier layer
+      "q_approx_distinct_bounds" -> 2, // distinct-agg rewrite: (type,user) partial + final
+      "text_nb_classify" -> 8, // corpus pays the term join + (doc,cand) agg + bounded argmax window; the other exchanges are vocab- or class-bounded model assembly
+      "sim_centroid_classify" -> 3) // (class,dim) centroid agg + class reassembly (both model-side); corpus pays ONE argmax-agg exchange, centroids broadcast
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
