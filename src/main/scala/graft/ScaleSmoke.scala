@@ -299,6 +299,11 @@ object ScaleSmoke {
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,
           fastHash = true).count()
       }
+      time("mixtureTemperature tau=2 1M docs, 1000 domains") {
+        // one domain-count agg; rate table = |domains| rows, broadcast back
+        graft.operators.Curation.mixtureTemperature(sourced, tau = 2.0,
+          budget = 0.5, fastHash = true).count()
+      }
       time("naiveBayesSelf train+score 1M docs") {
         // model stays vocab x classes (here 10 x 5); the corpus pays the term
         // join, the (doc, class) agg, and the bounded argmax window

@@ -1139,6 +1139,48 @@ object SparkEntry {
               SELECT p.doc_id, d.lang, p.pred_lang, p.nb_score, p.pred_lang = d.lang AS correct
               FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1""")),
 
+    Q("text_nb_holdout", // the frozen-model train/apply split: NB fit on even
+      // doc_ids, scored on the held-out odd half (out-of-vocabulary test
+      // terms drop at the scoring join — standard multinomial-NB OOV); the
+      // shape a production language/quality router actually runs
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Classify.naiveBayesTransfer(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      },
+      Some("""WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              te AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+              t AS (SELECT doc_id, lang,
+                unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+                FROM tr),
+              tok AS (SELECT doc_id, lang, term FROM t WHERE len(term) > 0),
+              ct AS (SELECT lang AS cand, term, count(*) AS c_ct FROM tok GROUP BY 1, 2),
+              cc AS (SELECT cand, sum(c_ct) AS c_c FROM ct GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vsz FROM tok),
+              pri AS (SELECT lang AS cand,
+                ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM tr)) AS logprior
+                FROM tr GROUP BY 1),
+              vocab AS (SELECT DISTINCT term FROM ct),
+              model AS (SELECT vocab.term, pri.cand,
+                ln((CAST(coalesce(ct.c_ct, 0) AS DOUBLE) + 1.0) / (CAST(cc.c_c AS DOUBLE) + v.vsz)) AS logp
+                FROM vocab CROSS JOIN pri JOIN cc USING (cand)
+                LEFT JOIN ct ON ct.term = vocab.term AND ct.cand = pri.cand, v),
+              s AS (SELECT doc_id, lang,
+                unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+                FROM te),
+              stok AS (SELECT doc_id, lang, term FROM s WHERE len(term) > 0),
+              sc AS (SELECT stok.doc_id, any_value(stok.lang) AS lang, model.cand,
+                sum(model.logp) AS loglik
+                FROM stok JOIN model ON stok.term = model.term GROUP BY stok.doc_id, model.cand),
+              scored AS (SELECT doc_id, lang, cand, round(loglik + logprior, 6) AS nb_score
+                FROM sc JOIN pri USING (cand)),
+              pred AS (SELECT doc_id, lang, cand AS pred_lang, nb_score,
+                row_number() OVER (PARTITION BY doc_id ORDER BY nb_score DESC, cand ASC) AS rn
+                FROM scored)
+              SELECT doc_id, lang, pred_lang, nb_score, pred_lang = lang AS correct
+              FROM pred WHERE rn = 1""")),
+
     Q("pipeline_quality_quantile", // group-relative quality gate: keep docs at
       // or above their own language's median token count
       (s, d) => Curation.qualityQuantileFilter(Tables.documents(s, d), 0.5),
@@ -1825,6 +1867,41 @@ object SparkEntry {
                             ELSE 0.35 END AS rate FROM f)
               SELECT doc_id, domain FROM w
               WHERE fp % 10000 < CAST(rate * 10000 AS BIGINT)""")),
+
+    Q("pipeline_mixture_temperature", // temperature-flattened domain mixture
+      // (q_d ∝ p_d^(1/tau), the multilingual-mix step): rates derive from the
+      // corpus' own domain counts — the fixture's sources are uniform, so the
+      // entry derives a skewed 60/30/10 domain split from doc_id to give the
+      // flattening something to flatten (tau=2, budget=0.5 → keep ~39% of
+      // 'web', ~96% of 'code'); keep decision = same content-hash as
+      // pipeline_mixture
+      (s, d) => Curation.mixtureTemperature(
+        Tables.documents(s, d).withColumn("source",
+          when(pmod(col("doc_id"), lit(10)) < 6, "web")
+            .when(pmod(col("doc_id"), lit(10)) < 9, "books")
+            .otherwise("code")),
+        tau = 2.0, budget = 0.5),
+      Some("""WITH docs AS (SELECT doc_id, text,
+                CASE WHEN doc_id % 10 < 6 THEN 'web'
+                     WHEN doc_id % 10 < 9 THEN 'books'
+                     ELSE 'code' END AS domain FROM documents),
+              n AS (SELECT domain, CAST(count(*) AS DOUBLE) AS n_d FROM docs GROUP BY 1),
+              tot AS (SELECT sum(n_d) AS n FROM n),
+              f AS (SELECT domain, n_d, n, pow(n_d / n, 0.5) AS w FROM n, tot),
+              z AS (SELECT sum(w) AS z FROM f),
+              r AS (SELECT domain,
+                CAST(round(least(1.0, 0.5 * n * (w / z) / n_d) * 10000) AS BIGINT) AS thr
+                FROM f, z),
+              t AS (SELECT doc_id, domain,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM docs),
+              fp AS (SELECT doc_id, domain,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) % 10000 AS fp FROM t)
+              SELECT doc_id, domain FROM fp JOIN r USING (domain)
+              WHERE fp < thr""")),
 
     Q("pipeline_mixture_upsample", // epoch-style mixing: weights above 1 emit
       // floor(w) copies + a content-hash-decided fractional epoch; copy_id

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, VectorFns}
@@ -20,16 +20,15 @@ import graft.functions.{TextFns, VectorFns}
   *    joins; the corpus-scale stream pays one equi-join (NB) or one
   *    broadcast nested-loop over |classes| rows (centroid).
   *  - scoring is a hash aggregation keyed on (doc, class) — partial
-  *    aggregation applies, and per-key row count is bounded by |classes|,
-  *    so the final per-doc argmax window sorts ≤|classes| rows per key: no
-  *    skew surface anywhere.
+  *    aggregation applies, and the per-item argmax is bounded by |classes|
+  *    candidate rows (a constant-width window for NB, a one-row-per-vec
+  *    ArgMaxAgg for the centroid form): no skew surface anywhere.
   */
 object Classify {
 
   /** Multinomial Naive Bayes with add-one smoothing, self-trained on a label
-    * column and self-scored (the in-corpus evaluation shape; to score a NEW
-    * corpus with a frozen model, feed the model DataFrame this builds —
-    * the join shape is identical).
+    * column and self-scored (the in-corpus evaluation shape;
+    * [[naiveBayesTransfer]] is the frozen-model train/apply split).
     *
     * P(class | doc) ∝ log P(class) + Σ_tokens log((c_ct + 1) / (c_c + |V|)).
     * Every (term, class) pair gets a DENSE model row (vocab × classes,
@@ -45,11 +44,34 @@ object Classify {
     * scoring pass) — both scans are map-side-partial aggregations, and
     * caching the token stream at 100 TB would cost more than the re-scan. */
   def naiveBayesSelf(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), col(labelCol).as("lang"),
-        explode(TextFns.tokens(col("text"))).as("term"))
-      .filter(length(col("term")) > 0)
+    val toks = nbTokens(docs, labelCol)
+    val (model, priors) = nbModel(docs, toks, labelCol)
+    nbPredict(toks, model, priors)
+  }
 
+  /** The train/apply split: fit on `train`, score `test` (held-out or newly
+    * crawled docs — the shape a production quality/language router runs).
+    * Test-corpus terms outside the trained vocabulary are DROPPED by the
+    * scoring join (standard multinomial-NB OOV handling), so a test doc with
+    * no in-vocabulary token yields no row. Output schema = [[naiveBayesSelf]]
+    * (`correct` evaluates the frozen model's held-out accuracy). */
+  def naiveBayesTransfer(train: DataFrame, test: DataFrame,
+                         labelCol: String = "lang"): DataFrame = {
+    val (model, priors) = nbModel(train, nbTokens(train, labelCol), labelCol)
+    nbPredict(nbTokens(test, labelCol), model, priors)
+  }
+
+  /** (doc_id, true label, term) token stream — the shared tokenize kernel. */
+  private def nbTokens(docs: DataFrame, labelCol: String): DataFrame = docs
+    .select(col("doc_id"), col(labelCol).as("lang"),
+      explode(TextFns.tokens(col("text"))).as("term"))
+    .filter(length(col("term")) > 0)
+
+  /** Closed-form NB fit: dense smoothed per-term model (vocab × classes —
+    * every (term, class) row exists, zeros included, so scoring never needs
+    * a second smoothing pass) + per-class log priors from DOCUMENT counts. */
+  private def nbModel(docs: DataFrame, toks: DataFrame,
+                      labelCol: String): (DataFrame, DataFrame) = {
     // class-conditional counts: |vocab|·|classes| upper bound, vocab-sized
     val classTerm = toks.groupBy(col("lang").as("cand"), col("term"))
       .agg(count(lit(1)).as("c_ct"))
@@ -57,14 +79,12 @@ object Classify {
     val vocab = classTerm.select("term").distinct()
     val vocabSize = vocab.agg(count(lit(1)).cast("double").as("vsz"))
 
-    // log priors from document counts (not token counts)
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val priors = docs.groupBy(col(labelCol).as("cand"))
       .agg(count(lit(1)).cast("double").as("c_docs"))
       .crossJoin(nDocs)
       .select(col("cand"), log(col("c_docs") / col("n_docs")).as("logprior"))
 
-    // dense smoothed model: every (term, cand) row exists, zeros included
     val model = vocab.crossJoin(priors.select("cand"))
       .join(classTerm, Seq("term", "cand"), "left")
       .join(classTotals, "cand")
@@ -72,7 +92,11 @@ object Classify {
       .select(col("term"), col("cand"),
         log((coalesce(col("c_ct"), lit(0L)).cast("double") + 1d) /
           (col("c_c").cast("double") + col("vsz"))).as("logp"))
+    (model, priors)
+  }
 
+  private def nbPredict(toks: DataFrame, model: DataFrame,
+                        priors: DataFrame): DataFrame = {
     // scoring: one corpus-stream equi-join on term; (doc, cand) hash agg.
     // The true label rides the grouping key — functionally dependent on
     // doc_id, so it adds nothing to the key's cardinality but saves a

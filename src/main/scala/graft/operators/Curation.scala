@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFns
 
@@ -236,6 +237,52 @@ object Curation {
     docs
       .select(col("doc_id"), col(domainCol).as("domain"), fp.as("fp"))
       .filter(col("fp") < threshold)
+      .select("doc_id", "domain")
+  }
+
+  /** Temperature-flattened domain mixture (the multilingual/multi-domain
+    * training-mix step): target distribution q_d ∝ p_d^(1/tau) over the
+    * OBSERVED domain mass p_d = n_d/N, realized as per-domain keep rates at
+    * a total budget of `budget`·N docs — rate_d = min(1, budget·N·q_d/n_d);
+    * domains the flattening would UPsample cap at 1 (pair with
+    * [[mixtureUpsample]] for epochs above 1). tau = 1 keeps the corpus
+    * proportions; tau → ∞ approaches uniform over domains.
+    *
+    * Unlike [[mixtureSample]] (literal driver-side weights), the rates here
+    * DERIVE FROM the corpus: one |domains|-bounded count aggregate, re-joined
+    * as a broadcast, then the same pure content-hash keep decision — still
+    * reproducible across runs/engines/partitionings, no RNG state, no driver
+    * round trip. Thresholds become integer hash buckets in-plan via round()
+    * on BOTH engines (never a truncating cast — the CAST-semantics rule). */
+  def mixtureTemperature(docs: DataFrame, tau: Double, budget: Double,
+                         domainCol: String = "source",
+                         fastHash: Boolean = false): DataFrame = {
+    require(tau > 0, s"temperature must be positive: $tau")
+    require(budget > 0 && budget <= 1, s"budget out of (0,1]: $budget")
+    // The whole rate table derives from ONE corpus count aggregate. The
+    // normalizers (N, Z) come from UNPARTITIONED windows over that
+    // |domains|-row frame — a single-task sort of a bounded dim table, NOT a
+    // corpus window — because expressing them as separate .agg() subtrees
+    // would re-evaluate the uncached counts aggregate (and its corpus scan)
+    // once per reference: measured 3 corpus scans for this stats block before
+    // the rewrite, 1 after.
+    val all = Window.partitionBy()
+    val rates = docs.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).cast("double").as("n_d"))
+      .withColumn("n", sum(col("n_d")).over(all))
+      .withColumn("w", pow(col("n_d") / col("n"), lit(1d / tau)))
+      .withColumn("z", sum(col("w")).over(all))
+      .select(col("domain"),
+        round(least(lit(1d),
+          lit(budget) * col("n") * (col("w") / col("z")) / col("n_d")) * 10000d)
+          .cast("long").as("thr"))
+    val fp =
+      if (fastHash) pmod(TextFns.fastFingerprint(col("text")), lit(10000L))
+      else pmod(TextFns.fingerprint(col("text")), lit(10000L))
+    docs
+      .select(col("doc_id"), col(domainCol).as("domain"), fp.as("fp"))
+      .join(broadcast(rates), "domain")
+      .filter(col("fp") < col("thr"))
       .select("doc_id", "domain")
   }
 

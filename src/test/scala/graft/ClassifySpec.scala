@@ -43,6 +43,28 @@ class ClassifySpec extends SparkSpec {
     assert(r.count() === r.select("doc_id").distinct().count())
   }
 
+  test("naiveBayesTransfer scores held-out docs with the frozen model, drops all-OOV docs") {
+    val test = Seq(
+      (10L, "apple", "A"),          // in-vocab: P(apple|A)=3/7 vs P(apple|B)=1/7
+      (11L, "date carrot", "B"),
+      (12L, "zzz qqq", "A")         // every token OOV → no row
+    ).toDF("doc_id", "text", "lang")
+    val r = Classify.naiveBayesTransfer(nbDocs, test).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet === Set(10L, 11L))
+    assert(r(10L).getString(2) === "A" && r(10L).getBoolean(4))
+    assert(r(11L).getString(2) === "B" && r(11L).getBoolean(4))
+    val expected10 = math.log(3d / 7) + math.log(0.5)
+    assert(math.abs(r(10L).getDouble(3) - expected10) < 1e-5)
+  }
+
+  test("naiveBayesTransfer on the training docs equals naiveBayesSelf") {
+    // same corpus on both sides of the split → identical model → identical output
+    val self = rowSet(Classify.naiveBayesSelf(nbDocs))
+    val transfer = rowSet(Classify.naiveBayesTransfer(nbDocs, nbDocs))
+    assert(self === transfer)
+  }
+
   // ---- centroid classifier: hand-fit semantics ----------------------------
 
   test("centroidClassify assigns each vector to its nearest class mean") {

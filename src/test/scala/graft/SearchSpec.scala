@@ -229,6 +229,42 @@ class SearchSpec extends SparkSpec {
     assert(perDoc.size === 6 && perDoc.values.forall(c => c == 1L || c == 2L))
   }
 
+  test("mixtureTemperature: tau=1 keeps every domain at the flat budget rate") {
+    // q_d = p_d at tau=1, so rate_d = budget regardless of skew — the keep
+    // set must equal mixtureSample with a uniform defaultWeight = budget
+    val t = Curation.mixtureTemperature(docs, tau = 1.0, budget = 0.5)
+    val flat = Curation.mixtureSample(docs, Map.empty, defaultWeight = 0.5)
+    assert(rowSet(t.select("doc_id")) === rowSet(flat.select("doc_id")))
+  }
+
+  test("mixtureTemperature flattens: rare domains keep a higher fraction, totals near budget") {
+    import spark.implicits._
+    // 800/150/50 skew over 1000 deterministic docs; tau=2, budget=0.5
+    val corpus = (1 to 1000).map { i =>
+      val dom = if (i <= 800) "web" else if (i <= 950) "books" else "code"
+      (i.toLong, s"document body number $i with some shared tokens", dom)
+    }.toDF("doc_id", "text", "source")
+    val kept = Curation.mixtureTemperature(corpus, tau = 2.0, budget = 0.5)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // expected rates: p = .8/.15/.05, w = sqrt(p), z = sum(w);
+    // rate_d = min(1, .5 * (w_d/z) / p_d)
+    val p = Map("web" -> 0.8, "books" -> 0.15, "code" -> 0.05)
+    val z = p.values.map(math.sqrt).sum
+    val rate = p.map { case (d, pd) => d -> math.min(1.0, 0.5 * (math.sqrt(pd) / z) / pd) }
+    val n = Map("web" -> 800.0, "books" -> 150.0, "code" -> 50.0)
+    rate.foreach { case (d, r) =>
+      val realized = kept.getOrElse(d, 0L) / n(d)
+      assert(math.abs(realized - r) <= 0.12,
+        f"$d realized $realized%.3f vs expected rate $r%.3f")
+    }
+    // the flattening direction itself: code keeps a strictly higher fraction
+    assert(kept("code") / n("code") > kept("web") / n("web"))
+    // determinism: same content, same sample
+    val again = Curation.mixtureTemperature(corpus, tau = 2.0, budget = 0.5)
+    assert(again.count() === kept.values.sum)
+  }
+
   test("assignSplit: total, deterministic, and leak-proof under re-crawled duplicates") {
     val split = Curation.assignSplit(docs).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
