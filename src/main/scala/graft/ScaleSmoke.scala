@@ -160,6 +160,15 @@ object ScaleSmoke {
     }
     // semantic dedup: within-cell quadratic work must stay bounded by cell
     // size — 100k vectors, nlist=256 => ~390-row cells, ~20M candidate pairs
+    time("knnClassify k=5 over 10k labeled vs 10k query") {
+      // instance-based classifier: heap-topk + (n·k) vote agg; the all-pairs
+      // scoring is the cost driver (10k² here) — at corpus scale the vote
+      // layer rides the IVF probe instead, same shape
+      graft.operators.Classify.knnClassify(
+        vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
+          .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")), k = 5)
+        .count()
+    }
     time(s"centroidClassify 10 classes ($nVec x $dim)") {
       // one (class, dim) centroid agg, broadcast scoring, argmax-agg exchange
       graft.operators.Classify.centroidClassify(

@@ -1553,6 +1553,32 @@ object SparkEntry {
               SELECT vec_id, label, pred_label, centroid_cos, pred_label = label AS correct
               FROM pred WHERE rn = 1""")),
 
+    Q("sim_knn_classify", // instance-based classification (label propagation):
+      // exact 5-NN majority vote, heap-bounded top-k + (n·k)-row vote agg,
+      // deterministic tie-break (votes, closest rank, label) → hash-oracled.
+      // Fixture self-accuracy is chance BY CONSTRUCTION (vectors are
+      // near-orthogonal; class signal lives in the means — see
+      // sim_centroid_classify's gate); ClassifySpec proves the semantics on
+      // planted clusters
+      (s, d) => Classify.knnClassify(Tables.embeddings(s, d), k = 5),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS n_label,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+              nn AS (SELECT query_id, n_label, cosine, vec_id,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+                FROM p),
+              v AS (SELECT query_id, n_label, count(*) AS votes, min(rnk) AS best_rank
+                FROM nn WHERE rnk <= 5 GROUP BY 1, 2),
+              w AS (SELECT query_id, n_label AS pred_label, votes,
+                row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, best_rank ASC, n_label ASC) AS wr
+                FROM v)
+              SELECT w.query_id AS vec_id, e.label, w.pred_label, w.votes,
+                w.pred_label = e.label AS correct
+              FROM w JOIN e ON e.vec_id = w.query_id WHERE wr = 1""")),
+
     Q("text_langid",
       (s, d) => {
         val t = col("text")

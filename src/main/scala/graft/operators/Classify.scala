@@ -123,6 +123,42 @@ object Classify {
         col("nb_score"), (col("cand") === col("lang")).as("correct"))
   }
 
+  /** k-NN majority-vote self-classification over an embedding column — the
+    * instance-based family (label propagation / weak supervision: push known
+    * labels onto neighbors), completing the parametric ([[naiveBayesSelf]])
+    * and prototype ([[centroidClassify]]) classifiers. Each vector's k exact
+    * nearest neighbors (self excluded) vote with their labels; the majority
+    * wins, ties break (votes DESC, closest-neighbor rank ASC, label ASC) —
+    * fully deterministic, so the whole output hash-oracles.
+    *
+    * Built on [[Similarity.bruteForceTopK]]'s heap-bounded top-k (each map
+    * task ships ≤k candidates per query); the vote aggregation and argmax
+    * add only (n·k)-row work. At 100 TB swap the exact top-k for the IVF
+    * probe — the vote layer is neighbor-source-agnostic.
+    *
+    * Output: (vec_id, label, pred_label, votes, correct). NOTE: on the
+    * testdata fixture self-kNN accuracy sits at chance — individual vectors
+    * are near-orthogonal (max pairwise cosine 0.48); class structure lives in
+    * the MEANS, which is exactly what [[centroidClassify]]'s 0.37-vs-0.10
+    * gate shows. ClassifySpec proves the semantics on planted clusters. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val votes = Similarity.bruteForceTopK(embeddings, embeddings, k)
+      .join(labels.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("best_rank").asc, col("n_label").asc)
+    votes
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id").as("vec_id"), col("n_label").as("pred_label"),
+        col("votes"))
+      .join(labels, "vec_id")
+      .select(col("vec_id"), col("label"), col("pred_label"), col("votes"),
+        (col("pred_label") === col("label")).as("correct"))
+  }
+
   /** Nearest-class-centroid classifier over an embedding column (Rocchio /
     * nearest-class-mean): train = ONE per-(class, dim) average, score = cosine
     * to each of the |classes| centroids, predict the closest. The linear

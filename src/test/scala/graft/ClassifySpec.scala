@@ -91,6 +91,40 @@ class ClassifySpec extends SparkSpec {
     assert(r === Map(1L -> 0, 2L -> 0))
   }
 
+  // ---- kNN majority vote: planted-cluster semantics ------------------------
+
+  test("knnClassify recovers planted clusters exactly (k=3)") {
+    // two tight clusters; every vector's 3 nearest are its own cluster-mates
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.99f, -0.1f, 0.0f, 0.0f), 0),
+      (4L, Array(0.98f, 0.0f, 0.1f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (6L, Array(0.1f, 0.99f, 0.0f, 0.0f), 1),
+      (7L, Array(-0.1f, 0.99f, 0.0f, 0.0f), 1),
+      (8L, Array(0.0f, 0.98f, 0.1f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Classify.knnClassify(emb, k = 3).collect()
+    assert(r.length === 8)
+    assert(r.forall(_.getBoolean(4)), s"planted clusters must classify perfectly: ${r.mkString(", ")}")
+    assert(r.forall(_.getLong(3) === 3L), "all 3 votes from the home cluster")
+  }
+
+  test("knnClassify vote ties break to the closest neighbor, then smallest label") {
+    // query 1 sees neighbors 2 (label 7) and 3 (label 4) at the SAME cosine
+    // (0.8): neighbor rank ties break by vec_id → 2 is rank 1, so the 1-1
+    // vote tie resolves to label 7 via best_rank
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 9),
+      (2L, Array(0.8f, 0.6f, 0.0f, 0.0f), 7),
+      (3L, Array(0.8f, -0.6f, 0.0f, 0.0f), 4)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Classify.knnClassify(emb, k = 2).collect()
+      .map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r(1L) === 7)
+  }
+
   // ---- accuracy gates on the fixture (quality evidence, chance = 1/classes)
 
   test("naiveBayesSelf fixture self-accuracy >= 0.35 (chance 0.20)") {
