@@ -160,14 +160,19 @@ object ScaleSmoke {
     }
     // semantic dedup: within-cell quadratic work must stay bounded by cell
     // size — 100k vectors, nlist=256 => ~390-row cells, ~20M candidate pairs
-    time("knnClassify k=5 over 10k labeled vs 10k query") {
-      // instance-based classifier: heap-topk + (n·k) vote agg; the all-pairs
-      // scoring is the cost driver (10k² here) — at corpus scale the vote
-      // layer rides the IVF probe instead, same shape
-      graft.operators.Classify.knnClassify(
-        vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
-          .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")), k = 5)
-        .count()
+    // instance-based classifier A/B pair: the exact all-pairs form is the
+    // oracle baseline (cost driver = 10k² scoring); the IVF twin bounds
+    // per-query work to the nprobe-cell candidate set — the 100 TB form
+    locally {
+      val labeled = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
+        .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      time("knnClassify exact k=5, 10k labeled self") {
+        graft.operators.Classify.knnClassify(labeled, k = 5).count()
+      }
+      time("knnClassifyIvf k=5 nlist=64, 10k labeled self") {
+        graft.operators.Classify.knnClassifyIvf(labeled, k = 5,
+          nlist = 64, nprobe = 8).count()
+      }
     }
     time(s"centroidClassify 10 classes ($nVec x $dim)") {
       // one (class, dim) centroid agg, broadcast scoring, argmax-agg exchange

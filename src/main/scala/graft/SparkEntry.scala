@@ -1579,6 +1579,13 @@ object SparkEntry {
                 w.pred_label = e.label AS correct
               FROM w JOIN e ON e.vec_id = w.query_id WHERE wr = 1""")),
 
+    Q("sim_knn_classify_ivf", // the scale twin: neighbors from the trained
+      // IVF probe (nlist=8, nprobe=5 — the sim_ivf_topk params, recall@10
+      // 0.905) instead of the all-pairs scan; rows-only (trained cells) with
+      // a measured prediction-agreement gate vs the exact form (ClassifySpec)
+      (s, d) => Classify.knnClassifyIvf(Tables.embeddings(s, d), k = 5),
+      None),
+
     Q("text_langid",
       (s, d) => {
         val t = col("text")

@@ -141,9 +141,25 @@ object Classify {
     * are near-orthogonal (max pairwise cosine 0.48); class structure lives in
     * the MEANS, which is exactly what [[centroidClassify]]'s 0.37-vs-0.10
     * gate shows. ClassifySpec proves the semantics on planted clusters. */
-  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val labels = embeddings.select(col("vec_id"), col("label"))
-    val votes = Similarity.bruteForceTopK(embeddings, embeddings, k)
+  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame =
+    voteOnNeighbors(Similarity.bruteForceTopK(embeddings, embeddings, k),
+      embeddings.select(col("vec_id"), col("label")))
+
+  /** [[knnClassify]]'s scale twin: neighbors come from the trained IVF probe
+    * instead of the exact all-pairs scan — per-query work drops from |corpus|
+    * to the nprobe-cell candidate set, the vote layer is unchanged. Rows-only
+    * under the oracle (trained cells); agreement with the exact form is the
+    * measured quality gate (ClassifySpec). */
+  def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
+                     nlist: Int = 8, nprobe: Int = 5): DataFrame =
+    voteOnNeighbors(
+      Similarity.ivfTopK(embeddings, embeddings, k, nlist, nprobe),
+      embeddings.select(col("vec_id"), col("label")))
+
+  /** Majority vote over a (query_id, vec_id, rank) neighbor list — the
+    * neighbor-source-agnostic half of k-NN classification. */
+  private def voteOnNeighbors(nn: DataFrame, labels: DataFrame): DataFrame = {
+    val votes = nn
       .join(labels.select(col("vec_id"), col("label").as("n_label")), "vec_id")
       .groupBy(col("query_id"), col("n_label"))
       .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))

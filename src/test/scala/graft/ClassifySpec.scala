@@ -125,6 +125,21 @@ class ClassifySpec extends SparkSpec {
     assert(r(1L) === 7)
   }
 
+  test("knnClassifyIvf agrees with the exact form on most fixture predictions") {
+    // the IVF probe misses some true neighbors (recall@10 = 0.905 at these
+    // params), so votes can differ — agreement rate is the quality gate
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Classify.knnClassify(emb, k = 5)
+      .select(col("vec_id"), col("pred_label").as("p_exact"))
+    val ivf = Classify.knnClassifyIvf(emb, k = 5)
+      .select(col("vec_id"), col("pred_label").as("p_ivf"))
+    val joined = exact.join(ivf, "vec_id")
+    val n = joined.count().toDouble
+    val agree = joined.filter(col("p_exact") === col("p_ivf")).count() / n
+    info(f"IVF/exact kNN prediction agreement = $agree%.3f over ${n.toLong} vecs")
+    assert(agree >= 0.6, f"agreement $agree%.3f below 0.6 floor — resize nlist/nprobe")
+  }
+
   // ---- accuracy gates on the fixture (quality evidence, chance = 1/classes)
 
   test("naiveBayesSelf fixture self-accuracy >= 0.35 (chance 0.20)") {

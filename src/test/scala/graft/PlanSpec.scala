@@ -340,7 +340,8 @@ class PlanSpec extends SparkSpec {
       "sim_centroid_classify" -> 3, // (class,dim) centroid agg + class reassembly (both model-side); corpus pays ONE argmax-agg exchange, centroids broadcast
       "text_nb_holdout" -> 8, // same shape as text_nb_classify: model-side vocab-bounded aggs + corpus term join + (doc,cand) agg + bounded argmax
       "pipeline_mixture_temperature" -> 1, // ONE domain-count agg; N/Z via windows over the |domains|-row frame, rates broadcast back
-      "sim_knn_classify" -> 1) // the heap-topk agg on query_id; label re-joins broadcast at fixture stats (id-keyed equi-joins at scale)
+      "sim_knn_classify" -> 1, // the heap-topk agg on query_id; label re-joins broadcast at fixture stats (id-keyed equi-joins at scale)
+      "sim_knn_classify_ivf" -> 2) // + the cell-keyed candidate join feeding the same heap-topk; assignment map-only
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
