@@ -1442,7 +1442,7 @@ object SparkEntry {
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 round(list_reduce(list_prepend(0.0,
-                  list_transform(generate_series(1, 64), i -> a.emb[i] * b.emb[i])),
+                  list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
                   (acc, x) -> acc + x), 6) AS cosine
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4""")),
@@ -1480,7 +1480,7 @@ object SparkEntry {
               q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
               s AS (SELECT query_id, vec_id,
                 round(list_reduce(list_prepend(0.0,
-                  list_transform(generate_series(1, 64), i -> qe[i] * emb[i])),
+                  list_transform(generate_series(1, len(emb)), i -> qe[i] * emb[i])),
                   (acc, x) -> acc + x), 6) AS cosine
                 FROM q, e WHERE query_id != vec_id),
               r AS (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1543,9 +1543,9 @@ object SparkEntry {
               cent AS (SELECT cand, array_agg(m ORDER BY dim) AS c FROM cd GROUP BY 1),
               sc AS (SELECT e.vec_id, e.label, cent.cand,
                 round(
-                  list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> e.v[i] * cent.c[i])), (acc, x) -> acc + x)
-                  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))
-                   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, 64), i -> cent.c[i] * cent.c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
+                  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e.v)), i -> e.v[i] * cent.c[i])), (acc, x) -> acc + x)
+                  / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e.v)), i -> e.v[i] * e.v[i])), (acc, x) -> acc + x))
+                   * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(cent.c)), i -> cent.c[i] * cent.c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
                 FROM e CROSS JOIN cent),
               pred AS (SELECT vec_id, label, cand AS pred_label, centroid_cos,
                 row_number() OVER (PARTITION BY vec_id ORDER BY centroid_cos DESC, cand ASC) AS rn
@@ -1564,7 +1564,7 @@ object SparkEntry {
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, b.label AS n_label,
                 round(list_reduce(list_prepend(0.0,
-                  list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])),
+                  list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
                   (acc, x) -> acc + x), 6) AS cosine
                 FROM e a JOIN e b ON a.vec_id <> b.vec_id),
               nn AS (SELECT query_id, n_label, cosine, vec_id,
@@ -2127,7 +2127,7 @@ object SparkEntry {
               e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
               q AS (SELECT emb AS qe FROM e WHERE vec_id = 0),
               sv AS (SELECT vec_id, round(list_reduce(list_prepend(0.0,
-                  list_transform(generate_series(1, 64), i -> qe[i] * emb[i])),
+                  list_transform(generate_series(1, len(emb)), i -> qe[i] * emb[i])),
                   (acc, x) -> acc + x), 6) AS cosine
                 FROM q, e WHERE vec_id != 0),
               vr AS (SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS vec_rank

@@ -215,6 +215,14 @@ object Search {
     * vec_rank), ranks null for a channel that did not retrieve the doc;
     * deterministic (rrf DESC, doc_id) order.
     *
+    * Contract: ONE logical query — `queryTerms` is its lexical form,
+    * `queryVecs` its embedding form. `queryVecs` may technically hold
+    * several vector rows (e.g. a multi-vector query); the vec channel then
+    * contributes each doc's BEST rank across those rows (min-rank
+    * aggregation below), so fusion still sees one rank per doc and the
+    * output stays one row per doc_id. Distinct user queries must be fused
+    * by separate calls — their result lists are independent top-k's.
+    *
     * Scale shape: each channel is already top-`kRetrieval`-bounded BEFORE
     * fusion, so the rank windows and the full-outer join run on dim-sized
     * (≤ 2·kRetrieval rows) data — the single-partition rank window is a
@@ -230,8 +238,12 @@ object Search {
       .withColumn("lex_rank", row_number()
         .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
       .select(col("doc_id").as("l_id"), col("lex_rank"))
+    // Min-rank per doc across query vectors: identity for the single-vector
+    // case, best-rank semantics for a multi-vector query — and guarantees the
+    // full-outer join below never fans out one l_id across duplicate v_ids.
     val vec = graft.operators.Similarity.bruteForceTopK(embeddings, queryVecs, kRetrieval)
-      .select(col("vec_id").as("v_id"), col("rank").cast("long").as("vec_rank"))
+      .groupBy(col("vec_id").as("v_id"))
+      .agg(min(col("rank")).cast("long").as("vec_rank"))
     lex.join(vec, col("l_id") === col("v_id"), "full_outer")
       .select(coalesce(col("l_id"), col("v_id")).as("doc_id"),
         round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +

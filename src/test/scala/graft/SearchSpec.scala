@@ -63,6 +63,27 @@ class SearchSpec extends SparkSpec {
     assert(d2(2) != null && d2(3) != null, s"doc 2 must carry lex AND vec ranks: $d2")
   }
 
+  test("hybrid RRF: multi-vector query yields one row per doc (best rank across vectors)") {
+    // two query vectors pointing at different docs: the vec channel must
+    // contribute each doc's BEST rank, never duplicate doc_id rows in the
+    // fusion output (the single-query contract in the scaladoc)
+    val qv = Seq((100L, Array(1f, 0f, 0f, 0f)), (101L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val emb = Seq(
+      (1L, Array(0f, 1f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0.6f, 0.8f, 0f))
+    ).toDF("vec_id", "embedding").unionAll(qv)
+    val r = rowList(Search.hybridTopK(docs, emb,
+      Seq("vector", "join"), qv, k = 10, kRetrieval = 10))
+    val ids = r.map(_.head.asInstanceOf[Long])
+    assert(ids.distinct.size === ids.size, s"duplicate doc_id rows after fusion: $ids")
+    // doc 2 is rank 1 for qv 100; doc 1 is rank 1 for qv 101 — both must carry
+    // vec_rank 1 (min across the two query vectors), not a mixed-in rank 2+
+    val vecRank = r.filter(row => row.head == 1L || row.head == 2L)
+      .map(row => row.head -> row(3)).toMap
+    assert(vecRank.values.forall(_ == 1L), s"best-rank aggregation broken: $vecRank")
+  }
+
   test("bm25: rarer term contributes higher idf") {
     // 'quick' appears in 1 doc, 'join' in 2 -> for equal tf and dl, the
     // quick-doc's single-term score must exceed a join-doc's single-term score
