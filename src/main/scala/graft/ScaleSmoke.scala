@@ -238,6 +238,17 @@ object ScaleSmoke {
         graft.operators.Search.bm25TopKBatch(docs, qs, k = 100).count()
       }
     }
+    // TF-IDF: the build is two aggs over (term, doc) pairs; the top-k serves
+    // from the unpersisted build here (3 rebuild passes — the worst case the
+    // scaladoc documents; a deployment persists the weights table)
+    time("tfidfWeights build over 1M docs") {
+      graft.operators.Search.tfidfWeights(docs)
+        .select(sum(col("df"))).head().getLong(0)
+    }
+    time("tfidfCosineTopK unpersisted weights") {
+      graft.operators.Search.tfidfCosineTopK(
+        graft.operators.Search.tfidfWeights(docs), queryDocId = 42, k = 100).count()
+    }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
     time("invertedIndex 1M docs, hot terms") {

@@ -2214,7 +2214,52 @@ object SparkEntry {
               r AS (SELECT query_id, doc_id, bm25,
                 row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
                 FROM sc)
-              SELECT query_id, doc_id, bm25 FROM r WHERE rn <= 10""")))
+              SELECT query_id, doc_id, bm25 FROM r WHERE rn <= 10""")),
+
+    Q("search_tfidf_weights", // TF-IDF sparse matrix build (smooth idf,
+      // sklearn-style): one (term, doc) count agg + df window over the
+      // aggregated rows + one-row corpus-count broadcast — the persistable
+      // lexical-vector artifact, hash-oracled row for row
+      (s, d) => Search.tfidfWeights(Tables.documents(s, d))
+        .withColumn("w", round(col("w"), 6)),
+      Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+              t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              tf AS (SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+                FROM p WHERE len(term) > 0 GROUP BY 1, 2),
+              w AS (SELECT term, doc_id, tf,
+                CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df, n_docs
+                FROM tf, n)
+              SELECT term, doc_id, tf, df,
+                round(tf * (ln((1 + n_docs) / (1 + df)) + 1), 6) AS w FROM w""")),
+
+    Q("search_tfidf_topk", // nearest docs to doc 42 by TF-IDF cosine: the
+      // query vector and its norm ride broadcasts; ONE doc-keyed agg computes
+      // norm and dot together; TakeOrderedAndProject top-k — hash-oracled
+      (s, d) => Search.tfidfCosineTopK(
+        Search.tfidfWeights(Tables.documents(s, d)), queryDocId = 42, k = 25),
+      Some("""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+              t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              p AS (SELECT doc_id, unnest(toks) AS term FROM t),
+              tf AS (SELECT term, doc_id, CAST(count(*) AS DOUBLE) AS tf
+                FROM p WHERE len(term) > 0 GROUP BY 1, 2),
+              w AS (SELECT term, doc_id,
+                tf * (ln((1 + n_docs) /
+                  (1 + CAST(count(*) OVER (PARTITION BY term) AS DOUBLE))) + 1) AS w
+                FROM tf, n),
+              q AS (SELECT term, w AS qw FROM w WHERE doc_id = 42),
+              qn AS (SELECT sum(qw * qw) AS qnorm2 FROM q),
+              d AS (SELECT w.doc_id, sum(w.w * w.w) AS norm2,
+                sum(coalesce(w.w * q.qw, 0)) AS dot
+                FROM w LEFT JOIN q USING (term) WHERE w.doc_id != 42 GROUP BY 1),
+              sc AS (SELECT doc_id, round(dot / sqrt(norm2 * qnorm2), 6) AS tfidf_cos
+                FROM d, qn)
+              SELECT doc_id, tfidf_cos FROM sc WHERE tfidf_cos > 0
+              ORDER BY tfidf_cos DESC, doc_id LIMIT 25""")))
 
   // ------------------------------------------------------------------
   // §2.7 streaming — a REAL Structured Streaming query (file source →

@@ -205,6 +205,69 @@ object Search {
       .select("term", "shard", "df", "postings")
   }
 
+  /** TF-IDF weighted sparse document vectors — the classic lexical
+    * vectorization (Salton & Buckley 1988; smooth-idf form as popularized by
+    * scikit-learn's TfidfVectorizer): idf(t) = ln((1+N)/(1+df(t))) + 1,
+    * w(t,d) = tf(t,d) · idf(t). Output one row per distinct (term, doc):
+    * (term, doc_id, tf, df, w) — the sparse matrix [[tfidfCosineTopK]]
+    * serves from.
+    *
+    * Scale shape: tokenize-once + explode, ONE (term, doc) count aggregation,
+    * then df from a count window over the already-aggregated rows (the
+    * [[bm25TopKBatch]] pattern — never a second corpus scan for df) and the
+    * corpus size from a column-pruned count riding a one-row broadcast. The
+    * term-keyed window exchange carries (term, doc) AGGREGATED rows, never
+    * raw tokens. Like [[invertedIndex]], this is a build artifact: persist it
+    * (partitioned by term prefix or bucketed by term) and query-time scoring
+    * never re-tokenizes the corpus. */
+  def tfidfWeights(docs: DataFrame): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("doc_id"), col("tf"), col("df"),
+        (col("tf") * (log((lit(1d) + col("n_docs")) / (lit(1d) + col("df"))) + 1d))
+          .as("w"))
+  }
+
+  /** Nearest documents to `queryDocId` by TF-IDF cosine over a
+    * [[tfidfWeights]] table: top `k` of (doc_id, tfidf_cos), query doc
+    * excluded, positive similarities only, (cos DESC, doc_id ASC) tie-break
+    * on the 6-decimal rounded value (deterministic across engines).
+    *
+    * Scale shape: the query doc's weight vector is vocabulary-of-one-doc
+    * sized — it and its norm ride broadcasts; the corpus side is ONE
+    * doc-keyed aggregation computing Σw² (norm) and Σw·qw (dot) together in
+    * the same pass, so similarity needs no per-pair join; the final top-k is
+    * TakeOrderedAndProject. Passing an UNPERSISTED [[tfidfWeights]] plan
+    * re-runs its build once per reference (three here: query vector, query
+    * norm, corpus aggregate) — at scale `weights` is the persisted artifact
+    * (the [[graft.operators.Similarity.pqTopKEncoded]] serving pattern), and
+    * each reference is a scan, not a rebuild. */
+  def tfidfCosineTopK(weights: DataFrame, queryDocId: Long, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qvec = weights.filter(col("doc_id") === queryDocId)
+      .select(col("term"), col("w").as("qw"))
+    val qn = qvec.agg(sum(col("qw") * col("qw")).as("qnorm2"))
+    weights
+      .filter(col("doc_id") =!= queryDocId)
+      .join(broadcast(qvec), Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("w")).as("norm2"),
+        sum(coalesce(col("w") * col("qw"), lit(0d))).as("dot"))
+      .crossJoin(broadcast(qn))
+      .select(col("doc_id"),
+        round(col("dot") / sqrt(col("norm2") * col("qnorm2")), 6).as("tfidf_cos"))
+      .orderBy(col("tfidf_cos").desc, col("doc_id"))
+      .limit(k)
+      .filter(col("tfidf_cos") > 0)
+  }
+
   /** Hybrid retrieval: fuse the lexical ([[bm25TopK]]) and vector
     * ([[graft.operators.Similarity.bruteForceTopK]] — swap in the IVF/LSH
     * probe at scale, the fusion is channel-agnostic) top-`kRetrieval` lists by

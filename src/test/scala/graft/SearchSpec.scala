@@ -84,6 +84,50 @@ class SearchSpec extends SparkSpec {
     assert(vecRank.values.forall(_ == 1L), s"best-rank aggregation broken: $vecRank")
   }
 
+  // ---- TF-IDF ---------------------------------------------------------------
+
+  test("tfidf weights: tf, df, and smooth idf are exact on a hand-computed fixture") {
+    val r = rowList(Search.tfidfWeights(docs))
+    val byKey = r.map(row => (row(0).asInstanceOf[String], row(1).asInstanceOf[Long]) ->
+      ((row(2).asInstanceOf[Double], row(3).asInstanceOf[Double],
+        row(4).asInstanceOf[Double]))).toMap
+    // 'join': tf 3 in doc 1, df 2 (docs 1, 5), N = 6 -> w = 3 * (ln(7/3) + 1)
+    val (tf, df, w) = byKey(("join", 1L))
+    assert(tf === 3.0 && df === 2.0)
+    assert(math.abs(w - 3.0 * (math.log(7.0 / 3.0) + 1.0)) < 1e-12, s"w was $w")
+    // singleton term: df 1 -> idf = ln(7/2) + 1
+    val (_, dfSpark, wSpark) = byKey(("spark", 1L))
+    assert(dfSpark === 1.0)
+    assert(math.abs(wSpark - (math.log(3.5) + 1.0)) < 1e-12)
+  }
+
+  test("tfidf cosine: exact duplicate scores 1.0, disjoint-vocabulary docs absent") {
+    val dup = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta"), (4L, "alpha delta theta")
+    ).toDF("doc_id", "text")
+    val r = rowList(Search.tfidfCosineTopK(Search.tfidfWeights(dup), 1L, k = 10))
+    val byId = r.map(row => row(0).asInstanceOf[Long] -> row(1).asInstanceOf[Double]).toMap
+    assert(byId(2L) === 1.0, s"identical doc must score exactly 1.0: $byId")
+    // doc 3 shares no term with doc 1 -> cos 0 -> filtered out entirely
+    assert(!byId.contains(3L), s"disjoint doc must be absent: $byId")
+    assert(!byId.contains(1L), "query doc must be excluded")
+    assert(byId(2L) > byId(4L), "full duplicate must outrank partial overlap")
+  }
+
+  test("tfidf cosine: sharing a rare term outranks sharing a stop-word at equal tf") {
+    // 'the' is in every doc (df 5 -> idf floor); 'xylo' only in docs 1 and 2.
+    // Docs 2 and 3 have identical shape: 'the' + one extra term + one query
+    // overlap candidate — doc 2 overlaps via rare 'xylo', doc 3 via 'the' only.
+    val corpus = Seq(
+      (1L, "the xylo query"), (2L, "the xylo pad"), (3L, "the brown pad"),
+      (4L, "the green field"), (5L, "the blue field")
+    ).toDF("doc_id", "text")
+    val r = rowList(Search.tfidfCosineTopK(Search.tfidfWeights(corpus), 1L, k = 10))
+    val ids = r.map(_.head.asInstanceOf[Long])
+    assert(ids.head === 2L, s"rare-term overlap must rank first, got $ids")
+  }
+
   test("bm25: rarer term contributes higher idf") {
     // 'quick' appears in 1 doc, 'join' in 2 -> for equal tf and dl, the
     // quick-doc's single-term score must exceed a join-doc's single-term score
