@@ -249,6 +249,16 @@ object ScaleSmoke {
       graft.operators.Search.tfidfCosineTopK(
         graft.operators.Search.tfidfWeights(docs), queryDocId = 42, k = 100).count()
     }
+    // random projection: map-only 64->16 compression of the 1M-vector corpus,
+    // then the shortlist+rerank ANN over the projected table
+    time("randomProject 1M vectors 64->16") {
+      graft.operators.Similarity.randomProject(vecs, dim = 64, outDim = 16)
+        .select(count(element_at(col("rp"), 1))).head().getLong(0)
+    }
+    time("rpTopK 20 queries, rerank 100") {
+      graft.operators.Similarity.rpTopK(vecs,
+        vecs.filter(col("vec_id") < 20), 10, dim = 64, outDim = 16).count()
+    }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
     time("invertedIndex 1M docs, hot terms") {

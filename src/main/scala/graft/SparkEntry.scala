@@ -1530,6 +1530,72 @@ object SparkEntry {
       },
       None),
 
+    Q("sim_random_projection", // Johnson–Lindenstrauss sign projection 64→16
+      // dims: map-only, one native dot per output dim against a literal
+      // ±1/√16 sign row; the sign formula is pure integer arithmetic, so the
+      // projected vectors hash-match DuckDB exactly (exploded to scalar rows
+      // — the driver's comparator can't hash array columns)
+      (s, d) => Similarity.randomProject(Tables.embeddings(s, d), dim = 64, outDim = 16)
+        .select(col("vec_id"), posexplode(col("rp")).as(Seq("dim", "rp_val")))
+        .withColumn("dim", col("dim").cast("long")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              sgn AS (SELECT j, i,
+                CASE WHEN ((s * s) % 2038074743) % 2 = 0 THEN 0.25 ELSE -0.25 END AS w
+                FROM (SELECT j, i, ((y * y) % 2038074743) AS s
+                  FROM (SELECT j, i,
+                    ((i * 1299721 + j * 7919 + 104729) % 2038074743) AS y
+                    FROM generate_series(0, 15) AS gj(j), generate_series(0, 63) AS gi(i)))),
+              sl AS (SELECT j, list(w ORDER BY i) AS ws FROM sgn GROUP BY j)
+              SELECT vec_id, j AS dim,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(emb)), i -> emb[i] * ws[i])),
+                  (acc, x) -> acc + x), 6) AS rp_val
+              FROM e, sl""")),
+
+    Q("sim_rp_topk", // random-projection ANN (16-dim shortlist scan + exact
+      // rerank of the top 100): every stage is deterministic arithmetic on
+      // rounded values, so unlike the trained/hashed ANN paths this scale
+      // twin hash-matches an oracle END TO END; recall vs full-dim brute
+      // force is additionally gated in SimilaritySpec
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.rpTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            dim = 64, outDim = 16, rerankFactor = 10)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              sgn AS (SELECT j, i,
+                CASE WHEN ((s * s) % 2038074743) % 2 = 0 THEN 0.25 ELSE -0.25 END AS w
+                FROM (SELECT j, i, ((y * y) % 2038074743) AS s
+                  FROM (SELECT j, i,
+                    ((i * 1299721 + j * 7919 + 104729) % 2038074743) AS y
+                    FROM generate_series(0, 15) AS gj(j), generate_series(0, 63) AS gi(i)))),
+              sl AS (SELECT j, list(w ORDER BY i) AS ws FROM sgn GROUP BY j),
+              rv AS (SELECT vec_id, j,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(emb)), i -> emb[i] * ws[i])),
+                  (acc, x) -> acc + x), 6) AS rp_j
+                FROM e, sl),
+              r AS (SELECT vec_id, list(rp_j ORDER BY j) AS rp FROM rv GROUP BY vec_id),
+              q AS (SELECT vec_id AS query_id, rp AS qr FROM r WHERE vec_id < 5),
+              s AS (SELECT query_id, vec_id, round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(rp)), i -> qr[i] * rp[i])),
+                  (acc, x) -> acc + x), 6) AS rp_dot
+                FROM q, r WHERE query_id != vec_id),
+              short AS (SELECT query_id, vec_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY rp_dot DESC, vec_id) AS srk FROM s) WHERE srk <= 100),
+              ex AS (SELECT short.query_id, short.vec_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(c.emb)),
+                    i -> qe.emb[i] * c.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM short JOIN e c ON short.vec_id = c.vec_id
+                JOIN e qe ON short.query_id = qe.vec_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank FROM ex)
+              SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
+
     Q("sim_centroid_classify", // nearest-class-centroid (Rocchio) classifier:
       // per-class mean vector via ONE (class, dim) agg, cosine scoring over a
       // broadcast |classes|-row centroid table, bounded per-vec argmax — the

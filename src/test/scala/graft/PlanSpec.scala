@@ -342,9 +342,11 @@ class PlanSpec extends SparkSpec {
       "pipeline_mixture_temperature" -> 1, // ONE domain-count agg; N/Z via windows over the |domains|-row frame, rates broadcast back
       "sim_knn_classify" -> 1, // the heap-topk agg on query_id; label re-joins broadcast at fixture stats (id-keyed equi-joins at scale)
       "sim_knn_classify_ivf" -> 2, // + the cell-keyed candidate join feeding the same heap-topk; assignment map-only
-      // round-7 additions: TF-IDF lexical vectors
+      // round-7 additions: TF-IDF lexical vectors + random projection
       "search_tfidf_weights" -> 2, // (term,doc) tf agg + term-keyed df window; corpus count rides a one-row broadcast
-      "search_tfidf_topk" -> 5) // unpersisted-weights composition: the 2-exchange build runs for the corpus side + qvec/qnorm rebuilds collapse under reused exchanges; +1 doc-keyed norm/dot agg (weights persisted: 1)
+      "search_tfidf_topk" -> 5, // unpersisted-weights composition: the 2-exchange build runs for the corpus side + qvec/qnorm rebuilds collapse under reused exchanges; +1 doc-keyed norm/dot agg (weights persisted: 1)
+      "sim_random_projection" -> 0, // JL projection is map-only: literal sign rows, one native dot per output dim, NO exchange
+      "sim_rp_topk" -> 1) // ONE query-keyed heap-topk exchange (shortlist); rerank joins broadcast, final heap reuses the tiny shortlist
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

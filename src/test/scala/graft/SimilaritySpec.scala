@@ -111,6 +111,59 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"IVF recall $r%.3f below 0.8 floor — resize nlist/nprobe")
   }
 
+  test("randomProject: identical inputs project identically; signs are balanced") {
+    val r = rowList(Similarity.randomProject(emb, dim = 4, outDim = 4)
+      .select("vec_id", "rp"))
+    val byId = r.map(row => row(0).asInstanceOf[Long] ->
+      row(1).asInstanceOf[scala.collection.Seq[Double]].toList).toMap
+    assert(byId(1L) === byId(3L), "identical vectors must project identically")
+    assert(byId(1L).size === 4)
+    // the sign matrix itself: deterministic across calls, roughly balanced
+    val m1 = Similarity.rpSignRows(64, 16)
+    val m2 = Similarity.rpSignRows(64, 16)
+    assert(m1.map(_.toSeq).toSeq === m2.map(_.toSeq).toSeq, "matrix must be deterministic")
+    val pos = m1.flatten.count(_ > 0).toDouble / (64 * 16)
+    assert(pos > 0.4 && pos < 0.6, f"sign balance off: $pos%.3f positive")
+  }
+
+  test("randomProject JL bound: projected dots track full-dim cosines within epsilon") {
+    // 64 -> 16 dims on the near-orthogonal fixture: additive inner-product
+    // error is O(1/sqrt(outDim)). Measure the max |rp_dot - cosine| over all
+    // query-corpus pairs for 20 queries and assert the measured ceiling.
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val rp = Similarity.randomProject(emb, dim = 64, outDim = 16)
+      .select(col("vec_id"), col("rp").as("embedding"))
+    val full = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20), 10000)
+      .select(col("query_id"), col("vec_id"), col("cosine"))
+    val red = Similarity.bruteForceTopK(rp, rp.filter($"vec_id" < 20), 10000)
+      .select(col("query_id"), col("vec_id"), col("cosine").as("rp_dot"))
+    val maxErr = full.join(red, Seq("query_id", "vec_id"))
+      .select(max(abs(col("rp_dot") - col("cosine")))).head().getDouble(0)
+    // per-pair additive error has std ~ sqrt(2)/sqrt(16) ~ 0.35; the max over
+    // the ~10k scanned pairs sits near 4 sigma (measured 1.47) — the ceiling
+    // is a structural-collapse tripwire (the broken linear-parity sign matrix
+    // measured 8.7 here), not a tightness claim; recall is gated separately
+    info(f"JL 64->16 max |rp_dot - cosine| = $maxErr%.3f over 20-query scan")
+    assert(maxErr < 2.0, f"distortion $maxErr%.3f blew past the measured ceiling")
+  }
+
+  test("rpTopK recall@10 vs full-dim brute force: rerank recovers what raw RP loses") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    // raw projected ranking: JL noise sigma ~0.35 swamps the fixture's
+    // cosine spread (max 0.48) — measured 0.115, evidence the rerank stage
+    // is load-bearing, not decoration
+    val raw = recallOf(exact, topMap(
+      Similarity.rpTopK(emb, queries, 10, dim = 64, outDim = 16, rerankFactor = 0)))
+    // entry params: top-100 shortlist (20% of this corpus) + exact rerank
+    val reranked = recallOf(exact, topMap(
+      Similarity.rpTopK(emb, queries, 10, dim = 64, outDim = 16, rerankFactor = 10)))
+    info(f"rpTopK raw recall@10 = $raw%.3f; with 10k-shortlist rerank = $reranked%.3f")
+    assert(reranked >= raw + 0.2, "rerank stage must add substantial recall")
+    assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
+  }
+
   test("cosineDupPairsLsh pair recall >= 0.8 vs all-pairs at its query-entry params") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val truePairs = Similarity.cosineDupPairs(emb, 0.4)
