@@ -288,6 +288,13 @@ object ScaleSmoke {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)).count()
     }
+    // fuzzy sibling: 100k new docs near-dedup'd against a 900k frozen base —
+    // signature build dominates; the banded cross join ships bare bucket rows
+    time("incrementalMinhashDedup 100k vs 900k") {
+      graft.operators.Dedup.incrementalMinhashDedup(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)).count()
+    }
     locally {
       val sourced = docs.select(col("doc_id"), col("text"),
         concat(lit("src"), pmod(col("doc_id"), lit(1000))).as("source"),

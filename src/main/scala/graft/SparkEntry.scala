@@ -2127,6 +2127,20 @@ object SparkEntry {
               SELECT doc_id, batch_dup_count FROM nb
               WHERE norm NOT IN (SELECT norm FROM t WHERE doc_id % 5 <> 0)""")),
 
+    Q("dedup_incremental_minhash", // cross-snapshot NEAR-dedup, the fuzzy
+      // sibling of dedup_incremental: per-batch-doc keep/drop verdict vs
+      // within-batch near-dups (greedy pair rule) and base-corpus near-dups
+      // (banded signature join; base signatures are the persisted artifact
+      // at scale) — rows-only (xxhash64 signatures); recall vs true
+      // cross-snapshot Jaccard and planted-copy behavior gated in DedupSpec
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalMinhashDedup(
+          batch = docs.filter(col("doc_id") % 5 === 0),
+          base = docs.filter(col("doc_id") % 5 =!= 0))
+      },
+      None),
+
     Q("search_bm25", // Okapi BM25 top-25 for a 3-term query: map-side tf kernel,
       // single-row stats broadcast, TakeOrderedAndProject top-k — no corpus
       // explode, no shuffle of documents

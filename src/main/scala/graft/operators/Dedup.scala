@@ -104,30 +104,40 @@ object Dedup {
     * bands=16 × rows=4: detection probability at J=0.5 is 1-(1-0.5^4)^16 ≈ 0.65,
     * at J=0.8 ≈ 0.9988 — the usual near-dup operating point.
     */
-  def minhashLshPairs(docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
-                      bands: Int = 16, rows: Int = 4): DataFrame = {
-    val numHashes = bands * rows
-    // Explode-once / hash-once / min-aggregate: each shingle string is built and
-    // xxhash64'd exactly one time; the k permutations are splitmix64 re-mixes of
-    // that 8-byte value inside ONE imperative aggregate buffer
-    // (graft.functions.MinHashSigAgg), min-reduced per doc with map-side partial
-    // aggregation. (The naive `transform(sequence(0,k-1), i -> array_min(...))`
-    // column form re-tokenizes the document k times per row — 60x slower at
-    // bench scale; k separate min() columns cost k managed buffer slots.)
-    val hashed = docs
+  /** Per-doc MinHash signature table: (doc_id, sig[numHashes]) — the artifact
+    * a cross-snapshot near-dedup persists per corpus snapshot (the near-dup
+    * analog of [[incrementalDedup]]'s fingerprint table). Explode-once /
+    * hash-once / min-aggregate: each shingle string is built and xxhash64'd
+    * exactly one time; the k permutations are splitmix64 re-mixes of that
+    * 8-byte value inside ONE imperative aggregate buffer
+    * ([[graft.functions.MinHashSigAgg]]), min-reduced per doc with map-side
+    * partial aggregation. (The naive `transform(sequence(0,k-1), i ->
+    * array_min(...))` column form re-tokenizes the document k times per
+    * row — 60x slower at bench scale; k separate min() columns cost k
+    * managed buffer slots.) */
+  def minhashSignatures(docs: DataFrame, shingleSize: Int = 3,
+                        numHashes: Int = 64): DataFrame =
+    docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(array_distinct(TextFns.shinglesFromTokens(col("toks"), shingleSize))).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-    val sigs = hashed.groupBy("doc_id")
+      .groupBy("doc_id")
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
-    // Candidate generation on BARE (band, bucket, doc_id) rows — carrying the
-    // 64-long signature through the bucket shuffle would inflate it 16x (one copy
-    // per band). Signatures re-attach to the (much smaller) candidate pair set
-    // afterwards; AQE broadcasts that side when it is small.
-    val buckets = sigs
+
+  /** Signature table → bare (doc_id, band, bucket) rows. Candidate generation
+    * joins these — carrying the 64-long signature through the bucket shuffle
+    * would inflate it `bands`-fold (one copy per band); signatures re-attach
+    * to the (much smaller) candidate pair set afterwards. */
+  private def minhashBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs
       .select(col("doc_id"), explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  def minhashLshPairs(docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
+                      bands: Int = 16, rows: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, shingleSize, bands * rows)
+    val buckets = minhashBuckets(sigs, bands, rows)
     val a = buckets.alias("a")
     val b = buckets.alias("b")
     val candidates = a.join(b,
@@ -144,6 +154,73 @@ object Dedup {
           lit(0), (acc, x) => acc + x).cast("double") / (bands * rows))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
+  }
+
+  /** Cross-snapshot NEAR-dup pairs: (batch doc, base doc) pairs whose
+    * estimated Jaccard reaches `threshold` — the fuzzy sibling of
+    * [[incrementalDedup]]'s exact fingerprint check, for the
+    * continual-pretraining refresh where the re-crawl is a near-copy
+    * (boilerplate drift, timestamps) rather than byte-identical.
+    *
+    * Scale shape: at 100 TB the base side enters as a PERSISTED
+    * [[minhashSignatures]] table (bucketed on doc_id; its banding is a
+    * map-only explode) — the frozen corpus is never re-shingled per batch.
+    * The bucket join ships bare (doc_id, band, bucket) rows for both sides
+    * and is equi-keyed on (band, bucket); the batch side is the small one,
+    * so AQE broadcasts it and the base bucket stream never exchanges.
+    * Signatures re-attach to the deduped candidate pairs only. Precision
+    * follows the signature estimate (as in [[minhashLshPairs]]); recall is
+    * banding-bounded — DedupSpec measures both against true cross-snapshot
+    * Jaccard on the fixture. */
+  def incrementalMinhashPairs(batch: DataFrame, base: DataFrame,
+                              shingleSize: Int = 3, threshold: Double = 0.5,
+                              bands: Int = 16, rows: Int = 4): DataFrame = {
+    val bSigs = minhashSignatures(batch, shingleSize, bands * rows)
+    val baseSigs = minhashSignatures(base, shingleSize, bands * rows)
+    val candidates = minhashBuckets(bSigs, bands, rows).alias("a")
+      .join(minhashBuckets(baseSigs, bands, rows).alias("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("batch_id"), col("b.doc_id").as("base_id"))
+      .dropDuplicates("batch_id", "base_id")
+    candidates
+      .join(bSigs.select(col("doc_id").as("batch_id"), col("sig").as("sig_a")), "batch_id")
+      .join(baseSigs.select(col("doc_id").as("base_id"), col("sig").as("sig_b")), "base_id")
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / (bands * rows))
+      .filter(col("est_jaccard") >= threshold)
+      .select("batch_id", "base_id", "est_jaccard")
+  }
+
+  /** Batch docs that survive cross-snapshot near-dedup: first self-dedup the
+    * batch on near-dup pairs (GREEDY pair rule: a doc drops iff it directly
+    * pairs with a smaller batch doc — NOT full connected components; a
+    * chain-middle doc whose only smaller neighbor is transitive survives.
+    * Compose [[minhashLshPairs]] with [[resolveClusters]] when
+    * full-component resolution matters; the greedy rule needs no iteration
+    * and over-keeps only across missing transitive edges), then drop batch
+    * docs with a near-dup in `base`. Output one row per batch doc:
+    * (doc_id, base_match_count, keep) — the fuzzy edition of
+    * [[incrementalDedup]], with the verdict surfaced per doc so a pipeline
+    * can audit WHY a doc dropped (self near-dup: count 0, keep false;
+    * base near-dup: count > 0). */
+  def incrementalMinhashDedup(batch: DataFrame, base: DataFrame,
+                              shingleSize: Int = 3, threshold: Double = 0.5,
+                              bands: Int = 16, rows: Int = 4): DataFrame = {
+    val selfDropped = minhashLshPairs(batch, shingleSize, threshold, bands, rows)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("self_dup", lit(true))
+    val baseCounts = incrementalMinhashPairs(batch, base, shingleSize, threshold, bands, rows)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("base_match_count"))
+    batch.select("doc_id")
+      .join(selfDropped, Seq("doc_id"), "left")
+      .join(baseCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("base_match_count"), lit(0L)).as("base_match_count"),
+        (col("self_dup").isNull && coalesce(col("base_match_count"), lit(0L)) === 0)
+          .as("keep"))
   }
 
   /** Per-document 64-bit SimHash (token sign-sums). Exposed so exact twins

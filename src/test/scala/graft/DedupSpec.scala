@@ -165,6 +165,40 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, f"minhash recall $recall%.3f below 0.8 floor")
   }
 
+  test("incremental minhash dedup: base copy drops, self near-dup resolves, novel keeps") {
+    val base = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // = base
+      (2L, "completely different content about spark streaming state stores"), // novel
+      (3L, "completely different content about spark streaming state stores")  // = doc 2
+    ).toDF("doc_id", "text")
+    val r = rowList(Dedup.incrementalMinhashDedup(batch, base).orderBy("doc_id"))
+      .map(row => (row(0).asInstanceOf[Long], row(1).asInstanceOf[Long],
+        row(2).asInstanceOf[Boolean]))
+    assert(r === Seq((1L, 1L, false), (2L, 0L, true), (3L, 0L, false)),
+      s"verdicts wrong: $r")
+  }
+
+  test("incremental minhash pairs recall vs true cross-snapshot Jaccard (fixture)") {
+    // truth: planted near-dup pairs that straddle the doc_id % 5 batch/base
+    // split, oriented (batch_id, base_id)
+    val truth: Set[(Long, Long)] = trueJaccardPairs(0.5).flatMap { case (a, b) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+      else None
+    }
+    assert(truth.nonEmpty, "fixture must plant cross-split near-dup pairs")
+    val got = Dedup.incrementalMinhashPairs(
+        fixtureDocs.filter($"doc_id" % 5 === 0), fixtureDocs.filter($"doc_id" % 5 =!= 0))
+      .select("batch_id", "base_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(truth).toDouble / truth.size
+    info(f"incrementalMinhashPairs(16x4, t=0.5) recall = $recall%.3f (${got.size} found / ${truth.size} true)")
+    assert(recall >= 0.8, f"cross-snapshot minhash recall $recall%.3f below 0.8 floor")
+  }
+
   test("simhash pigeonhole blocking is EXACT: equals the all-pairs Hamming twin") {
     val maxHamming = 8
     // all-pairs twin from the exposed signatures, computed driver-side
