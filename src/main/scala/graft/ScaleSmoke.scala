@@ -259,6 +259,11 @@ object ScaleSmoke {
       graft.operators.Similarity.rpTopK(vecs,
         vecs.filter(col("vec_id") < 20), 10, dim = 64, outDim = 16).count()
     }
+    // outlier gate: one dim-keyed centroid agg + a map-only scoring pass
+    time("centroidOutliers 1M vectors") {
+      graft.operators.Similarity.centroidOutliers(vecs, threshold = -0.15)
+        .filter(col("is_outlier")).count()
+    }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
     time("invertedIndex 1M docs, hot terms") {

@@ -2054,6 +2054,28 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), fastHash = true),
       None),
 
+    Q("pipeline_embedding_outliers", // embedding-space curation gate: flag
+      // vectors whose cosine to the global corpus centroid is < -0.15 (the
+      // bottom ~5% tail on the fixture — off-manifold encoder failures /
+      // garbage inputs). Centroid = ONE (dim)-keyed avg reassembled in dim
+      // order, broadcast back; scoring map-only; hash-oracled end to end
+      (s, d) => Similarity.centroidOutliers(Tables.embeddings(s, d), threshold = -0.15),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE embedding IS NOT NULL),
+              d AS (SELECT unnest(v) AS x,
+                unnest(generate_series(1, len(v))) AS dim FROM e),
+              cd AS (SELECT dim, avg(x) AS m FROM d GROUP BY 1),
+              cent AS (SELECT list(m ORDER BY dim) AS c FROM cd),
+              sc AS (SELECT vec_id, round(
+                  list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+                    i -> v[i] * c[i])), (acc, x) -> acc + x)
+                / (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(v)),
+                    i -> v[i] * v[i])), (acc, x) -> acc + x))
+                 * sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(c)),
+                    i -> c[i] * c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
+                FROM e, cent)
+              SELECT vec_id, centroid_cos, centroid_cos < -0.15 AS is_outlier FROM sc""")),
+
     Q("pipeline_shuffle", // deterministic corpus-shuffle keys: sort by
       // (shuffle_key, doc_id) for a stable pseudo-random training order,
       // reproducible across engines; seed inside the hash, map-only

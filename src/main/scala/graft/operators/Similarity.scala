@@ -381,6 +381,34 @@ object Similarity {
         semanticDupPairs(emb, threshold, nlist, nassign, iters))
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
 
+  /** Embedding-space outlier pruning: flag vectors whose cosine to the global
+    * corpus centroid falls below `threshold` — the curation gate that drops
+    * off-manifold embeddings (encoder failures, garbage inputs, adversarial
+    * content) before they reach dedup/ANN/mixture stages. The SemDeDup line
+    * of work prunes both duplicates AND outliers; this is the outlier half,
+    * sharing the keep/drop contract of the dedup layer.
+    *
+    * Scale shape: the centroid is ONE (dim)-keyed aggregation of per-dim
+    * partial sums (map-side combined — the exchange carries tasks×dim tiny
+    * rows), reassembled in dim order and broadcast back as a single-row
+    * literal-sized model; scoring is a map-only cosine per vector. Strict
+    * `<`: a vector exactly AT the threshold survives. Null embeddings are
+    * excluded (they carry no geometry — gate them with the null-profile
+    * curation ops instead). */
+  def centroidOutliers(emb: DataFrame, threshold: Double): DataFrame = {
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("v"))
+    val centroid = vecs
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(avg(col("x")).as("m"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(transform(col("pairs"), p => p.getField("m")).as("c"))
+    vecs.crossJoin(broadcast(centroid))
+      .select(col("vec_id"),
+        VectorFns.simKey(VectorFns.cosine(col("v"), col("c"))).as("centroid_cos"))
+      .withColumn("is_outlier", col("centroid_cos") < threshold)
+  }
+
   /** PQ codebooks: [m subspaces][ksub cells][dsub dims] — a MODEL like
     * [[Centroids]] (m·ksub·dsub doubles: kilobytes at m=8, ksub=256,
     * dsub=128), planted into plans as a codegen reference object. */

@@ -347,7 +347,8 @@ class PlanSpec extends SparkSpec {
       "search_tfidf_topk" -> 5, // unpersisted-weights composition: the 2-exchange build runs for the corpus side + qvec/qnorm rebuilds collapse under reused exchanges; +1 doc-keyed norm/dot agg (weights persisted: 1)
       "sim_random_projection" -> 0, // JL projection is map-only: literal sign rows, one native dot per output dim, NO exchange
       "sim_rp_topk" -> 1, // ONE query-keyed heap-topk exchange (shortlist); rerank joins broadcast, final heap reuses the tiny shortlist
-      "dedup_incremental_minhash" -> 8) // two sig aggs (batch+base) + self-pair sig agg + the two banded candidate joins' dedups + keep-flag joins; every exchange carries ids/sigs/buckets, never text
+      "dedup_incremental_minhash" -> 8, // two sig aggs (batch+base) + self-pair sig agg + the two banded candidate joins' dedups + keep-flag joins; every exchange carries ids/sigs/buckets, never text
+      "pipeline_embedding_outliers" -> 1) // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

@@ -164,6 +164,40 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
   }
 
+  test("centroidOutliers: off-manifold vector flagged, cluster survives, nulls excluded") {
+    // three vectors near +x and one pointing the other way: the centroid
+    // leans +x, so only vector 4 scores negative cosine to it
+    val vs = Seq(
+      (1L, Array(1.0f, 0.1f, 0f, 0f)),
+      (2L, Array(0.9f, -0.1f, 0f, 0f)),
+      (3L, Array(1.0f, 0.0f, 0f, 0f)),
+      (4L, Array(-1.0f, 0.05f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+      .unionAll(Seq((5L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val r = rowList(Similarity.centroidOutliers(vs, threshold = 0.0).orderBy("vec_id"))
+      .map(row => row(0).asInstanceOf[Long] -> row(2).asInstanceOf[Boolean]).toMap
+    assert(r === Map(1L -> false, 2L -> false, 3L -> false, 4L -> true),
+      s"outlier verdicts wrong: $r")
+    assert(!r.contains(5L), "null embedding must be excluded, not scored")
+  }
+
+  test("centroidOutliers threshold is strict: a vector exactly at the boundary survives") {
+    // symmetric +x/-x pair: centroid is exactly 0 on x... use orthogonal
+    // instead — vector 3 is exactly orthogonal to the centroid (cos 0.0)
+    val vs = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(1.0f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1.0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    // centroid = (2/3, 1/3, 0, 0); cos(v3, centroid) > 0 — pick threshold AT
+    // v3's rounded score and assert it survives the strict <
+    val score = rowList(Similarity.centroidOutliers(vs, 0.0))
+      .find(_.head == 3L).get(1).asInstanceOf[Double]
+    val r = rowList(Similarity.centroidOutliers(vs, score))
+      .map(row => row(0).asInstanceOf[Long] -> row(2).asInstanceOf[Boolean]).toMap
+    assert(r(3L) === false, s"vector at the threshold must survive strict <: $r")
+  }
+
   test("cosineDupPairsLsh pair recall >= 0.8 vs all-pairs at its query-entry params") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val truePairs = Similarity.cosineDupPairs(emb, 0.4)
