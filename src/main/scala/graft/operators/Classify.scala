@@ -149,12 +149,23 @@ object Classify {
     * instead of the exact all-pairs scan — per-query work drops from |corpus|
     * to the nprobe-cell candidate set, the vote layer is unchanged. Rows-only
     * under the oracle (trained cells); agreement with the exact form is the
-    * measured quality gate (ClassifySpec). */
+    * measured quality gate (ClassifySpec).
+    *
+    * Batch-kNN shape, NOT the serving shape `ivfTopK` wires: the query set
+    * here IS the corpus, so the probe side must never broadcast
+    * (corpus × nprobe rows through the driver) — probes shuffle on `cell`
+    * against the assignment (`broadcastProbes = false`, the exact case its
+    * scaladoc prescribes), and the centroid fit is the ONE-collect sampled
+    * form rather than `1 + iters` full-corpus jobs (identical centroids
+    * whenever the corpus fits the sample cap, as on every fixture). */
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
-                     nlist: Int = 8, nprobe: Int = 5): DataFrame =
-    voteOnNeighbors(
-      Similarity.ivfTopK(embeddings, embeddings, k, nlist, nprobe),
-      embeddings.select(col("vec_id"), col("label")))
+                     nlist: Int = 8, nprobe: Int = 5): DataFrame = {
+    val cents = Similarity.trainCentroidsSampled(embeddings, nlist)
+    val nn = Similarity.ivfProbeAssigned(
+      Similarity.ivfAssignments(embeddings, cents), cents, embeddings, k, nprobe,
+      broadcastProbes = false)
+    voteOnNeighbors(nn, embeddings.select(col("vec_id"), col("label")))
+  }
 
   /** Majority vote over a (query_id, vec_id, rank) neighbor list — the
     * neighbor-source-agnostic half of k-NN classification. */

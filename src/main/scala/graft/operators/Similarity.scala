@@ -294,7 +294,10 @@ object Similarity {
     * asserted >= 0.8 in SimilaritySpec at the defaults below. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val cents = trainCentroids(corpus, nlist, iters)
+    // Sampled fit (ONE bounded collect), not the 1 + iters distributed jobs —
+    // the amortization the 100 TB note above prescribes; identical centroids
+    // whenever the corpus fits the sample cap (every fixture does).
+    val cents = trainCentroidsSampled(corpus, nlist, iters)
     ivfProbeAssigned(ivfAssignments(corpus, cents), cents, queries, k, nprobe)
   }
 
@@ -532,7 +535,8 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 iters: Int = 2, rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    val cents = trainCentroids(corpus, nlist, iters)
+    // coarse quantizer from the sampled fit — same rationale as ivfTopK
+    val cents = trainCentroidsSampled(corpus, nlist, iters)
     val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "cent"))
     // residuals: x - centroid[cell]; the centroid arrives via the broadcast
