@@ -24,7 +24,10 @@ object Bench {
     "pipeline_split", "q_sessionize",
     // round-6 capabilities
     "dedup_dup_spans", "search_hybrid_rrf",
-    "text_nb_classify", "sim_centroid_classify")
+    "text_nb_classify", "sim_centroid_classify",
+    // round-7 capabilities
+    "search_tfidf_topk", "sim_rp_topk",
+    "dedup_incremental_minhash", "pipeline_embedding_outliers")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -112,7 +112,33 @@ object PlanDump {
        "Edit-distance near-dup: prefix-block equi-join with the length-gate " +
          "pre-filter in the join condition and the banded DP " +
          "(`bandededitdistanceexpr`) evaluated once per surviving pair; the " +
-         "non-null normalize key suppresses constraint-inference regex re-derivation.")
+         "non-null normalize key suppresses constraint-inference regex re-derivation."),
+      ("search_tfidf_topk",
+       "TF-IDF doc similarity: the sparse-matrix build is ONE (term, doc) " +
+         "count aggregate + a term-keyed df window (no second corpus scan); " +
+         "the query doc's vector and norm ride broadcasts, ONE doc-keyed " +
+         "aggregate computes norm and dot together, top-k is " +
+         "`TakeOrderedAndProject`. Unpersisted-weights composition shown here; " +
+         "a deployment persists the weights table and each reference is a scan."),
+      ("sim_random_projection",
+       "Johnson-Lindenstrauss sign projection: map-only — one native " +
+         "`dotproductexpr` per output dim against literal sign rows inside a " +
+         "single `WholeStageCodegen` span; NO exchange anywhere (the pin is 0)."),
+      ("sim_rp_topk",
+       "RP-shortlist ANN: projected 16-dim scoring feeds the bounded-heap " +
+         "top-k aggregate (the only hash exchange); the exact rerank joins " +
+         "broadcast the id-only shortlist and the query set — full-precision " +
+         "vectors are read only for shortlist rows."),
+      ("dedup_incremental_minhash",
+       "Cross-snapshot near-dedup: both sides reduce to signatures then bare " +
+         "(doc_id, band, bucket) rows before the candidate equi-join — no " +
+         "document text in any Exchange schema; signatures re-attach to the " +
+         "deduped candidate pairs only; the batch side broadcasts where " +
+         "fixture stats allow."),
+      ("pipeline_embedding_outliers",
+       "Embedding outlier gate: ONE dim-keyed centroid aggregate (map-side " +
+         "partials — the exchange carries tasks x dim tiny rows), centroid " +
+         "broadcast back as a single row, cosine scoring map-only.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan

@@ -241,9 +241,12 @@ object ScaleSmoke {
     // TF-IDF: the build is two aggs over (term, doc) pairs; the top-k serves
     // from the unpersisted build here (3 rebuild passes — the worst case the
     // scaladoc documents; a deployment persists the weights table)
+    time("cooccurrencePmi 1M docs") {
+      graft.operators.Curation.cooccurrencePmi(docs, minCount = 50, topN = 100).count()
+    }
     time("tfidfWeights build over 1M docs") {
       graft.operators.Search.tfidfWeights(docs)
-        .select(sum(col("df"))).head().getLong(0)
+        .select(sum(col("df"))).head().getDouble(0).toLong
     }
     time("tfidfCosineTopK unpersisted weights") {
       graft.operators.Search.tfidfCosineTopK(

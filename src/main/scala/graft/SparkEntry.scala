@@ -1771,6 +1771,30 @@ object SparkEntry {
               SELECT gram, count(*) AS freq FROM g
               GROUP BY gram ORDER BY freq DESC, gram LIMIT 50""")),
 
+    Q("text_pmi_top", // adjacent-pair PMI collocations (Church & Hanks 1990):
+      // top-50 pairs by ln(c_ab*N/(c_a*c_b)) with a min-count floor (bare PMI
+      // is maximized by hapax pairs); N rides a window over the vocab-bounded
+      // unigram frame — never a second corpus scan
+      (s, d) => Curation.cooccurrencePmi(Tables.documents(s, d),
+        minCount = 5, topN = 50),
+      Some("""WITH t AS (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              u0 AS (SELECT unnest(toks) AS w FROM t),
+              u AS (SELECT w, count(*) AS c_w FROM u0 WHERE len(w) > 0 GROUP BY 1),
+              un AS (SELECT w, c_w, sum(c_w) OVER () AS n_total FROM u),
+              bg0 AS (SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t),
+              bc AS (SELECT bg, count(*) AS c_ab FROM bg0 GROUP BY 1 HAVING count(*) >= 5),
+              bb AS (SELECT string_split(bg, ' ')[1] AS a, string_split(bg, ' ')[2] AS b,
+                c_ab FROM bc),
+              j AS (SELECT bb.a, bb.b, bb.c_ab, ua.c_w AS c_a, ub.c_w AS c_b, ua.n_total
+                FROM bb JOIN un ua ON bb.a = ua.w JOIN u ub ON bb.b = ub.w)
+              SELECT a, b, c_ab, c_a, c_b,
+                round(ln(CAST(c_ab AS DOUBLE) * n_total / (c_a * c_b)), 6) AS pmi
+              FROM j ORDER BY pmi DESC, a, b LIMIT 50""")),
+
     Q("text_dup_ngram_fraction", // passage-level repetition signal: per doc,
       // fraction of its distinct trigrams shared with >= 1 other document
       // (boilerplate that document-level dedup misses)

@@ -427,6 +427,44 @@ object Curation {
         round(avg(log(col("c_bg").cast("double") / col("c_w1"))), 6).as("lm_score"))
   }
 
+  /** Adjacent-pair pointwise mutual information (Church & Hanks 1990) — the
+    * collocation statistic behind tokenizer-vocabulary audits and
+    * phrase-mining passes (which adjacent pairs co-occur far above chance:
+    * multi-word entities, boilerplate frames, glued tokens). PMI(a,b) =
+    * ln(c_ab·N / (c_a·c_b)) over adjacent token pairs; `minCount` floors the
+    * pair count first (bare PMI is maximized by hapax pairs — the classic
+    * bias, so the floor is load-bearing, not cosmetic). Top `topN` by
+    * (pmi DESC, a, b), rounded to 6 — fully deterministic and hash-oracled.
+    *
+    * Scale shape: unigram and bigram counts are each ONE explode + count
+    * aggregation over the tokenize-once projection (vocab- and
+    * distinct-bigram-bounded outputs); N rides an unpartitioned window over
+    * the vocab-bounded unigram frame (the [[mixtureTemperature]] one-scan
+    * normalizer pattern — never a second corpus scan); the PMI join is
+    * equi-keyed on single tokens against the vocab-bounded count tables and
+    * the final top-N is TakeOrderedAndProject. */
+  def cooccurrencePmi(docs: DataFrame, minCount: Long = 5, topN: Int = 100): DataFrame = {
+    val toks = docs.select(TextFns.tokens(col("text")).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c_w"))
+      .withColumn("n_total", sum(col("c_w")).over(Window.partitionBy()))
+    val big = toks
+      .select(explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+      .select(element_at(split(col("bg"), " "), 1).as("a"),
+        element_at(split(col("bg"), " "), 2).as("b"), col("c_ab"))
+    big
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a"), col("n_total")), "a")
+      .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") * col("n_total") / (col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
   /** Per-language quantile quality gate: keep documents at or above their
     * language's median token count — thresholds that adapt to each group's own
     * distribution instead of one global constant (short-doc languages aren't

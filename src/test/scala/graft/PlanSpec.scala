@@ -348,7 +348,8 @@ class PlanSpec extends SparkSpec {
       "sim_random_projection" -> 0, // JL projection is map-only: literal sign rows, one native dot per output dim, NO exchange
       "sim_rp_topk" -> 1, // ONE query-keyed heap-topk exchange (shortlist); rerank joins broadcast, final heap reuses the tiny shortlist
       "dedup_incremental_minhash" -> 8, // two sig aggs (batch+base) + self-pair sig agg + the two banded candidate joins' dedups + keep-flag joins; every exchange carries ids/sigs/buckets, never text
-      "pipeline_embedding_outliers" -> 1) // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
+      "pipeline_embedding_outliers" -> 1, // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
+      "text_pmi_top" -> 3) // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

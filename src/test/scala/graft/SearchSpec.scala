@@ -84,6 +84,28 @@ class SearchSpec extends SparkSpec {
     assert(vecRank.values.forall(_ == 1L), s"best-rank aggregation broken: $vecRank")
   }
 
+  // ---- PMI collocations -----------------------------------------------------
+
+  test("cooccurrencePmi: hand-computed scores, deterministic tie-break, minCount floor") {
+    val corpus = Seq(
+      (1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"),
+      (4L, "alpha gamma"), (5L, "delta beta")
+    ).toDF("doc_id", "text")
+    // N=10; c(alpha)=4, c(beta)=4, c(gamma)=1, c(delta)=1
+    // PMI(alpha,beta)=ln(3*10/16)=0.628609; PMI(alpha,gamma)=PMI(delta,beta)=ln(10/4)=0.916291
+    val r = rowList(Curation.cooccurrencePmi(corpus, minCount = 1, topN = 10))
+      .map(row => (row(0).asInstanceOf[String], row(1).asInstanceOf[String],
+        row(5).asInstanceOf[Double]))
+    assert(r === Seq(
+      ("alpha", "gamma", 0.916291), ("delta", "beta", 0.916291),
+      ("alpha", "beta", 0.628609)), s"PMI table wrong: $r")
+    // the hapax-pair bias above is exactly why the floor exists: at
+    // minCount=2 only the 3x-observed collocation survives
+    val floored = rowList(Curation.cooccurrencePmi(corpus, minCount = 2, topN = 10))
+      .map(row => (row(0).asInstanceOf[String], row(1).asInstanceOf[String]))
+    assert(floored === Seq(("alpha", "beta")), s"minCount floor broken: $floored")
+  }
+
   // ---- TF-IDF ---------------------------------------------------------------
 
   test("tfidf weights: tf, df, and smooth idf are exact on a hand-computed fixture") {
