@@ -267,6 +267,14 @@ object ScaleSmoke {
       graft.operators.Similarity.centroidOutliers(vecs, threshold = -0.15)
         .filter(col("is_outlier")).count()
     }
+    // embedding-side cross-snapshot near-dedup: 100k new vs 900k frozen —
+    // bare tag rows cross the bucket join, vectors re-attach to candidates
+    time("incrementalCosineDedup 100k vs 900k") {
+      graft.operators.Similarity.incrementalCosineDedup(
+        vecs.filter(pmod(col("vec_id"), lit(10)) === 0),
+        vecs.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        threshold = 0.9, dim = 64, nbits = 10, tables = 2).count()
+    }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
     time("invertedIndex 1M docs, hot terms") {
@@ -347,6 +355,12 @@ object ScaleSmoke {
       time("mixtureSample content-hash 1M docs") {
         graft.operators.Curation.mixtureSample(sourced,
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,
+          fastHash = true).count()
+      }
+      time("weightedSample ES top-10k of 1M docs") {
+        // map-only key + heap top-k; xxhash64 content draw
+        graft.operators.Curation.weightedSample(
+          docs.withColumn("n_chars", length(col("text"))), k = 10000,
           fastHash = true).count()
       }
       time("mixtureTemperature tau=2 1M docs, 1000 domains") {

@@ -1455,6 +1455,21 @@ object SparkEntry {
         nbits = 3, tables = 8),
       None),
 
+    Q("dedup_embedding_incremental", // cross-snapshot EMBEDDING near-dedup:
+      // new vectors (vec_id % 5 = 0) keep/drop vs within-batch and
+      // frozen-base cosine near-dups, candidates from shared hyperplane
+      // buckets (base tag table = the persisted artifact at scale) — the
+      // embedding sibling of dedup_incremental_minhash; rows-only
+      // (hash-derived buckets); recall gated in SimilaritySpec
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.incrementalCosineDedup(
+          batch = emb.filter(col("vec_id") % 5 === 0),
+          base = emb.filter(col("vec_id") % 5 =!= 0),
+          threshold = 0.4, dim = 64, nbits = 3, tables = 8)
+      },
+      None),
+
     Q("dedup_semantic_pairs", // SemDeDup: k-means-cell-blocked cosine pairs —
       // rows-only (cells are trained); nlist auto-sizes to n/512 so per-cell
       // quadratic work stays constant across scale factors; nassign=2 recovers
@@ -2099,6 +2114,26 @@ object SparkEntry {
                     i -> c[i] * c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
                 FROM e, cent)
               SELECT vec_id, centroid_cos, centroid_cos < -0.15 AS is_outlier FROM sc""")),
+
+    Q("pipeline_weighted_sample", // Efraimidis–Spirakis weighted sampling
+      // without replacement: top-100 by ln(u)/w with u from the content
+      // hash — deterministic across engines/partitionings (no RNG state),
+      // longer docs preferred proportionally to n_chars; map-only + heap
+      (s, d) => Curation.weightedSample(Tables.documents(s, d), k = 100),
+      Some("""WITH t AS (SELECT doc_id, n_chars,
+                regexp_replace(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                  '[^a-z0-9 ]', '', 'g') AS clean FROM documents),
+              f AS (SELECT doc_id, n_chars,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(generate_series(1, length(clean)),
+                    i -> CAST(ord(substr(clean, i, 1)) AS BIGINT))),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM t),
+              s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                round(ln((CAST(fp % 10000 AS DOUBLE) + 0.5) / 10000) / n_chars, 9)
+                  AS es_key
+                FROM f WHERE n_chars > 0)
+              SELECT doc_id, weight, es_key FROM s
+              ORDER BY es_key DESC, doc_id LIMIT 100""")),
 
     Q("pipeline_shuffle", // deterministic corpus-shuffle keys: sort by
       // (shuffle_key, doc_id) for a stable pseudo-random training order,

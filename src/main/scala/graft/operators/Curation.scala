@@ -427,6 +427,40 @@ object Curation {
         round(avg(log(col("c_bg").cast("double") / col("c_w1"))), 6).as("lm_score"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): every doc draws a pseudo-uniform u from its CONTENT
+    * hash and ranks by ln(u)/w — the top `k` such keys are exactly a
+    * w-weighted sample without replacement (the A-ES algorithm's
+    * u^(1/w) ranking in log space, same order, better float spread). The
+    * quality-weighted pick a curation pipeline runs when it can afford k
+    * documents and wants long/high-quality ones preferred, not mandated.
+    *
+    * Determinism contract matches [[mixtureSample]]: u is a pure content
+    * function (rolling-hash bucket; `fastHash` = xxhash64 scale path), so
+    * the sample is reproducible across runs, engines, and partitionings,
+    * and a re-crawled duplicate draws the SAME u. Keys are rounded to 9
+    * decimals (absorbs cross-engine ln/divide ulps; ~1e5 distinct levels
+    * even at weight 10^4) with a doc_id tie-break — fully deterministic.
+    *
+    * Scale shape: map-only key computation + TakeOrderedAndProject top-k;
+    * no RNG state, no shuffle before the heap. Zero/negative weights drop
+    * (ln(u)/w flips sign there — exclude rather than invert). */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+                     fastHash: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fp =
+      if (fastHash) pmod(TextFns.fastFingerprint(col("text")), lit(10000L))
+      else pmod(TextFns.fingerprint(col("text")), lit(10000L))
+    docs
+      .select(col("doc_id"), col(weightCol).cast("double").as("weight"), fp.as("fp"))
+      .filter(col("weight") > 0)
+      .select(col("doc_id"), col("weight"),
+        round(log((col("fp").cast("double") + 0.5d) / 10000d) / col("weight"), 9)
+          .as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Adjacent-pair pointwise mutual information (Church & Hanks 1990) — the
     * collocation statistic behind tokenizer-vocabulary audits and
     * phrase-mining passes (which adjacent pairs co-occur far above chance:

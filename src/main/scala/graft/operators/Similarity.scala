@@ -70,19 +70,25 @@ object Similarity {
     * every candidate). `tables` trades recall for candidate volume; identical
     * vectors always share every bucket. The all-pairs form is O(n²) in comparisons
     * AND in shuffle; this is O(sum over buckets of size²) with an equi-key shuffle. */
-  def cosineDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
-                        nbits: Int = 8, tables: Int = 4): DataFrame = {
-    val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
-    // Candidate generation on BARE (vec_id, tbl, bucket) rows — carrying the
-    // embedding through the bucket shuffle would inflate it `tables`-fold (the
-    // same payload-last pattern as Dedup.minhashLshPairs). Vectors re-attach to
-    // the (much smaller) deduped candidate pair set for the exact cosine filter.
-    val tagged = e.select(col("vec_id"),
+  /** Bare (vec_id, tbl, bucket) hyperplane-LSH tag rows for `tables`
+    * independent tables — candidate generation joins these; carrying the
+    * embedding through the bucket shuffle would inflate it `tables`-fold
+    * (the same payload-last pattern as Dedup.minhashLshPairs). Vectors
+    * re-attach to the (much smaller) deduped candidate pair set for the
+    * exact cosine filter. */
+  private def hyperplaneTags(e: DataFrame, dim: Int, nbits: Int,
+                             tables: Int): DataFrame =
+    e.select(col("vec_id"),
         explode(array((0 until tables).map { t =>
           struct(lit(t).as("tbl"),
             VectorFns.hyperplaneBucket(col("embedding"), dim, nbits, seed = t).as("bucket"))
         }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+
+  def cosineDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
+                        nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val tagged = hyperplaneTags(e, dim, nbits, tables)
     val a = tagged.alias("a")
     val b = tagged.alias("b")
     a.join(b, col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -94,6 +100,64 @@ object Similarity {
       .select(col("a_id"), col("b_id"),
         VectorFns.simKey(VectorFns.dot(col("ea"), col("eb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
+  }
+
+  /** Cross-snapshot embedding near-dup pairs: (batch vector, base vector)
+    * pairs at cosine >= `threshold`, candidates only from shared hyperplane
+    * buckets — the embedding-side sibling of
+    * [[graft.operators.Dedup.incrementalMinhashPairs]] for the
+    * continual-pretraining refresh where "same document" means "same
+    * embedding neighborhood" (paraphrases, translations, re-renders) rather
+    * than shared shingles.
+    *
+    * Scale shape: at 100 TB the base side enters as a PERSISTED tag table
+    * ([[hyperplaneTags]] is a map-only explode over the frozen corpus —
+    * compute once per snapshot, bucket on (tbl, bucket)); the batch side is
+    * the small one, so AQE broadcasts its bare tag rows and the base stream
+    * never exchanges. Vectors re-attach to the deduped candidate pairs only;
+    * precision is 1 (exact cosine filter), recall is banding-bounded and
+    * measured in SimilaritySpec against the exact cross-pair twin. */
+  def incrementalCosinePairsLsh(batch: DataFrame, base: DataFrame,
+                                threshold: Double, dim: Int,
+                                nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val b = batch.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val s = base.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    hyperplaneTags(b, dim, nbits, tables).alias("a")
+      .join(hyperplaneTags(s, dim, nbits, tables).alias("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.vec_id").as("batch_id"), col("b.vec_id").as("base_id"))
+      .dropDuplicates("batch_id", "base_id")
+      .join(b.select(col("vec_id").as("batch_id"), col("embedding").as("ea")), "batch_id")
+      .join(s.select(col("vec_id").as("base_id"), col("embedding").as("eb")), "base_id")
+      .select(col("batch_id"), col("base_id"),
+        VectorFns.simKey(VectorFns.dot(col("ea"), col("eb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Per-batch-vector keep/drop verdict vs a frozen base, embedding edition:
+    * (vec_id, base_match_count, keep) — drops for a within-batch near-dup
+    * (greedy pair rule on [[cosineDupPairsLsh]] pairs: a vector drops iff it
+    * directly pairs with a smaller batch vec_id; same documented weakness
+    * vs full components as the MinHash form) or for any base near-dup.
+    * Mirrors [[graft.operators.Dedup.incrementalMinhashDedup]]'s contract
+    * so pipelines can swap text-keyed and embedding-keyed incremental dedup
+    * without re-plumbing. */
+  def incrementalCosineDedup(batch: DataFrame, base: DataFrame,
+                             threshold: Double, dim: Int,
+                             nbits: Int = 8, tables: Int = 4): DataFrame = {
+    val selfDropped = cosineDupPairsLsh(batch, threshold, dim, nbits, tables)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("self_dup", lit(true))
+    val baseCounts = incrementalCosinePairsLsh(batch, base, threshold, dim, nbits, tables)
+      .groupBy(col("batch_id").as("vec_id"))
+      .agg(count(lit(1)).as("base_match_count"))
+    batch.select("vec_id")
+      .join(selfDropped, Seq("vec_id"), "left")
+      .join(baseCounts, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("base_match_count"), lit(0L)).as("base_match_count"),
+        (col("self_dup").isNull && coalesce(col("base_match_count"), lit(0L)) === 0)
+          .as("keep"))
   }
 
   /** Exact top-k neighbors for each query vector (self-matches excluded). Ranking is

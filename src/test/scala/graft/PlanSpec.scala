@@ -349,7 +349,9 @@ class PlanSpec extends SparkSpec {
       "sim_rp_topk" -> 1, // ONE query-keyed heap-topk exchange (shortlist); rerank joins broadcast, final heap reuses the tiny shortlist
       "dedup_incremental_minhash" -> 8, // two sig aggs (batch+base) + self-pair sig agg + the two banded candidate joins' dedups + keep-flag joins; every exchange carries ids/sigs/buckets, never text
       "pipeline_embedding_outliers" -> 1, // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
-      "text_pmi_top" -> 3) // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
+      "text_pmi_top" -> 3, // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
+      "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
+      "dedup_embedding_incremental" -> 5) // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

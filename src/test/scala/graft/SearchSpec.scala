@@ -84,6 +84,38 @@ class SearchSpec extends SparkSpec {
     assert(vecRank.values.forall(_ == 1L), s"best-rank aggregation broken: $vecRank")
   }
 
+  // ---- weighted sampling ----------------------------------------------------
+
+  test("weightedSample: deterministic, weight-monotone, positive weights only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", 10L), (2L, "alpha beta gamma", 1L),
+      (3L, "delta epsilon zeta", 0L), (4L, "zeta eta theta", -5L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = rowList(Curation.weightedSample(docs, k = 10))
+      .map(row => (row(0).asInstanceOf[Long], row(2).asInstanceOf[Double]))
+    assert(r.map(_._1).toSet === Set(1L, 2L), s"non-positive weights must drop: $r")
+    // identical content -> same u; the 10x weight pulls ln(u)/w toward 0, so
+    // doc 1 must outrank doc 2 (the Efraimidis-Spirakis monotonicity)
+    assert(r.head._1 === 1L && r.head._2 > r.last._2, s"weight monotonicity broken: $r")
+    val again = rowList(Curation.weightedSample(docs, k = 10))
+      .map(row => (row(0).asInstanceOf[Long], row(2).asInstanceOf[Double]))
+    assert(again === r, "sample must be deterministic across runs")
+  }
+
+  test("weightedSample overrepresents heavy docs; fastHash path keeps the contract") {
+    val fixture = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpusMean = fixture.agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = Curation.weightedSample(fixture, k = 100)
+      .agg(avg(col("weight"))).head().getDouble(0)
+    info(f"corpus mean n_chars = $corpusMean%.1f, ES-sample mean = $sampleMean%.1f")
+    assert(sampleMean > corpusMean,
+      f"length-weighted sample must skew long: $sampleMean%.1f <= $corpusMean%.1f")
+    val fast = Curation.weightedSample(fixture, k = 100, fastHash = true)
+    assert(fast.count() === 100)
+    val fastMean = fast.agg(avg(col("weight"))).head().getDouble(0)
+    assert(fastMean > corpusMean, "fastHash path must keep the weighting contract")
+  }
+
   // ---- PMI collocations -----------------------------------------------------
 
   test("cooccurrencePmi: hand-computed scores, deterministic tie-break, minCount floor") {

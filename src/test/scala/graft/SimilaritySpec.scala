@@ -164,6 +164,44 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
   }
 
+  test("incremental cosine dedup: base near-copy drops, self dup resolves, novel keeps") {
+    val base = Seq((100L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (1L, Array(1.0f, 0f, 0f, 0f)),   // identical to base -> drop, count >= 1
+      (2L, Array(0f, 1.0f, 0f, 0f)),   // novel direction -> keep
+      (3L, Array(0f, 1.0f, 0f, 0f))    // identical to 2 -> self dup, drop, count 0
+    ).toDF("vec_id", "embedding")
+    val r = rowList(Similarity.incrementalCosineDedup(batch, base,
+        threshold = 0.9, dim = 4, nbits = 4, tables = 2).orderBy("vec_id"))
+      .map(row => (row(0).asInstanceOf[Long], row(1).asInstanceOf[Long],
+        row(2).asInstanceOf[Boolean]))
+    assert(r === Seq((1L, 1L, false), (2L, 0L, true), (3L, 0L, false)),
+      s"verdicts wrong: $r")
+  }
+
+  test("incremental cosine pairs recall vs exact cross-snapshot pairs (fixture)") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    // truth: exact all-pairs at the entry threshold, restricted to pairs that
+    // straddle the vec_id % 5 batch/base split, oriented (batch_id, base_id)
+    val truth: Set[(Long, Long)] = Similarity.cosineDupPairs(emb, 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) =>
+        if (a % 5 == 0 && b % 5 != 0) Some((a, b))
+        else if (b % 5 == 0 && a % 5 != 0) Some((b, a))
+        else None
+      }.toSet
+    assert(truth.nonEmpty, "fixture must have cross-split near-dup pairs")
+    val got = Similarity.incrementalCosinePairsLsh(
+        emb.filter($"vec_id" % 5 === 0), emb.filter($"vec_id" % 5 =!= 0),
+        threshold = 0.4, dim = 64, nbits = 3, tables = 8)
+      .select("batch_id", "base_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "precision must be 1 — exact filter reruns on candidates")
+    val recall = got.count(truth).toDouble / truth.size
+    info(f"incrementalCosinePairsLsh(nbits=3, tables=8) recall = $recall%.3f (${got.size}/${truth.size})")
+    assert(recall >= 0.8, f"cross-snapshot cosine recall $recall%.3f below 0.8 floor")
+  }
+
   test("centroidOutliers: off-manifold vector flagged, cluster survives, nulls excluded") {
     // three vectors near +x and one pointing the other way: the centroid
     // leans +x, so only vector 4 scores negative cosine to it
