@@ -244,6 +244,16 @@ object ScaleSmoke {
     time("cooccurrencePmi 1M docs") {
       graft.operators.Curation.cooccurrencePmi(docs, minCount = 50, topN = 100).count()
     }
+    time("domainKeywords 1M docs, 1000 domains") {
+      graft.operators.Search.domainKeywords(
+        docs.withColumn("source", concat(lit("d"), pmod(col("doc_id"), lit(1000)))),
+        k = 10).count()
+    }
+    // map-only per-row signatures over 1M docs (the streaming gate's kernel);
+    // parity with the aggregate form is spec-asserted
+    time("minhashSignaturesMapOnly 1M docs") {
+      graft.operators.Dedup.minhashSignaturesMapOnly(docs).count()
+    }
     time("tfidfWeights build over 1M docs") {
       graft.operators.Search.tfidfWeights(docs)
         .select(sum(col("df"))).head().getDouble(0).toLong

@@ -1937,6 +1937,23 @@ object SparkEntry {
       },
       None),
 
+    Q("w_stream_minhash_matches", // streaming NEAR-dup suspect stream: new
+      // docs (doc_id % 5 = 0) stream against the frozen base's minhash
+      // bucket table — per-row signatures (MinHashSigExpr, no streaming
+      // aggregation state), stateless stream-static LEFT SEMI join, one
+      // doc-keyed dropDuplicates; rows-only (xxhash64 banding; StreamingSpec
+      // pins flag-once / novel-pass semantics)
+      (s, d) => {
+        val baseBuckets = Dedup.minhashBucketTable(
+          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
+        StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wmh_sink", src => StreamingViews.streamMinhashBaseMatches(
+            src.filter(col("doc_id") % 5 === 0), baseBuckets)
+            .select(col("doc_id")),
+          outputMode = "append")
+      },
+      None),
+
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass
       (s, d) => Curation.dataCard(Tables.documents(s, d)),
@@ -2395,6 +2412,28 @@ object SparkEntry {
                 FROM tf, n)
               SELECT term, doc_id, tf, df,
                 round(tf * (ln((1 + n_docs) / (1 + df)) + 1), 6) AS w FROM w""")),
+
+    Q("search_domain_keywords", // per-domain TF-IDF keyword signatures
+      // (domain = pseudo-document, N = domain count): one (domain, term)
+      // agg + term-keyed df window + rank window over each domain's
+      // vocab-bounded frame — the data-card "what is this slice about" table
+      (s, d) => Search.domainKeywords(Tables.documents(s, d), k = 10),
+      Some("""WITH nd AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_domains
+                FROM documents),
+              t AS (SELECT source AS domain,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              p AS (SELECT domain, unnest(toks) AS term FROM t),
+              tf AS (SELECT domain, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM p WHERE len(term) > 0 GROUP BY 1, 2),
+              w AS (SELECT domain, term, tf,
+                CAST(count(*) OVER (PARTITION BY term) AS DOUBLE) AS df, n_domains
+                FROM tf, nd),
+              sc AS (SELECT domain, term, tf, df,
+                round(tf * (ln((1 + n_domains) / (1 + df)) + 1), 6) AS score FROM w),
+              r AS (SELECT *, row_number() OVER (PARTITION BY domain
+                ORDER BY score DESC, term) AS rank FROM sc)
+              SELECT domain, term, tf, df, score, rank FROM r WHERE rank <= 10""")),
 
     Q("search_tfidf_topk", // nearest docs to doc 42 by TF-IDF cosine: the
       // query vector and its norm ride broadcasts; ONE doc-keyed agg computes

@@ -125,14 +125,41 @@ object Dedup {
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSigAgg.minhashSig(col("h"), numHashes).as("sig"))
 
+  /** [[minhashSignatures]] as a MAP-ONLY projection — no aggregation, so it
+    * runs where a groupBy cannot: append-mode Structured Streaming (the
+    * per-micro-batch signature step of
+    * [[graft.streaming.StreamingViews.streamMinhashBaseMatches]]) and
+    * per-row re-signature passes. Bit-identical output to the aggregate form
+    * (shared splitmix64 mix — DedupSpec asserts equality); the aggregate
+    * stays preferred in batch jobs (it streams exploded shingles through one
+    * buffer instead of materializing the hash array per row). */
+  def minhashSignaturesMapOnly(docs: DataFrame, shingleSize: Int = 3,
+                               numHashes: Int = 64): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), shingleSize)),
+          s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSigExpr.minhashSigRow(col("hs"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+
   /** Signature table → bare (doc_id, band, bucket) rows. Candidate generation
     * joins these — carrying the 64-long signature through the bucket shuffle
     * would inflate it `bands`-fold (one copy per band); signatures re-attach
     * to the (much smaller) candidate pair set afterwards. */
-  private def minhashBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+  private[graft] def minhashBuckets(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
     sigs
       .select(col("doc_id"), explode(TextFns.minhashBands(col("sig"), bands, rows)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** (doc_id, band, bucket) LSH bucket table for a corpus — the artifact a
+    * streaming near-dup gate joins against ([[graft.streaming.StreamingViews
+    * .streamMinhashBaseMatches]]): compute once per frozen snapshot, persist
+    * bucketed on (band, bucket). */
+  def minhashBucketTable(docs: DataFrame, shingleSize: Int = 3,
+                         bands: Int = 16, rows: Int = 4): DataFrame =
+    minhashBuckets(minhashSignatures(docs, shingleSize, bands * rows), bands, rows)
 
   def minhashLshPairs(docs: DataFrame, shingleSize: Int = 3, threshold: Double = 0.5,
                       bands: Int = 16, rows: Int = 4): DataFrame = {

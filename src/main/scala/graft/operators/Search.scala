@@ -268,6 +268,41 @@ object Search {
       .filter(col("tfidf_cos") > 0)
   }
 
+  /** Per-domain keyword signatures: treat each domain as ONE pseudo-document
+    * and rank its terms by TF-IDF against the other domains ([[tfidfWeights]]'
+    * smooth idf with N = domain count) — the "what is this slice of the
+    * corpus about" table a data card links per domain, and the first tool
+    * for spotting a domain whose vocabulary collapsed (crawler loops,
+    * boilerplate floods: the top keywords become navigation chrome).
+    *
+    * Scale shape: ONE (domain, term) count aggregation over the
+    * tokenize-once explode; df across domains from a term-keyed count window
+    * over those aggregated rows (domains-bounded per term); the domain count
+    * rides a one-row broadcast; the per-domain top-k is a rank window over
+    * each domain's vocabulary-bounded frame. Output (domain, term, tf, df,
+    * score, rank), rank <= k, (score DESC, term) tie-break on the 6-decimal
+    * rounded score. */
+  def domainKeywords(docs: DataFrame, k: Int = 10,
+                     domainCol: String = "source"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nd = docs.agg(countDistinct(col(domainCol)).cast("double").as("n_domains"))
+    val tf = docs
+      .select(col(domainCol).as("domain"), explode(TextFns.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("domain", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        round(col("tf") * (log((lit(1d) + col("n_domains")) / (lit(1d) + col("df"))) + 1d), 6))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("domain").orderBy(col("score").desc, col("term")))
+        .cast("long"))
+      .filter(col("rank") <= k)
+      .select("domain", "term", "tf", "df", "score", "rank")
+  }
+
   /** Hybrid retrieval: fuse the lexical ([[bm25TopK]]) and vector
     * ([[graft.operators.Similarity.bruteForceTopK]] — swap in the IVF/LSH
     * probe at scale, the fusion is channel-agnostic) top-`kRetrieval` lists by

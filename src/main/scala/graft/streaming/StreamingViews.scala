@@ -221,6 +221,47 @@ object StreamingViews {
     deduped.join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
+  /** Streaming NEAR-dup suspect stream — the fuzzy sibling of
+    * [[streamIncrementalDedup]]: emits each streamed doc that shares at least
+    * one MinHash band bucket with the STATIC base corpus
+    * ([[graft.operators.Dedup.minhashBucketTable]] — at 100 TB a persisted
+    * table bucketed on (band, bucket)). A router sends these to quarantine /
+    * batch re-verification (the exact-Jaccard check needs both signatures;
+    * candidate-level flagging is the append-mode-expressible half) and the
+    * rest onward.
+    *
+    * Why map-only signatures: a streaming groupBy would need watermarked
+    * state just to build the signature; the per-row
+    * [[graft.functions.MinHashSigExpr]] (bit-identical to the batch
+    * aggregate, DedupSpec-asserted) makes tag generation a projection, so
+    * the whole pipeline is a stateless stream-static LEFT SEMI join plus the
+    * one `dropDuplicates(doc_id)` that collapses a doc's multiple matching
+    * bands — 8 bytes of state per flagged doc (bound it with
+    * `watermarkCol`/`watermark` like the exact form when the stream carries
+    * event time). */
+  def streamMinhashBaseMatches(docs: DataFrame, baseBuckets: DataFrame,
+                               shingleSize: Int = 3, bands: Int = 16, rows: Int = 4,
+                               watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+    val sigs = docs
+      .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
+      .withColumn("__hs", transform(
+        array_distinct(graft.functions.TextFns.shinglesFromTokens(col("__toks"), shingleSize)),
+        s => xxhash64(s)))
+      .withColumn("sig",
+        graft.functions.MinHashSigExpr.minhashSigRow(col("__hs"), bands * rows))
+      .filter(col("sig").isNotNull)
+    val tagged = sigs
+      .withColumn("bb", explode(graft.functions.TextFns.minhashBands(col("sig"), bands, rows)))
+      .select((docs.columns.map(col) :+ col("bb.band").as("band") :+
+        col("bb.bucket").as("bucket")): _*)
+    val matched = tagged
+      .join(baseBuckets.select(col("band"), col("bucket")), Seq("band", "bucket"), "left_semi")
+      .drop("band", "bucket")
+    if (watermarkCol.isEmpty) matched.dropDuplicates("doc_id")
+    else matched.withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Stream-stream interval join (absent from the reference — CQL cannot join at
     * all): each left-branch event pairs with the right-branch events of the SAME
     * key whose time falls in (left.ts, left.ts + maxGap]. Both branches carry a

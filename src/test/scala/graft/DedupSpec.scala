@@ -248,6 +248,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, f"blocked recall $recall%.3f below 0.9 floor at the entry budget")
   }
 
+  test("per-row minhash signature is bit-identical to the aggregate form") {
+    val agg = Dedup.minhashSignatures(fixtureDocs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val row = Dedup.minhashSignaturesMapOnly(fixtureDocs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(row.keySet === agg.keySet, "same docs must be signed by both forms")
+    assert(agg.forall { case (id, sig) => row(id) === sig },
+      "map-only signatures must equal the aggregate's exactly (shared splitmix64)")
+  }
+
   test("minhash signature aggregate is partition-independent (merge correctness)") {
     import org.apache.spark.sql.functions._
     val hashed = spark.range(1000).select(col("id"),

@@ -351,7 +351,8 @@ class PlanSpec extends SparkSpec {
       "pipeline_embedding_outliers" -> 1, // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
       "text_pmi_top" -> 3, // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
       "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
-      "dedup_embedding_incremental" -> 5) // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
+      "dedup_embedding_incremental" -> 5, // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
+      "search_domain_keywords" -> 4) // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

@@ -182,6 +182,26 @@ class SearchSpec extends SparkSpec {
     assert(ids.head === 2L, s"rare-term overlap must rank first, got $ids")
   }
 
+  test("domainKeywords: domain-specific terms outrank cross-domain vocabulary") {
+    val corpus = Seq(
+      (1L, "kernel scheduler kernel interrupt the", "linux"),
+      (2L, "kernel driver the", "linux"),
+      (3L, "sourdough starter sourdough crumb the", "baking"),
+      (4L, "sourdough oven the", "baking")
+    ).toDF("doc_id", "text", "source")
+    val r = rowList(Search.domainKeywords(corpus, k = 3))
+      .map(row => (row(0).asInstanceOf[String], row(1).asInstanceOf[String],
+        row(5).asInstanceOf[Long]))
+    val top = r.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    // 'the' appears in both domains (df 2 -> idf floor); the domain-exclusive
+    // high-tf terms must take rank 1
+    assert(top === Map("linux" -> "kernel", "baking" -> "sourdough"),
+      s"rank-1 keywords wrong: $r")
+    // every domain returns at most k rows, ranks contiguous from 1
+    val byDomain = r.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byDomain.values.forall(rs => rs == (1L to rs.size)), s"ranks broken: $byDomain")
+  }
+
   test("bm25: rarer term contributes higher idf") {
     // 'quick' appears in 1 doc, 'join' in 2 -> for equal tf and dl, the
     // quick-doc's single-term score must exceed a join-doc's single-term score

@@ -413,6 +413,36 @@ class StreamingSpec extends SparkSpec {
     assert(survivors === Set(11L, 14L))
   }
 
+  test("streaming minhash near-dup: base near-copies flag once, novel docs pass silently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "structured streaming maintains state across micro batches")
+    ).toDF("doc_id", "text")
+    val baseBuckets = graft.operators.Dedup.minhashBucketTable(base)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingViews.streamMinhashBaseMatches(
+        stream.toDF().toDF("doc_id", "text"), baseBuckets)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_minhash_matches").start()
+    try {
+      // 10 = byte-identical to base 1 (shares EVERY band), 11 = novel
+      stream.addData((10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "completely unrelated content about parquet column pruning"))
+      q.processAllAvailable()
+      // replay of 10 across batches must not re-emit (dropDuplicates state);
+      // 12 = identical to base 2
+      stream.addData((10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (12L, "structured streaming maintains state across micro batches"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("t_minhash_matches").collect().map(_.getLong(0)).toSeq
+    assert(flagged.sorted === Seq(10L, 12L),
+      s"exactly the base near-copies must flag, once each: $flagged")
+  }
+
   test("stateless decontamination runs in append mode over a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
