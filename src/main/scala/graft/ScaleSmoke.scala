@@ -309,6 +309,14 @@ object ScaleSmoke {
           .select(sum(col("n_bpe_tokens"))).head().getLong(0)
       }
     }
+    time("resolveClustersCanonical 1M docs") {
+      // components over the planted-dup pair set + one cluster-keyed argmax
+      graft.operators.Dedup.resolveClustersCanonical(
+        docs.withColumn("n_chars", length(col("text"))),
+        graft.operators.Dedup.minhashLshPairs(
+          docs.filter(col("doc_id") < 100000), threshold = 0.8),
+        quality = col("n_chars")).filter(col("keep")).count()
+    }
     time("incrementalDedup 500k batch vs 500k base") {
       graft.operators.Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),

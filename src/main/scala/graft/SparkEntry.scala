@@ -1455,6 +1455,44 @@ object SparkEntry {
         nbits = 3, tables = 8),
       None),
 
+    Q("dedup_clusters_canonical", // canonical-selection cluster resolution:
+      // components over ngram-jaccard pairs, survivor = LONGEST member
+      // (n_chars, ties to smallest id) instead of min-id — the curation
+      // keep-rule when a cluster mixes full articles with truncated variants
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.resolveClustersCanonical(docs,
+          Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.3),
+          quality = col("n_chars"))
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, substr(norm, 1, 40) AS block,
+                string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, block,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3),
+              e AS (SELECT a_id AS src, b_id AS dst FROM p
+                    UNION SELECT b_id, a_id FROM p),
+              reach AS (
+                SELECT doc_id AS id, doc_id AS label FROM documents
+                UNION
+                SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id),
+              cc AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id),
+              rep AS (SELECT cluster_id, id AS rep FROM
+                (SELECT cc.id, cc.cluster_id,
+                   row_number() OVER (PARTITION BY cc.cluster_id
+                     ORDER BY d.n_chars DESC, cc.id ASC) AS rn
+                 FROM cc JOIN documents d ON d.doc_id = cc.id) WHERE rn = 1)
+              SELECT cc.id AS doc_id, cc.cluster_id, cc.id = rep.rep AS keep
+              FROM cc JOIN rep USING (cluster_id)""")),
+
     Q("dedup_embedding_incremental", // cross-snapshot EMBEDDING near-dedup:
       // new vectors (vec_id % 5 = 0) keep/drop vs within-batch and
       // frozen-base cosine near-dups, candidates from shared hyperplane

@@ -66,6 +66,33 @@ object Dedup {
         count(lit(1)).as("dup_count"))
       .select("doc_id", "dup_count")
 
+  /** Canonical-selection CLUSTER resolution: connected components as in
+    * [[resolveClusters]], but the survivor of each component is its
+    * HIGHEST-QUALITY member (ties to the smallest doc_id), not the smallest
+    * id — the component-level generalization of [[exactDedupCanonical]]. A
+    * curation pipeline wants this when near-dup clusters mix a full article
+    * with its truncated or boilerplate-padded variants: min-id keeps
+    * whichever crawled first, canonical selection keeps the best one.
+    *
+    * Scale shape: clustering cost is [[resolveClusters]]'s; the selection
+    * adds one cluster-keyed [[graft.functions.ArgMaxAgg]] (hash-aggregatable
+    * with map-side partials — a hot cluster reduces inside each task) and an
+    * id-keyed re-join of the verdict. `quality` is evaluated against `docs`
+    * (e.g. `col("n_chars")` or a model score column). */
+  def resolveClustersCanonical(docs: DataFrame, pairs: DataFrame,
+                               quality: org.apache.spark.sql.Column): DataFrame = {
+    val withQ = resolveClusters(docs, pairs)
+      .select("doc_id", "cluster_id")
+      .join(docs.select(col("doc_id"), quality.as("__q")), "doc_id")
+    val reps = withQ.groupBy("cluster_id")
+      .agg(graft.functions.ArgMaxAgg.argMax(
+        struct(col("__q").as("q"), (-col("doc_id")).as("nid")),
+        col("doc_id")).as("rep"))
+    withQ.join(reps, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("rep")).as("keep"))
+  }
+
   /** Exact dedup, scale path: group on xxhash64(normalized text) — an 8-byte
     * shuffle key instead of the document body. */
   def exactDedupByFingerprint(docs: DataFrame): DataFrame =

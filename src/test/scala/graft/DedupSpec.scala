@@ -277,6 +277,30 @@ class DedupSpec extends SparkSpec {
     assert(!m.exists(p => Set(p(0), p(1)) == Set[Any](1L, 4L)))
   }
 
+  test("resolveClustersCanonical: longest member survives, not the min id; singletons keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "short", 5L), (2L, "the much longer canonical version", 33L),
+      (3L, "short variant", 13L), (4L, "unrelated singleton", 19L)
+    ).toDF("doc_id", "text", "n_chars")
+    // chain 1-2, 2-3: one component {1,2,3}; doc 2 is longest -> the keeper
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val r = rowList(Dedup.resolveClustersCanonical(docs, pairs,
+        org.apache.spark.sql.functions.col("n_chars")).orderBy("doc_id"))
+      .map(row => (row(0).asInstanceOf[Long], row(1).asInstanceOf[Long],
+        row(2).asInstanceOf[Boolean]))
+    assert(r === Seq((1L, 1L, false), (2L, 1L, true), (3L, 1L, false), (4L, 4L, true)),
+      s"canonical cluster verdicts wrong: $r")
+    // quality tie breaks to the smallest id
+    val tied = Seq((7L, "same size a", 11L), (8L, "same size b", 11L))
+      .toDF("doc_id", "text", "n_chars")
+    val tr = rowList(Dedup.resolveClustersCanonical(tied,
+        Seq((7L, 8L)).toDF("a_id", "b_id"),
+        org.apache.spark.sql.functions.col("n_chars")).orderBy("doc_id"))
+      .map(row => (row(0).asInstanceOf[Long], row(2).asInstanceOf[Boolean]))
+    assert(tr === Seq((7L, true), (8L, false)), s"tie-break wrong: $tr")
+  }
+
   test("resolveClusters: transitive chains merge, representative is min id, singletons keep") {
     val docs6 = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "x"), (5L, "x"), (6L, "x"))
       .toDF("doc_id", "text")

@@ -352,7 +352,8 @@ class PlanSpec extends SparkSpec {
       "text_pmi_top" -> 3, // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
       "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
       "dedup_embedding_incremental" -> 5, // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
-      "search_domain_keywords" -> 4) // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
+      "search_domain_keywords" -> 4, // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
+      "dedup_clusters_canonical" -> 2) // cluster-keyed argmax agg + verdict re-join atop resolveClusters' fast path (label map broadcast at fixture scale)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
