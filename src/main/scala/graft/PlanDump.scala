@@ -138,7 +138,31 @@ object PlanDump {
       ("pipeline_embedding_outliers",
        "Embedding outlier gate: ONE dim-keyed centroid aggregate (map-side " +
          "partials — the exchange carries tasks x dim tiny rows), centroid " +
-         "broadcast back as a single row, cosine scoring map-only.")
+         "broadcast back as a single row, cosine scoring map-only."),
+      ("pipeline_weighted_sample",
+       "Efraimidis-Spirakis weighted sample: the ln(u)/w key is map-only " +
+         "content arithmetic (no RNG state), the top-k is " +
+         "`TakeOrderedAndProject` — NO exchange anywhere (the pin is 0)."),
+      ("text_pmi_top",
+       "PMI collocations: unigram and bigram counts are each one explode + " +
+         "aggregate; the corpus-size normalizer rides a window over the " +
+         "vocab-bounded unigram frame (never a second corpus scan); the PMI " +
+         "join keys single tokens against vocab-bounded count tables."),
+      ("search_domain_keywords",
+       "Per-domain TF-IDF keywords: one (domain, term) count aggregate, " +
+         "term-keyed df window over the AGGREGATED rows, per-domain rank " +
+         "window over vocabulary-bounded frames; the domain count rides a " +
+         "one-row broadcast."),
+      ("dedup_embedding_incremental",
+       "Cross-snapshot embedding near-dedup: hyperplane tag generation is " +
+         "map-only on both sides; the candidate equi-join, its dedup, and " +
+         "the keep-flag joins ship only ids and buckets — vectors re-attach " +
+         "to the deduped candidate pairs for the exact cosine filter."),
+      ("dedup_clusters_canonical",
+       "Canonical cluster resolution: components via the size-adaptive " +
+         "union-find fast path (label map broadcast), then ONE cluster-keyed " +
+         "hash-argmax (ObjectHashAggregate, map-side partials) picks the " +
+         "highest-quality representative and the verdict re-joins on id.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan
