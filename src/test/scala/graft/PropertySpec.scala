@@ -536,4 +536,87 @@ class PropertySpec extends SparkSpec {
       assert(fromIndex === direct)
     }
   }
+
+  private def cleanTokens(t: String): List[String] =
+    t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ", -1).filter(_.nonEmpty).toList
+
+  test("tfidf weights: tf sums to token counts, df counts docs, idf recomputes exactly") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val toks = docsList.map { case (id, t) => id -> cleanTokens(t) }.toMap
+      val n = docsList.size.toDouble
+      val rows = graft.operators.Search.tfidfWeights(df).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      val tfSum = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      toks.foreach { case (id, ts) =>
+        assert(tfSum.getOrElse(id, 0.0) === ts.size.toDouble, s"tf mass wrong for doc $id")
+      }
+      val docsPerTerm = toks.toList
+        .flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+      rows.foreach { case (term, id, tf, dfv, w) =>
+        assert(dfv === docsPerTerm(term), s"df wrong for '$term'")
+        assert(tf === toks(id).count(_ == term).toDouble, s"tf wrong for ('$term', $id)")
+        val expW = tf * (math.log((1 + n) / (1 + dfv)) + 1)
+        assert(math.abs(w - expW) < 1e-9, s"w mismatch for ('$term', $id): $w vs $expW")
+      }
+    }
+  }
+
+  test("tfidf cosine: every planted duplicate scores exactly 1.0; no score exceeds 1") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val dupGroup = docsList.groupBy(_._2).values.find(_.size >= 2)
+      dupGroup.foreach { group =>
+        val ids = group.map(_._1).sorted
+        val df = docsList.toDF("doc_id", "text")
+        val r = graft.operators.Search
+          .tfidfCosineTopK(graft.operators.Search.tfidfWeights(df), ids.head,
+            k = docsList.size)
+          .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+        ids.tail.foreach(twin =>
+          assert(r(twin) === 1.0, s"duplicate $twin of ${ids.head} must score 1.0: $r"))
+        assert(r.values.forall(_ <= 1.0 + 2e-6), s"cosine above 1: $r")
+      }
+    }
+  }
+
+  test("cooccurrencePmi equals a driver-side recomputation for every corpus") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val toksAll = docsList.map(d => cleanTokens(d._2))
+      val uni = toksAll.flatten.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val nTotal = toksAll.map(_.size).sum.toDouble
+      val bigr = toksAll.flatMap(_.sliding(2).filter(_.size == 2).map(p => (p.head, p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val exp = bigr.toList.map { case ((a, b), c) =>
+        (a, b, math.log(c * nTotal / (uni(a) * uni(b))))
+      }.sortBy { case (a, b, p) => (-p, a, b) }
+      val got = graft.operators.Curation
+        .cooccurrencePmi(df, minCount = 1, topN = bigr.size + 10).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(5)))
+      assert(got.length === exp.length, s"pair count ${got.length} vs ${exp.length}")
+      got.zip(exp).foreach { case ((ga, gb, gp), (ea, eb, ep)) =>
+        assert(ga === ea && gb === eb, s"order diverged at ($ga,$gb) vs ($ea,$eb)")
+        assert(math.abs(gp - ep) < 1e-6, s"pmi($ga,$gb) = $gp vs $ep")
+      }
+    }
+  }
+
+  test("weightedSample equals a driver-side recomputation of the ES ranking") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val withW = docsList.map { case (id, t) => (id, t, (id % 7) + 1) }
+      val df = withW.toDF("doc_id", "text", "n_chars")
+      def fp(s: String): Long = s.toLowerCase.trim.replaceAll("\\s+", " ")
+        .replaceAll("[^a-z0-9 ]", "")
+        .foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+      val exp = withW.map { case (id, t, w) =>
+        val u = (fp(t) % 10000 + 0.5) / 10000.0
+        (id, BigDecimal(math.log(u) / w)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (id, k) => (-k, id) }.take(5).map(_._1)
+      val got = graft.operators.Curation.weightedSample(df, k = 5).collect()
+        .map(_.getLong(0)).toList
+      assert(got === exp, s"ES ranking diverged: $got vs $exp")
+    }
+  }
 }
