@@ -1508,6 +1508,25 @@ object SparkEntry {
       },
       None),
 
+    Q("w_stream_cosine_matches", // streaming EMBEDDING near-dup suspects: new
+      // vectors (vec_id % 5 = 0) stream against the frozen base's hyperplane
+      // tag table — per-row buckets, stateless stream-static LEFT SEMI join,
+      // one vec-keyed dropDuplicates; rows-only (hash-derived buckets;
+      // StreamingSpec pins flag-once / novel-pass semantics). nbits=3,
+      // tables=8 = the measured dedup_embedding_cosine_lsh operating point
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val baseTags = Similarity.hyperplaneTagTable(
+          emb.filter(col("vec_id") % 5 =!= 0), dim = 64, nbits = 3, tables = 8)
+        StreamingViews.runToMemory(s, s"$d/embeddings.parquet",
+          "graft_wcos_sink", src => StreamingViews.streamCosineBaseMatches(
+            src.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+            baseTags, dim = 64, nbits = 3, tables = 8)
+            .select(col("vec_id")),
+          outputMode = "append")
+      },
+      None),
+
     Q("dedup_semantic_pairs", // SemDeDup: k-means-cell-blocked cosine pairs —
       // rows-only (cells are trained); nlist auto-sizes to n/512 so per-cell
       // quadratic work stays constant across scale factors; nassign=2 recovers

@@ -85,6 +85,18 @@ object Similarity {
         }: _*)).as("bb"))
       .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
 
+  /** Public (vec_id, tbl, bucket) hyperplane tag table for a corpus — the
+    * artifact a streaming near-dup gate joins against
+    * ([[graft.streaming.StreamingViews.streamCosineBaseMatches]]): compute
+    * once per frozen snapshot (map-only), persist bucketed on (tbl, bucket).
+    * The embedding-side analog of
+    * [[graft.operators.Dedup.minhashBucketTable]]. */
+  def hyperplaneTagTable(emb: DataFrame, dim: Int,
+                         nbits: Int = 8, tables: Int = 4): DataFrame =
+    hyperplaneTags(
+      emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding")),
+      dim, nbits, tables)
+
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double, dim: Int,
                         nbits: Int = 8, tables: Int = 4): DataFrame = {
     val e = emb.select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("embedding"))

@@ -262,6 +262,36 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming near-dup suspect stream, EMBEDDING edition: emits each streamed
+    * vector sharing at least one hyperplane-LSH bucket with the static base
+    * corpus ([[graft.operators.Similarity.hyperplaneTagTable]] — persisted,
+    * bucketed on (tbl, bucket)). The [[streamMinhashBaseMatches]] contract for
+    * the modality where "near-dup" means "same embedding neighborhood"; the
+    * bucket expression ([[graft.functions.HyperplaneBucketExpr]]) is already
+    * per-row, so tag generation is a projection and the pipeline is the same
+    * stateless stream-static LEFT SEMI join + one vec-keyed dropDuplicates
+    * (watermark-boundable). Candidate-level flagging, as in the MinHash form:
+    * the exact cosine re-check runs in batch quarantine. */
+  def streamCosineBaseMatches(vecs: DataFrame, baseTags: DataFrame, dim: Int,
+                              nbits: Int = 8, tables: Int = 4,
+                              watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+    import graft.functions.VectorFns
+    val tagged = vecs
+      .withColumn("__emb", VectorFns.toDoubleArray(col("embedding")))
+      .withColumn("bb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          VectorFns.hyperplaneBucket(col("__emb"), dim, nbits, seed = t).as("bucket"))
+      }: _*)))
+      .select((vecs.columns.map(col) :+ col("bb.tbl").as("tbl") :+
+        col("bb.bucket").as("bucket")): _*)
+    val matched = tagged
+      .join(baseTags.select(col("tbl"), col("bucket")), Seq("tbl", "bucket"), "left_semi")
+      .drop("tbl", "bucket")
+    if (watermarkCol.isEmpty) matched.dropDuplicates("vec_id")
+    else matched.withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark("vec_id")
+  }
+
   /** Stream-stream interval join (absent from the reference — CQL cannot join at
     * all): each left-branch event pairs with the right-branch events of the SAME
     * key whose time falls in (left.ts, left.ts + maxGap]. Both branches carry a

@@ -443,6 +443,33 @@ class StreamingSpec extends SparkSpec {
       s"exactly the base near-copies must flag, once each: $flagged")
   }
 
+  test("streaming cosine near-dup: base-neighborhood vectors flag once, novel pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val baseTags = graft.operators.Similarity.hyperplaneTagTable(
+      base, dim = 4, nbits = 4, tables = 2)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = StreamingViews.streamCosineBaseMatches(
+        stream.toDF().toDF("vec_id", "embedding"), baseTags,
+        dim = 4, nbits = 4, tables = 2)
+      .select("vec_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_cos_matches").start()
+    try {
+      // 10 = identical to base 1 (shares every bucket); 11 = antipodal
+      // (opposite sign on every plane -> never shares a bucket)
+      stream.addData((10L, Array(1.0f, 0f, 0f, 0f)), (11L, Array(-1.0f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+      // replay of 10 must not re-emit; 12 = identical to base again
+      stream.addData((10L, Array(1.0f, 0f, 0f, 0f)), (12L, Array(1.0f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("t_cos_matches").collect().map(_.getLong(0)).toSeq
+    assert(flagged.sorted === Seq(10L, 12L),
+      s"exactly the base-neighborhood vectors must flag, once each: $flagged")
+  }
+
   test("stateless decontamination runs in append mode over a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
