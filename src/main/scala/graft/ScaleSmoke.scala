@@ -395,6 +395,29 @@ object ScaleSmoke {
       }
     }
 
+    // ---- graph: 5M-edge synthetic graph over ~1M nodes with a planted
+    // celebrity node (~20% of all edges point at node 0 — the in-degree skew
+    // that kills per-node sort plans). Both operators keep per-node state in
+    // hash aggregations (map-side combine absorbs the hot in-box), so the
+    // skew costs a partial-agg pass, never a single-task sort.
+    {
+      val nGraphNodes = 1000003L
+      val gEdges = spark.range(5000000).select(
+        pmod(xxhash64(col("id")), lit(nGraphNodes)).as("src"),
+        when(pmod(col("id"), lit(5)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(7)), lit(nGraphNodes))).as("dst"))
+      gEdges.count() // generation warmup
+      time("pageRank 5 iters, 5M edges (hot dst)") {
+        graft.operators.Graph.pageRank(gEdges, iters = 5).count()
+      }
+      time("labelPropagate 3 iters, 1% seeds") {
+        graft.operators.Graph.labelPropagate(gEdges,
+          spark.range(0, nGraphNodes, 100).select(col("id").as("node"),
+            pmod(col("id"), lit(25)).as("label")),
+          iters = 3).count()
+      }
+    }
+
     // ---- multimodal: 200k ~1 KB binary payloads through the typed
     // mapPartitions feature extractor (per-partition decoder init) and the
     // posexplode frame sampler — both must stay map-only and linear.

@@ -2519,6 +2519,112 @@ object SparkEntry {
               ORDER BY tfidf_cos DESC, doc_id LIMIT 25""")))
 
   // ------------------------------------------------------------------
+  // graph analytics — entity importance + label spreading over the
+  // customer↔supplier co-purchase graph (operators/Graph.scala)
+  // ------------------------------------------------------------------
+
+  /** Bipartite customer↔supplier co-purchase graph: one edge per (customer,
+    * supplier) pair linked by at least one order's lineitem, weight = how
+    * many lineitems link them, both directions present (undirected graph as
+    * a symmetric directed edge list — no dangling nodes by construction;
+    * [[graft.operators.Graph.pageRank]] still carries the dangling term).
+    * Node ids namespaced `c:`/`s:` so the two key spaces cannot collide. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c:"), col("o_custkey")).as("c"),
+        concat(lit("s:"), col("l_suppkey")).as("s"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    pairs.select(col("c").as("src"), col("s").as("dst"), col("weight"))
+      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst"), col("weight")))
+  }
+
+  /** The co-purchase graph as DuckDB CTEs shared by the graph oracles. */
+  private def coPurchaseEdgesSql(weighted: Boolean): String = {
+    val w = if (weighted) "CAST(count(*) AS DOUBLE)" else "1.0"
+    s"""WITH eb AS (
+    SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS c,
+           's:' || CAST(l.l_suppkey AS VARCHAR) AS s, $w AS w
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2),
+  edges AS (SELECT c AS src, s AS dst, w FROM eb UNION ALL SELECT s AS src, c AS dst, w FROM eb)"""
+  }
+
+  /** [[graft.operators.Graph.pageRank]] unrolled as chained DuckDB CTEs —
+    * one (dg_k, pr_k) pair per power iteration, same dangling-mass term. */
+  private def pageRankOracle(weighted: Boolean, iters: Int, damping: Double): String = {
+    val sb = new StringBuilder(coPurchaseEdgesSql(weighted))
+    sb ++= s""",
+  nodes AS (SELECT DISTINCT src AS node FROM edges),
+  nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+  outw AS (SELECT src, sum(w) AS outw FROM edges GROUP BY src),
+  pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    for (k <- 1 to iters) sb ++= s""",
+  dg$k AS (SELECT COALESCE(sum(p.rank), 0) AS dang FROM pr${k - 1} p
+           WHERE NOT EXISTS (SELECT 1 FROM outw o WHERE o.src = p.node)),
+  pr$k AS (SELECT n.node,
+      (1 - $damping) / (SELECT n FROM nn) + $damping *
+        (COALESCE(c.contrib, 0) + (SELECT dang FROM dg$k) / (SELECT n FROM nn)) AS rank
+    FROM nodes n LEFT JOIN (
+      SELECT e.dst AS node, sum(p.rank * e.w / o.outw) AS contrib
+      FROM edges e JOIN pr${k - 1} p ON e.src = p.node JOIN outw o ON e.src = o.src
+      GROUP BY e.dst) c ON n.node = c.node)"""
+    sb ++= s"\n  SELECT node, round(rank, 6) AS rank FROM pr$iters"
+    sb.toString
+  }
+
+  /** [[graft.operators.Graph.labelPropagate]] unrolled — per round a vote
+    * count + row_number argmax (cnt desc, label asc), seeds clamped. */
+  private def labelPropOracle(iters: Int): String = {
+    val sb = new StringBuilder(coPurchaseEdgesSql(weighted = false))
+    sb ++= s""",
+  seeds AS (SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node,
+            CAST(c_nationkey AS BIGINT) AS label FROM customer WHERE c_custkey % 10 = 0),
+  lb0 AS (SELECT node, label FROM seeds)"""
+    for (k <- 1 to iters) sb ++= s""",
+  v$k AS (SELECT node, label FROM (
+      SELECT e.dst AS node, p.label, count(*) AS cnt,
+             row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, p.label ASC) AS rn
+      FROM edges e JOIN lb${k - 1} p ON e.src = p.node
+      GROUP BY e.dst, p.label) WHERE rn = 1),
+  lb$k AS (SELECT node, label FROM seeds UNION ALL
+            SELECT v.node, v.label FROM v$k v
+            WHERE NOT EXISTS (SELECT 1 FROM seeds s WHERE s.node = v.node))"""
+    sb ++= s"\n  SELECT node, label FROM lb$iters"
+    sb.toString
+  }
+
+  private val graphQueries = Seq(
+    Q("q_pagerank", // entity importance over the co-purchase graph — 5 fixed
+      // power iterations, dangling mass redistributed, ranks sum to 1; the
+      // site-authority quality prior of a crawl pipeline. Hash-oracled
+      // against the same rounds unrolled as DuckDB CTEs.
+      (s, d) => graft.operators.Graph.pageRank(coPurchaseEdges(s, d), iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank")),
+      Some(pageRankOracle(weighted = false, iters = 5, damping = 0.85))),
+
+    Q("q_pagerank_weighted", // same iteration, contributions proportional to
+      // edge weight (lineitem count) — co-occurrence strength, not mere
+      // adjacency, drives importance
+      (s, d) => graft.operators.Graph.pageRank(coPurchaseEdges(s, d), iters = 5,
+          weightCol = "weight")
+        .select(col("node"), round(col("rank"), 6).as("rank")),
+      Some(pageRankOracle(weighted = true, iters = 5, damping = 0.85))),
+
+    Q("q_label_propagation", // semi-supervised label spreading: every 10th
+      // customer is seeded with its nation; 3 synchronous rounds of
+      // most-frequent-neighbor-label (ties -> smallest label, seeds clamped)
+      // label the whole graph — the sparse-human-labels -> full-corpus-labels
+      // primitive. Skew-immune hash-argmax per node, no window sort.
+      (s, d) => graft.operators.Graph.labelPropagate(
+        coPurchaseEdges(s, d),
+        Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+          .select(concat(lit("c:"), col("c_custkey")).as("node"),
+            col("c_nationkey").as("label")),
+        iters = 3),
+      Some(labelPropOracle(iters = 3))))
+
+  // ------------------------------------------------------------------
   // §2.7 streaming — a REAL Structured Streaming query (file source →
   // memory sink) whose settled result is oracle-checked.
   // ------------------------------------------------------------------
@@ -2625,7 +2731,7 @@ object SparkEntry {
 
   private val all: Seq[Q] =
     scanQueries ++ viewQueries ++ relationalQueries ++ pipelineQueries ++
-      searchQueries ++ streamingQueries
+      searchQueries ++ graphQueries ++ streamingQueries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

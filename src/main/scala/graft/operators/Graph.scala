@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain `(src, dst[, weight])` edge lists —
+  * the entity-importance / label-spreading layer a crawl-curation pipeline
+  * runs over its link or co-occurrence graphs (site authority as a quality
+  * prior, propagating sparse human labels to unlabeled hosts). The reference
+  * has no graph capability at all (CQL cannot join, let alone iterate); this
+  * extends the engine the same way the dedup layer's connected components do
+  * ([[Dedup.resolveClustersStar]]), and reuses its iteration discipline:
+  * fixed round count, every round `localCheckpoint`ed so the plan stays
+  * shallow and no subtree ever evaluates twice.
+  *
+  * 100 TB shape, both operators: the EDGE LIST is the big table and it is
+  * never mutated — only the per-node state (rank / label, 16 bytes a row)
+  * moves between rounds. Each round is one equi-join of edges against the
+  * node-state table on `src` plus ONE map-side-combined shuffle of `(dst,
+  * partial)` — the canonical distributed power-iteration dataflow. A
+  * deployment pre-partitions edges by `src` (`Lake.writeBucketed`) so the
+  * per-round join never re-exchanges the edges; the node-state exchange is
+  * `O(|V|)`, not `O(|E|)`. */
+object Graph {
+
+  /** PageRank by `iters` power iterations from the uniform vector.
+    * Returns `(node, rank)` for every node appearing as an endpoint.
+    *
+    * Semantics (deterministic, engine-reproducible):
+    *   - rank₀(v) = 1/N;
+    *   - rankₜ₊₁(v) = (1−d)/N + d·(Σ_{u→v} rankₜ(u)·w(u,v)/outw(u) + Dₜ/N)
+    *     where outw(u) = Σ_w over u's out-edges and Dₜ = Σ rankₜ(u) over
+    *     DANGLING nodes (no out-edges) — dangling mass redistributes
+    *     uniformly, so Σ rank = 1 is invariant at every round (PropertySpec);
+    *   - `weightCol` empty → every edge weight 1.
+    *
+    * Fixed-`iters` power iteration (not run-to-convergence) keeps the result
+    * a pure function of the input — hash-oracled in DuckDB by unrolling the
+    * same rounds as chained CTEs ([[graft.SparkEntry]] `q_pagerank`). Rounds
+    * are cheap to add: convergence to 1e-6 on the bipartite entry graph takes
+    * ~30; the entry pins 5 for oracle size. */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85,
+               weightCol: String = "", checkpoint: Boolean = true): DataFrame = {
+    var toFree: List[DataFrame] = Nil
+    def ckpt(df: DataFrame): DataFrame =
+      if (!checkpoint) df // plan inspection only — an unevaluated round tree
+      else { val c = df.localCheckpoint(); toFree ::= c; c }
+    val e = ckpt(
+      (if (weightCol.isEmpty) edges.select(col("src"), col("dst"), lit(1.0).as("w"))
+       else edges.select(col("src"), col("dst"), col(weightCol).cast("double").as("w")))
+        .filter(col("src").isNotNull && col("dst").isNotNull))
+    val nodes = ckpt(e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node"))).distinct())
+    // one scalar to the driver (graph order), not data
+    val n = nodes.count().toDouble
+    val outw = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    var ranks = ckpt(nodes.select(col("node"), lit(1.0 / n).as("rank")))
+    var round = 0
+    while (round < iters) {
+      // Σ over in-neighbors: edges join the 2-column rank table (never the
+      // reverse), partial-aggregated on dst before the exchange
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outw, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") * col("w") / col("outw")).as("contrib"))
+      // dangling mass: single-row aggregate, broadcast into the update
+      val dang = ranks.join(e.select(col("src")).distinct()
+          .withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+      ranks = ckpt(nodes
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank")))
+      round += 1
+    }
+    toFree.drop(1).foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    ranks
+  }
+
+  /** Seeded (semi-supervised) label propagation: spread sparse integer labels
+    * across the graph for `iters` synchronous rounds. Returns `(node, label)`
+    * for every node that acquired a label.
+    *
+    * Per round each UNSEEDED node takes the most frequent label among its
+    * in-neighbors' current labels (ties → smallest label); seed labels are
+    * clamped and never change. Unlabeled nodes cast no vote and stay absent
+    * until a labeled in-neighbor appears. The per-node argmax is ONE
+    * skew-immune hash aggregation ([[graft.functions.ArgMaxAgg]] on
+    * `struct(cnt, -label)` — map-side partial, no per-node window sort), the
+    * same shape as [[Ops.latestPerKeyAgg]]. Deterministic: integer votes,
+    * total tie-break. */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, iters: Int = 3,
+                     checkpoint: Boolean = true): DataFrame = {
+    var toFree: List[DataFrame] = Nil
+    def ckpt(df: DataFrame): DataFrame =
+      if (!checkpoint) df // plan inspection only — an unevaluated round tree
+      else { val c = df.localCheckpoint(); toFree ::= c; c }
+    val e = ckpt(edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val s = ckpt(seeds.select(col("node"), col("label").cast("long").as("label")))
+    var labels = s
+    var round = 0
+    while (round < iters) {
+      val voted = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        .agg(graft.functions.ArgMaxAgg.argMax(
+          struct(col("cnt"), -col("label")), col("label")).as("label"))
+      labels = ckpt(s.unionByName(voted.join(s, Seq("node"), "left_anti")))
+      round += 1
+    }
+    toFree.filter(_ ne labels).foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    labels
+  }
+}

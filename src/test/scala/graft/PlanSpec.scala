@@ -353,7 +353,14 @@ class PlanSpec extends SparkSpec {
       "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
       "dedup_embedding_incremental" -> 5, // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
       "search_domain_keywords" -> 4, // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
-      "dedup_clusters_canonical" -> 2) // cluster-keyed argmax agg + verdict re-join atop resolveClusters' fast path (label map broadcast at fixture scale)
+      "dedup_clusters_canonical" -> 2, // cluster-keyed argmax agg + verdict re-join atop resolveClusters' fast path (label map broadcast at fixture scale)
+      // round-8 additions: graph analytics. The entries' own final plans are
+      // checkpoint scans (each power iteration materializes via
+      // localCheckpoint) so these pins guard only the no-cartesian invariant;
+      // the per-round dataflow shape has its own dedicated test below.
+      "q_pagerank" -> 1, // post-checkpoint rounding projection (+1 edge-build agg when AQE reuses nothing)
+      "q_pagerank_weighted" -> 1,
+      "q_label_propagation" -> 1)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
@@ -367,6 +374,37 @@ class PlanSpec extends SparkSpec {
     val drift = actual.filter { case (n, c) => c > pinned(n) }
     assert(drift.isEmpty,
       s"shuffle-count drift above pinned bounds:\n  actual: ${drift.toSeq.sorted}\n  pinned: ${drift.keys.toSeq.sorted.map(n => n -> pinned(n))}")
+  }
+
+  test("pageRank round: node-state exchanges only, no cartesian, dangling term broadcasts") {
+    // One un-checkpointed power iteration over the co-purchase graph: the
+    // shape every round repeats at 100 TB. The dangling-mass single-row
+    // aggregate must enter as a broadcast (BroadcastNestedLoopJoin), never a
+    // CartesianProduct; every hash exchange carries (node|src|dst, rank|w)
+    // pairs — per-node state and edges — never anything wider.
+    val e = Tables.orders(spark, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, d).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst")).distinct()
+    val df = graft.operators.Graph.pageRank(
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst"))),
+      iters = 1, checkpoint = false)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), s"pageRank round grew a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"dangling mass must broadcast:\n$p")
+    // Exchange COUNT of the unrolled tree is meaningless (each un-checkpointed
+    // reference re-plans its subtree; the runtime path materializes each round
+    // so none repeat) — the invariant is that every exchange partitions on a
+    // GRAPH KEY (node/src/dst or the edge-build pair), i.e. only per-node
+    // state and edge keys ever cross the wire, never a wide payload.
+    val badKeys = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(l => Seq("node#", "src#", "dst#", "c#", "s#").exists(l.contains))
+      .toSeq
+    assert(badKeys.isEmpty,
+      s"exchange partitioned on a non-graph key:\n${badKeys.mkString("\n")}")
   }
 
   test("fingerprint canonical dedup shuffles 8-byte keys, never document text") {
