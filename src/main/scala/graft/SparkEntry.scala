@@ -1380,6 +1380,42 @@ object SparkEntry {
                 FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
               SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.3""")),
 
+    Q("dedup_containment", // asymmetric near-dup: a short doc pasted inside a
+      // longer one scores C(short->long) ~ 1 where Jaccard stays low; directed
+      // (contained, container) verdicts drive the drop-the-quote decision.
+      // Candidates + |A∩B| both come from ONE df-bounded gram join (df in
+      // [2, 20]); exact here (fixture max df = 7 < 20, spec-asserted vs the
+      // array-intersect twin). Spark keys grams by xxhash64, the oracle by the
+      // literal strings — identical barring 64-bit collision.
+      (s, d) => Dedup.containmentPairs(Tables.documents(s, d), n = 3,
+        maxDf = 20, threshold = 0.8),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g0 AS (SELECT doc_id,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              g AS (SELECT * FROM g0 WHERE len(grams) > 0),
+              sz AS (SELECT doc_id, CAST(len(grams) AS DOUBLE) AS n_grams FROM g),
+              post AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+              keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM post GROUP BY gram)
+                       WHERE df BETWEEN 2 AND 20),
+              bounded AS (SELECT p.doc_id, p.gram FROM post p JOIN keep k ON p.gram = k.gram),
+              inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                  CAST(count(*) AS DOUBLE) AS inter
+                FROM bounded a JOIN bounded b
+                  ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+              sc AS (SELECT i.a_id, i.b_id, i.inter / sa.n_grams AS c_ab,
+                  i.inter / sb.n_grams AS c_ba
+                FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+                JOIN sz sb ON sb.doc_id = i.b_id)
+              SELECT a_id AS contained_id, b_id AS container_id, c_ab AS containment
+              FROM sc WHERE c_ab >= 0.8
+              UNION ALL
+              SELECT b_id, a_id, c_ba FROM sc WHERE c_ba >= 0.8""")),
+
     Q("dedup_clusters", // connected components over ngram-jaccard pairs
       (s, d) => {
         val docs = Tables.documents(s, d)

@@ -562,6 +562,60 @@ object Dedup {
         col("n_shared").cast("double") / col("n_grams"))
   }
 
+  /** ASYMMETRIC containment near-dup — quote / superset detection, the
+    * direction Jaccard cannot express: C(A→B) = |A∩B| / |A| over distinct
+    * word n-grams. A short document pasted inside a longer one scores
+    * C(short→long) ≈ 1 while their Jaccard stays low (the union is dominated
+    * by the long doc), so a Jaccard gate never fires; the curation decision —
+    * drop the contained copy, keep the superset — needs this operator.
+    * Returns DIRECTED rows `(contained_id, container_id, containment)` with
+    * containment ≥ `threshold`; an exact duplicate emits both directions.
+    *
+    * Candidate generation and scoring share ONE gram posting pass:
+    * candidates are pairs sharing ≥1 gram whose document frequency lies in
+    * [2, `maxDf`] (df=1 grams cannot be shared; df > `maxDf` grams are
+    * boilerplate that cannot discriminate and would explode the self-join
+    * quadratically — the same bound as the inverted-index build,
+    * [[Search.buildPostings]]), and |A∩B| is the pair's shared-kept-gram
+    * COUNT from that same join. No gram string and no gram array ever
+    * crosses an exchange: postings shuffle as (xxhash64 gram key, doc_id)
+    * and per-doc gram totals as (doc_id, n). Exact when no shared gram
+    * exceeds `maxDf` (the fixture regime, DedupSpec-asserted against an
+    * array-intersect twin); at scale the count is conservative — hyper-common
+    * shared grams are ignored, which only LOWERS containment of genuinely
+    * boilerplate-only overlaps. Containment is a ratio of two exact integers
+    * — bit-identical across engines. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                       threshold: Double = 0.8): DataFrame = {
+    val g = docs
+      .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.shinglesFromTokens(split(col("norm"), " "), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val sizes = g.select(col("doc_id"), size(col("grams")).cast("double").as("n_grams"))
+    val post = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gkey"))
+    val keep = post.groupBy("gkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("gkey")
+    val bounded = post.join(keep, "gkey")
+    val inter = bounded.alias("a")
+      .join(bounded.alias("b"),
+        col("a.gkey") === col("b.gkey") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter") / col("a_n")).as("c_ab"), (col("inter") / col("b_n")).as("c_ba"))
+    scored.filter(col("c_ab") >= threshold)
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        col("c_ab").as("containment"))
+      .unionAll(scored.filter(col("c_ba") >= threshold)
+        .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          col("c_ba").as("containment")))
+  }
+
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first
     * `prefixLen` chars of the normalized text (cheap, oracle-reproducible blocking),
     * compute |A∩B| / |A∪B| over distinct word n-grams, keep pairs >= threshold.

@@ -45,6 +45,28 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(Seq(1L, 2L), Seq(3L, 1L), Seq(4L, 2L)))
   }
 
+  test("containment: subset doc flags one direction, exact dups flag both") {
+    // base = 14 tokens -> 12 grams; doc 3 = base + 4 tail tokens -> 16 grams,
+    // containing all 12 of doc 1's. C(1->3) = 12/12 = 1; C(3->1) = 12/16 =
+    // 0.75 < 0.8 so the superset is NOT flagged as contained. Exact-dup
+    // groups {1,2} and {4,5} flag both directions at 1.0.
+    val r = rowSet(Dedup.containmentPairs(docs, n = 3, maxDf = 20, threshold = 0.8))
+    assert(r === Set(
+      Seq(1L, 2L, 1.0), Seq(2L, 1L, 1.0), Seq(1L, 3L, 1.0), Seq(2L, 3L, 1.0),
+      Seq(4L, 5L, 1.0), Seq(5L, 4L, 1.0)))
+    // lowering the threshold below 12/16 admits the reverse direction exactly
+    val loose = rowSet(Dedup.containmentPairs(docs, n = 3, maxDf = 20, threshold = 0.7))
+    assert(loose === r ++ Set(Seq(3L, 1L, 0.75), Seq(3L, 2L, 0.75)))
+  }
+
+  test("containment: the df bound drops pairs whose shared grams are all too common") {
+    // base grams have df = 3 (docs 1, 2, 3): maxDf = 2 excludes them all, so
+    // no pair among {1,2,3} has a candidate gram left; {4,5} share df-2 grams
+    // and survive. The miss is the documented boilerplate-only-overlap case.
+    val r = rowSet(Dedup.containmentPairs(docs, n = 3, maxDf = 2, threshold = 0.8))
+    assert(r === Set(Seq(4L, 5L, 1.0), Seq(5L, 4L, 1.0)))
+  }
+
   test("duplicate spans: shared 8-grams merge into maximal spans; unique tails stay out") {
     val spans = rowSet(Dedup.duplicateSpans(docs, n = 8, minDocs = 2))
     // base is 14 tokens; docs 1/2 normalize identical -> grams at pos 0..6,

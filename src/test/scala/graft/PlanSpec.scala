@@ -360,7 +360,8 @@ class PlanSpec extends SparkSpec {
       // the per-round dataflow shape has its own dedicated test below.
       "q_pagerank" -> 1, // post-checkpoint rounding projection (+1 edge-build agg when AQE reuses nothing)
       "q_pagerank_weighted" -> 1,
-      "q_label_propagation" -> 1)
+      "q_label_propagation" -> 1,
+      "dedup_containment" -> 4) // gram-df agg + gkey candidate join + (a,b) pair agg + size re-join; every exchange carries (gkey|doc_id) longs, never grams or text
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
