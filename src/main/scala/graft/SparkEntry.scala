@@ -1816,6 +1816,31 @@ object SparkEntry {
                   / len(toks), 6) AS stopword_ratio
               FROM x""")),
 
+    Q("text_gopher_rules", // Gopher A1.1 composite rule gate: per-rule flags + keep
+      (s, d) => Curation.gopherQualityRules(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id, text,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              x AS (SELECT doc_id, text,
+                string_split(norm, ' ') AS toks,
+                length(replace(norm, ' ', '')) AS char_cnt FROM t),
+              m AS (SELECT doc_id,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                round(CAST(char_cnt AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                round(CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+                round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_word_frac,
+                CAST(len(list_intersect(toks, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS distinct_stopwords
+                FROM x)
+              SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac, distinct_stopwords,
+                (n_words BETWEEN 30 AND 100000) AS rule_word_count,
+                (mean_word_len BETWEEN 3.0 AND 10.0) AS rule_word_len,
+                (symbol_ratio <= 0.1) AS rule_symbol,
+                (alpha_word_frac >= 0.8) AS rule_alpha,
+                (distinct_stopwords >= 2) AS rule_stopwords,
+                ((n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                  AND (symbol_ratio <= 0.1) AND (alpha_word_frac >= 0.8)
+                  AND (distinct_stopwords >= 2)) AS keep
+              FROM m""")),
+
     Q("text_token_count",
       (s, d) => Tables.documents(s, d).select(col("doc_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("ws_tokens"),

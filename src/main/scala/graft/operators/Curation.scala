@@ -606,4 +606,62 @@ object Curation {
       .select(col("doc_id"), col("pack_group"), col("n_tokens"),
         floor(col("tokens_before") / budgetTokens).as("pack_id"))
   }
+
+  /** The Gopher stopword list (Rae et al. 2021, A1.1): a document must contain
+    * at least `minStopwords` DISTINCT members to pass the stopword rule. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style composite quality rules (Rae et al. 2021, Appendix A1.1) —
+    * the rule-based document filter every web-scale curation pipeline applies
+    * before model-based scoring. Emits each measured signal, one boolean per
+    * rule, and the conjunction `keep`, so downstream audits can ask "which
+    * rule killed this document" instead of getting an opaque drop:
+    *   - word count within `[minWords, maxWords]`
+    *   - mean word length within `[minMeanWordLen, maxMeanWordLen]`
+    *     (computed on the 6-decimal rounded value so the boundary decision is
+    *     reproducible across engines)
+    *   - symbol-to-word ratio (`#` or `...`) at most `maxSymbolRatio`
+    *   - fraction of words containing a letter at least `minAlphaWordFrac`
+    *   - at least `minStopwords` distinct [[gopherStopwords]]
+    *
+    * Scale shape: map-only — every signal derives from ONE normalize+tokenize
+    * projection per row ([[graft.functions.TextFns]] bind-once rule), no
+    * aggregation, no exchange; the filter runs at scan speed ahead of any
+    * dedup shuffle, which is exactly where a rule gate belongs at 100 TB.
+    * Repetition-family Gopher rules (duplicate line/n-gram fractions) are the
+    * corpus-level siblings in [[graft.operators.Dedup.dupNgramStats]] and
+    * [[graft.operators.Dedup.dupSpanFraction]]. */
+  def gopherQualityRules(docs: DataFrame, minWords: Long = 30, maxWords: Long = 100000,
+                         minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                         maxSymbolRatio: Double = 0.1, minAlphaWordFrac: Double = 0.8,
+                         minStopwords: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords, "word-count bounds must satisfy 1 <= min <= max")
+    val stopArr = array(gopherStopwords.map(lit): _*)
+    docs
+      .select(col("doc_id"), col("text"), TextFns.normalize(col("text")).as("norm"))
+      .select(col("doc_id"), col("text"), split(col("norm"), " ").as("toks"),
+        length(regexp_replace(col("norm"), " ", "")).as("char_cnt"))
+      .select(col("doc_id"), col("char_cnt"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0))).as("n_sym"),
+        size(filter(col("toks"), w => w.rlike("[a-z]"))).as("n_alpha"),
+        size(array_intersect(col("toks"), stopArr)).cast("long").as("distinct_stopwords"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("char_cnt").cast("double") / col("n_words"), 6).as("mean_word_len"),
+        round(col("n_sym").cast("double") / col("n_words"), 6).as("symbol_ratio"),
+        round(col("n_alpha").cast("double") / col("n_words"), 6).as("alpha_word_frac"),
+        col("distinct_stopwords"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("symbol_ratio"),
+        col("alpha_word_frac"), col("distinct_stopwords"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("rule_word_count"),
+        (col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+          .as("rule_word_len"),
+        (col("symbol_ratio") <= maxSymbolRatio).as("rule_symbol"),
+        (col("alpha_word_frac") >= minAlphaWordFrac).as("rule_alpha"),
+        (col("distinct_stopwords") >= minStopwords).as("rule_stopwords"))
+      .withColumn("keep",
+        col("rule_word_count") && col("rule_word_len") && col("rule_symbol") &&
+          col("rule_alpha") && col("rule_stopwords"))
+  }
 }
