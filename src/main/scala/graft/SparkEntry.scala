@@ -2228,6 +2228,51 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), fastHash = true),
       None),
 
+    Q("pipeline_dsir_weights", // DSIR importance resampling (Xie et al. 2023):
+      // per-doc log importance weight of the target-domain n-gram model
+      // (sources src0/src1 as the "high-quality target") vs the raw corpus'
+      // own — the data-selection score a pipeline feeds to its resampler.
+      // One tokenize pass per side, vocab-bounded count models, corpus pays
+      // ONE feature equi-join; scalars ride a single-row broadcast
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirWeights(docs, docs.filter(col("source").isin("src0", "src1")))
+      },
+      Some("""WITH tok AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              fr AS (SELECT doc_id, f FROM (SELECT doc_id, unnest(list_concat(toks,
+                  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END)) AS f FROM tok)
+                WHERE length(f) > 0),
+              cr AS (SELECT f, count(*) AS c_r FROM fr GROUP BY f),
+              ct AS (SELECT f, count(*) AS c_t FROM fr JOIN documents USING (doc_id)
+                WHERE source IN ('src0', 'src1') GROUP BY f),
+              m AS (SELECT cr.f, c_r, coalesce(c_t, CAST(0 AS BIGINT)) AS c_t
+                FROM cr LEFT JOIN ct USING (f)),
+              st AS (SELECT CAST(sum(c_r) AS DOUBLE) AS r_tot,
+                CAST(sum(c_t) AS DOUBLE) AS t_tot,
+                CAST(count(*) AS DOUBLE) AS vocab FROM m),
+              agg AS (SELECT doc_id, count(*) AS n_feats,
+                sum(ln((CAST(c_t AS DOUBLE) + 0.5) / (CAST(c_r AS DOUBLE) + 0.5))) AS s
+                FROM fr JOIN m USING (f) GROUP BY doc_id)
+              SELECT doc_id, n_feats,
+                round(s + n_feats * (ln(r_tot + 0.5 * vocab) - ln(t_tot + 0.5 * vocab)), 6)
+                  AS dsir_logw
+              FROM agg CROSS JOIN st""")),
+
+    Q("pipeline_dsir_weights_hashed", // the paper's actual 100 TB form:
+      // features collapse to xxhash64 mod 4096 buckets, so BOTH count models
+      // are dense <=4096-row tables no matter the corpus size. Rows-only —
+      // xxhash64 isn't in DuckDB; PropertySpec gates selection agreement
+      // against the exact-feature form on the fixture.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.dsirWeights(docs, docs.filter(col("source").isin("src0", "src1")),
+          hashBuckets = 4096)
+      },
+      None),
+
     Q("pipeline_embedding_outliers", // embedding-space curation gate: flag
       // vectors whose cosine to the global corpus centroid is < -0.15 (the
       // bottom ~5% tail on the fixture — off-manifold encoder failures /

@@ -664,4 +664,63 @@ object Curation {
         col("rule_word_count") && col("rule_word_len") && col("rule_symbol") &&
           col("rule_alpha") && col("rule_stopwords"))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by how much
+    * more likely its n-gram features are under a TARGET corpus' unigram+bigram
+    * model than under the raw corpus' own — the principled replacement for
+    * "train a classifier against the target domain" when all you want is a
+    * resampling weight. Returns `(doc_id, n_feats, dsir_logw)` where
+    *
+    *   dsir_logw = Σ_f [ log p̂_target(f) − log p̂_raw(f) ]
+    *
+    * over every unigram and bigram OCCURRENCE f of the document, with
+    * add-`alpha` smoothed probabilities over the UNION vocabulary (so target-
+    * only features shape the normalizer but unseen features never produce
+    * −∞). Resample by feeding `dsir_logw` to [[qualityQuantileGate]] (top
+    * fraction) or [[weightedSample]] (Gumbel-style without replacement).
+    *
+    * Scale shape (the paper's own trick, made explicit): with
+    * `hashBuckets > 0` features collapse to `xxhash64(f) mod hashBuckets`, so
+    * BOTH count models are dense tables of at most `hashBuckets` rows no
+    * matter the corpus — fit them once, broadcast-or-equi-join them anywhere.
+    * The corpus-side dataflow is the [[lmScore]] shape: one tokenize
+    * projection per side, vocab-bounded model assembly (full-outer join of
+    * two count tables), the raw feature stream pays exactly ONE equi-join on
+    * the materialized feature key, and the three scalars (totals, vocab size)
+    * ride a single-row broadcast. `hashBuckets = 0` keeps raw feature strings
+    * — the oracle-reproducible fixture form. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, alpha: Double = 0.5,
+                  hashBuckets: Int = 0): DataFrame = {
+    require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")
+    def feats(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(concat(col("toks"), TextFns.shinglesFromTokens(col("toks"), 2))).as("f0"))
+      .filter(length(col("f0")) > 0)
+      .select(col("doc_id"),
+        (if (hashBuckets > 0) pmod(xxhash64(col("f0")), lit(hashBuckets.toLong)).cast("string")
+         else col("f0")).as("f"))
+    val rawF = feats(raw)
+    val cntR = rawF.groupBy("f").agg(count(lit(1)).as("c_r"))
+    val cntT = feats(target).groupBy("f").agg(count(lit(1)).as("c_t"))
+    val model = cntR.join(cntT, Seq("f"), "full_outer")
+      .select(col("f"), coalesce(col("c_r"), lit(0L)).as("c_r"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"))
+    // graph order + totals: one single-row aggregate, broadcast into the score
+    val stats = model.agg(sum(col("c_r")).as("r_tot"), sum(col("c_t")).as("t_tot"),
+      count(lit(1)).cast("double").as("vocab"))
+    rawF
+      .join(model.filter(col("c_r") > 0), Seq("f"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"),
+        sum(log((col("c_t").cast("double") + alpha) / (col("c_r").cast("double") + alpha)))
+          .as("s"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("s") + col("n_feats") *
+          (log(col("r_tot").cast("double") + lit(alpha) * col("vocab")) -
+           log(col("t_tot").cast("double") + lit(alpha) * col("vocab"))), 6)
+          .as("dsir_logw"))
+  }
 }

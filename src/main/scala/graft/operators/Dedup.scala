@@ -574,46 +574,56 @@ object Dedup {
     * Candidate generation and scoring share ONE gram posting pass:
     * candidates are pairs sharing ≥1 gram whose document frequency lies in
     * [2, `maxDf`] (df=1 grams cannot be shared; df > `maxDf` grams are
-    * boilerplate that cannot discriminate and would explode the self-join
+    * boilerplate that cannot discriminate and would explode the pair set
     * quadratically — the same bound as the inverted-index build,
     * [[Search.buildPostings]]), and |A∩B| is the pair's shared-kept-gram
-    * COUNT from that same join. No gram string and no gram array ever
-    * crosses an exchange: postings shuffle as (xxhash64 gram key, doc_id)
-    * and per-doc gram totals as (doc_id, n). Exact when no shared gram
-    * exceeds `maxDf` (the fixture regime, DedupSpec-asserted against an
-    * array-intersect twin); at scale the count is conservative — hyper-common
-    * shared grams are ignored, which only LOWERS containment of genuinely
-    * boilerplate-only overlaps. Containment is a ratio of two exact integers
-    * — bit-identical across engines. */
+    * COUNT. Dataflow is explode-once, the LSH-bucket shape: postings group
+    * into per-gram buckets (≤ `maxDf` entries each), each bucket explodes its
+    * ordered pairs, and one pair-keyed count finishes the intersection — the
+    * expensive normalize+shingle projection runs ONCE per row, and exactly
+    * two exchanges touch the data (gkey buckets; pair counts). No gram string
+    * and no gram array ever crosses an exchange: postings shuffle as
+    * (xxhash64 gram key, doc_id, n_grams) — each doc's gram total rides the
+    * posting row, so no per-doc size table is ever joined back. Exact when no
+    * shared gram exceeds `maxDf` (the fixture regime, DedupSpec-asserted
+    * against an array-intersect twin); at scale the count is conservative —
+    * hyper-common shared grams are ignored, which only LOWERS containment of
+    * genuinely boilerplate-only overlaps. Containment is a ratio of two exact
+    * integers — bit-identical across engines. */
   def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                        threshold: Double = 0.8): DataFrame = {
-    val g = docs
+    val post = docs
       .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
       .select(col("doc_id"),
         array_distinct(TextFns.shinglesFromTokens(split(col("norm"), " "), n)).as("grams"))
       .filter(size(col("grams")) > 0)
-    val sizes = g.select(col("doc_id"), size(col("grams")).cast("double").as("n_grams"))
-    val post = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gkey"))
-    val keep = post.groupBy("gkey").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf).select("gkey")
-    val bounded = post.join(keep, "gkey")
-    val inter = bounded.alias("a")
-      .join(bounded.alias("b"),
-        col("a.gkey") === col("b.gkey") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(col("doc_id"), size(col("grams")).cast("double").as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .select(xxhash64(col("gram")).as("gkey"),
+        struct(col("doc_id"), col("n_grams")).as("m"))
+    // sort_array orders each bucket by doc_id (struct compare, first field),
+    // so the pair explode below emits each unordered pair exactly once, a<b
+    val buckets = post.groupBy("gkey")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
+    val inter = buckets
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+             transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x, y))))"""))
+        .as("p"))
+      .groupBy(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"),
+        col("p.x.n_grams").as("a_n"), col("p.y.n_grams").as("b_n"))
       .agg(count(lit(1)).cast("double").as("inter"))
-    val scored = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n_grams").as("a_n")), "a_id")
-      .join(sizes.select(col("doc_id").as("b_id"), col("n_grams").as("b_n")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter") / col("a_n")).as("c_ab"), (col("inter") / col("b_n")).as("c_ba"))
-    scored.filter(col("c_ab") >= threshold)
-      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
-        col("c_ab").as("containment"))
-      .unionAll(scored.filter(col("c_ba") >= threshold)
-        .select(col("b_id").as("contained_id"), col("a_id").as("container_id"),
-          col("c_ba").as("containment")))
+    // both directions explode from the one pair row (no union — a union would
+    // plan the pair-agg subtree twice); map-only from here
+    inter
+      .select(explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          (col("inter") / col("a_n")).as("containment")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          (col("inter") / col("b_n")).as("containment")))).as("r"))
+      .filter(col("r.containment") >= threshold)
+      .select(col("r.contained_id"), col("r.container_id"), col("r.containment"))
   }
 
   /** Exact n-gram Jaccard over blocked candidate pairs: block on the first

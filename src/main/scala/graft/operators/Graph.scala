@@ -54,6 +54,11 @@ object Graph {
     // one scalar to the driver (graph order), not data
     val n = nodes.count().toDouble
     val outw = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    // dangling set (nodes with no out-edges) is invariant across rounds —
+    // computed once, so each round's mass term is one semi-join + one
+    // single-row aggregate instead of a per-round distinct + anti-join
+    val dangNodes = ckpt(nodes.join(
+      e.select(col("src").as("node")), Seq("node"), "left_anti"))
     var ranks = ckpt(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     var round = 0
     while (round < iters) {
@@ -65,8 +70,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("w") / col("outw")).as("contrib"))
       // dangling mass: single-row aggregate, broadcast into the update
-      val dang = ranks.join(e.select(col("src")).distinct()
-          .withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      val dang = ranks.join(dangNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
       ranks = ckpt(nodes
         .join(contribs, Seq("node"), "left")

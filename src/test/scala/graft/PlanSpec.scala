@@ -361,7 +361,7 @@ class PlanSpec extends SparkSpec {
       "q_pagerank" -> 1, // post-checkpoint rounding projection (+1 edge-build agg when AQE reuses nothing)
       "q_pagerank_weighted" -> 1,
       "q_label_propagation" -> 1,
-      "dedup_containment" -> 4) // gram-df agg + gkey candidate join + (a,b) pair agg + size re-join; every exchange carries (gkey|doc_id) longs, never grams or text
+      "dedup_containment" -> 2) // explode-once bucket form: ONE gkey bucket agg + ONE (a,b) pair agg (reused across the two union directions); every exchange carries (gkey|doc_id|n) longs, never grams or text
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

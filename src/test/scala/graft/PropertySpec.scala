@@ -602,6 +602,85 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dsirWeights equals a driver-side recomputation for every corpus/target") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val target = docsList.take(math.max(1, docsList.size / 2))
+      def feats(t: String): List[String] = {
+        val toks = t.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+          .filter(_.nonEmpty).toList
+        toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      }
+      val cR = docsList.flatMap(d => feats(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toDouble).toMap
+      val cT = target.flatMap(d => feats(d._2)).groupBy(identity)
+        .view.mapValues(_.size.toDouble).toMap
+      val vocab = cR.keySet.size.toDouble // target ⊆ raw here
+      val rTot = cR.values.sum; val tTot = cT.values.sum
+      val norm = math.log(rTot + 0.5 * vocab) - math.log(tTot + 0.5 * vocab)
+      val exp = docsList.map { case (id, t) =>
+        val fs = feats(t)
+        id -> BigDecimal(fs.map(f => math.log((cT.getOrElse(f, 0.0) + 0.5) / (cR(f) + 0.5))).sum
+          + fs.size * norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+      val got = Curation.dsirWeights(df, target.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.keySet === exp.keySet)
+      got.foreach { case (id, (nf, lw)) =>
+        assert(nf === feats(docsList.find(_._1 == id).get._2).size.toLong)
+        assert(math.abs(lw - exp(id)) < 2e-6, s"doc $id: $lw vs ${exp(id)}")
+      }
+    }
+  }
+
+  test("dsirWeights hashed twin selects nearly the same top half as the exact form") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val target = docsList.take(math.max(1, docsList.size / 2)).toDF("doc_id", "text")
+      def topHalf(out: Array[(Long, Double)]): Set[Long] = {
+        val k = math.max(1, out.length / 2)
+        out.sortBy { case (id, w) => (-w, id) }.take(k).map(_._1).toSet
+      }
+      val exact = Curation.dsirWeights(df, target).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      val hashed = Curation.dsirWeights(df, target, hashBuckets = 4096).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      val (e, h) = (topHalf(exact), topHalf(hashed))
+      val overlap = (e & h).size.toDouble / e.size
+      assert(overlap >= 0.7, s"top-half selection overlap $overlap < 0.7")
+    }
+  }
+
+  test("gopherQualityRules: each rule fires on its own violation and keep is the conjunction") {
+    val stop35 = "the cat and the dog ran to the park with friends that have been " +
+      "waiting there since noon because they wanted to play fetch under trees " +
+      "near the river bank before sunset arrived today"
+    val docs = Seq(
+      (1L, stop35),                                   // passes every rule
+      (2L, "too short to pass"),                      // word count < 30
+      (3L, ("### " * 20) + stop35),                   // symbol ratio > 0.1
+      (4L, (1 to 35).map(_.toString).mkString(" ")),  // numeric words: alpha frac 0
+      (5L, (1 to 35).map(i => s"zzz$i").mkString(" ")), // alpha ok, zero stopwords
+      (6L, Seq.fill(35)("extraordinarily").mkString(" "))) // mean word len > 10
+      .toDF("doc_id", "text")
+    val out = Curation.gopherQualityRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(6) && out(1L).getBoolean(7) && out(1L).getBoolean(8) &&
+      out(1L).getBoolean(9) && out(1L).getBoolean(10) && out(1L).getBoolean(11),
+      "doc 1 must pass all rules")
+    assert(!out(2L).getBoolean(6), "doc 2 fails word count")
+    assert(!out(3L).getBoolean(8), "doc 3 fails symbol ratio")
+    assert(!out(4L).getBoolean(9), "doc 4 fails alpha fraction")
+    assert(!out(5L).getBoolean(10), "doc 5 fails stopwords")
+    assert(!out(6L).getBoolean(7), "doc 6 fails mean word length")
+    // keep is exactly the conjunction of the five rule columns, per row
+    Curation.gopherQualityRules(docs).collect().foreach { r =>
+      assert(r.getBoolean(11) ===
+        (r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8) &&
+          r.getBoolean(9) && r.getBoolean(10)), s"keep mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("weightedSample equals a driver-side recomputation of the ES ranking") {
     forAll(genDocs, runs = 4) { docsList =>
       val withW = docsList.map { case (id, t) => (id, t, (id % 7) + 1) }
