@@ -393,6 +393,22 @@ object ScaleSmoke {
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))))
           .filter(col("correct")).count()
       }
+      time("gopherQualityRules 1M docs") {
+        // map-only: one normalize+tokenize projection per row, no exchange
+        graft.operators.Curation.gopherQualityRules(docs)
+          .filter(col("keep")).count()
+      }
+      time("dsirWeights hashed 1M docs vs 5% target") {
+        // both count models dense <=65536 rows; corpus pays one feature join
+        graft.operators.Curation.dsirWeights(sourced,
+          sourced.filter(pmod(col("doc_id"), lit(20)) === 0),
+          hashBuckets = 65536).count()
+      }
+      time("containmentPairs 1M docs (maxDf 20)") {
+        // explode-once bucket pairs: <=C(20,2) pairs per kept gram
+        graft.operators.Dedup.containmentPairs(docs, n = 3, maxDf = 20,
+          threshold = 0.8).count()
+      }
     }
 
     // ---- graph: 5M-edge synthetic graph over ~1M nodes with a planted

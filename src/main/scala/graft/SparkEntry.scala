@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Classify, Curation, Dedup, Endpoints, Multimodal, Ops, Search, Similarity, Views}
+import graft.operators.{Analytics, Classify, Curation, Dedup, Endpoints, Multimodal, Ops, Search, Similarity, Views}
 import graft.functions.{TextFns, VectorFns}
 import graft.streaming.{QueueIngest, StreamingViews}
 
@@ -2329,6 +2329,43 @@ object SparkEntry {
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS shuffle_key
               FROM t""")),
 
+    Q("q_funnel", // ordered-funnel completion signup→view→purchase within a
+      // 7-day horizon of signup: per-stage user counts, each stage's earliest
+      // qualifying event chained off the previous stage's time. Every stage
+      // is a filtered min-agg (filter reaches the scan) joined user-keyed to
+      // the |users|-row previous-stage table — no per-user event sort
+      (s, d) => Analytics.funnel(Tables.events(s, d),
+        Seq("signup", "view", "purchase"), maxSpanHours = 168),
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              s1 AS (SELECT user_id, min(ts) AS t0, min(ts) AS t FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, min(s1.t0) AS t0, min(e.ts) AS t
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= s1.t
+                  AND e.ts <= s1.t0 + INTERVAL 168 HOURS GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, min(s2.t0) AS t0, min(e.ts) AS t
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                  AND e.ts <= s2.t0 + INTERVAL 168 HOURS GROUP BY e.user_id)
+              SELECT 1 AS stage_idx, 'signup' AS stage, count(*) AS n_users FROM s1
+              UNION ALL SELECT 2, 'view', count(*) FROM s2
+              UNION ALL SELECT 3, 'purchase', count(*) FROM s3""")),
+
+    Q("q_retention_cohorts", // weekly retention triangle: cohort = week of a
+      // user's first event; retained = any event in a later week. Two
+      // user-keyed map-side-combined aggs; the (cohort, offset) count runs on
+      // one row per user-week
+      (s, d) => Analytics.retentionCohorts(Tables.events(s, d)),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+              fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+                FROM e GROUP BY user_id),
+              aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM e)
+              SELECT cohort_week,
+                CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+                count(*) AS n_users
+              FROM aw JOIN fs USING (user_id) GROUP BY 1, 2""")),
+
     Q("q_sessionize", // gap-based batch sessionization (30-min gap per user):
       // lag boundary detection + running sum — the batch twin of the
       // streaming session window
@@ -2521,6 +2558,37 @@ object SparkEntry {
               SELECT term, shard, df,
                 string_agg(CAST(doc_id AS VARCHAR), ' ' ORDER BY doc_id) AS postings
               FROM sh GROUP BY term, shard, df""")),
+
+    Q("search_phrase", // exact phrase query over positional postings — the
+      // query class a bag-of-words index cannot answer; corpus tokens filter
+      // to the phrase vocabulary BEFORE any exchange, so the vote shuffle
+      // tracks the terms' df, never corpus size
+      (s, d) => Search.phraseSearch(Tables.documents(s, d), Seq("table", "part")),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              s AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS st, toks
+                FROM t)
+              SELECT doc_id, count(*) AS n_occurrences FROM s
+              WHERE toks[st] = 'table' AND toks[st + 1] = 'part'
+              GROUP BY doc_id""")),
+
+    Q("search_proximity", // NEAR operator: docs where the two terms co-occur
+      // within 5 token positions, with the min distance; ONE doc-keyed
+      // exchange of the matched positions only
+      (s, d) => Search.proximitySearch(Tables.documents(s, d),
+        "spark", "stream", window = 5),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              p AS (SELECT doc_id,
+                list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark') AS pa,
+                list_filter(generate_series(1, len(toks)), i -> toks[i] = 'stream') AS pb
+                FROM t),
+              d AS (SELECT doc_id, list_min(flatten(list_transform(pa,
+                  x -> list_transform(pb, y -> abs(x - y))))) AS min_dist
+                FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+              SELECT doc_id, min_dist FROM d WHERE min_dist <= 5""")),
 
     Q("search_bm25_batch", // BM25 for a query SET in ONE corpus pass (an eval
       // harness's retrieval shape): exploded tokens broadcast-filtered to the

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over `(user_id, event_type, ts)` streams — the
+  * funnel / retention layer a product-analytics deployment runs on the same
+  * event table the reference ingests (`cassandra_subscriber.py` writes events;
+  * its dashboard counts them by hour). Both operators are pure conditional
+  * aggregations: no window sorts, no per-user event materialization, so the
+  * hot-user skew that breaks per-key sort plans costs only a map-side partial.
+  *
+  * 100 TB shape: per-user state is a handful of timestamps (one per funnel
+  * stage / one per cohort), reduced with map-side combine before the single
+  * user-keyed exchange; stage chaining re-aggregates the ALREADY user-sized
+  * table, so each extra stage costs an exchange of |users| rows, never a
+  * re-scan of events. */
+object Analytics {
+
+  /** Ordered-funnel completion: for the event-type sequence `stages`, count
+    * users who reached each stage, where stage k counts only if it happens at
+    * or after the user's stage k−1 time and within `maxSpanHours` of stage 1
+    * entry. Returns `(stage_idx, stage, n_users)` with stage_idx 1-based —
+    * n_users is non-increasing by construction.
+    *
+    * Stage-1 time is the user's FIRST stage-1 event; each later stage takes
+    * the earliest qualifying event (the standard strict-funnel reading, fully
+    * deterministic). Dataflow: one filtered min-agg per stage over events —
+    * each stage's filter reaches the scan — joined user-keyed to the previous
+    * stage's (user, t) table; the join side is always |users| rows. */
+  def funnel(events: DataFrame, stages: Seq[String],
+             maxSpanHours: Int = 168): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    require(maxSpanHours >= 1, s"maxSpanHours must be >= 1, got $maxSpanHours")
+    val horizon = expr(s"INTERVAL $maxSpanHours HOURS")
+    // stage 1: first entry per user
+    var reached = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("t"))
+      .select(col("user_id"), col("t").as("t0"), col("t"))
+    val counts = Seq.newBuilder[(Int, String, DataFrame)]
+    counts += ((1, stages.head, reached))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      // earliest qualifying event of this stage: >= previous stage time,
+      // within the horizon of stage-1 entry
+      reached = events.filter(col("event_type") === st)
+        .join(reached.select(col("user_id"), col("t0"), col("t").as("t_prev")), "user_id")
+        .filter(col("ts") >= col("t_prev") && col("ts") <= col("t0") + horizon)
+        .groupBy("user_id")
+        .agg(min(col("t0")).as("t0"), min(col("ts")).as("t"))
+      counts += ((i + 1, st, reached))
+    }
+    counts.result().map { case (idx, st, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(idx).as("stage_idx"), lit(st).as("stage"), col("n_users"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Weekly retention cohorts: users grouped by the week of their FIRST event
+    * (the cohort), counted as retained in every later week they produce any
+    * event. Returns `(cohort_week, week_offset, n_users)` — offset 0 is the
+    * cohort's own size.
+    *
+    * Two user-keyed exchanges: the first-event argmin (map-side combined) and
+    * the distinct (user, week) activity reduction; the final
+    * (cohort, offset) count aggregates a table already reduced to one row per
+    * user-week. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(firstSeen, "user_id")
+      .select(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

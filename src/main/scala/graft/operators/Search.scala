@@ -350,4 +350,69 @@ object Search {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Exact phrase search over positional postings — the query class a
+    * bag-of-words index cannot answer ("spark sql" ≠ sql ∧ spark): returns
+    * `(doc_id, n_occurrences)` for documents containing the token sequence
+    * `phrase` contiguously, with the occurrence count.
+    *
+    * Dataflow is the standard positional-intersection: each corpus token at
+    * position p that equals phrase term i votes for candidate start p − i, and
+    * a start is a match iff it collects all `phrase.length` votes. A repeated
+    * term in the phrase votes once per index it appears at (the literal
+    * term → indices map handles it), so "a b a" works. The phrase vocabulary
+    * is a broadcast literal: corpus tokens filter to matching terms BEFORE the
+    * exchange, so the (doc, start) vote shuffle carries only phrase-term hits
+    * — at 100 TB the cost tracks the phrase terms' document frequency, never
+    * corpus size, exactly like a positional posting lookup. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val k = terms.length
+    // term -> array of phrase indices holding it (handles repeated terms)
+    val idxOf = terms.zipWithIndex.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val idxMap = map_from_arrays(
+      array(idxOf.keys.toSeq.map(lit): _*),
+      array(idxOf.values.toSeq.map(is => array(is.map(i => lit(i.toLong)): _*)): _*))
+    docs
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term").isin(terms.distinct: _*))
+      .select(col("doc_id"), col("pos"), explode(element_at(idxMap, col("term"))).as("i"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("votes"))
+      .filter(col("votes") === k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Proximity search: documents where `termA` and `termB` co-occur within
+    * `window` token positions — the NEAR operator. Returns
+    * `(doc_id, min_dist)` with the minimum absolute position distance.
+    *
+    * ONE doc-keyed exchange carrying only the two terms' match positions
+    * (conditional collect_list — non-matching tokens never leave the scan);
+    * the min-distance is a codegen'd nested-transform over the two bounded
+    * position arrays, map-only after the agg. Per-doc cost is
+    * O(df_A(d)·df_B(d)) — bounded by document length squared in the worst
+    * case, never corpus-sized. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+                      window: Int): DataFrame = {
+    require(termA.toLowerCase != termB.toLowerCase,
+      "proximity needs two distinct terms")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    docs
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(col("term") === a || col("term") === b)
+      .groupBy("doc_id")
+      .agg(collect_list(when(col("term") === a, col("pos"))).as("pa"),
+           collect_list(when(col("term") === b, col("pos"))).as("pb"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .select(col("doc_id"),
+        array_min(flatten(transform(col("pa"),
+          x => transform(col("pb"), y => abs(x - y))))).cast("long").as("min_dist"))
+      .filter(col("min_dist") <= window)
+  }
 }

@@ -564,4 +564,38 @@ class SearchSpec extends SparkSpec {
     val r = rowSet(Dedup.incrementalDedup(batch, base))
     assert(r === Set(Seq(11L, 2L), Seq(13L, 1L)))
   }
+
+  // ---- positional search ----------------------------------------------------
+
+  private def posDocs = Seq(
+    (1L, "alpha beta gamma alpha beta"),   // "alpha beta" twice
+    (2L, "beta alpha gamma"),              // reversed order only
+    (3L, "alpha gamma beta"),              // terms present, not adjacent
+    (4L, "alpha beta alpha beta alpha"),   // overlapping: "alpha beta alpha" twice
+    (5L, "gamma gamma gamma")              // no query terms
+  ).toDF("doc_id", "text")
+
+  test("phraseSearch: contiguous order only, counts every occurrence") {
+    val r = rowSet(Search.phraseSearch(posDocs, Seq("alpha", "beta")))
+    assert(r === Set(Seq(1L, 2L), Seq(4L, 2L)), s"got $r")
+  }
+
+  test("phraseSearch: repeated-term phrase matches overlapping occurrences") {
+    val r = rowSet(Search.phraseSearch(posDocs, Seq("alpha", "beta", "alpha")))
+    assert(r === Set(Seq(4L, 2L)), s"got $r")
+  }
+
+  test("phraseSearch: single-term phrase degenerates to term frequency") {
+    val r = rowSet(Search.phraseSearch(posDocs, Seq("gamma")))
+    assert(r === Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L), Seq(5L, 3L)))
+  }
+
+  test("proximitySearch: min distance computed, window excludes far pairs") {
+    // doc 1: alpha@0,3 gamma@2 -> min dist 1; doc 3: alpha@0 gamma@1 -> 1
+    val near = rowSet(Search.proximitySearch(posDocs, "alpha", "gamma", window = 1))
+    assert(near === Set(Seq(1L, 1L), Seq(2L, 1L), Seq(3L, 1L)), s"got $near")
+    // window 0 impossible for distinct positions -> empty
+    assert(Search.proximitySearch(posDocs, "alpha", "beta", window = 5)
+      .filter(col("doc_id") === 5L).isEmpty, "doc 5 has neither term")
+  }
 }
