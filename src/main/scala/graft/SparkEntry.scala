@@ -1088,6 +1088,40 @@ object SparkEntry {
                 array_to_string(list_transform(encw, e -> trim(replace(e, '><', ' '), '<>')), ' ') AS bpe_tokens
               FROM enc""")),
 
+    Q("text_bpe_fertility", // tokenizer-audit fertility: BPE tokens per
+      // whitespace word under the pinned merge table — the per-language stat
+      // a vocabulary redesign is judged on; map-only, one encode pass plus
+      // the tokenize-once word count
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Bpe.encode(
+            regexp_replace(col("text"), "[<>]", ""), fixedBpeMerges).as("toks"),
+          size(TextFns.tokens(regexp_replace(col("text"), "[<>]", "")))
+            .cast("long").as("n_words"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"))
+        .withColumn("fertility",
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(
+                  regexp_replace(text, '[<>]', '', 'g'), '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              enc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                list_transform(toks, w ->
+                  replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(
+                    regexp_replace(w, '(.)', '<\1>', 'g'),
+                    '<t><a>', '<ta>'), '<ta><b>', '<tab>'), '<l><e>', '<le>'),
+                    '<s><t>', '<st>'), '<e><r>', '<er>'), '<st><r>', '<str>'),
+                    '<a><n>', '<an>'), '<j><o>', '<jo>'), '<o><w>', '<ow>'),
+                    '<h><a>', '<ha>')) AS encw
+                FROM t),
+              n AS (SELECT doc_id, n_words,
+                CAST(list_sum(list_transform(encw, e -> len(e) - len(replace(e, '<', '')))) AS BIGINT) AS n_bpe_tokens
+                FROM enc)
+              SELECT doc_id, n_words, n_bpe_tokens,
+                round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility
+              FROM n""")),
+
     Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
       // counts, per-doc mean bigram log-probability
       (s, d) => Curation.lmScore(Tables.documents(s, d)),
@@ -2365,6 +2399,26 @@ object SparkEntry {
                 CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
                 count(*) AS n_users
               FROM aw JOIN fs USING (user_id) GROUP BY 1, 2""")),
+
+    Q("q_hourly_anomalies", // operational monitoring: z-score of each hour's
+      // event count vs the trailing 24 OBSERVED hours per type (rows frame);
+      // events reduce to (type, hour) counts map-side before the tiny
+      // per-type window — no event ever enters a window sort
+      (s, d) => Analytics.hourlyAnomalies(Tables.events(s, d),
+        trailingHours = 24, zThreshold = 3.0),
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+                count(*) AS cnt FROM events GROUP BY 1, 2),
+              wdw AS (SELECT event_type, hour, cnt,
+                avg(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+                stddev_samp(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                  ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
+                FROM h),
+              z AS (SELECT event_type, hour, cnt, round(mu, 6) AS trailing_mean,
+                CASE WHEN sd > 0 THEN round((cnt - mu) / sd, 6) END AS zscore
+                FROM wdw)
+              SELECT event_type, hour, cnt, trailing_mean, zscore,
+                coalesce(abs(zscore) >= 3.0, false) AS is_anomaly FROM z""")),
 
     Q("q_sessionize", // gap-based batch sessionization (30-min gap per user):
       // lag boundary detection + running sum — the batch twin of the

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-sequence analytics over `(user_id, event_type, ts)` streams — the
@@ -64,6 +65,37 @@ object Analytics {
     * the distinct (user, week) activity reduction; the final
     * (cohort, offset) count aggregates a table already reduced to one row per
     * user-week. */
+  /** Hourly count anomalies per event type: z-score of each hour's count
+    * against the trailing `trailingHours` OBSERVED hours' mean/stddev (rows
+    * frame — missing hours are skipped, so a sparse series compares against
+    * its own history, not zero-padding). Returns
+    * `(event_type, hour, cnt, trailing_mean, zscore, is_anomaly)` with
+    * zscore null (and is_anomaly false) until two trailing observations
+    * exist or when the trailing window is constant.
+    *
+    * Scale shape: the events table reduces to (type, hour) counts in ONE
+    * map-side-combined agg before anything else; the per-type window then
+    * runs over types × hours rows — a day of 100 TB traffic is still only
+    * 24 rows per type, so the window sort is structurally tiny. */
+  def hourlyAnomalies(events: DataFrame, trailingHours: Int = 24,
+                      zThreshold: Double = 3.0): DataFrame = {
+    require(trailingHours >= 2, s"need >= 2 trailing hours, got $trailingHours")
+    require(zThreshold > 0, s"zThreshold must be > 0, got $zThreshold")
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(-trailingHours, -1)
+    hourly
+      .select(col("event_type"), col("hour"), col("cnt"),
+        avg(col("cnt")).over(w).as("mu"), stddev_samp(col("cnt")).over(w).as("sd"))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        round(col("mu"), 6).as("trailing_mean"),
+        when(col("sd") > 0,
+          round((col("cnt") - col("mu")) / col("sd"), 6)).as("zscore"))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) >= zThreshold, lit(false)))
+  }
+
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstSeen = events.groupBy("user_id")
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))

@@ -46,6 +46,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r === Seq((1, 1L), (2, 1L)))
   }
 
+  test("hourlyAnomalies: spike z-scored against trailing hours; warmup rows never flag") {
+    val df = (Seq((1, 1), (2, 2), (3, 1), (4, 2)).flatMap { case (h, n) =>
+      (1 to n).map(i => ev(i.toLong, "a", f"2024-01-01 $h%02d:${i}%02d:00"))
+    } ++ (1 to 10).map(i => ev(i.toLong, "a", f"2024-01-01 05:${i}%02d:00")))
+      .toDF("user_id", "event_type", "ts")
+    val r = Analytics.hourlyAnomalies(df, trailingHours = 24, zThreshold = 3.0)
+      .collect().map(x => (x.getTimestamp(1).toString.take(13),
+        x.getLong(2), Option(x.get(4)), x.getBoolean(5))).sortBy(_._1)
+    // hour 1: no trailing history -> null z, not anomalous
+    assert(r.head == ("2024-01-01 01", 1L, None, false), s"got ${r.head}")
+    // hour 2: single trailing row -> sample stddev undefined -> null z
+    assert(r(1)._3.isEmpty && !r(1)._4)
+    // hour 5: counts (1,2,1,2) trail -> mu 1.5, sd ~0.577, z(10) ~ 14.7
+    val spike = r.last
+    assert(spike._1 == "2024-01-01 05" && spike._2 == 10L && spike._4,
+      s"spike not flagged: $spike")
+    assert(math.abs(spike._3.get.asInstanceOf[Double] - 14.722432) < 1e-5)
+  }
+
   test("retentionCohorts: offset 0 is cohort size; later weeks count distinct users") {
     // weeks start Monday: 2024-01-01 IS a Monday
     val df = Seq(

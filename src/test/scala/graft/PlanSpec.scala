@@ -361,7 +361,17 @@ class PlanSpec extends SparkSpec {
       "q_pagerank" -> 1, // post-checkpoint rounding projection (+1 edge-build agg when AQE reuses nothing)
       "q_pagerank_weighted" -> 1,
       "q_label_propagation" -> 1,
-      "dedup_containment" -> 2) // explode-once bucket form: ONE gkey bucket agg + ONE (a,b) pair agg (reused across the two union directions); every exchange carries (gkey|doc_id|n) longs, never grams or text
+      "dedup_containment" -> 2, // explode-once bucket form: ONE gkey bucket agg + ONE (a,b) pair agg (reused across the two union directions); every exchange carries (gkey|doc_id|n) longs, never grams or text
+      // round-8 additions: positional search, event analytics, DSIR, Gopher
+      "search_phrase" -> 2, // (doc,start) vote agg + doc occurrence agg; corpus filters to the phrase vocabulary before either
+      "search_proximity" -> 1, // ONE doc-keyed position-collect agg; min-distance map-only after it
+      "q_funnel" -> 3, // one user-keyed min-agg per stage; stage joins broadcast at fixture stats (user-keyed equi-joins at scale)
+      "q_retention_cohorts" -> 3, // first-seen agg + (user,week) distinct + (cohort,offset) count; cohort join broadcasts at fixture stats
+      "pipeline_dsir_weights" -> 5, // two vocab-bounded count-model aggs + model full-outer + corpus feature join + doc agg; scalars broadcast
+      "pipeline_dsir_weights_hashed" -> 5, // same shape, <=4096-row models
+      "text_gopher_rules" -> 0, // map-only rule gate: NO exchange
+      "q_hourly_anomalies" -> 2, // (type,hour) count agg + the types×hours window exchange — events never enter a window sort
+      "text_bpe_fertility" -> 0) // map-only: pinned-merge encode + tokenize-once word count
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
