@@ -394,9 +394,10 @@ object ScaleSmoke {
           .filter(col("correct")).count()
       }
       time("gopherQualityRules 1M docs") {
-        // map-only: one normalize+tokenize projection per row, no exchange
-        graft.operators.Curation.gopherQualityRules(docs)
-          .filter(col("keep")).count()
+        // map-only: one normalize+tokenize projection per row, no exchange;
+        // count the full verdict table (the smoke vocab has no stopwords, so
+        // keep=true would be vacuously 0)
+        graft.operators.Curation.gopherQualityRules(docs).count()
       }
       time("dsirWeights hashed 1M docs vs 5% target") {
         // both count models dense <=65536 rows; corpus pays one feature join

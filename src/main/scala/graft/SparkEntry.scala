@@ -2866,6 +2866,32 @@ object SparkEntry {
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
               count(*) AS cnt FROM events GROUP BY 1""")),
 
+    Q("w_stream_anomalies", // streaming counter anomalies: live hourly counts
+      // per type flagged against a frozen batch-fit baseline (stream-static
+      // broadcast enrich BEFORE the agg — stateless; only count state).
+      // Settled output ≡ the batch twin on the same baseline → hash-oracled
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("cnt"))
+        val baseline = hourly.groupBy("event_type")
+          .agg(round(avg(col("cnt")), 6).as("mu"),
+            round(stddev_samp(col("cnt")), 6).as("sd"))
+        StreamingViews.runToMemory(s, s"$d/events.parquet", "graft_wanom_sink",
+          src => StreamingViews.streamHourlyAnomalies(
+            Tables.normalizeEventTs(src), baseline, zThreshold = 2.0))
+      },
+      Some("""WITH h AS (SELECT event_type,
+                date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+              b AS (SELECT event_type, round(avg(cnt), 6) AS mu,
+                round(stddev_samp(cnt), 6) AS sd FROM h GROUP BY 1),
+              z AS (SELECT h.event_type, hour, cnt, mu, sd,
+                CASE WHEN sd > 0 THEN round((cnt - mu) / sd, 6) END AS zscore
+                FROM h JOIN b USING (event_type))
+              SELECT event_type, hour, cnt, mu, sd, zscore,
+                coalesce(abs(zscore) >= 2.0, false) AS is_anomaly FROM z""")),
+
     Q("w_queue_stream_counts", // the reference's FULL S1 lifecycle as one stream:
       // queue-framed bytes -> full-schema decode -> watermarked windowed view
       (s, d) => StreamingViews.runToMemory(s, s"$d/events.parquet",

@@ -292,6 +292,29 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark("vec_id")
   }
 
+  /** Streaming twin of [[graft.operators.Analytics.hourlyAnomalies]]: live
+    * hourly counters per event type, flagged against a FROZEN per-type
+    * baseline (mean/stddev of historical hourly counts — fit in batch, e.g.
+    * yesterday's [[graft.operators.Analytics.hourlyAnomalies]] inputs). The
+    * baseline joins the event stream BEFORE the aggregation (stream-static
+    * broadcast enrich — stateless, and legal in any output mode, where a
+    * post-aggregation join is not), and rides the group key as a constant;
+    * the only state is the windowed count itself. Settled complete-mode
+    * output equals the batch twin on the same baseline — hash-oracled. */
+  def streamHourlyAnomalies(events: DataFrame, baseline: DataFrame,
+                            zThreshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    events
+      .join(broadcast(baseline), Seq("event_type"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        col("mu"), col("sd"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), col("hour"), col("cnt"), col("mu"), col("sd"),
+        when(col("sd") > 0,
+          round((col("cnt") - col("mu")) / col("sd"), 6)).as("zscore"))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) >= zThreshold, lit(false)))
+  }
+
   /** Stream-stream interval join (absent from the reference — CQL cannot join at
     * all): each left-branch event pairs with the right-branch events of the SAME
     * key whose time falls in (left.ts, left.ts + maxGap]. Both branches carry a

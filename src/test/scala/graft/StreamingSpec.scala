@@ -43,6 +43,24 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(streamed) === rowSet(batch))
   }
 
+  test("streaming hourly anomalies equal the batch twin on the same frozen baseline") {
+    val batch = allEvents.toDF()
+    val hourly = batch.groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour")).agg(count(lit(1)).as("cnt"))
+    val baseline = hourly.groupBy("event_type")
+      .agg(round(avg(col("cnt")), 6).as("mu"),
+        round(stddev_samp(col("cnt")), 6).as("sd"))
+    val streamed = runStream(
+      StreamingViews.streamHourlyAnomalies(_, baseline, zThreshold = 1.0),
+      "t_anomalies")
+    val expected = hourly.join(baseline, "event_type")
+      .select(col("event_type"), col("hour"), col("cnt"), col("mu"), col("sd"),
+        when(col("sd") > 0,
+          round((col("cnt") - col("mu")) / col("sd"), 6)).as("zscore"))
+      .withColumn("is_anomaly", coalesce(abs(col("zscore")) >= 1.0, lit(false)))
+    assert(rowSet(streamed) === rowSet(expected))
+  }
+
   test("streaming bucketCounts equals batch multiGranularityCounts") {
     val streamed = runStream(StreamingViews.bucketCounts(_), "t_bucket_counts")
     val batch = Views.multiGranularityCounts(allEvents.toDF())
