@@ -2968,6 +2968,40 @@ object SparkEntry {
                AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
                AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTES""")),
 
+    Q("w_stream_funnel", // W6 custom-state streaming funnel: per-user stage
+      // progress via mapGroupsWithState with a horizon-pruned later-stage
+      // buffer — batch-equivalent under ANY arrival order (late stage-1
+      // events can demote; the chain recomputes from state). Settled by the
+      // max-n_updates emission per user, then hash-oracled against the batch
+      // funnel's per-user verdicts
+      (s, d) => {
+        val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",
+          "graft_wfun_sink", src => StreamingViews.streamFunnel(
+            Tables.normalizeEventTs(src), Seq("signup", "view", "purchase"),
+            maxSpanHours = 168), outputMode = "update")
+        Ops.latestPerKeyAgg(settled, Seq("user_id"), Seq(col("n_updates")))
+          .filter(col("stage_reached") >= 1)
+          .select(col("user_id"), col("stage_reached"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+              s1 AS (SELECT user_id, min(ts) AS t0, min(ts) AS t FROM e
+                WHERE event_type = 'signup' GROUP BY user_id),
+              s2 AS (SELECT e.user_id, min(s1.t0) AS t0, min(e.ts) AS t
+                FROM e JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts >= s1.t
+                  AND e.ts <= s1.t0 + INTERVAL 168 HOURS GROUP BY e.user_id),
+              s3 AS (SELECT e.user_id, min(s2.t0) AS t0, min(e.ts) AS t
+                FROM e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                  AND e.ts <= s2.t0 + INTERVAL 168 HOURS GROUP BY e.user_id)
+              SELECT s1.user_id,
+                CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     ELSE 1 END AS stage_reached
+              FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id""")),
+
     Q("w6_stream_lww", // stateful mapGroupsWithState LWW through a real stream
       (s, d) => {
         val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",

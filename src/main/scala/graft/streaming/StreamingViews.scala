@@ -292,6 +292,64 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark("vec_id")
   }
 
+  /** Funnel state: emission counter, best stage-1 entry time, and the
+    * horizon-bounded buffer of later-stage (stageIdx, tsMicros) events. */
+  case class FunnelState(nUpdates: Long, t1: Long, later: List[(Int, Long)])
+
+  /** Streaming twin of [[graft.operators.Analytics.funnel]], W6 custom-state
+    * form: per-user ordered-funnel progress through `mapGroupsWithState`,
+    * EXACTLY batch-equivalent under ANY arrival order — each batch recomputes
+    * the stage chain from buffered state, so a late stage-1 event that moves
+    * the horizon window (and can legitimately DEMOTE a user, which is why
+    * naive forward-only stage machines diverge from batch) is handled. Emits
+    * `(user_id, n_updates, stage_reached)` per active user per batch in
+    * update mode; settle to final verdicts via the max-`n_updates` emission
+    * (the argmax settle, as `w6_stream_lww`).
+    *
+    * State per user is NOT the raw history: one (t1, counter) pair plus
+    * later-STAGE events only, pruned by the funnel horizon — an event past
+    * `t1 + horizon` can never re-qualify (t1 is monotone non-increasing, so
+    * the window only moves earlier) and drops immediately. Pre-stage-1
+    * arrivals of later stages are kept until a stage-1 event bounds them; add
+    * a watermark upstream to bound that tail in adversarial streams. */
+  def streamFunnel(events: DataFrame, stages: Seq[String],
+                   maxSpanHours: Int = 168): DataFrame = {
+    require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val k = stages.size
+    val horizon = maxSpanHours * 3600L * 1000000L
+    val idxMap = map_from_arrays(array(stages.map(lit): _*),
+      array(stages.indices.map(i => lit(i)): _*))
+    events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id").cast("long"),
+        element_at(idxMap, col("event_type")),
+        unix_micros(col("ts").cast("timestamp")))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, (Long, Long, Int)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(FunnelState(0L, Long.MaxValue, Nil))
+          val incoming = rows.toList
+          val t1 = (prev.t1 :: incoming.collect { case (_, 0, ts) => ts }).min
+          val later = (prev.later ++ incoming.collect { case (_, i, ts) if i > 0 => (i, ts) })
+            .filter { case (_, ts) => t1 == Long.MaxValue || ts <= t1 + horizon }
+          var reached = if (t1 == Long.MaxValue) 0 else 1
+          var tPrev = t1
+          var stage = 1
+          while (stage < k && reached == stage) {
+            val cand = later.collect { case (i, ts) if i == stage && ts >= tPrev => ts }
+            if (cand.nonEmpty) { reached = stage + 1; tPrev = cand.min }
+            stage += 1
+          }
+          val next = FunnelState(prev.nUpdates + 1, t1, later)
+          state.update(next)
+          (user, next.nUpdates, reached)
+      }
+      .toDF("user_id", "n_updates", "stage_reached")
+  }
+
   /** Streaming twin of [[graft.operators.Analytics.hourlyAnomalies]]: live
     * hourly counters per event type, flagged against a FROZEN per-type
     * baseline (mean/stddev of historical hourly counts — fit in batch, e.g.

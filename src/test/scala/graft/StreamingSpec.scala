@@ -43,6 +43,46 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(streamed) === rowSet(batch))
   }
 
+  test("streaming funnel equals the batch funnel, including late-signup demotion") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch 1: signup@10:00, view@12:00 -> stage 2 under a 1 h horizon? no —
+    // horizon 1 h: view at 12:00 is past 11:00, so batch 1 settles at stage 1
+    // with THIS signup; then a LATE earlier signup@11:30 arrives in batch 2:
+    // t1 moves to ... 11:30 is later than 10:00 so t1 stays 10:00. Use the
+    // reverse: first signup@12:30 (view qualifies), then late signup@10:00
+    // moves the window earlier and DEMOTES the user.
+    val b1 = Seq(
+      TestEvent(1, 1, "signup", ts("2024-01-01 12:30:00"), 0, "{}"),
+      TestEvent(2, 1, "view", ts("2024-01-01 12:45:00"), 0, "{}"),
+      TestEvent(3, 2, "signup", ts("2024-01-01 09:00:00"), 0, "{}"),
+      TestEvent(4, 2, "view", ts("2024-01-01 09:30:00"), 0, "{}"))
+    val b2 = Seq(
+      TestEvent(5, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}"), // late: demotes user 1
+      TestEvent(6, 2, "purchase", ts("2024-01-01 09:45:00"), 0, "{}"))
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamFunnel(stream.toDF(),
+        Seq("signup", "view", "purchase"), maxSpanHours = 1)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_funnel").start()
+    try {
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val settled = Ops.latestPerKeyAgg(spark.table("t_funnel"),
+        Seq("user_id"), Seq(col("n_updates")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // user 1: view@12:45 was in [12:30, 13:30] but the late signup moves the
+    // window to [10:00, 11:00] -> demoted to stage 1. user 2: full funnel.
+    assert(settled === Map(1L -> 1, 2L -> 3), s"got $settled")
+    // parity with the batch operator over the union of both batches
+    val batch = graft.operators.Analytics.funnel((b1 ++ b2).toDF(),
+      Seq("signup", "view", "purchase"), maxSpanHours = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    // both users sign up; only user 2's view/purchase fall inside the window
+    assert(batch === Map(1 -> 2, 2 -> 1, 3 -> 1),
+      s"batch stage counts diverged: $batch")
+  }
+
   test("streaming hourly anomalies equal the batch twin on the same frozen baseline") {
     val batch = allEvents.toDF()
     val hourly = batch.groupBy(col("event_type"),
