@@ -1738,6 +1738,37 @@ object SparkEntry {
                 ORDER BY cosine DESC, vec_id) AS rank FROM ex)
               SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
 
+    Q("sim_mrl_topk", // Matryoshka-prefix ANN: shortlist on the first 16 dims
+      // (zero-arithmetic slice — an MRL encoder's prefix is a valid coarse
+      // embedding), exact full-dim rerank of the top 100; deterministic
+      // arithmetic end to end, so it hash-oracles like the RP path
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.mrlTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            prefixDim = 16, rerankFactor = 10)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT vec_id, emb[1:16] AS pre FROM e),
+              q AS (SELECT vec_id AS query_id, pre AS qp FROM p WHERE vec_id < 5),
+              s AS (SELECT query_id, vec_id, round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(pre)), i -> qp[i] * pre[i])),
+                  (acc, x) -> acc + x), 6) AS pre_dot
+                FROM q, p WHERE query_id != vec_id),
+              short AS (SELECT query_id, vec_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY pre_dot DESC, vec_id) AS srk FROM s) WHERE srk <= 100),
+              ex AS (SELECT short.query_id, short.vec_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(c.emb)),
+                    i -> qe.emb[i] * c.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM short JOIN e c ON short.vec_id = c.vec_id
+                JOIN e qe ON short.query_id = qe.vec_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank FROM ex)
+              SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
+
     Q("sim_centroid_classify", // nearest-class-centroid (Rocchio) classifier:
       // per-class mean vector via ONE (class, dim) agg, cosine scoring over a
       // broadcast |classes|-row centroid table, bounded per-vec argmax — the
@@ -2306,6 +2337,35 @@ object SparkEntry {
           hashBuckets = 4096)
       },
       None),
+
+    Q("pipeline_snapshot_diff", // corpus snapshot diff (added/removed/changed
+      // between two crawls): each side reduces to (doc_id, 8-byte
+      // fingerprint) map-side before ONE full-outer id join — no document
+      // body crosses the exchange; unchanged docs never materialize. Oracle
+      // compares normalized text directly — verdicts identical barring
+      // 64-bit collision (pipeline_curate_fp caveat)
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.snapshotDiff(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 7 =!= 0)
+            .withColumn("text", when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" edited"))).otherwise(col("text"))))
+      },
+      Some("""WITH o AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                FROM documents WHERE doc_id % 5 != 0),
+              n AS (SELECT doc_id, lower(trim(regexp_replace(
+                  text || CASE WHEN doc_id % 11 = 0 THEN ' edited' ELSE '' END,
+                  '\s+', ' ', 'g'))) AS norm
+                FROM documents WHERE doc_id % 7 != 0),
+              v AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.norm != n.norm THEN 'changed'
+                     ELSE 'unchanged' END AS status
+                FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+              SELECT doc_id, status FROM v WHERE status != 'unchanged'""")),
 
     Q("pipeline_embedding_outliers", // embedding-space curation gate: flag
       // vectors whose cosine to the global corpus centroid is < -0.15 (the

@@ -690,6 +690,34 @@ object Curation {
     * the materialized feature key, and the three scalars (totals, vocab size)
     * ride a single-row broadcast. `hashBuckets = 0` keeps raw feature strings
     * — the oracle-reproducible fixture form. */
+  /** Corpus snapshot diff — the governance primitive behind "what changed
+    * between yesterday's crawl and today's": per doc_id verdicts `added`
+    * (new only), `removed` (old only), `changed` (both, different content).
+    * Unchanged docs are omitted — at 100 TB the overwhelmingly common case
+    * must not be materialized.
+    *
+    * Scale shape: each side reduces to (doc_id, 8-byte content fingerprint)
+    * in its own map-only projection BEFORE the single full-outer join on
+    * doc_id — no document body ever crosses the exchange, the same key
+    * discipline as [[graft.operators.Dedup.exactDedupByFingerprint]].
+    * `fastHash` picks xxhash64 (scale default) vs the oracle-reproducible
+    * rolling hash; verdicts agree with a direct text compare barring 64-bit
+    * collision (the `pipeline_curate_fp` caveat). */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   fastHash: Boolean = true): DataFrame = {
+    def fp(df: DataFrame, as: String): DataFrame = df.select(col("doc_id"),
+      (if (fastHash) TextFns.fastFingerprint(col("text"))
+       else TextFns.fingerprint(col("text"))).as(as))
+    fp(oldDocs, "old_fp")
+      .join(fp(newDocs, "new_fp"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") =!= col("new_fp"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   def dsirWeights(raw: DataFrame, target: DataFrame, alpha: Double = 0.5,
                   hashBuckets: Int = 0): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")

@@ -638,18 +638,7 @@ object Similarity {
             graft.functions.PQExprs.pqAdc(col("q_emb"), col("codes"), books))
           .as("cosine"))
     if (rerankFactor <= 0) heapTopK(scored, k)
-    else {
-      val shortlist = heapTopK(scored, rerankFactor * k).select("query_id", "vec_id")
-      val e = corpus.select(col("vec_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("embedding"))
-      val q = queries.select(col("vec_id").as("query_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
-      heapTopK(shortlist
-        .join(e, "vec_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine")), k)
-    }
+    else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
   }
 
   /** LSH-bucketed ANN: tag every vector with `tables` independent hyperplane
@@ -731,18 +720,50 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(VectorFns.dot(col("q_rp"), col("rp"))).as("cosine"))
     if (rerankFactor <= 0) heapTopK(scored, k)
-    else {
-      val shortlist = heapTopK(scored, rerankFactor * k).select("query_id", "vec_id")
-      val e = corpus.select(col("vec_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("embedding"))
-      val q = queries.select(col("vec_id").as("query_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
-      heapTopK(shortlist
-        .join(e, "vec_id")
-        .join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"),
-          VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine")), k)
-    }
+    else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
+  }
+
+  /** Stage-2 of every shortlist-then-rerank ANN: exact full-precision cosine
+    * over the (query, candidate) shortlist only — candidates re-join their
+    * vectors by id (the shortlist never carries embeddings), queries
+    * broadcast, final heap top-k. */
+  private def exactRerank(shortlist: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val e = corpus.select(col("vec_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("embedding"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+    heapTopK(shortlist.select("query_id", "vec_id")
+      .join(e, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("embedding"))).as("cosine")), k)
+  }
+
+  /** Matryoshka-prefix ANN (Kusupati et al. 2022): stage 1 ranks every corpus
+    * vector by the inner product of the FIRST `prefixDim` dimensions — an
+    * MRL-trained encoder's prefix IS a valid coarse embedding, so the
+    * compressor is a zero-arithmetic slice, no projection and no training —
+    * into a `rerankFactor`·k shortlist; stage 2 rescores the shortlist with
+    * exact full-dimension cosine ([[exactRerank]], the [[rpTopK]]
+    * architecture). Never skips a true neighbor, only mis-ranks it past the
+    * shortlist boundary; at d′ of d dims the stage-1 scan moves d′/d of the
+    * vector bytes. Pure deterministic arithmetic end to end — hash-oracles
+    * like the RP path. On NON-MRL embeddings (the fixture) the prefix is an
+    * unbiased but noisy subspace — this operator's worst case; SimilaritySpec
+    * measures recall there with the rerank recovering the truncation loss. */
+  def mrlTopK(corpus: DataFrame, queries: DataFrame, k: Int, prefixDim: Int = 16,
+              rerankFactor: Int = 10): DataFrame = {
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    def pref(df: DataFrame, idAs: String, embAs: String): DataFrame = df.select(
+      col("vec_id").as(idAs),
+      slice(VectorFns.toDoubleArray(col("embedding")), 1, prefixDim).as(embAs))
+    val scored = broadcast(pref(queries, "query_id", "q_pre"))
+      .join(pref(corpus, "vec_id", "pre"), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_pre"), col("pre"))).as("cosine"))
+    if (rerankFactor <= 0) heapTopK(scored, k)
+    else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
   }
 
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,

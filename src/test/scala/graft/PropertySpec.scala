@@ -602,6 +602,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: added/removed/changed verdicts, unchanged omitted, both hash forms agree") {
+    val old = Seq((1L, "kept the same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "kept  THE same"), // normalize-equal -> unchanged, omitted
+      (2L, "has changed"), (4L, "brand new")).toDF("doc_id", "text")
+    Seq(true, false).foreach { fast =>
+      val r = rowSet(graft.operators.Curation.snapshotDiff(old, neu, fastHash = fast))
+      assert(r === Set(Seq(2L, "changed"), Seq(3L, "removed"), Seq(4L, "added")),
+        s"fastHash=$fast got $r")
+    }
+  }
+
   test("dsirWeights equals a driver-side recomputation for every corpus/target") {
     forAll(genDocs, runs = 4) { docsList =>
       val df = docsList.toDF("doc_id", "text")

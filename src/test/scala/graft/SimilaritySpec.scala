@@ -164,6 +164,21 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
   }
 
+  test("mrlTopK recall@10 vs full-dim brute force: rerank recovers the truncation loss") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    // raw 16-of-64-dim prefix ranking on NON-MRL vectors: the prefix is an
+    // unbiased but noisy subspace — this operator's worst case by design
+    val raw = recallOf(exact, topMap(
+      Similarity.mrlTopK(emb, queries, 10, prefixDim = 16, rerankFactor = 0)))
+    val reranked = recallOf(exact, topMap(
+      Similarity.mrlTopK(emb, queries, 10, prefixDim = 16, rerankFactor = 10)))
+    info(f"mrlTopK raw recall@10 = $raw%.3f; with 10k-shortlist rerank = $reranked%.3f")
+    assert(reranked >= raw + 0.2, "rerank stage must add substantial recall")
+    assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
+  }
+
   test("incremental cosine dedup: base near-copy drops, self dup resolves, novel keeps") {
     val base = Seq((100L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val batch = Seq(
