@@ -910,7 +910,20 @@ object SparkEntry {
       (s, d) => Ops.approxHeavyHitters(Tables.events(s, d), "event_type",
         k = 5, capacity = 64),
       Some("""SELECT event_type AS item, count(*) AS est_count FROM events
-              GROUP BY event_type ORDER BY est_count DESC, item LIMIT 5""")))
+              GROUP BY event_type ORDER BY est_count DESC, item LIMIT 5""")),
+
+    Q("q_heavy_hitters_by_key", // per-group Misra-Gries in the EXACT regime
+      // (150 users << capacity 1024): top-3 users per event type; tasks keep
+      // one bounded sketch per group, the raw stream never shuffles
+      (s, d) => Ops.approxHeavyHittersByKey(Tables.events(s, d),
+        "event_type", "user_id", k = 3, capacity = 1024),
+      Some("""SELECT event_type, item, est_count FROM (
+                SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                  count(*) AS est_count,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rn
+                FROM events GROUP BY event_type, user_id)
+              WHERE rn <= 3""")))
 
   // ------------------------------------------------------------------
   // training-data pipeline: dedup / similarity / text / multimodal

@@ -237,6 +237,54 @@ object Ops {
       .limit(k)
   }
 
+  /** Per-GROUP Misra-Gries heavy hitters: top `k` items within each group key
+    * — "the dominant domains per language", "the hot users per event type".
+    * Same mergeable-sketch contract as [[approxHeavyHitters]] (never
+    * overcounts; per-group undercount ≤ n_g/(capacity+1)); exact when a
+    * group's distinct items fit `capacity`.
+    *
+    * Scale shape: each task keeps ONE `capacity`-bounded sketch per group it
+    * sees — intended for low-cardinality group keys (languages, domains,
+    * event types), where per-task memory is |groups|·capacity entries. The
+    * exchange carries only sketch rows (≤ partitions·|groups|·capacity), the
+    * merge is a plain (group, item) sum, and the per-group top-k runs on the
+    * |groups|·capacity-row merged table — the raw stream never shuffles. */
+  def approxHeavyHittersByKey(df: DataFrame, keyCol: String, valueCol: String,
+                              k: Int, capacity: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(k >= 1 && capacity >= k, s"need capacity >= k >= 1, got k=$k capacity=$capacity")
+    val partials = df
+      .select(col(keyCol).cast("string").as("g"), col(valueCol).cast("string").as("v"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sketches = scala.collection.mutable.HashMap
+          .empty[String, scala.collection.mutable.HashMap[String, Long]]
+        it.foreach { case (g, v) =>
+          val counts = sketches.getOrElseUpdate(g,
+            scala.collection.mutable.HashMap.empty[String, Long])
+          if (counts.contains(v) || counts.size < capacity) {
+            counts.update(v, counts.getOrElse(v, 0L) + 1L)
+          } else {
+            counts.keys.toArray.foreach { key =>
+              val c = counts(key)
+              if (c == 1L) counts.remove(key) else counts.update(key, c - 1L)
+            }
+          }
+        }
+        sketches.iterator.flatMap { case (g, counts) =>
+          counts.iterator.map { case (v, c) => (g, v, c) }
+        }
+      }.toDF("g", "item", "est_count")
+    val merged = partials.groupBy("g", "item")
+      .agg(sum(col("est_count")).as("est_count"))
+    merged
+      .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(col("est_count").desc, col("item"))))
+      .filter(col("rn") <= k).drop("rn")
+      .withColumnRenamed("g", keyCol)
+  }
+
   /** CDC merge (`MERGE INTO` / `APPLY CHANGES` semantics): collapse a change
     * log of upserts and deletes into final table state. Generalizes the
     * reference's upsert-only LWW table (`customer_latest_info`,

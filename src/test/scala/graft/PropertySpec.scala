@@ -378,6 +378,33 @@ class PropertySpec extends SparkSpec {
     assert(est("hot") >= n / 2 - bound.toLong)
   }
 
+  test("per-group Misra-Gries: exact regime equals direct top-k; approx bounded per group") {
+    // exact regime: distinct per group < capacity
+    val data = (0 until 5000).map(i => (s"g${i % 3}", s"v${i % 17}"))
+    val df = data.toDF("grp", "item").repartition(8)
+    val est = Ops.approxHeavyHittersByKey(df, "grp", "item", k = 4, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((g, v), c) => (g, v, c) }
+      .groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy { case (_, v, c) => (-c, v) }.take(4)
+      }.toSet
+    assert(est === exact)
+    // approximate regime: per-group undercount bound n_g/(capacity+1)
+    val skew = (0 until 9000).map(i =>
+      ("g0", if (i % 2 == 0) "hot" else s"t${i % 89}"))
+    val sdf = skew.toDF("grp", "item").repartition(8)
+    val se = Ops.approxHeavyHittersByKey(sdf, "grp", "item", k = 8, capacity = 8)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    val strue = skew.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = 9000.0 / 9
+    se.foreach { case (item, e) =>
+      assert(e <= strue(item), s"$item overcounted")
+      assert(strue(item) - e <= bound, s"$item undercount exceeds n_g/(cap+1)")
+    }
+    assert(se.contains("hot"))
+  }
+
   test("star-contraction components equal min-label components on random graphs") {
     import graft.operators.Dedup
     val genGraph: Gen[(List[Long], List[(Long, Long)])] = for {
