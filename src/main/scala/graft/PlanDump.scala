@@ -162,7 +162,44 @@ object PlanDump {
        "Canonical cluster resolution: components via the size-adaptive " +
          "union-find fast path (label map broadcast), then ONE cluster-keyed " +
          "hash-argmax (ObjectHashAggregate, map-side partials) picks the " +
-         "highest-quality representative and the verdict re-joins on id.")
+         "highest-quality representative and the verdict re-joins on id."),
+      ("dedup_containment",
+       "Asymmetric containment (explode-once bucket form): ONE " +
+         "normalize+shingle projection feeds per-gram buckets (collect_list " +
+         "bounded by maxDf, each doc's gram total riding the posting row); " +
+         "pairs explode inside the bucket and ONE pair-keyed count finishes " +
+         "|A∩B| — exactly two exchanges, both carrying longs, never grams " +
+         "or text; both direction verdicts explode from the one pair row " +
+         "(no union, so the pair-agg subtree plans once)."),
+      ("pipeline_dsir_weights",
+       "DSIR importance weights: both count models are vocab-bounded " +
+         "aggregates (hashed form: <= hashBuckets rows) assembled by one " +
+         "full-outer join; the corpus feature stream pays exactly ONE " +
+         "equi-join on the materialized feature key; the totals/vocab " +
+         "scalars ride a single-row broadcast crossJoin."),
+      ("search_phrase",
+       "Positional phrase search: corpus tokens filter to the phrase " +
+         "vocabulary (a broadcast literal) BEFORE any exchange, so the " +
+         "(doc, start) vote shuffle carries only phrase-term hits — cost " +
+         "tracks the terms' document frequency, never corpus size; the " +
+         "occurrence count reuses the vote aggregation's partitioning."),
+      ("q_hourly_anomalies",
+       "Hourly anomaly detection: events reduce to (type, hour) counts in " +
+         "ONE map-side-combined aggregate BEFORE the per-type trailing " +
+         "window — the window sorts types x hours rows (24/day/type), so " +
+         "no raw event ever enters a window sort."),
+      ("sim_mrl_topk",
+       "Matryoshka-prefix ANN: stage-1 scoring is a map-only slice + " +
+         "`dotproductexpr` over the first 16 dims feeding the bounded-heap " +
+         "top-k aggregate (the only hash exchange); the exact rerank " +
+         "broadcasts the id-only shortlist and query set — full-precision " +
+         "vectors are read only for shortlist rows (the rpTopK architecture " +
+         "with a zero-arithmetic compressor)."),
+      ("q_funnel",
+       "Ordered funnel: each stage is a filtered min-aggregate (the " +
+         "event-type filter reaches the scan) joined user-keyed to the " +
+         "previous stage's |users|-row table — no per-user event sort " +
+         "anywhere; hot users reduce in map-side partials.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan
