@@ -425,6 +425,19 @@ object SparkEntry {
       Some("""SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
               count(*) AS cnt FROM events GROUP BY event_type""")),
 
+    Q("q_salted_join", // skew-safe equi-join twin of q_salted_agg: the fact
+      // side salts on event_id into 8 buckets, the dim replicates per salt,
+      // the join runs on (key, salt) — a hot user's rows spread over 8 tasks;
+      // output exactly the plain inner join
+      (s, d) => Ops.saltedJoin(
+        Tables.events(s, d).select(col("event_id"), col("user_id")),
+        Tables.customer(s, d).select(col("c_custkey").as("user_id"), col("c_name")),
+        "user_id", salts = 8, saltSource = col("event_id")),
+      Some("""SELECT user_id, event_id, c_name FROM
+              (SELECT event_id, user_id FROM events) e
+              JOIN (SELECT c_custkey AS user_id, c_name FROM customer) c
+              USING (user_id)""")),
+
     Q("q_multi_distinct", // two distinct columns: built-in Expand replicates the
       // input once per distinct group; chaining the two-stage form keeps each
       // pass linear (join of two pre-deduped counts)
@@ -3040,6 +3053,31 @@ object SparkEntry {
                AND a.event_type = 'view' AND b.event_type = 'purchase'
                AND CAST(b.ts AS TIMESTAMP) > CAST(a.ts AS TIMESTAMP)
                AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTES""")),
+
+    Q("w_stream_approx_distinct_bounds", // streaming approximate distinct
+      // users per hour: state per bucket is ONE HLL++ sketch, not a user set
+      // (novel-id floods cannot grow state); settled estimates gated against
+      // the batch exact count, exact+boolean hash-oracled (the streaming
+      // sibling of q_approx_distinct_bounds)
+      (s, d) => {
+        val streamed = StreamingViews.runToMemory(s, s"$d/events.parquet",
+          "graft_wad_sink", src => StreamingViews.hourlyApproxDistinct(
+            Tables.normalizeEventTs(src)))
+        val exact = Tables.events(s, d)
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyyMMddHH")
+            .as("hour_bucket"))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        streamed.join(exact, "hour_bucket")
+          .select(col("hour_bucket"), col("exact_users"),
+            // ±15% with an absolute floor of 2: at the fixture's tiny per-hour
+            // cardinalities (~11 users) a relative-only gate is tighter than
+            // the sketch's own small-range guarantee
+            (abs(col("est") - col("exact_users")) <=
+              greatest(col("exact_users") * 0.15, lit(2.0))).as("within_bounds"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y%m%d%H') AS hour_bucket,
+              count(DISTINCT user_id) AS exact_users, TRUE AS within_bounds
+              FROM events GROUP BY 1""")),
 
     Q("w_stream_funnel", // W6 custom-state streaming funnel: per-user stage
       // progress via mapGroupsWithState with a horizon-pruned later-stage

@@ -237,6 +237,24 @@ object Ops {
       .limit(k)
   }
 
+  /** Skew-safe equi-JOIN (the join twin of [[saltedSumCount]]): the big side
+    * salts each row into one of `salts` buckets by a high-cardinality column
+    * (`saltSource` — e.g. the event id, NOT the join key), the dim side
+    * replicates once per salt, and the join runs on (key, salt) — a hot key's
+    * rows spread across `salts` tasks instead of one. Output is EXACTLY the
+    * plain inner join (salting touches only the physical key). Use when the
+    * dim side is too large to broadcast but the fact side has hot keys;
+    * replication costs |dim|·salts rows, so size `salts` to the skew, not
+    * to the cluster. */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String, salts: Int,
+                 saltSource: Column): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val salted = big.withColumn("__salt", pmod(xxhash64(saltSource), lit(salts.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Per-GROUP Misra-Gries heavy hitters: top `k` items within each group key
     * — "the dominant domains per language", "the hot users per event type".
     * Same mergeable-sketch contract as [[approxHeavyHitters]] (never

@@ -292,6 +292,18 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark("vec_id")
   }
 
+  /** Live approximate distinct-user counter per hour: HLL++ partial
+    * aggregation (`approx_count_distinct`) — streaming state per hour bucket
+    * is one fixed-size sketch, not a user set, so a bot flood of novel ids
+    * cannot grow state; the batch twin's error gate
+    * (`q_approx_distinct_bounds`) applies, wired driver-visible in
+    * `w_stream_approx_distinct_bounds`. */
+  def hourlyApproxDistinct(events: DataFrame, idCol: String = "user_id",
+                           rsd: Double = 0.02): DataFrame =
+    events
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyyMMddHH").as("hour_bucket"))
+      .agg(approx_count_distinct(col(idCol), rsd).as("est"))
+
   /** Funnel state: emission counter, best stage-1 entry time, and the
     * horizon-bounded buffer of later-stage (stageIdx, tsMicros) events. */
   case class FunnelState(nUpdates: Long, t1: Long, later: List[(Int, Long)])

@@ -374,7 +374,8 @@ class PlanSpec extends SparkSpec {
       "text_bpe_fertility" -> 0, // map-only: pinned-merge encode + tokenize-once word count
       "sim_mrl_topk" -> 1, // ONE query-keyed heap-topk (prefix shortlist); rerank joins broadcast, same shape as sim_rp_topk
       "pipeline_snapshot_diff" -> 2, // two (doc_id, fp) sides into the full-outer id join; no text crosses either exchange
-      "q_heavy_hitters_by_key" -> 2) // sketch-row merge agg + the |groups|*capacity-row top-k window; the raw stream never shuffles
+      "q_heavy_hitters_by_key" -> 2, // sketch-row merge agg + the |groups|*capacity-row top-k window; the raw stream never shuffles
+      "q_salted_join" -> 2) // (key,salt) join both sides when the dim exceeds broadcast (at fixture stats the dim broadcasts: 0)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

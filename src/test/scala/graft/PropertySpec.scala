@@ -68,6 +68,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin equals the plain inner join for every event multiset and salt count") {
+    forAll(genEvents) { evs =>
+      val big = evs.toDF().select(col("event_id"), col("user_id"))
+      val dim = (1L to 5L).map(u => (u, s"name$u")).toDF("user_id", "name")
+      val direct = big.join(dim, "user_id")
+      Seq(1, 2, 16).foreach { salts =>
+        val salted = Ops.saltedJoin(big, dim, "user_id", salts, col("event_id"))
+        assert(rowSet(salted) === rowSet(direct), s"salts=$salts")
+      }
+    }
+  }
+
   test("latestPerKeyAgg (skew-immune argmax form) equals latestPerKey (window form)") {
     forAll(genEvents) { evs =>
       val win = Ops.latestPerKey(evs.toDF(), Seq("user_id"),
