@@ -1199,6 +1199,53 @@ object SparkEntry {
               SELECT p.doc_id, d.lang, p.pred_lang, p.nb_score, p.pred_lang = d.lang AS correct
               FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1""")),
 
+    Q("text_nb_metrics", // the evaluation table for the NB curation filter:
+      // per-class precision/recall/F1 + support from ONE classes²-bounded
+      // confusion aggregate; F1 derives from 6-rounded P/R so the table is
+      // bit-reproducible
+      (s, d) => Classify.classificationMetrics(
+        Classify.naiveBayesSelf(Tables.documents(s, d))),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+                FROM documents),
+              tok AS (SELECT doc_id, lang, term FROM t WHERE len(term) > 0),
+              ct AS (SELECT lang AS cand, term, count(*) AS c_ct FROM tok GROUP BY 1, 2),
+              cc AS (SELECT cand, sum(c_ct) AS c_c FROM ct GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vsz FROM tok),
+              pri AS (SELECT lang AS cand,
+                ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS logprior
+                FROM documents GROUP BY 1),
+              vocab AS (SELECT DISTINCT term FROM ct),
+              model AS (SELECT vocab.term, pri.cand,
+                ln((CAST(coalesce(ct.c_ct, 0) AS DOUBLE) + 1.0) / (CAST(cc.c_c AS DOUBLE) + v.vsz)) AS logp
+                FROM vocab CROSS JOIN pri JOIN cc USING (cand)
+                LEFT JOIN ct ON ct.term = vocab.term AND ct.cand = pri.cand, v),
+              sc AS (SELECT tok.doc_id, model.cand, sum(model.logp) AS loglik
+                FROM tok JOIN model ON tok.term = model.term GROUP BY 1, 2),
+              scored AS (SELECT doc_id, cand, round(loglik + logprior, 6) AS nb_score
+                FROM sc JOIN pri USING (cand)),
+              pred AS (SELECT doc_id, cand AS pred_lang,
+                row_number() OVER (PARTITION BY doc_id ORDER BY nb_score DESC, cand ASC) AS rn
+                FROM scored),
+              conf AS (SELECT d.lang AS clazz, p.pred_lang AS pred, count(*) AS n
+                FROM pred p JOIN documents d USING (doc_id) WHERE rn = 1 GROUP BY 1, 2),
+              bt AS (SELECT clazz, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY 1),
+              bp AS (SELECT pred AS clazz, CAST(sum(n) AS BIGINT) AS n_pred FROM conf GROUP BY 1),
+              tp AS (SELECT clazz, n AS tp FROM conf WHERE clazz = pred),
+              m AS (SELECT bt.clazz, support,
+                coalesce(n_pred, CAST(0 AS BIGINT)) AS n_pred,
+                coalesce(tp, CAST(0 AS BIGINT)) AS tp
+                FROM bt LEFT JOIN bp USING (clazz) LEFT JOIN tp USING (clazz)),
+              pr AS (SELECT clazz, support, n_pred, tp,
+                CASE WHEN n_pred > 0 THEN round(CAST(tp AS DOUBLE) / n_pred, 6)
+                     ELSE 0.0 END AS precision,
+                round(CAST(tp AS DOUBLE) / support, 6) AS recall FROM m)
+              SELECT clazz, support, n_pred, tp, precision, recall,
+                CASE WHEN precision + recall > 0
+                     THEN round(2 * precision * recall / (precision + recall), 6)
+                     ELSE 0.0 END AS f1
+              FROM pr""")),
+
     Q("text_nb_holdout", // the frozen-model train/apply split: NB fit on even
       // doc_ids, scored on the held-out odd half (out-of-vocabulary test
       // terms drop at the scoring join — standard multinomial-NB OOV); the
@@ -2485,6 +2532,23 @@ object SparkEntry {
                 CAST(datediff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
                 count(*) AS n_users
               FROM aw JOIN fs USING (user_id) GROUP BY 1, 2""")),
+
+    Q("q_rolling_features", // feature-engineering projection: per-user lag-1/2
+      // values and preceding-3-row mean/min/max in one shared per-key ordered
+      // pass (one shuffle on the key, all windows reuse the sort); leading
+      // edge is null per the standard contract
+      (s, d) => Analytics.rollingFeatures(Tables.events(s, d)
+          .select("user_id", "ts", "event_id", "value"),
+        "user_id", "ts", "value", "event_id"),
+      Some("""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+                FROM events)
+              SELECT user_id, ts, event_id, value,
+                lag(value, 1) OVER w AS lag_1,
+                lag(value, 2) OVER w AS lag_2,
+                round(avg(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS roll_mean,
+                min(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS roll_min,
+                max(value) OVER (w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS roll_max
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")),
 
     Q("q_hourly_anomalies", // operational monitoring: z-score of each hour's
       // event count vs the trailing 24 OBSERVED hours per type (rows frame);

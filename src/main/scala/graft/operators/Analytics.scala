@@ -56,6 +56,29 @@ object Analytics {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-key rolling time-series features — the lag/rolling-window projection
+    * a feature-engineering pipeline materializes before model training:
+    * `lag_1..lag_n` previous values and mean/min/max over the preceding
+    * `rollWindow` rows, per key in (ts, tieBreak) order. Missing history is
+    * null (the standard leading-edge contract). One shuffle on the key, then
+    * a single per-key ordered pass computes every feature (all windows share
+    * one sort); same skew caveat as any per-key ordered op — a key too hot to
+    * sort on one task belongs in the streaming layer. */
+  def rollingFeatures(events: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, tieBreak: String, nLags: Int = 2,
+                      rollWindow: Int = 3): DataFrame = {
+    require(nLags >= 1 && rollWindow >= 1,
+      s"need nLags >= 1 and rollWindow >= 1, got $nLags/$rollWindow")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieBreak))
+    val rw = w.rowsBetween(-rollWindow, -1)
+    val lags = (1 to nLags).map(i => lag(col(valueCol), i).over(w).as(s"lag_$i"))
+    events.select(
+      (Seq(col(keyCol), col(tsCol), col(tieBreak), col(valueCol)) ++ lags ++ Seq(
+        round(avg(col(valueCol)).over(rw), 6).as("roll_mean"),
+        min(col(valueCol)).over(rw).as("roll_min"),
+        max(col(valueCol)).over(rw).as("roll_max"))): _*)
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST event
     * (the cohort), counted as retained in every later week they produce any
     * event. Returns `(cohort_week, week_offset, n_users)` — offset 0 is the

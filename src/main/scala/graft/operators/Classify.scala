@@ -231,4 +231,39 @@ object Classify {
         col("best.centroid_cos").as("centroid_cos"),
         (col("best.cand") === col("best.label")).as("correct"))
   }
+
+  /** Per-class precision / recall / F1 + support over (label, prediction)
+    * pairs — the evaluation table every model-based curation filter ships
+    * with before it gates a corpus. Classes with no predictions score
+    * precision 0 (the sklearn zero-division convention); F1 derives from the
+    * 6-rounded precision/recall so the table is bit-reproducible across
+    * engines.
+    *
+    * Scale shape: ONE (label, pred) count aggregate reduces the scored corpus
+    * to ≤ classes² rows; every later step (per-class totals, the metric
+    * arithmetic) runs on that classes²-bounded frame. */
+  def classificationMetrics(scored: DataFrame, labelCol: String = "lang",
+                            predCol: String = "pred_lang"): DataFrame = {
+    val conf = scored.groupBy(col(labelCol).as("clazz"), col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy("clazz").agg(sum(col("n")).as("support"))
+    val byPred = conf.groupBy(col("pred").as("clazz")).agg(sum(col("n")).as("n_pred"))
+    val tp = conf.filter(col("clazz") === col("pred"))
+      .select(col("clazz"), col("n").as("tp"))
+    byTrue
+      .join(byPred, Seq("clazz"), "left")
+      .join(tp, Seq("clazz"), "left")
+      .select(col("clazz"), col("support"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("clazz"), col("support"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          round(col("tp").cast("double") / col("n_pred"), 6)).otherwise(0.0)
+          .as("precision"),
+        round(col("tp").cast("double") / col("support"), 6).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall")), 6)).otherwise(0.0))
+  }
 }

@@ -157,4 +157,21 @@ class ClassifySpec extends SparkSpec {
     info(f"centroid self-accuracy = $r%.3f")
     assert(r >= 0.30, f"centroid self-accuracy $r%.3f below 0.30 floor (chance 0.10)")
   }
+
+  test("classificationMetrics: per-class P/R/F1 from a hand confusion matrix") {
+    import spark.implicits._
+    val scored = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), // a: support 3, tp 2
+      ("b", "a"), ("b", "b"),             // b: support 2, tp 1
+      ("c", "a")                          // c: support 1, tp 0, never predicted
+    ).toDF("lang", "pred_lang")
+    val r = Classify.classificationMetrics(scored).collect()
+      .map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3),
+          x.getDouble(4), x.getDouble(5), x.getDouble(6))).toMap
+    assert(r("a") === ((3L, 4L, 2L, 0.5, 0.666667, 0.571429)), s"a: ${r("a")}")
+    assert(r("b") === ((2L, 2L, 1L, 0.5, 0.5, 0.5)))
+    // zero-division convention: unpredicted class scores precision 0, f1 0
+    assert(r("c") === ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
+  }
 }

@@ -375,7 +375,9 @@ class PlanSpec extends SparkSpec {
       "sim_mrl_topk" -> 1, // ONE query-keyed heap-topk (prefix shortlist); rerank joins broadcast, same shape as sim_rp_topk
       "pipeline_snapshot_diff" -> 2, // two (doc_id, fp) sides into the full-outer id join; no text crosses either exchange
       "q_heavy_hitters_by_key" -> 2, // sketch-row merge agg + the |groups|*capacity-row top-k window; the raw stream never shuffles
-      "q_salted_join" -> 2) // (key,salt) join both sides when the dim exceeds broadcast (at fixture stats the dim broadcasts: 0)
+      "q_salted_join" -> 2, // (key,salt) join both sides when the dim exceeds broadcast (at fixture stats the dim broadcasts: 0)
+      "q_rolling_features" -> 1, // ONE key shuffle; lags and all rolling windows share the single per-key sort
+      "text_nb_metrics" -> 14) // NB scoring plan (pinned 8 as text_nb_classify) + the classes²-bounded confusion agg and per-class total joins
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
