@@ -47,6 +47,40 @@ object SparkEntry {
       Merge(9, "h", "a"))
   }
 
+  /** Shared oracle for both curation-audit forms (text-keyed and
+    * fingerprint-keyed — verdicts identical barring 64-bit collision). */
+  private val curateAuditOracle: String =
+    """WITH t AS (SELECT doc_id,
+        lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+      x AS (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t),
+      s AS (SELECT doc_id, norm, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) AS avg_token_len,
+        len(list_filter(toks, t -> t IN ('the','and','of','to','in'))) AS score_en,
+        len(list_filter(toks, t -> t IN ('der','die','und','ist','das'))) AS score_de,
+        len(list_filter(toks, t -> t IN ('el','la','de','que','y'))) AS score_es,
+        len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS score_fr
+        FROM x),
+      l AS (SELECT *,
+        CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und'
+             WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+             WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+             WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+        FROM s),
+      g AS (SELECT doc_id, norm,
+        CASE WHEN pred_lang != 'en' THEN 'lang'
+             WHEN n_tokens < 20 THEN 'too_short'
+             WHEN avg_token_len > 5.0 THEN 'token_len' END AS reason
+        FROM l),
+      sv AS (SELECT norm, min(doc_id) AS survivor_id FROM g
+        WHERE reason IS NULL GROUP BY norm)
+      SELECT g.doc_id,
+        coalesce(g.reason, CASE WHEN g.doc_id = sv.survivor_id THEN 'kept'
+          ELSE 'duplicate' END) AS verdict,
+        CASE WHEN g.reason IS NULL AND g.doc_id != sv.survivor_id
+          THEN sv.survivor_id END AS survivor_id
+      FROM g LEFT JOIN sv USING (norm)"""
+
   // ------------------------------------------------------------------
   // §2.1 sources/scans + §2.2 projections/filters/scalars
   // ------------------------------------------------------------------
@@ -2410,6 +2444,22 @@ object SparkEntry {
           hashBuckets = 4096)
       },
       None),
+
+    Q("pipeline_curate_audit", // the curation chain with per-document
+      // verdicts instead of silent drops: first failing gate in gate order,
+      // or duplicate (with the winning survivor_id), or kept — the
+      // governance answer to "which rule killed this document"
+      (s, d) => Curation.curateAudit(Tables.documents(s, d),
+        lang = "en", minTokens = 20, maxAvgTokenLen = 5.0),
+      Some(curateAuditOracle)),
+
+    Q("pipeline_curate_audit_fp", // 100 TB form of the audit: both exchanges
+      // (survivor agg + verdict re-join) carry xxhash64 keys, never text;
+      // verdicts identical barring 64-bit collision, so the SAME oracle
+      // hash-matches (the pipeline_curate_fp precedent)
+      (s, d) => Curation.curateAudit(Tables.documents(s, d),
+        lang = "en", minTokens = 20, maxAvgTokenLen = 5.0, fastHash = true),
+      Some(curateAuditOracle)),
 
     Q("pipeline_snapshot_diff", // corpus snapshot diff (added/removed/changed
       // between two crawls): each side reduces to (doc_id, 8-byte

@@ -24,8 +24,7 @@ object Curation {
   /** One normalize+tokenize projection feeding every signal, then the
     * language/quality gates — shared by both dedup-key forms, and everything
     * upstream of the only shuffle. */
-  private def scoredSurvivors(docs: DataFrame, lang: String, minTokens: Int,
-                              maxAvgTokenLen: Double): DataFrame =
+  private def scoredAll(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("text"), TextFns.normalize(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"), split(col("norm"), " ").as("toks"))
@@ -34,6 +33,10 @@ object Curation {
         (length(regexp_replace(col("norm"), " ", "")).cast("double") /
           size(col("toks"))).as("avg_token_len"),
         TextFns.predictLangFromTokens(col("toks")).as("pred_lang"))
+
+  private def scoredSurvivors(docs: DataFrame, lang: String, minTokens: Int,
+                              maxAvgTokenLen: Double): DataFrame =
+    scoredAll(docs)
       .filter(col("pred_lang") === lang &&
         col("n_tokens") >= minTokens && col("avg_token_len") <= maxAvgTokenLen)
 
@@ -690,6 +693,39 @@ object Curation {
     * the materialized feature key, and the three scalars (totals, vocab size)
     * ride a single-row broadcast. `hashBuckets = 0` keeps raw feature strings
     * — the oracle-reproducible fixture form. */
+  /** Curation AUDIT trail — [[curateCorpus]]'s gate chain with per-document
+    * verdicts instead of silent drops: every input doc gets exactly one of
+    * `lang` / `too_short` / `token_len` (first failing gate, in gate order) /
+    * `duplicate` (passed the gates, lost the dedup — `survivor_id` names the
+    * winner) / `kept`. The "which rule killed this document" question a
+    * governance review asks of a corpus run; `Σ kept = curateCorpus` row
+    * count by construction (PropertySpec).
+    *
+    * Scale shape: all gate signals come from the ONE tokenize projection
+    * (map-only); the only exchanges are the survivor-group aggregate and the
+    * verdict re-join on the group key. `fastHash` swaps the normalized-text
+    * key for xxhash64 so both exchanges carry 8-byte keys — identical
+    * verdicts barring collision (the `pipeline_curate_fp` caveat). */
+  def curateAudit(docs: DataFrame, lang: String = "en", minTokens: Int = 20,
+                  maxAvgTokenLen: Double = 5.0, fastHash: Boolean = false): DataFrame = {
+    val key = if (fastHash) xxhash64(col("norm")) else col("norm")
+    val gated = scoredAll(docs)
+      .select(col("doc_id"), key.as("k"),
+        when(col("pred_lang") =!= lang, "lang")
+          .when(col("n_tokens") < minTokens, "too_short")
+          .when(col("avg_token_len") > maxAvgTokenLen, "token_len").as("reason"))
+    val survivors = gated.filter(col("reason").isNull)
+      .groupBy(col("k")).agg(min(col("doc_id")).as("survivor_id"))
+    gated
+      .join(survivors, Seq("k"), "left")
+      .select(col("doc_id"),
+        coalesce(col("reason"),
+          when(col("doc_id") === col("survivor_id"), "kept")
+            .otherwise("duplicate")).as("verdict"),
+        when(col("reason").isNull && col("doc_id") =!= col("survivor_id"),
+          col("survivor_id")).as("survivor_id"))
+  }
+
   /** Corpus snapshot diff — the governance primitive behind "what changed
     * between yesterday's crawl and today's": per doc_id verdicts `added`
     * (new only), `removed` (old only), `changed` (both, different content).

@@ -641,6 +641,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("curateAudit: verdicts partition the corpus, kept = curateCorpus, forms agree") {
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val audit = Curation.curateAudit(df, lang = "en", minTokens = 5,
+        maxAvgTokenLen = 100.0)
+      val rows = audit.collect()
+      assert(rows.length === docsList.length, "every input doc gets one verdict")
+      val kept = rows.filter(_.getString(1) == "kept").map(_.getLong(0)).toSet
+      val curated = Curation.curateCorpus(df, lang = "en", minTokens = 5,
+        maxAvgTokenLen = 100.0).collect().map(_.getLong(0)).toSet
+      assert(kept === curated, "kept set must equal the curated corpus")
+      // every duplicate names a kept survivor
+      rows.filter(_.getString(1) == "duplicate").foreach { r =>
+        assert(kept.contains(r.getLong(2)), s"dup ${r.getLong(0)} names a non-kept survivor")
+      }
+      // the fingerprint form produces identical verdicts on this corpus
+      val fp = Curation.curateAudit(df, lang = "en", minTokens = 5,
+        maxAvgTokenLen = 100.0, fastHash = true)
+      assert(rowSet(fp) === rowSet(audit))
+    }
+  }
+
   test("snapshotDiff: added/removed/changed verdicts, unchanged omitted, both hash forms agree") {
     val old = Seq((1L, "kept the same"), (2L, "will change"), (3L, "will vanish"))
       .toDF("doc_id", "text")
