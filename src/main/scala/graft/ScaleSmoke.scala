@@ -45,6 +45,31 @@ object ScaleSmoke {
     time("bucketCounts 3-granularity (A2)") {
       Ops.bucketCounts(events, "ts").count()
     }
+    time("funnel 3 stages, hot user (20%)") {
+      // per-stage filtered min-aggs + |users|-row joins: the hot user costs a
+      // map-side partial, never a per-key sort
+      graft.operators.Analytics.funnel(events,
+        Seq("signup", "view", "purchase"), maxSpanHours = 168)
+        .agg(sum(col("n_users"))).head().getLong(0)
+    }
+    time("retentionCohorts weekly") {
+      graft.operators.Analytics.retentionCohorts(events).count()
+    }
+    time("hourlyAnomalies trailing-24 z-score") {
+      // events reduce to (type, hour) counts BEFORE the tiny window
+      graft.operators.Analytics.hourlyAnomalies(events).filter(col("is_anomaly")).count()
+    }
+    time("heavyHittersByKey top-10 users/type") {
+      Ops.approxHeavyHittersByKey(events, "event_type", "user_id",
+        k = 10, capacity = 256).count()
+    }
+    time("saltedJoin 100k-row dim, hot key (20%)") {
+      // hot user 0's rows spread across 32 salt buckets
+      val dim = spark.range(100003).select(col("id").as("user_id"),
+        concat(lit("u"), col("id")).as("name"))
+      Ops.saltedJoin(events.select(col("event_id"), col("user_id")), dim,
+        "user_id", salts = 32, saltSource = col("event_id")).count()
+    }
     time("latestPerKeyAgg argmax (hot key)") {
       Ops.latestPerKeyAgg(events, Seq("user_id"), Seq(col("ts"), col("event_id"))).count()
     }
@@ -138,6 +163,11 @@ object ScaleSmoke {
     time("lshTopK 10 queries nbits=16") {
       sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
         nbits = 16, tables = 4).count()
+    }
+    time("mrlTopK 10 queries prefix=8 of 32") {
+      // stage-1 scan moves 1/4 of the vector bytes; exact rerank on top-100
+      sim.mrlTopK(vecs, vecs.filter(col("vec_id") < 10), 10,
+        prefixDim = 8, rerankFactor = 10).count()
     }
     // PQ: train on a 1% sample, encode + ADC-scan the full corpus — the
     // encode/ADC kernels are native expressions precisely because unrolled
@@ -409,6 +439,21 @@ object ScaleSmoke {
         // explode-once bucket pairs: <=C(20,2) pairs per kept gram
         graft.operators.Dedup.containmentPairs(docs, n = 3, maxDf = 20,
           threshold = 0.8).count()
+      }
+      time("phraseSearch 2-gram 1M docs") {
+        // corpus tokens filter to the phrase vocabulary before any exchange
+        graft.operators.Search.phraseSearch(docs, Seq("data", "engine")).count()
+      }
+      time("curateAudit fp-keyed 1M docs") {
+        // per-doc verdicts; both exchanges carry 8-byte keys
+        graft.operators.Curation.curateAudit(docs, lang = "en", minTokens = 5,
+          maxAvgTokenLen = 100.0, fastHash = true)
+          .filter(col("verdict") === "duplicate").count()
+      }
+      time("snapshotDiff 500k vs 500k (10% edits)") {
+        graft.operators.Curation.snapshotDiff(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).count()
       }
     }
 
