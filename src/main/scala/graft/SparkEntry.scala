@@ -2583,6 +2583,23 @@ object SparkEntry {
                 count(*) AS n_users
               FROM aw JOIN fs USING (user_id) GROUP BY 1, 2""")),
 
+    Q("q_target_encode", // leave-one-out mean encoding of user_id by value
+      // (Micci-Barreca smoothing 10 toward the global mean): the standard
+      // high-cardinality categorical feature, leakage-free via the LOO
+      // exclusion; exact integer-cent sums make it bit-reproducible
+      (s, d) => Analytics.targetEncodeLoo(Tables.events(s, d)
+          .select("event_id", "user_id", "value"),
+        "user_id", "value", smoothing = 10.0),
+      Some("""WITH e AS (SELECT event_id, user_id, value,
+                CAST(round(value * 100) AS BIGINT) AS c FROM events),
+              g AS (SELECT CAST(sum(c) AS BIGINT) AS gs, count(*) AS gn FROM e),
+              st AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS s,
+                count(*) AS n FROM e GROUP BY user_id)
+              SELECT user_id, event_id, value,
+                round(((st.s - e.c) * gn + 10.0 * gs)
+                  / (100.0 * gn * (st.n - 1 + 10.0)), 6) AS te_loo
+              FROM e JOIN st USING (user_id) CROSS JOIN g""")),
+
     Q("q_rolling_features", // feature-engineering projection: per-user lag-1/2
       // values and preceding-3-row mean/min/max in one shared per-key ordered
       // pass (one shuffle on the key, all windows reuse the sort); leading

@@ -79,6 +79,45 @@ object Analytics {
         max(col(valueCol)).over(rw).as("roll_max"))): _*)
   }
 
+  /** Leave-one-out target (mean) encoding with Micci-Barreca smoothing — the
+    * standard high-cardinality categorical feature: encode each row's key by
+    * the mean of a numeric target over the key's OTHER rows (the
+    * leave-one-out exclusion is what stops the feature leaking the row's own
+    * label), shrunk toward the global mean by `smoothing`:
+    *
+    *   te = ((Σ_key − x) + α·globalMean) / (n_key − 1 + α)
+    *
+    * `smoothing = 0` and a singleton key → null (no information). The target
+    * is fixed-point 2-decimal data (the fixture contract), summed exactly in
+    * integer cents, so the encoding is bit-reproducible across engines and
+    * partitionings.
+    *
+    * Scale shape: ONE map-side-combined (key → sum, count) aggregate; the
+    * global mean is a single-row broadcast; the encode re-join is key-keyed
+    * (broadcast when the key table is small). No window over raw rows. */
+  def targetEncodeLoo(df: DataFrame, keyCol: String, targetCol: String,
+                      smoothing: Double = 0.0): DataFrame = {
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val withC = df.withColumn("__c", round(col(targetCol) * 100).cast("long"))
+    val stats = withC.groupBy(keyCol)
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+    val glob = withC.agg(sum(col("__c")).as("__gs"), count(lit(1)).as("__gn"))
+    // One fused rational, ONE float division: every term is an exact integer
+    // (or integer x integral-smoothing product) below 2^53, so both engines
+    // derive the identical double and the 6-decimal round cannot straddle a
+    // half-boundary differently (the multi-op form measurably did, 1 row in
+    // 10k at the fixture).
+    val denom = lit(100.0) * col("__gn") * (col("__n") - 1 + smoothing)
+    withC
+      .join(stats, keyCol)
+      .crossJoin(broadcast(glob))
+      .withColumn("te_loo",
+        when(col("__n") - 1 + smoothing > 0, round(
+          ((col("__s") - col("__c")) * col("__gn") +
+            lit(smoothing) * col("__gs")) / denom, 6)))
+      .drop("__c", "__s", "__n", "__gs", "__gn")
+  }
+
   /** Weekly retention cohorts: users grouped by the week of their FIRST event
     * (the cohort), counted as retained in every later week they produce any
     * event. Returns `(cohort_week, week_offset, n_users)` — offset 0 is the

@@ -65,6 +65,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(spike._3.get.asInstanceOf[Double] - 14.722432) < 1e-5)
   }
 
+  test("targetEncodeLoo: LOO means, singleton-null at zero smoothing, shrinkage") {
+    val df = Seq((1L, "a", 1.00), (2L, "a", 2.00), (3L, "a", 3.00), (4L, "b", 5.00))
+      .toDF("event_id", "key", "value")
+    def te(sm: Double): Map[Long, Option[Double]] =
+      Analytics.targetEncodeLoo(df, "key", "value", sm).collect()
+        .map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    val raw = te(0.0)
+    assert(raw(1L) === Some(2.5) && raw(2L) === Some(2.0) && raw(3L) === Some(1.5))
+    assert(raw(4L).isEmpty, "singleton key with no smoothing must be null")
+    // smoothing 1: global mean 2.75 shrinks everything; singleton gets exactly gm
+    val sm = te(1.0)
+    assert(sm(4L) === Some(2.75))
+    assert(sm(1L) === Some(BigDecimal((2.0 + 3.0 + 2.75) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
   test("retentionCohorts: offset 0 is cohort size; later weeks count distinct users") {
     // weeks start Monday: 2024-01-01 IS a Monday
     val df = Seq(

@@ -379,7 +379,8 @@ class PlanSpec extends SparkSpec {
       "q_rolling_features" -> 1, // ONE key shuffle; lags and all rolling windows share the single per-key sort
       "text_nb_metrics" -> 14, // NB scoring plan (pinned 8 as text_nb_classify) + the classes²-bounded confusion agg and per-class total joins
       "pipeline_curate_audit" -> 2, // survivor-group agg + verdict re-join on the group key (re-join broadcasts at fixture stats: 1)
-      "pipeline_curate_audit_fp" -> 2) // same, both exchanges carrying xxhash64 keys, never text
+      "pipeline_curate_audit_fp" -> 2, // same, both exchanges carrying xxhash64 keys, never text
+      "q_target_encode" -> 1) // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

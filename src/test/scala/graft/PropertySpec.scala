@@ -68,6 +68,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel equals a driver-side recomputation for every event multiset") {
+    forAll(genEvents) { evs =>
+      val stages = Seq("signup", "view", "purchase")
+      val horizonH = 24
+      val got = graft.operators.Analytics.funnel(evs.toDF(), stages, horizonH)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val byUser = evs.groupBy(_.user_id)
+      def reach(es: Seq[TestEvent]): Int = {
+        val t1 = es.filter(_.event_type == stages.head).map(_.ts.getTime).minOption
+        t1 match {
+          case None => 0
+          case Some(t0) =>
+            var tPrev = t0; var reached = 1
+            val limit = t0 + horizonH * 3600L * 1000L
+            stages.drop(1).foreach { st =>
+              if (reached == stages.indexOf(st)) {
+                val cand = es.filter(e => e.event_type == st &&
+                  e.ts.getTime >= tPrev && e.ts.getTime <= limit).map(_.ts.getTime)
+                if (cand.nonEmpty) { reached += 1; tPrev = cand.min }
+              }
+            }
+            reached
+        }
+      }
+      val reaches = byUser.values.map(es => reach(es.toSeq)).toSeq
+      val exp = stages.indices.map(i => i + 1 -> reaches.count(_ >= i + 1).toLong).toMap
+      assert(got === exp, s"funnel counts diverged: $got vs $exp")
+    }
+  }
+
   test("saltedJoin equals the plain inner join for every event multiset and salt count") {
     forAll(genEvents) { evs =>
       val big = evs.toDF().select(col("event_id"), col("user_id"))
