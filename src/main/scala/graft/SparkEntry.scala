@@ -1280,6 +1280,49 @@ object SparkEntry {
                      ELSE 0.0 END AS f1
               FROM pr""")),
 
+    Q("text_nb_calibration", // reliability diagram for the NB gate: softmax
+      // the per-class scores (max-subtracted), bin the winning confidence
+      // into deciles, report per-bin mean confidence vs accuracy. Confidence
+      // quantizes to integer micro-units immediately, so binning and the
+      // per-bin means are exact integer arithmetic — bit-reproducible
+      (s, d) => Classify.calibrationBins(
+        Classify.naiveBayesScoresSelf(Tables.documents(s, d)), bins = 10),
+      Some("""WITH t AS (SELECT doc_id, lang,
+                unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+                FROM documents),
+              tok AS (SELECT doc_id, lang, term FROM t WHERE len(term) > 0),
+              ct AS (SELECT lang AS cand, term, count(*) AS c_ct FROM tok GROUP BY 1, 2),
+              cc AS (SELECT cand, sum(c_ct) AS c_c FROM ct GROUP BY 1),
+              v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vsz FROM tok),
+              pri AS (SELECT lang AS cand,
+                ln(CAST(count(*) AS DOUBLE) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)) AS logprior
+                FROM documents GROUP BY 1),
+              vocab AS (SELECT DISTINCT term FROM ct),
+              model AS (SELECT vocab.term, pri.cand,
+                ln((CAST(coalesce(ct.c_ct, 0) AS DOUBLE) + 1.0) / (CAST(cc.c_c AS DOUBLE) + v.vsz)) AS logp
+                FROM vocab CROSS JOIN pri JOIN cc USING (cand)
+                LEFT JOIN ct ON ct.term = vocab.term AND ct.cand = pri.cand, v),
+              sc AS (SELECT tok.doc_id, model.cand, sum(model.logp) AS loglik
+                FROM tok JOIN model ON tok.term = model.term GROUP BY 1, 2),
+              scored AS (SELECT doc_id, cand, round(loglik + logprior, 6) AS nb_score
+                FROM sc JOIN pri USING (cand)),
+              soft AS (SELECT doc_id, cand, nb_score,
+                exp(nb_score - max(nb_score) OVER (PARTITION BY doc_id)) AS e
+                FROM scored),
+              zz AS (SELECT *, sum(e) OVER (PARTITION BY doc_id) AS z,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY nb_score DESC, cand ASC) AS rn FROM soft),
+              top AS (SELECT zz.doc_id, (zz.cand = d.lang) AS correct,
+                CAST(round(e / z * 1000000) AS BIGINT) AS cm
+                FROM zz JOIN documents d USING (doc_id) WHERE rn = 1),
+              b AS (SELECT correct, cm,
+                least(CAST((cm * 10) // 1000000 AS INT), 9) AS bin FROM top)
+              SELECT bin, count(*) AS n,
+                round(CAST(sum(cm) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_conf,
+                round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                  / count(*), 6) AS accuracy
+              FROM b GROUP BY bin""")),
+
     Q("text_nb_holdout", // the frozen-model train/apply split: NB fit on even
       // doc_ids, scored on the held-out odd half (out-of-vocabulary test
       // terms drop at the scoring join — standard multinomial-NB OOV); the

@@ -95,19 +95,32 @@ object Classify {
     (model, priors)
   }
 
-  private def nbPredict(toks: DataFrame, model: DataFrame,
-                        priors: DataFrame): DataFrame = {
+  private def nbScores(toks: DataFrame, model: DataFrame,
+                       priors: DataFrame): DataFrame =
     // scoring: one corpus-stream equi-join on term; (doc, cand) hash agg.
     // The true label rides the grouping key — functionally dependent on
     // doc_id, so it adds nothing to the key's cardinality but saves a
     // corpus-sized re-join to recover it (the bm25TopKBatch `dl` trick)
-    val scored = toks
+    toks
       .join(model, "term")
       .groupBy(col("doc_id"), col("lang"), col("cand"))
       .agg(sum(col("logp")).as("loglik"))
       .join(priors, "cand")
       .select(col("doc_id"), col("lang"), col("cand"),
         round(col("loglik") + col("logprior"), 6).as("nb_score"))
+
+  /** The full per-class score frame `(doc_id, lang, cand, nb_score)` —
+    * [[naiveBayesSelf]] before the argmax, for consumers that need every
+    * class's score (calibration, top-2 margins, abstention thresholds). */
+  def naiveBayesScoresSelf(docs: DataFrame, labelCol: String = "lang"): DataFrame = {
+    val toks = nbTokens(docs, labelCol)
+    val (model, priors) = nbModel(docs, toks, labelCol)
+    nbScores(toks, model, priors)
+  }
+
+  private def nbPredict(toks: DataFrame, model: DataFrame,
+                        priors: DataFrame): DataFrame = {
+    val scored = nbScores(toks, model, priors)
 
     // per-doc argmax as a window, not ArgMaxAgg: the tie-break is ASCENDING
     // on a string class while the score is descending — and the window key
@@ -230,6 +243,43 @@ object Classify {
         col("best.cand").as("pred_label"),
         col("best.centroid_cos").as("centroid_cos"),
         (col("best.cand") === col("best.label")).as("correct"))
+  }
+
+  /** Calibration (reliability-diagram) bins over a per-class score frame
+    * ([[naiveBayesScoresSelf]]'s shape): per doc, softmax the class scores
+    * (max-subtracted — log-likelihoods are far too negative for a naive exp),
+    * take the winning class's confidence, and bin confidences into `bins`
+    * equal-width buckets with per-bin mean confidence and accuracy — the
+    * table a curation team reads before trusting a classifier's scores as
+    * gates (ECE = Σ n/N·|avg_conf − accuracy| falls out of it).
+    *
+    * Determinism: the confidence quantizes to integer MICRO-UNITS right after
+    * the softmax, so binning is pure integer arithmetic and the per-bin means
+    * are single divisions of exact integer sums — no float accumulation
+    * order can move a doc across bins or a mean across a rounding boundary.
+    * Scale shape: the windows run over ≤|classes|-row doc partitions; the
+    * only corpus-sized exchange is the bin aggregate (map-side combined). */
+  def calibrationBins(scores: DataFrame, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val byDoc = Window.partitionBy("doc_id")
+    val top = scores
+      .withColumn("__e", exp(col("nb_score") - max(col("nb_score")).over(byDoc)))
+      .withColumn("__z", sum(col("__e")).over(byDoc))
+      .withColumn("__rn", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("nb_score").desc, col("cand").asc)))
+      .filter(col("__rn") === 1)
+      .select((col("cand") === col("lang")).as("correct"),
+        round(col("__e") / col("__z") * 1000000).cast("long").as("__cm"))
+    top
+      .select(col("correct"), col("__cm"),
+        least(expr(s"CAST((__cm * $bins) DIV 1000000 AS INT)"), lit(bins - 1)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct").cast("long")).as("__nc"),
+        sum(col("__cm")).as("__sc"))
+      .select(col("bin"), col("n"),
+        round(col("__sc").cast("double") / (col("n") * 1000000.0), 6).as("avg_conf"),
+        round(col("__nc").cast("double") / col("n"), 6).as("accuracy"))
   }
 
   /** Per-class precision / recall / F1 + support over (label, prediction)

@@ -158,6 +158,19 @@ class ClassifySpec extends SparkSpec {
     assert(r >= 0.30, f"centroid self-accuracy $r%.3f below 0.30 floor (chance 0.10)")
   }
 
+  test("calibrationBins: known softmax confidences land in the right bins") {
+    import spark.implicits._
+    val scores = Seq(
+      // doc 1: conf(a) = 1/(1+1/9) = 0.9 -> bin 9, correct
+      (1L, "a", "a", 0.0), (1L, "a", "b", -math.log(9.0)),
+      // doc 2: exact tie -> winner a (cand asc), conf 0.5 -> bin 5, wrong
+      (2L, "b", "a", 0.0), (2L, "b", "b", 0.0)
+    ).toDF("doc_id", "lang", "cand", "nb_score")
+    val r = Classify.calibrationBins(scores, bins = 10).collect()
+      .map(x => x.getInt(0) -> (x.getLong(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(r === Map(9 -> ((1L, 0.9, 1.0)), 5 -> ((1L, 0.5, 0.0))), s"got $r")
+  }
+
   test("classificationMetrics: per-class P/R/F1 from a hand confusion matrix") {
     import spark.implicits._
     val scored = Seq(

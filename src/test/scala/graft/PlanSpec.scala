@@ -380,7 +380,8 @@ class PlanSpec extends SparkSpec {
       "text_nb_metrics" -> 14, // NB scoring plan (pinned 8 as text_nb_classify) + the classes²-bounded confusion agg and per-class total joins
       "pipeline_curate_audit" -> 2, // survivor-group agg + verdict re-join on the group key (re-join broadcasts at fixture stats: 1)
       "pipeline_curate_audit_fp" -> 2, // same, both exchanges carrying xxhash64 keys, never text
-      "q_target_encode" -> 1) // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
+      "q_target_encode" -> 1, // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
+      "text_nb_calibration" -> 9) // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
