@@ -3083,6 +3083,34 @@ object SparkEntry {
   }
 
   private val graphQueries = Seq(
+    Q("q_triangle_count", // per-node triangle counts over the co-supplier
+      // graph (suppliers sharing an order) — the clustering-coefficient
+      // numerator; degree-ordered orientation counts each triangle once and
+      // bounds wedge generation by O(m^1.5), hub-star immune
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val e = li.alias("x").join(li.alias("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
+        graft.operators.Graph.triangleCounts(e)
+      },
+      Some("""WITH p AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+                FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                  AND l1.l_suppkey < l2.l_suppkey),
+              deg AS (SELECT n, count(*) AS d FROM
+                (SELECT a AS n FROM p UNION ALL SELECT b AS n FROM p) GROUP BY n),
+              o AS (SELECT
+                CASE WHEN (ta.d < tb.d) OR (ta.d = tb.d AND a < b) THEN a ELSE b END AS u,
+                CASE WHEN (ta.d < tb.d) OR (ta.d = tb.d AND a < b) THEN b ELSE a END AS v
+                FROM p JOIN deg ta ON p.a = ta.n JOIN deg tb ON p.b = tb.n),
+              tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                FROM o e1 JOIN o e2 ON e1.v = e2.u
+                JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v)
+              SELECT node, count(*) AS n_triangles FROM
+                (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri) GROUP BY node""")),
+
     Q("q_pagerank", // entity importance over the co-purchase graph — 5 fixed
       // power iterations, dangling mass redistributed, ranks sum to 1; the
       // site-authority quality prior of a crawl pipeline. Hash-oracled

@@ -84,6 +84,42 @@ object Graph {
     ranks
   }
 
+  /** Per-node triangle counts over an undirected edge list — the clustering-
+    * coefficient numerator, the graph-quality signal (link farms score high,
+    * organic link graphs low) a crawl pipeline reads next to PageRank.
+    * Returns `(node, n_triangles)` for nodes in ≥1 triangle.
+    *
+    * Degree-ordered orientation (Schank & Wagner 2005): every edge points
+    * from its lower-(degree, node) endpoint, making the graph acyclic and
+    * every triangle counted exactly ONCE (its three edges orient x→y→z,
+    * x→z); out-degrees are bounded by O(√m), so the wedge join — the only
+    * quadratic-risk step — generates Σ outdeg² = O(m^1.5) candidates
+    * worst-case instead of Σ deg² (a hot hub's star explodes un-oriented).
+    * Dataflow: dedup + degree agg + two equi-joins on 8-byte endpoints; no
+    * adjacency list ever materializes per node. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val lower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val o = und
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("v"))
+    val wedges = o.as("e1").join(o.as("e2"), col("e1.v") === col("e2.u"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+    val tris = wedges.join(o.as("e3"),
+      col("x") === col("e3.u") && col("z") === col("e3.v"))
+      .select("x", "y", "z")
+    tris.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Seeded (semi-supervised) label propagation: spread sparse integer labels
     * across the graph for `iters` synchronous rounds. Returns `(node, label)`
     * for every node that acquired a label.

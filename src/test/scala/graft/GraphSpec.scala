@@ -83,4 +83,16 @@ class GraphSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r("x") === 9L) // 2 votes for 9 beat 1 vote for 1 despite 1 < 9
   }
+
+  test("triangleCounts: K4 gives 3 per node; cycles and paths give none") {
+    // K4 on 1-4 (4 triangles, 3 per node) + a diamond-free square 5-8 + a
+    // path 9-10; duplicate and reversed edges must not double-count
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L), (9L, 10L)) ++
+      Seq((2L, 1L), (3L, 1L), (1L, 2L))) // noise: reversed + duplicate
+      .toDF("src", "dst")
+    val r = Graph.triangleCounts(edges).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $r")
+  }
 }

@@ -381,7 +381,8 @@ class PlanSpec extends SparkSpec {
       "pipeline_curate_audit" -> 2, // survivor-group agg + verdict re-join on the group key (re-join broadcasts at fixture stats: 1)
       "pipeline_curate_audit_fp" -> 2, // same, both exchanges carrying xxhash64 keys, never text
       "q_target_encode" -> 1, // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
-      "text_nb_calibration" -> 9) // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
+      "text_nb_calibration" -> 9, // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
+      "q_triangle_count" -> 8) // edge dedup + degree agg + orientation joins + wedge/closure equi-joins + node count; every exchange carries 8-byte endpoints
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
