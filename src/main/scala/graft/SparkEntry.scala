@@ -3084,19 +3084,25 @@ object SparkEntry {
 
   private val graphQueries = Seq(
     Q("q_triangle_count", // per-node triangle counts over the co-supplier
-      // graph (suppliers sharing an order) — the clustering-coefficient
-      // numerator; degree-ordered orientation counts each triangle once and
-      // bounds wedge generation by O(m^1.5), hub-star immune
+      // graph (suppliers sharing an order, 1-in-20 order sample — the full
+      // projection is near-complete at sf0.1, every counter's worst case) —
+      // the clustering-coefficient numerator; degree-ordered orientation
+      // counts each triangle once and bounds wedge generation by O(m^1.5),
+      // hub-star immune
       (s, d) => {
-        val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        val li = Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(20)) === 0)
+          .select(col("l_orderkey"), col("l_suppkey"))
         val e = li.alias("x").join(li.alias("y"),
             col("x.l_orderkey") === col("y.l_orderkey") &&
               col("x.l_suppkey") < col("y.l_suppkey"))
           .select(col("x.l_suppkey").as("src"), col("y.l_suppkey").as("dst"))
         graft.operators.Graph.triangleCounts(e)
       },
-      Some("""WITH p AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
-                FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      Some("""WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem
+                WHERE l_orderkey % 20 = 0),
+              p AS (SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+                FROM li l1 JOIN li l2 ON l1.l_orderkey = l2.l_orderkey
                   AND l1.l_suppkey < l2.l_suppkey),
               deg AS (SELECT n, count(*) AS d FROM
                 (SELECT a AS n FROM p UNION ALL SELECT b AS n FROM p) GROUP BY n),
