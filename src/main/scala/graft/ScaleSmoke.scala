@@ -70,6 +70,19 @@ object ScaleSmoke {
       Ops.saltedJoin(events.select(col("event_id"), col("user_id")), dim,
         "user_id", salts = 32, saltSource = col("event_id")).count()
     }
+    time("targetEncodeLoo smoothing=10") {
+      graft.operators.Analytics.targetEncodeLoo(
+        events.select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value", smoothing = 10.0).count()
+    }
+    time("rollingFeatures (hot-key window sort)") {
+      // the documented per-key ordered-op caveat, measured: the hot user's
+      // 2M-row history sorts on one task — route hot keys to the streaming
+      // layer when this bound matters
+      graft.operators.Analytics.rollingFeatures(
+        events.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", "value", "event_id").count()
+    }
     time("latestPerKeyAgg argmax (hot key)") {
       Ops.latestPerKeyAgg(events, Seq("user_id"), Seq(col("ts"), col("event_id"))).count()
     }
@@ -477,6 +490,12 @@ object ScaleSmoke {
           spark.range(0, nGraphNodes, 100).select(col("id").as("node"),
             pmod(col("id"), lit(25)).as("label")),
           iters = 3).count()
+      }
+      time("triangleCounts 5M edges (hot dst)") {
+        // the celebrity node is every edge's HIGHER-degree endpoint, so
+        // orientation gives it out-degree 0 — its 1M-edge star generates no
+        // wedges (the O(m^1.5) bound in action)
+        graft.operators.Graph.triangleCounts(gEdges).count()
       }
     }
 
