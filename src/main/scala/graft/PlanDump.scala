@@ -165,12 +165,22 @@ object PlanDump {
          "highest-quality representative and the verdict re-joins on id."),
       ("dedup_containment",
        "Asymmetric containment (explode-once bucket form): ONE " +
-         "normalize+shingle projection feeds per-gram buckets (collect_list " +
-         "bounded by maxDf, each doc's gram total riding the posting row); " +
-         "pairs explode inside the bucket and ONE pair-keyed count finishes " +
-         "|A∩B| — exactly two exchanges, both carrying longs, never grams " +
-         "or text; both direction verdicts explode from the one pair row " +
-         "(no union, so the pair-agg subtree plans once)."),
+         "normalize+shingle projection feeds a df-count pre-filter (8-byte " +
+         "count buffers, never lists) whose semi-join drops df∉[2,maxDf] " +
+         "postings BEFORE any collect_list, so bucket buffers are genuinely " +
+         "<= maxDf entries map-side and post-shuffle; the df-count and " +
+         "semi-join probe share one gkey exchange (ReusedExchange); pairs " +
+         "explode inside the bucket and ONE pair-keyed count finishes " +
+         "|A∩B| — exchanges carry longs, never grams or text; both " +
+         "direction verdicts explode from the one pair row (no union, so " +
+         "the pair-agg subtree plans once)."),
+      ("dedup_containment_prefix",
+       "Containment with the positional prefix filter (PPJoin-style): grams " +
+         "order rarest-first by global df, candidates must share a gram in " +
+         "the contained side's prefix (|g| - ceil(t*|g|) + 1 rarest grams — " +
+         "the pigeonhole bound), so bucket pair explosion only fires when a " +
+         "RARE gram is shared; the exact |A∩B| then comes from one " +
+         "array_intersect over the candidate pairs' gram-key arrays."),
       ("pipeline_dsir_weights",
        "DSIR importance weights: both count models are vocab-bounded " +
          "aggregates (hashed form: <= hashBuckets rows) assembled by one " +

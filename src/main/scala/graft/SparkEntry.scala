@@ -47,6 +47,38 @@ object SparkEntry {
       Merge(9, "h", "a"))
   }
 
+  /** Shared oracle for both containment forms: the base bucket form and the
+    * positional-prefix-filtered form are bit-identical on the fixture (max
+    * gram df = 7 < 20 — both exact; see
+    * [[graft.operators.Dedup.containmentPairsPrefix]]). */
+  private val containmentOracle: String =
+    """WITH t AS (SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+       tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+       g0 AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS grams FROM tk),
+       g AS (SELECT * FROM g0 WHERE len(grams) > 0),
+       sz AS (SELECT doc_id, CAST(len(grams) AS DOUBLE) AS n_grams FROM g),
+       post AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM post GROUP BY gram)
+                WHERE df BETWEEN 2 AND 20),
+       bounded AS (SELECT p.doc_id, p.gram FROM post p JOIN keep k ON p.gram = k.gram),
+       inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS DOUBLE) AS inter
+         FROM bounded a JOIN bounded b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       sc AS (SELECT i.a_id, i.b_id, i.inter / sa.n_grams AS c_ab,
+           i.inter / sb.n_grams AS c_ba
+         FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+         JOIN sz sb ON sb.doc_id = i.b_id)
+       SELECT a_id AS contained_id, b_id AS container_id, c_ab AS containment
+       FROM sc WHERE c_ab >= 0.8
+       UNION ALL
+       SELECT b_id, a_id, c_ba FROM sc WHERE c_ba >= 0.8"""
+
   /** Shared oracle for both curation-audit forms (text-keyed and
     * fingerprint-keyed — verdicts identical barring 64-bit collision). */
   private val curateAuditOracle: String =
@@ -1573,32 +1605,17 @@ object SparkEntry {
       // literal strings — identical barring 64-bit collision.
       (s, d) => Dedup.containmentPairs(Tables.documents(s, d), n = 3,
         maxDf = 20, threshold = 0.8),
-      Some("""WITH t AS (SELECT doc_id,
-                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
-              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
-              g0 AS (SELECT doc_id,
-                list_distinct(CASE WHEN len(toks) >= 3 THEN
-                  list_transform(generate_series(1, len(toks) - 2),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                  ELSE [] END) AS grams FROM tk),
-              g AS (SELECT * FROM g0 WHERE len(grams) > 0),
-              sz AS (SELECT doc_id, CAST(len(grams) AS DOUBLE) AS n_grams FROM g),
-              post AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-              keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM post GROUP BY gram)
-                       WHERE df BETWEEN 2 AND 20),
-              bounded AS (SELECT p.doc_id, p.gram FROM post p JOIN keep k ON p.gram = k.gram),
-              inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                  CAST(count(*) AS DOUBLE) AS inter
-                FROM bounded a JOIN bounded b
-                  ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
-              sc AS (SELECT i.a_id, i.b_id, i.inter / sa.n_grams AS c_ab,
-                  i.inter / sb.n_grams AS c_ba
-                FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
-                JOIN sz sb ON sb.doc_id = i.b_id)
-              SELECT a_id AS contained_id, b_id AS container_id, c_ab AS containment
-              FROM sc WHERE c_ab >= 0.8
-              UNION ALL
-              SELECT b_id, a_id, c_ba FROM sc WHERE c_ba >= 0.8""")),
+      Some(containmentOracle)),
+
+    Q("dedup_containment_prefix", // same semantics through the PPJoin-style
+      // positional prefix filter: candidates must share one of the contained
+      // side's RAREST |g|-ceil(t|g|)+1 grams (pigeonhole bound), so the
+      // bucket pair explosion fires only on shared rare grams; exact |A∩B|
+      // then comes from array_intersect over candidate gram arrays.
+      // Bit-identical to dedup_containment on this fixture (both exact).
+      (s, d) => Dedup.containmentPairsPrefix(Tables.documents(s, d), n = 3,
+        maxDf = 20, threshold = 0.8),
+      Some(containmentOracle)),
 
     Q("dedup_clusters", // connected components over ngram-jaccard pairs
       (s, d) => {

@@ -118,15 +118,6 @@ object Analytics {
       .drop("__c", "__s", "__n", "__gs", "__gn")
   }
 
-  /** Weekly retention cohorts: users grouped by the week of their FIRST event
-    * (the cohort), counted as retained in every later week they produce any
-    * event. Returns `(cohort_week, week_offset, n_users)` — offset 0 is the
-    * cohort's own size.
-    *
-    * Two user-keyed exchanges: the first-event argmin (map-side combined) and
-    * the distinct (user, week) activity reduction; the final
-    * (cohort, offset) count aggregates a table already reduced to one row per
-    * user-week. */
   /** Hourly count anomalies per event type: z-score of each hour's count
     * against the trailing `trailingHours` OBSERVED hours' mean/stddev (rows
     * frame — missing hours are skipped, so a sparse series compares against
@@ -158,6 +149,15 @@ object Analytics {
       .withColumn("is_anomaly", coalesce(abs(col("zscore")) >= zThreshold, lit(false)))
   }
 
+  /** Weekly retention cohorts: users grouped by the week of their FIRST event
+    * (the cohort), counted as retained in every later week they produce any
+    * event. Returns `(cohort_week, week_offset, n_users)` — offset 0 is the
+    * cohort's own size.
+    *
+    * Two user-keyed exchanges: the first-event argmin (map-side combined) and
+    * the distinct (user, week) activity reduction; the final
+    * (cohort, offset) count aggregates a table already reduced to one row per
+    * user-week. */
   def retentionCohorts(events: DataFrame): DataFrame = {
     val firstSeen = events.groupBy("user_id")
       .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))

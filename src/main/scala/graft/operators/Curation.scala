@@ -668,31 +668,6 @@ object Curation {
           col("rule_alpha") && col("rule_stopwords"))
   }
 
-  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
-    * Models via Importance Resampling"): score every raw document by how much
-    * more likely its n-gram features are under a TARGET corpus' unigram+bigram
-    * model than under the raw corpus' own — the principled replacement for
-    * "train a classifier against the target domain" when all you want is a
-    * resampling weight. Returns `(doc_id, n_feats, dsir_logw)` where
-    *
-    *   dsir_logw = Σ_f [ log p̂_target(f) − log p̂_raw(f) ]
-    *
-    * over every unigram and bigram OCCURRENCE f of the document, with
-    * add-`alpha` smoothed probabilities over the UNION vocabulary (so target-
-    * only features shape the normalizer but unseen features never produce
-    * −∞). Resample by feeding `dsir_logw` to [[qualityQuantileGate]] (top
-    * fraction) or [[weightedSample]] (Gumbel-style without replacement).
-    *
-    * Scale shape (the paper's own trick, made explicit): with
-    * `hashBuckets > 0` features collapse to `xxhash64(f) mod hashBuckets`, so
-    * BOTH count models are dense tables of at most `hashBuckets` rows no
-    * matter the corpus — fit them once, broadcast-or-equi-join them anywhere.
-    * The corpus-side dataflow is the [[lmScore]] shape: one tokenize
-    * projection per side, vocab-bounded model assembly (full-outer join of
-    * two count tables), the raw feature stream pays exactly ONE equi-join on
-    * the materialized feature key, and the three scalars (totals, vocab size)
-    * ride a single-row broadcast. `hashBuckets = 0` keeps raw feature strings
-    * — the oracle-reproducible fixture form. */
   /** Curation AUDIT trail — [[curateCorpus]]'s gate chain with per-document
     * verdicts instead of silent drops: every input doc gets exactly one of
     * `lang` / `too_short` / `token_len` (first failing gate, in gate order) /
@@ -738,22 +713,56 @@ object Curation {
     * discipline as [[graft.operators.Dedup.exactDedupByFingerprint]].
     * `fastHash` picks xxhash64 (scale default) vs the oracle-reproducible
     * rolling hash; verdicts agree with a direct text compare barring 64-bit
-    * collision (the `pipeline_curate_fp` caveat). */
+    * collision (the `pipeline_curate_fp` caveat).
+    *
+    * Presence is carried by explicit per-side marker columns, NOT inferred
+    * from fingerprint nullness — a null-text document fingerprints as the
+    * empty document on BOTH paths (the slow path coalesces before hashing,
+    * like [[graft.functions.TextFns.fastFingerprint]] already does), so a
+    * null-text row present in both snapshots reports `unchanged`, and a
+    * null-vs-text edit reports `changed` instead of vanishing into a
+    * null `=!=` comparison. */
   def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
                    fastHash: Boolean = true): DataFrame = {
-    def fp(df: DataFrame, as: String): DataFrame = df.select(col("doc_id"),
+    def fp(df: DataFrame, as: String, mark: String): DataFrame = df.select(col("doc_id"),
       (if (fastHash) TextFns.fastFingerprint(col("text"))
-       else TextFns.fingerprint(col("text"))).as(as))
-    fp(oldDocs, "old_fp")
-      .join(fp(newDocs, "new_fp"), Seq("doc_id"), "full_outer")
+       else TextFns.fingerprint(coalesce(col("text"), lit("")))).as(as),
+      lit(true).as(mark))
+    fp(oldDocs, "old_fp", "in_old")
+      .join(fp(newDocs, "new_fp", "in_new"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
+        when(col("in_old").isNull, "added")
+          .when(col("in_new").isNull, "removed")
           .when(col("old_fp") =!= col("new_fp"), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
   }
 
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by how much
+    * more likely its n-gram features are under a TARGET corpus' unigram+bigram
+    * model than under the raw corpus' own — the principled replacement for
+    * "train a classifier against the target domain" when all you want is a
+    * resampling weight. Returns `(doc_id, n_feats, dsir_logw)` where
+    *
+    *   dsir_logw = Σ_f [ log p̂_target(f) − log p̂_raw(f) ]
+    *
+    * over every unigram and bigram OCCURRENCE f of the document, with
+    * add-`alpha` smoothed probabilities over the UNION vocabulary (so target-
+    * only features shape the normalizer but unseen features never produce
+    * −∞). Resample by feeding `dsir_logw` to [[qualityQuantileGate]] (top
+    * fraction) or [[weightedSample]] (Gumbel-style without replacement).
+    *
+    * Scale shape (the paper's own trick, made explicit): with
+    * `hashBuckets > 0` features collapse to `xxhash64(f) mod hashBuckets`, so
+    * BOTH count models are dense tables of at most `hashBuckets` rows no
+    * matter the corpus — fit them once, broadcast-or-equi-join them anywhere.
+    * The corpus-side dataflow is the [[lmScore]] shape: one tokenize
+    * projection per side, vocab-bounded model assembly (full-outer join of
+    * two count tables), the raw feature stream pays exactly ONE equi-join on
+    * the materialized feature key, and the three scalars (totals, vocab size)
+    * ride a single-row broadcast. `hashBuckets = 0` keeps raw feature strings
+    * — the oracle-reproducible fixture form. */
   def dsirWeights(raw: DataFrame, target: DataFrame, alpha: Double = 0.5,
                   hashBuckets: Int = 0): DataFrame = {
     require(alpha > 0, s"smoothing alpha must be > 0, got $alpha")

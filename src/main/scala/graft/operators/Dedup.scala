@@ -577,12 +577,19 @@ object Dedup {
     * boilerplate that cannot discriminate and would explode the pair set
     * quadratically — the same bound as the inverted-index build,
     * [[Search.buildPostings]]), and |A∩B| is the pair's shared-kept-gram
-    * COUNT. Dataflow is explode-once, the LSH-bucket shape: postings group
-    * into per-gram buckets (≤ `maxDf` entries each), each bucket explodes its
-    * ordered pairs, and one pair-keyed count finishes the intersection — the
-    * expensive normalize+shingle projection runs ONCE per row, and exactly
-    * two exchanges touch the data (gkey buckets; pair counts). No gram string
-    * and no gram array ever crosses an exchange: postings shuffle as
+    * COUNT. Dataflow is explode-once, the LSH-bucket shape: a cheap df-count
+    * aggregation first keeps only gram keys with df ∈ [2, `maxDf`] (a
+    * count-agg buffer is one long per key no matter the df — a boilerplate
+    * gram with df in the millions costs 8 bytes here, not a df-sized list),
+    * a semi-join drops every posting of an unkept gram BEFORE any list is
+    * collected, and only then do postings group into per-gram buckets — so
+    * collect_list buffers are genuinely ≤ `maxDf` entries, map-side and
+    * post-shuffle. Each bucket explodes its ordered pairs, and one pair-keyed
+    * count finishes the intersection — the expensive normalize+shingle
+    * projection runs ONCE per row. Both the df-count and the semi-join probe
+    * hash-partition the same postings subtree by gkey, so the exchange is
+    * planned once and reused (PlanSpec pins the exchange count). No gram
+    * string and no gram array ever crosses an exchange: postings shuffle as
     * (xxhash64 gram key, doc_id, n_grams) — each doc's gram total rides the
     * posting row, so no per-doc size table is ever joined back. Exact when no
     * shared gram exceeds `maxDf` (the fixture regime, DedupSpec-asserted
@@ -601,11 +608,16 @@ object Dedup {
         explode(col("grams")).as("gram"))
       .select(xxhash64(col("gram")).as("gkey"),
         struct(col("doc_id"), col("n_grams")).as("m"))
+    // df pre-filter: bound the collect_list below BEFORE anything is
+    // collected — df=1 grams cannot be shared, df>maxDf grams are boilerplate
+    val keep = post.groupBy("gkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select("gkey")
     // sort_array orders each bucket by doc_id (struct compare, first field),
     // so the pair explode below emits each unordered pair exactly once, a<b
-    val buckets = post.groupBy("gkey")
+    val buckets = post.join(keep, Seq("gkey"), "left_semi")
+      .groupBy("gkey")
       .agg(sort_array(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) >= 2 && size(col("ms")) <= maxDf)
     val inter = buckets
       .select(explode(expr(
         """flatten(transform(ms, (x, i) ->
@@ -617,6 +629,88 @@ object Dedup {
     // both directions explode from the one pair row (no union — a union would
     // plan the pair-agg subtree twice); map-only from here
     inter
+      .select(explode(array(
+        struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          (col("inter") / col("a_n")).as("containment")),
+        struct(col("b_id").as("contained_id"), col("a_id").as("container_id"),
+          (col("inter") / col("b_n")).as("containment")))).as("r"))
+      .filter(col("r.containment") >= threshold)
+      .select(col("r.contained_id"), col("r.container_id"), col("r.containment"))
+  }
+
+  /** [[containmentPairs]] with the set-similarity-join POSITIONAL PREFIX
+    * FILTER (the PPJoin/All-Pairs family's candidate bound, here specialized
+    * to directed containment): if C(A→B) = |A∩B|/|A| ≥ t then B must share
+    * one of A's `|A| − ⌈t·|A|⌉ + 1` globally-RAREST grams — miss all of
+    * them and the overlap tops out at `⌈t·|A|⌉ − 1 < t·|A|` (pigeonhole).
+    * So after ordering every doc's grams rarest-first by corpus df, a pair
+    * is a candidate only when its shared gram lies in EITHER side's prefix
+    * (either direction may clear the threshold). Boilerplate grams are by
+    * construction the COMMONEST, hence never in a prefix — the quadratic
+    * bucket explosion that [[containmentPairs]] pays on every shared
+    * in-range gram here fires only on shared RARE grams.
+    *
+    * Dataflow: the same df-bounded posting pass (df-count pre-filter, then
+    * semi-join, then ≤ `maxDf` buckets), but postings carry a prefix flag
+    * (position < prefix length in the doc's rarest-first order) and the
+    * in-bucket pair explode keeps only flagged pairs; candidates then dedup
+    * to distinct (a, b) and ONE equi-join back to the per-doc gram-key
+    * arrays computes exact |A∩B| via array_intersect — exact over ALL
+    * grams, so on fixtures this is bit-identical to [[containmentPairs]]
+    * and to the DuckDB oracle (PropertySpec form-equivalence; at scale it
+    * can only ADD the hyper-common-gram overlap the base form
+    * conservatively drops, for pairs it finds). The candidate bound shares
+    * [[containmentPairs]]'s caveat: a prefix gram with df > `maxDf` is
+    * dropped, so pairs whose every shared rare gram is boilerplate-common
+    * are missed — the same regime where the base form misses them too.
+    * Cost vs base: one extra df join + per-doc sort (bounded by doc gram
+    * count) + candidate dedup + one array join, bought back by the far
+    * smaller pair explosion — the stress fixture (1 M docs) is the
+    * measured evidence (SCALE.md). */
+  def containmentPairsPrefix(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
+                             threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val gramSets = docs
+      .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"),
+        array_distinct(TextFns.shinglesFromTokens(split(col("norm"), " "), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("doc_id"), expr("transform(grams, g -> xxhash64(g))").as("gkeys"))
+    val post = gramSets.select(col("doc_id"), explode(col("gkeys")).as("gkey"))
+    val dfTab = post.groupBy("gkey").agg(count(lit(1)).as("df"))
+    // rarest-first gram order per doc (df asc, gkey tie-break) — the sort is
+    // per-doc and bounded by the doc's gram count, inside one hash aggregate
+    val ordered = post.join(dfTab, "gkey")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, gkey))), s -> s.gkey)")
+        .as("okeys"))
+    // posting rows tagged with the prefix flag: pos < |g| - ceil(t*|g|) + 1
+    val tagged = ordered
+      .select(col("doc_id"), size(col("okeys")).as("ng"), posexplode(col("okeys")))
+      .select(col("col").as("gkey"), struct(col("doc_id"),
+        (col("pos") < (col("ng") - ceil(col("ng") * threshold) + 1).cast("int"))
+          .as("pref")).as("m"))
+    val keep = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("gkey")
+    // buckets ordered by doc_id (struct compare, first field): each unordered
+    // pair explodes once, kept only when a side holds the gram in its prefix
+    val cand = tagged.join(keep, Seq("gkey"), "left_semi")
+      .groupBy("gkey")
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .select(explode(expr(
+        """flatten(transform(ms, (x, i) ->
+             filter(transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x, y)),
+                    p -> p.x.pref OR p.y.pref)))""")).as("p"))
+      .select(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"))
+      .distinct()
+    // exact |A∩B| over the full gram-key arrays of the surviving candidates
+    val aSets = gramSets.select(col("doc_id").as("a_id"), col("gkeys").as("a_g"))
+    val bSets = gramSets.select(col("doc_id").as("b_id"), col("gkeys").as("b_g"))
+    cand.join(aSets, "a_id").join(bSets, "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_g"), col("b_g"))).cast("double").as("inter"),
+        size(col("a_g")).cast("double").as("a_n"),
+        size(col("b_g")).cast("double").as("b_n"))
       .select(explode(array(
         struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
           (col("inter") / col("a_n")).as("containment")),

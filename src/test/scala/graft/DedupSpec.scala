@@ -67,6 +67,19 @@ class DedupSpec extends SparkSpec {
     assert(r === Set(Seq(4L, 5L, 1.0), Seq(5L, 4L, 1.0)))
   }
 
+  test("containment prefix-filter form selects the identical pair set") {
+    Seq(0.7, 0.8, 1.0).foreach { t =>
+      val b = rowSet(Dedup.containmentPairs(docs, n = 3, maxDf = 20, threshold = t))
+      val p = rowSet(Dedup.containmentPairsPrefix(docs, n = 3, maxDf = 20, threshold = t))
+      assert(p === b, s"threshold $t")
+    }
+    // and on the fixture corpus (planted duplicate/superset groups)
+    val fixB = rowSet(Dedup.containmentPairs(fixtureDocs, n = 3, maxDf = 20, threshold = 0.8))
+    val fixP = rowSet(Dedup.containmentPairsPrefix(fixtureDocs, n = 3, maxDf = 20, threshold = 0.8))
+    assert(fixP === fixB)
+    assert(fixB.nonEmpty, "fixture must plant containment pairs — equivalence on empty sets is vacuous")
+  }
+
   test("duplicate spans: shared 8-grams merge into maximal spans; unique tails stay out") {
     val spans = rowSet(Dedup.duplicateSpans(docs, n = 8, minDocs = 2))
     // base is 14 tokens; docs 1/2 normalize identical -> grams at pos 0..6,

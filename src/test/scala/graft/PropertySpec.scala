@@ -705,6 +705,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: null-text presence comes from markers, not fingerprint nullness") {
+    val old = Seq((1L, None: Option[String]), (2L, Option("was text")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val neu = Seq((1L, None: Option[String]), // null in both -> unchanged, omitted
+      (2L, None: Option[String]), // text -> null: changed, not silently dropped
+      (4L, None: Option[String])).toDF("doc_id", "text") // new null doc -> added
+    Seq(true, false).foreach { fast =>
+      val r = rowSet(graft.operators.Curation.snapshotDiff(old, neu, fastHash = fast))
+      assert(r === Set(Seq(2L, "changed"), Seq(3L, "removed"), Seq(4L, "added")),
+        s"fastHash=$fast got $r")
+    }
+  }
+
+  test("containmentPairsPrefix equals containmentPairs when no gram exceeds maxDf") {
+    // maxDf = corpus size makes both forms exact (df can never exceed the
+    // number of docs), the regime where the prefix filter is a pure
+    // candidate-pruning optimization — outputs must be bit-identical
+    forAll(genDocs, runs = 4) { docsList =>
+      val df = docsList.toDF("doc_id", "text")
+      val cap = math.max(docsList.length, 2)
+      Seq(0.6, 0.9).foreach { t =>
+        val b = rowSet(graft.operators.Dedup.containmentPairs(df, n = 2, maxDf = cap, threshold = t))
+        val p = rowSet(graft.operators.Dedup.containmentPairsPrefix(df, n = 2, maxDf = cap, threshold = t))
+        assert(p === b, s"threshold $t corpus ${docsList.size}")
+      }
+    }
+  }
+
   test("dsirWeights equals a driver-side recomputation for every corpus/target") {
     forAll(genDocs, runs = 4) { docsList =>
       val df = docsList.toDF("doc_id", "text")
