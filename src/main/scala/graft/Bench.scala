@@ -74,11 +74,26 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.keys.toSeq.sorted
       else { args.foreach(a => require(SparkEntry.queries.contains(a), s"unknown query: $a")); args.toSeq }
 
-    def sweep(): Seq[Double] = selected.map { name =>
-      val fn = SparkEntry.queries(name)
+    // Host-speed probe: a fixed, data-independent, codegen-bound query (sum
+    // over a 67M-row range) timed once per sweep. Its cross-round trajectory
+    // calibrates host noise — when every query AND the probe inflate by the
+    // same factor between rounds, the host slowed down, not the plans
+    // (rounds 4→5 and 7→8 both showed uniform ~1.2–1.5× swings that had to
+    // be re-adjudicated as noise; this field makes that check arithmetic).
+    val nullTimes = scala.collection.mutable.ArrayBuffer[Double]()
+    def nullProbe(): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.range(1L << 26).selectExpr("sum(id * 3 + 1) AS s").collect()
       (System.nanoTime() - t0) / 1e9
+    }
+    def sweep(): Seq[Double] = {
+      nullTimes += nullProbe()
+      selected.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
     }
     // matrix(r)(q): run-major; grows until the min-reproducibility gate passes
     // or the retry budget is spent.
@@ -105,7 +120,8 @@ object Bench {
     def jsonLine(rs: Seq[(String, Double)]): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val runTotals = matrix.map(r => f(r.sum)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${matrix.size},"run_totals":$runTotals,"spread":${f(spread)}}"""
+      val nulls = nullTimes.map(f).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
     }
     val byName = results.toMap
     if (args.isEmpty) {

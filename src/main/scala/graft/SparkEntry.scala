@@ -2849,6 +2849,68 @@ object SparkEntry {
               SELECT doc_id, rrf, lex_rank, vec_rank FROM f
               ORDER BY rrf DESC, doc_id LIMIT 10""")),
 
+    Q("search_hybrid_rrf_batch", // hybrid retrieval for a query SET: every
+      // rank keyed on the logical query_id (lexical via bm25TopKBatch, vector
+      // via per-(query, vec) rank + within-query best-rank), so cross-query
+      // rank mixing is structurally impossible; query 2 is multi-vector
+      // (vecs 1 + 2) to exercise best-rank fusion under the oracle
+      (s, d) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, d)
+        val queries = Seq((1L, "vector merge stream"), (2L, "hash scan filter"))
+          .toDF("query_id", "qtext")
+        val qv = emb.filter(col("vec_id").isin(0L, 1L, 2L))
+          .withColumn("query_id", when(col("vec_id") === 0L, 1L).otherwise(2L))
+        Search.hybridTopKBatch(Tables.documents(s, d), emb, queries, qv,
+          k = 10, kRetrieval = 50)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+              q AS (SELECT CAST(query_id AS BIGINT) AS query_id, qtext FROM (VALUES
+                (1, 'vector merge stream'), (2, 'hash scan filter')) AS q(query_id, qtext)),
+              qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+              tok AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term FROM t),
+              tfm AS (SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term, dl),
+              df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tfm GROUP BY term),
+              sc AS (SELECT qt.query_id, tfm.doc_id, round(sum(
+                  ln(1 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) * (tfm.tf * 2.2) /
+                  (tfm.tf + 1.2 * (1 - 0.75 + 0.75 * tfm.dl / st.avgdl))), 6) AS bm25
+                FROM tfm JOIN df USING (term) JOIN qt USING (term), st
+                GROUP BY qt.query_id, tfm.doc_id),
+              lex AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS lex_rank
+                FROM sc WHERE bm25 > 0 QUALIFY lex_rank <= 50),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              qv AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(src AS BIGINT) AS src
+                FROM (VALUES (1, 0), (2, 1), (2, 2)) AS v(query_id, src)),
+              qe AS (SELECT qv.query_id, qv.src, e.emb AS qemb
+                FROM qv JOIN e ON e.vec_id = qv.src),
+              sv AS (SELECT qe.query_id, qe.src, e.vec_id,
+                  round(list_reduce(list_prepend(0.0,
+                    list_transform(generate_series(1, len(e.emb)), i -> qe.qemb[i] * e.emb[i])),
+                    (acc, x) -> acc + x), 6) AS cosine
+                FROM qe, e WHERE e.vec_id != qe.src),
+              vrk AS (SELECT query_id, src, vec_id,
+                  row_number() OVER (PARTITION BY query_id, src ORDER BY cosine DESC, vec_id) AS r
+                FROM sv QUALIFY r <= 50),
+              vr AS (SELECT query_id, vec_id, CAST(min(r) AS BIGINT) AS vec_rank
+                FROM vrk GROUP BY query_id, vec_id),
+              f AS (SELECT coalesce(l.query_id, v.query_id) AS query_id,
+                  coalesce(l.doc_id, v.vec_id) AS doc_id,
+                  round(coalesce(1.0 / (60 + l.lex_rank), 0) +
+                        coalesce(1.0 / (60 + v.vec_rank), 0), 6) AS rrf,
+                  CAST(l.lex_rank AS BIGINT) AS lex_rank, v.vec_rank
+                FROM lex l FULL OUTER JOIN vr v
+                  ON l.query_id = v.query_id AND l.doc_id = v.vec_id)
+              SELECT query_id, doc_id, rrf, lex_rank, vec_rank
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY rrf DESC, doc_id) AS rk FROM f)
+              WHERE rk <= 10""")),
+
     Q("search_postings", // inverted-index build, the TWO-PHASE maxDf-bounded
       // form (the scale-safe default): df per term first, postings collected
       // only inside [minDf, maxDf] — no aggregation buffer ever materializes a

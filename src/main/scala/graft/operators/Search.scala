@@ -351,6 +351,59 @@ object Search {
       .limit(k)
   }
 
+  /** [[hybridTopK]] for a whole query SET, every rank keyed on the LOGICAL
+    * query id — the form that makes cross-query rank mixing structurally
+    * impossible: the lexical channel is [[bm25TopKBatch]] (query-count-
+    * independent corpus work) ranked per query_id, the vector channel ranks
+    * per (query_id, query vector) and keeps each doc's best rank WITHIN its
+    * query, and the fusion join + final top-k are both query_id-keyed.
+    *
+    * `queries`: (query_id, qtext) — the lexical form of each logical query.
+    * `queryVecs`: (query_id, vec_id, embedding) — one or more embedding
+    * forms per logical query (multi-vector queries contribute their best
+    * per-query rank); `vec_id` must be unique across the input and is the
+    * self-exclusion key against the corpus, exactly as in
+    * [[graft.operators.Similarity.bruteForceTopK]].
+    * Output: per-query top `k` of (query_id, doc_id, rrf, lex_rank,
+    * vec_rank) — [[hybridTopK]]'s semantics per query (SearchSpec asserts
+    * row-for-row agreement with independent single-query calls).
+    *
+    * Scale shape: both channels bound their output to kRetrieval rows per
+    * query BEFORE fusion, so the rank windows (query-keyed, never global),
+    * the full-outer join, and the final per-query top-k all run on
+    * |queries| × ≤ 2·kRetrieval rows; the corpus-scale work lives inside
+    * the channels, which keep their own plans. */
+  def hybridTopKBatch(docs: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                      queryVecs: DataFrame, k: Int = 10, kRetrieval: Int = 50,
+                      rrfK: Int = 60): DataFrame = {
+    require(k >= 1 && kRetrieval >= k, s"need kRetrieval >= k >= 1, got k=$k kRetrieval=$kRetrieval")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val lex = bm25TopKBatch(docs, queries, kRetrieval)
+      .withColumn("lex_rank", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long"))
+      .select(col("query_id").as("l_q"), col("doc_id").as("l_id"), col("lex_rank"))
+    // bruteForceTopK keys its output on the query VECTOR id; re-attach the
+    // logical query_id (a dim-sized broadcast) before any rank aggregation,
+    // so best-rank is taken strictly within a logical query
+    val qmap = queryVecs.select(col("vec_id").as("qv_id"),
+      col("query_id").cast("long").as("v_q"))
+    val vec = graft.operators.Similarity.bruteForceTopK(embeddings, queryVecs, kRetrieval)
+      .join(broadcast(qmap), col("query_id") === col("qv_id"))
+      .groupBy(col("v_q"), col("vec_id").as("v_id"))
+      .agg(min(col("rank")).cast("long").as("vec_rank"))
+    lex.join(vec, col("l_q") === col("v_q") && col("l_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("l_q"), col("v_q")).as("query_id"),
+        coalesce(col("l_id"), col("v_id")).as("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)), 6).as("rrf"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Exact phrase search over positional postings — the query class a
     * bag-of-words index cannot answer ("spark sql" ≠ sql ∧ spark): returns
     * `(doc_id, n_occurrences)` for documents containing the token sequence

@@ -84,6 +84,33 @@ class SearchSpec extends SparkSpec {
     assert(vecRank.values.forall(_ == 1L), s"best-rank aggregation broken: $vecRank")
   }
 
+  test("hybrid RRF batch: per-query fusion equals independent single-query calls") {
+    // two logical queries: q1 single-vector, q2 multi-vector (best-rank) —
+    // every rank keyed on query_id, so the batch must reproduce each
+    // single-query fusion row-for-row with no cross-query mixing
+    val qv1 = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val qv2 = Seq((101L, Array(0f, 1f, 0f, 0f)), (102L, Array(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val emb = Seq(
+      (1L, Array(0f, 1f, 0f, 0f)), (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(0f, 0.6f, 0.8f, 0f)), (6L, Array(0.9f, 0f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding").unionAll(qv1).unionAll(qv2)
+    val queries = Seq((1L, "vector join stream"), (2L, "quick brown fox"))
+      .toDF("query_id", "qtext")
+    val qvAll = qv1.withColumn("query_id", lit(1L))
+      .unionAll(qv2.withColumn("query_id", lit(2L)))
+    val batch = rowList(Search.hybridTopKBatch(docs, emb, queries, qvAll,
+      k = 5, kRetrieval = 5)
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id")))
+    val s1 = rowList(Search.hybridTopK(docs, emb, Seq("vector", "join", "stream"),
+      qv1, k = 5, kRetrieval = 5))
+    val s2 = rowList(Search.hybridTopK(docs, emb, Seq("quick", "brown", "fox"),
+      qv2, k = 5, kRetrieval = 5))
+    val expected = s1.map(1L +: _) ++ s2.map(2L +: _)
+    assert(batch === expected, s"batch fusion diverged:\n$batch\nvs\n$expected")
+  }
+
   // ---- weighted sampling ----------------------------------------------------
 
   test("weightedSample: deterministic, weight-monotone, positive weights only") {
