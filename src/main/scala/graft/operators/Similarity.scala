@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{TopKByScoreAgg, VectorFns}
 
@@ -375,6 +375,42 @@ object Similarity {
     // whenever the corpus fits the sample cap (every fixture does).
     val cents = trainCentroidsSampled(corpus, nlist, iters)
     ivfProbeAssigned(ivfAssignments(corpus, cents), cents, queries, k, nprobe)
+  }
+
+  /** Persist the IVF index: the assignment table laid out CELL-PARTITIONED on
+    * disk (one directory per cell). This is the deployment form of the
+    * "persist the assignment" note on [[ivfAssignments]]: pay the assignment
+    * scan once at build time, and every later probe becomes a
+    * partition-pruned read of only its probed cell directories — the corpus
+    * is never rescanned, never re-exchanged. Pair with [[ivfProbePersisted]];
+    * the centroids (a kilobyte-scale model) persist separately (they are
+    * plain driver data — JSON/bytes next to the index). */
+  def writeIvfIndex(corpus: DataFrame, centroids: Centroids, path: String): Unit =
+    ivfAssignments(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Probe a [[writeIvfIndex]] layout: the probe-cell set is computed
+    * DRIVER-SIDE (bounded by min(nlist, |queries|·nprobe) ints — model-scale,
+    * like the centroids) and pushed into the read as a partition filter, so
+    * the scan touches ONLY the probed cell directories — the plan-level
+    * realization of IVF's promise (PlanSpec pins the partition pruning and
+    * the single candidate exchange). Queries broadcast onto the pruned scan;
+    * candidates re-rank exactly; same output contract as
+    * [[ivfProbeAssigned]] (bit-identical on the same centroids —
+    * spec-asserted). */
+  def ivfProbePersisted(spark: SparkSession, path: String, centroids: Centroids,
+                        queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), centroids, nprobe)))
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val index = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val cand = broadcast(probed).join(index, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
+    heapTopK(cand, k)
   }
 
   /** Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,

@@ -322,15 +322,39 @@ object StreamingViews {
     * later-STAGE events only, pruned by the funnel horizon — an event past
     * `t1 + horizon` can never re-qualify (t1 is monotone non-increasing, so
     * the window only moves earlier) and drops immediately. Pre-stage-1
-    * arrivals of later stages are kept until a stage-1 event bounds them; add
-    * a watermark upstream to bound that tail in adversarial streams. */
+    * arrivals of later stages are kept until a stage-1 event bounds them —
+    * a watermark alone does NOT evict `mapGroupsWithState` state, so two
+    * explicit bounds cover adversarial streams: `idleTimeout` (e.g.
+    * `"2 hours"`) arms a processing-time timeout per user — a user silent
+    * that long emits a final verdict and FREES its state (a later event
+    * restarts the funnel from empty: the deployment trade-off vs unbounded
+    * retention, off by default to preserve exact batch equivalence) — and
+    * `maxLaterEvents` caps the pre-stage-1 buffer per user, keeping the
+    * EARLIEST events by (ts, stage) (deterministic; earliest events are the
+    * ones a yet-unseen stage-1 window can still qualify). Defaults preserve
+    * the exact-batch-equivalent behavior of the hash-gated entry. */
   def streamFunnel(events: DataFrame, stages: Seq[String],
-                   maxSpanHours: Int = 168): DataFrame = {
+                   maxSpanHours: Int = 168, idleTimeout: String = "",
+                   maxLaterEvents: Int = 0): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
     val spark = events.sparkSession
     import spark.implicits._
     val k = stages.size
     val horizon = maxSpanHours * 3600L * 1000000L
+    def chainReached(t1: Long, later: List[(Int, Long)]): Int = {
+      var reached = if (t1 == Long.MaxValue) 0 else 1
+      var tPrev = t1
+      var stage = 1
+      while (stage < k && reached == stage) {
+        val cand = later.collect { case (i, ts) if i == stage && ts >= tPrev => ts }
+        if (cand.nonEmpty) { reached = stage + 1; tPrev = cand.min }
+        stage += 1
+      }
+      reached
+    }
+    val timeoutConf =
+      if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     val idxMap = map_from_arrays(array(stages.map(lit): _*),
       array(stages.indices.map(i => lit(i)): _*))
     events
@@ -340,24 +364,30 @@ object StreamingViews {
         unix_micros(col("ts").cast("timestamp")))
       .as[(Long, Int, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[FunnelState, (Long, Long, Int)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[FunnelState, (Long, Long, Int)](timeoutConf) {
         case (user, rows, state) =>
-          val prev = state.getOption.getOrElse(FunnelState(0L, Long.MaxValue, Nil))
-          val incoming = rows.toList
-          val t1 = (prev.t1 :: incoming.collect { case (_, 0, ts) => ts }).min
-          val later = (prev.later ++ incoming.collect { case (_, i, ts) if i > 0 => (i, ts) })
-            .filter { case (_, ts) => t1 == Long.MaxValue || ts <= t1 + horizon }
-          var reached = if (t1 == Long.MaxValue) 0 else 1
-          var tPrev = t1
-          var stage = 1
-          while (stage < k && reached == stage) {
-            val cand = later.collect { case (i, ts) if i == stage && ts >= tPrev => ts }
-            if (cand.nonEmpty) { reached = stage + 1; tPrev = cand.min }
-            stage += 1
+          if (state.hasTimedOut) {
+            // idle eviction: re-emit the settled verdict (same n_updates —
+            // idempotent under the max-n_updates settle) and free the state
+            val prev = state.get
+            state.remove()
+            (user, prev.nUpdates, chainReached(prev.t1, prev.later))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(0L, Long.MaxValue, Nil))
+            val incoming = rows.toList
+            val t1 = (prev.t1 :: incoming.collect { case (_, 0, ts) => ts }).min
+            val unbounded = (prev.later ++
+                incoming.collect { case (_, i, ts) if i > 0 => (i, ts) })
+              .filter { case (_, ts) => t1 == Long.MaxValue || ts <= t1 + horizon }
+            val later =
+              if (maxLaterEvents > 0 && unbounded.size > maxLaterEvents)
+                unbounded.sortBy { case (i, ts) => (ts, i) }.take(maxLaterEvents)
+              else unbounded
+            val next = FunnelState(prev.nUpdates + 1, t1, later)
+            state.update(next)
+            if (idleTimeout.nonEmpty) state.setTimeoutDuration(idleTimeout)
+            (user, next.nUpdates, chainReached(t1, later))
           }
-          val next = FunnelState(prev.nUpdates + 1, t1, later)
-          state.update(next)
-          (user, next.nUpdates, reached)
       }
       .toDF("user_id", "n_updates", "stage_reached")
   }

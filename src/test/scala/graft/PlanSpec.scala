@@ -361,7 +361,7 @@ class PlanSpec extends SparkSpec {
       "q_pagerank" -> 1, // post-checkpoint rounding projection (+1 edge-build agg when AQE reuses nothing)
       "q_pagerank_weighted" -> 1,
       "q_label_propagation" -> 1,
-      "dedup_containment" -> 2, // explode-once bucket form: ONE gkey bucket agg + ONE (a,b) pair agg (reused across the two union directions); every exchange carries (gkey|doc_id|n) longs, never grams or text
+      "dedup_containment" -> 3, // explode-once bucket form: df-count pre-filter agg (bounds the collect_list buffers BEFORE collection — the round-8 ADVICE fix, a deliberate +1) + gkey bucket agg + (a,b) pair agg; every exchange carries (gkey|doc_id|n) longs, never grams or text
       // round-8 additions: positional search, event analytics, DSIR, Gopher
       "search_phrase" -> 2, // (doc,start) vote agg + doc occurrence agg; corpus filters to the phrase vocabulary before either
       "search_proximity" -> 1, // ONE doc-keyed position-collect agg; min-distance map-only after it
@@ -453,5 +453,78 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty, p)
     assert(!exchanges.exists(_.contains("text")),
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("persisted IVF index probe partition-prunes to the probed cells only") {
+    val emb = Tables.embeddings(spark, d)
+    val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    Similarity.writeIvfIndex(emb, cents, s"$dir/index")
+    val df = Similarity.ivfProbePersisted(spark, s"$dir/index", cents,
+      emb.filter(col("vec_id") < 3), 5, nprobe = 2)
+    df.collect()
+    val p = physical(df).split("== Initial Plan ==").head
+    // the probe-cell set is a PARTITION filter at the scan: only the probed
+    // cell directories are read — the rest of the index never enters the plan
+    val f = formatted(df)
+    assert(f.linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cell")),
+      s"no cell partition filter at the index scan:\n$f")
+    // queries broadcast onto the pruned scan; the only exchange is the
+    // bounded top-k aggregation on query_id
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
+  test("funnel stages reuse the previous stage's exchange inside the unioned plan") {
+    // each stage's count chains the previous stage's subplan; the union must
+    // plan stage k-1's aggregation ONCE and reuse its exchange, not recompute
+    // the whole prefix per stage
+    val df = graft.operators.Analytics.funnel(Tables.events(spark, d),
+      Seq("signup", "view", "purchase"))
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("ReusedExchange"),
+      s"stage k-1 subtree recomputed per stage instead of exchange reuse:\n$p")
+  }
+
+  test("bucketed edges remove edge-side exchanges from pageRank rounds") {
+    // the Graph scaladoc claim, made measurable: edges pre-partitioned by src
+    // satisfy every per-round src-keyed requirement (the edges⋈ranks join and
+    // the out-weight aggregation) straight off the scan, so only the |V|-row
+    // rank tables are ever exchanged. Compared against the identical data as
+    // a plain (unbucketed) parquet table under the same plan.
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_bucket").toString
+    val edges = spark.range(400).select(
+      pmod(col("id") * 13, lit(40)).as("src"),
+      pmod(col("id") * 7 + 1, lit(40)).as("dst"))
+    edges.write.parquet(s"$dir/plain")
+    graft.sources.Lake.writeBucketed(edges, s"$dir/bucketed", "graft_pr_edges", "src", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // the at-scale join path
+    try {
+      def exchCount(e: DataFrame): Int = {
+        val df = graft.operators.Graph.pageRank(e, iters = 2, checkpoint = false)
+        df.collect()
+        "Exchange hashpartitioning".r.findAllIn(physical(df)).size
+      }
+      val plainN = exchCount(spark.read.parquet(s"$dir/plain"))
+      val buckN = exchCount(spark.table("graft_pr_edges"))
+      info(s"pageRank(iters=2) exchanges: plain=$plainN bucketed=$buckN")
+      // at least one edge-side exchange saved PER ROUND (measured 38 -> 23
+      // at pin time: every src-keyed requirement the unrolled tree re-plans
+      // is satisfied straight off the bucketed scan)
+      assert(plainN - buckN >= 2,
+        s"bucketed edges must save >= 1 exchange/round (plain=$plainN bucketed=$buckN)")
+      // and the bucketed run really read buckets, not a plain scan
+      val pBuck = {
+        val df = graft.operators.Graph.pageRank(spark.table("graft_pr_edges"),
+          iters = 1, checkpoint = false)
+        df.collect(); physical(df)
+      }
+      assert(pBuck.contains("SelectedBucketsCount"), pBuck)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_pr_edges")
+    }
   }
 }

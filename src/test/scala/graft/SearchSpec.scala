@@ -355,6 +355,27 @@ class SearchSpec extends SparkSpec {
       rowSet(Curation.decontaminate(corpus, bench, n = 3)))
   }
 
+  test("decontaminateBloom: superset of the exact verdicts, FP rate within the sized bound") {
+    // the fixture documents table gives a real vocabulary; bench = every 20th doc
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val exact = Curation.decontaminate(corpus, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val bloom = Curation.decontaminateBloom(corpus, bench, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(exact.keySet === bloom.keySet, "row universes differ")
+    // no false negatives, ever: every exact-contaminated doc must flag
+    val missed = exact.collect { case (id, true) if !bloom(id) => id }
+    assert(missed.isEmpty, s"Bloom missed contaminated docs: $missed")
+    // false positives bounded: at 8M bits for this tiny gram set the filter
+    // is effectively exact; allow a generous 5% of the clean docs regardless
+    val cleanExact = exact.count(!_._2)
+    val falsePos = exact.collect { case (id, false) if bloom(id) => id }.size
+    assert(cleanExact == 0 || falsePos <= math.max(1, cleanExact / 20),
+      s"Bloom FP rate too high: $falsePos of $cleanExact clean docs flagged")
+  }
+
   // ---- domain cap -----------------------------------------------------------
 
   test("capPerDomain keeps the N longest per domain with deterministic ranks") {

@@ -111,6 +111,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"IVF recall $r%.3f below 0.8 floor — resize nlist/nprobe")
   }
 
+  test("ivfProbePersisted is bit-identical to ivfProbeAssigned on the same centroids") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString + "/index"
+    Similarity.writeIvfIndex(emb, cents, path)
+    val queries = emb.filter($"vec_id" < 5)
+    val persisted = rowSet(
+      Similarity.ivfProbePersisted(spark, path, cents, queries, 10, nprobe = 5))
+    val inMemory = rowSet(Similarity.ivfProbeAssigned(
+      Similarity.ivfAssignments(emb, cents), cents, queries, 10, nprobe = 5))
+    assert(persisted === inMemory,
+      "persisted-index probe diverged from the in-memory assignment probe")
+  }
+
   test("randomProject: identical inputs project identically; signs are balanced") {
     val r = rowList(Similarity.randomProject(emb, dim = 4, outDim = 4)
       .select("vec_id", "rp"))

@@ -83,6 +83,64 @@ class StreamingSpec extends SparkSpec {
       s"batch stage counts diverged: $batch")
   }
 
+  test("streamFunnel idleTimeout evicts silent users' state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamFunnel(stream.toDF(),
+        Seq("signup", "view"), maxSpanHours = 24, idleTimeout = "1 millisecond")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_funnel_evict").start()
+    // with a ProcessingTimeTimeout armed the engine self-schedules timer
+    // batches indefinitely, so processAllAvailable never observes quiescence —
+    // poll the sink with a deadline instead
+    def rowsFor(user: Long): Array[(Long, Int)] =
+      spark.table("t_funnel_evict").collect()
+        .filter(_.getLong(0) == user).map(r => (r.getLong(1), r.getInt(2)))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      stream.addData(Seq(TestEvent(1, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}")))
+      waitFor("user 1's signup emission")(rowsFor(1L).contains((1L, 1)))
+      // the 1 ms idle timer expires; the next timer batch re-emits user 1's
+      // settled verdict (same n_updates — idempotent) and FREES the state
+      waitFor("user 1's timeout re-emission")(rowsFor(1L).count(_ == (1L, 1)) >= 2)
+      // user 1 returns with a stage-2 event: the funnel restarted from empty,
+      // so the view alone reaches stage 0 (a fresh state counts from 1 again)
+      stream.addData(Seq(TestEvent(2, 1, "view", ts("2024-01-01 10:10:00"), 0, "{}")))
+      waitFor("user 1's post-eviction emission")(rowsFor(1L).exists(_._2 == 0))
+      // and at NO point did the view chain onto the evicted signup
+      assert(!rowsFor(1L).exists(_._2 == 2),
+        s"view chained onto evicted state: ${rowsFor(1L).toSeq}")
+    } finally q.stop()
+  }
+
+  test("streamFunnel maxLaterEvents caps the pre-stage-1 buffer deterministically") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamFunnel(stream.toDF(),
+        Seq("signup", "view", "purchase"), maxSpanHours = 24, maxLaterEvents = 1)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_funnel_cap").start()
+    try {
+      // two later-stage events arrive before any stage-1: the cap keeps only
+      // the earliest (the view), dropping the purchase
+      stream.addData(Seq(
+        TestEvent(1, 1, "view", ts("2024-01-01 10:30:00"), 0, "{}"),
+        TestEvent(2, 1, "purchase", ts("2024-01-01 10:40:00"), 0, "{}")))
+      q.processAllAvailable()
+      stream.addData(Seq(TestEvent(3, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val settled = Ops.latestPerKeyAgg(spark.table("t_funnel_cap"),
+        Seq("user_id"), Seq(col("n_updates")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // uncapped the user reaches stage 3; the capped buffer lost the purchase
+    assert(settled(1L) === 2, s"got $settled")
+  }
+
   test("streaming hourly anomalies equal the batch twin on the same frozen baseline") {
     val batch = allEvents.toDF()
     val hourly = batch.groupBy(col("event_type"),
