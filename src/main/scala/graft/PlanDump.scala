@@ -209,7 +209,21 @@ object PlanDump {
        "Ordered funnel: each stage is a filtered min-aggregate (the " +
          "event-type filter reaches the scan) joined user-keyed to the " +
          "previous stage's |users|-row table — no per-user event sort " +
-         "anywhere; hot users reduce in map-side partials.")
+         "anywhere; hot users reduce in map-side partials."),
+      ("sim_ivf_persisted_topk",
+       "Persisted IVF index lifecycle: the assignment table is laid out " +
+         "cell-PARTITIONED on disk and the probe pushes its driver-computed " +
+         "cell set as a PARTITION filter (`PartitionFilters` at the scan — " +
+         "only probed cell directories are read); queries broadcast onto the " +
+         "pruned scan and the only hash exchange is the bounded top-k " +
+         "aggregate — the corpus is never rescanned, never re-exchanged."),
+      ("pipeline_decontaminate_bloom",
+       "Bloom decontamination (the benchmark-outgrows-broadcast regime): the " +
+         "fixed-size filter is fitted distributed and rides the plan as a " +
+         "binary literal; the corpus pass is MAP-ONLY — a higher-order " +
+         "`filter` probes each doc's gram array in place, no explode, no " +
+         "join, NO exchange (the pin is 0) — streaming-append-safe like the " +
+         "literal-array form.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan

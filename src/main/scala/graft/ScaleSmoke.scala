@@ -312,7 +312,7 @@ object ScaleSmoke {
     // stay linear — chunking/fingerprinting are map-only, packing is a
     // per-group window, dedup is one hash-keyed shuffle.
     val nDocs = 1000000L
-    val docs = spark.range(nDocs).select(
+    val docsGen = spark.range(nDocs).select(
       col("id").as("doc_id"),
       concat_ws(" ", (0 until 24).map { i =>
         // 10% of docs replay doc (id - 1)'s text exactly
@@ -322,7 +322,15 @@ object ScaleSmoke {
           (pmod(xxhash64(when(pmod(col("id"), lit(10)) === 0, col("id") - 1)
             .otherwise(col("id")), lit(i)), lit(10)) + 1).cast("int"))
       }: _*).as("text"))
-    docs.count() // generation warmup
+    // MATERIALIZE the fixture: operators must read plain parquet columns, not
+    // re-evaluate the generation expression tree per reference — a complex
+    // generated projection can fall out of codegen and the interpreted
+    // re-generation then dominates every downstream measurement (observed:
+    // a 16 s containment run ballooning past 12 min on a generated-only input)
+    val docsDir = java.nio.file.Files.createTempDirectory("graft_scale_docs").toString
+    docsGen.write.mode("overwrite").parquet(docsDir)
+    val docs = spark.read.parquet(docsDir)
+    docs.count() // scan warmup
     // planted exact dups: ids 10, 20, ... replay id-1 -> 99999 drops
     time(s"exactDedupByFingerprint ($nDocs docs)", exactly(900001)) {
       graft.operators.Dedup.exactDedupByFingerprint(docs).count()
@@ -644,7 +652,9 @@ object ScaleSmoke {
       // pair per planted doc with an in-range partner (ids 19..199979: 9999)
       val cPlanted = pmod(col("id"), lit(20)) === 19
       val cEff = when(cPlanted, col("id") + 1).otherwise(col("id"))
-      val cdocs = spark.range(200000).select(
+      // materialized like docs: see the generation-vs-measurement note above
+      val cdocsDir = java.nio.file.Files.createTempDirectory("graft_scale_cdocs").toString
+      spark.range(200000).select(
         col("id").as("doc_id"),
         concat_ws(" ",
           ((0 until 18).map(i =>
@@ -652,7 +662,9 @@ object ScaleSmoke {
            (0 until 4).map(i => when(cPlanted,
             concat(lit("x"), pmod(xxhash64(col("id"), lit(100 + i)), lit(500000L)))))): _*)
           .as("text"))
-      cdocs.count() // generation warmup
+        .write.mode("overwrite").parquet(cdocsDir)
+      val cdocs = spark.read.parquet(cdocsDir)
+      cdocs.count() // scan warmup
       val contPairs = time("containmentPairs 200k wide-vocab (5% planted)",
           within(9900, 10100)) {
         graft.operators.Dedup.containmentPairs(cdocs, n = 3, maxDf = 20,
@@ -661,6 +673,41 @@ object ScaleSmoke {
       time("containmentPairsPrefix 200k wide-vocab (5% planted)", exactly(contPairs)) {
         graft.operators.Dedup.containmentPairsPrefix(cdocs, n = 3, maxDf = 20,
           threshold = 0.9).count()
+      }
+      // mid-df regime — the prefix form's designed win: maxDf raised to 1000
+      // with a planted df~500 boilerplate trigram per 500-doc group. The
+      // base form's buckets explode C(500,2) ≈ 125k junk pairs per group
+      // (~50M rows through the pair aggregation, every one
+      // threshold-rejected at the end); the prefix flag marks only each
+      // doc's RAREST in-range grams, so the boilerplate bucket costs one
+      // O(df) pass and nothing junk ever shuffles. Planted pairs (shared
+      // df=2 grams, containment 16/19 ≈ 0.84) survive both forms. One step
+      // further up (df ~1000) the base form's in-bucket C(df,2) array
+      // materialization OUTRIGHT OOMs this 128 GB heap (measured) — past
+      // the crossover the prefix form is the only option, not just the
+      // faster one.
+      val grp = concat(lit("bb"), pmod(col("id"), lit(400)))
+      val mdocsDir = java.nio.file.Files.createTempDirectory("graft_scale_mdocs").toString
+      spark.range(200000).select(
+        col("id").as("doc_id"),
+        concat_ws(" ",
+          ((0 until 18).map(i =>
+            concat(lit("w"), pmod(xxhash64(cEff, lit(i)), lit(500000L)))) ++
+           (0 until 4).map(i => when(cPlanted,
+            concat(lit("x"), pmod(xxhash64(col("id"), lit(100 + i)), lit(500000L))))) ++
+           Seq(grp, grp, grp)): _*)
+          .as("text"))
+        .write.mode("overwrite").parquet(mdocsDir)
+      val mdocs = spark.read.parquet(mdocsDir)
+      mdocs.count() // scan warmup
+      val midPairs = time("containmentPairs 200k mid-df boilerplate (maxDf 1000)",
+          within(9900, 10100)) {
+        graft.operators.Dedup.containmentPairs(mdocs, n = 3, maxDf = 1000,
+          threshold = 0.8).count()
+      }
+      time("containmentPairsPrefix 200k mid-df boilerplate (maxDf 1000)", exactly(midPairs)) {
+        graft.operators.Dedup.containmentPairsPrefix(mdocs, n = 3, maxDf = 1000,
+          threshold = 0.8).count()
       }
     }
 
@@ -775,11 +822,15 @@ object ScaleSmoke {
       s"constant factor at this volume (it pays an extra pass or level to\n" +
       s"bound every per-task sort) and is the form to run when a single key\n" +
       s"or gram outgrows one task; at this volume the hot key still fits, so\n" +
-      s"the one-level forms win on wall-time. The containment pair measures\n" +
-      s"both regimes: the hot-gram worst case (df pre-filter drops every\n" +
-      s"bucket — exactly 0 pairs by design) and the selective-vocab case\n" +
-      s"where the planted pair count is asserted and the positional-prefix\n" +
-      s"form must agree with the base form exactly.\n\n" +
+      s"the one-level forms win on wall-time. The containment A/B covers\n" +
+      s"three regimes: the hot-gram worst case (df pre-filter drops every\n" +
+      s"bucket — exactly 0 pairs by design), the selective-vocab case (the\n" +
+      s"planted pair count asserted, prefix form must agree exactly — here\n" +
+      s"the prefix machinery is pure overhead and the base form wins), and\n" +
+      s"the mid-df boilerplate case at maxDf=1000 (a planted df~500 gram per\n" +
+      s"500-doc group: the base form pushes ~50M threshold-doomed junk pairs\n" +
+      s"through its pair aggregation while the prefix flag culls them before\n" +
+      s"any shuffle — the regime the prefix form exists for).\n\n" +
       "```\n" + report.toString + "```\n")
     println(s"SCALE.md written")
     spark.stop()

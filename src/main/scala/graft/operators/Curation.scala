@@ -187,11 +187,13 @@ object Curation {
     * gram hashes (Spark's own `BloomFilterAggregate`, fitted DISTRIBUTED — the
     * gram set never collects anywhere; only the `numBits`-bit filter makes ONE
     * bounded driver hop and rides the probe plan as a binary literal). The
-    * corpus pass is map-only per gram (a codegen'd `might_contain` probe of
-    * xxhash64 longs) plus the same doc-keyed count aggregation as the join
-    * form. Regime guide: literal array (eval-suite-sized, streaming-safe) →
-    * broadcast join (up to broadcast limits) → Bloom (beyond them, at a sized
-    * false-positive rate).
+    * corpus pass is then MAP-ONLY end to end: each doc's distinct-gram array
+    * filters through the `might_contain` probe in place (a higher-order
+    * `filter` over the array — no explode, no join, NO aggregation exchange),
+    * so like the literal-array sibling it runs unchanged over a STREAMING
+    * corpus in append mode. Regime guide: literal array (eval-suite-sized) →
+    * broadcast join (up to broadcast limits, batch only) → Bloom (beyond
+    * them, at a sized false-positive rate, streaming-safe again).
     *
     * Contract vs the exact forms: `contaminated` is a SUPERSET — a Bloom
     * filter has no false negatives, so no leaked benchmark doc is ever missed;
@@ -215,10 +217,10 @@ object Curation {
       .agg(graft.functions.BloomFns.bloomAgg(col("gh"), expectedGrams, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
     gramHashes(corpus)
-      .select(col("doc_id"), explode_outer(col("ghs")).as("gh"))
-      .groupBy("doc_id")
-      .agg(sum(when(graft.functions.BloomFns.mightContain(lit(bloomBytes), col("gh")), 1L)
-        .otherwise(0L)).as("matched_grams"))
+      .select(col("doc_id"),
+        size(filter(col("ghs"),
+          gh => graft.functions.BloomFns.mightContain(lit(bloomBytes), gh)))
+          .cast("long").as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
         (col("matched_grams") > 0).as("contaminated"))
   }

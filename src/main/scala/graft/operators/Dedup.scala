@@ -654,19 +654,25 @@ object Dedup {
     * semi-join, then ≤ `maxDf` buckets), but postings carry a prefix flag
     * (position < prefix length in the doc's rarest-first order) and the
     * in-bucket pair explode keeps only flagged pairs; candidates then dedup
-    * to distinct (a, b) and ONE equi-join back to the per-doc gram-key
-    * arrays computes exact |A∩B| via array_intersect — exact over ALL
-    * grams, so on fixtures this is bit-identical to [[containmentPairs]]
-    * and to the DuckDB oracle (PropertySpec form-equivalence; at scale it
-    * can only ADD the hyper-common-gram overlap the base form
-    * conservatively drops, for pairs it finds). The candidate bound shares
+    * to distinct (a, b) and re-join the per-doc IN-RANGE gram arrays (built
+    * once for the ordering) to compute |A∩B| via array_intersect — the SAME
+    * in-range intersection the base form counts, so the two forms are
+    * bit-identical at any scale, not just on fixtures (PropertySpec
+    * form-equivalence; DuckDB oracle). The candidate bound shares
     * [[containmentPairs]]'s caveat: a prefix gram with df > `maxDf` is
     * dropped, so pairs whose every shared rare gram is boilerplate-common
     * are missed — the same regime where the base form misses them too.
-    * Cost vs base: one extra df join + per-doc sort (bounded by doc gram
-    * count) + candidate dedup + one array join, bought back by the far
-    * smaller pair explosion — the stress fixture (1 M docs) is the
-    * measured evidence (SCALE.md). */
+    * Cost vs base — measured honestly (SCALE.md): the prefix machinery (an
+    * in-range df join + per-doc sort + candidate dedup + one array join) is
+    * pure OVERHEAD while `maxDf` is small, because the base form's bucket
+    * explosion is already capped at C(maxDf, 2) pairs per gram — at the
+    * stress fixtures the base form wins. The prefix form is the tool for
+    * RAISING `maxDf` (catching pairs whose only shared grams sit at higher
+    * df) without inheriting the base form's C(df, 2)-per-gram explosion:
+    * there the flag culls the in-bucket pair space to shared-RARE-gram
+    * pairs — the mid-df boilerplate A/B in ScaleSmoke (maxDf = 200 with a
+    * planted df≈100 boilerplate gram per doc group) is the regime where it
+    * wins, and the measured evidence. */
   def containmentPairsPrefix(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                              threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -679,38 +685,71 @@ object Dedup {
       .select(col("doc_id"), expr("transform(grams, g -> xxhash64(g))").as("gkeys"))
     val post = gramSets.select(col("doc_id"), explode(col("gkeys")).as("gkey"))
     val dfTab = post.groupBy("gkey").agg(count(lit(1)).as("df"))
-    // rarest-first gram order per doc (df asc, gkey tie-break) — the sort is
-    // per-doc and bounded by the doc's gram count, inside one hash aggregate
-    val ordered = post.join(dfTab, "gkey")
+    // rarest-first gram order per doc (df asc, gkey tie-break) over IN-RANGE
+    // grams ONLY: hyper-common boilerplate never enters the df join or the
+    // per-doc sort (in the hot-gram regime that join dominated everything —
+    // measured 137 s -> tokenize+df cost at 1M docs). Correctness is
+    // unchanged: a df=1 gram is unshareable, a df>maxDf gram is outside BOTH
+    // forms' candidate regime (the shared documented caveat), and flagging
+    // the k rarest SURVIVORS — with k computed from the ORIGINAL gram count
+    // below — preserves the pigeonhole bound: B misses at most k−1 of A's
+    // grams in total, so it cannot miss k flagged ones.
+    val inRange = dfTab.filter(col("df") >= 2 && col("df") <= maxDf)
+    val ordered = post.join(inRange, "gkey")
       .groupBy("doc_id")
       .agg(expr("transform(array_sort(collect_list(struct(df, gkey))), s -> s.gkey)")
         .as("okeys"))
-    // posting rows tagged with the prefix flag: pos < |g| - ceil(t*|g|) + 1
+    // posting rows tagged with the prefix flag: pos < |g| - ceil(t*|g|) + 1,
+    // |g| = the doc's FULL distinct-gram count, re-attached from gramSets and
+    // CARRIED through the pair (the containment denominators — no per-doc
+    // re-join later). SIZE REFINEMENT (the flag's load-bearing half): a doc
+    // whose IN-RANGE gram count falls below ⌈t·|g|⌉ can never be a CONTAINED
+    // side (|A∩B| ≤ in-range count < t·|A|), and a prefix only exists to
+    // guard pairs where THIS doc is the contained one — pairs where it is
+    // the container are caught by the other side's prefix. Such docs flag
+    // NOTHING: without this, a doc whose only in-range gram is a mid-df
+    // boilerplate gram flags that gram and the boilerplate bucket regenerates
+    // exactly the junk pairs the prefix exists to cull (measured as the
+    // difference between losing and winning the mid-df A/B in SCALE.md).
     val tagged = ordered
-      .select(col("doc_id"), size(col("okeys")).as("ng"), posexplode(col("okeys")))
-      .select(col("col").as("gkey"), struct(col("doc_id"),
-        (col("pos") < (col("ng") - ceil(col("ng") * threshold) + 1).cast("int"))
+      .join(gramSets.select(col("doc_id"), size(col("gkeys")).as("ng")), "doc_id")
+      .select(col("doc_id"), col("ng"), size(col("okeys")).as("sz"),
+        posexplode(col("okeys")))
+      .select(col("col").as("gkey"), struct(col("doc_id"), col("ng"),
+        (col("pos") < (col("ng") - ceil(col("ng") * threshold) + 1).cast("int")
+          && col("sz") >= ceil(col("ng") * threshold).cast("int"))
           .as("pref")).as("m"))
-    val keep = dfTab.filter(col("df") >= 2 && col("df") <= maxDf).select("gkey")
-    // buckets ordered by doc_id (struct compare, first field): each unordered
-    // pair explodes once, kept only when a side holds the gram in its prefix
-    val cand = tagged.join(keep, Seq("gkey"), "left_semi")
+    // in-bucket pair generation at the TRUE prefix-filter cost model: only
+    // FLAGGED postings pair against the bucket — O(|flagged|·df) struct work
+    // per bucket, so a boilerplate bucket with zero flagged members costs one
+    // O(df) filter pass, never the C(df, 2) materialization the base form
+    // pays (a naive "generate all pairs then keep flagged ones" HOF still
+    // copies O(df²) structs before its filter — measured as the difference
+    // between losing and winning the mid-df A/B in SCALE.md). Pairs are
+    // normalized to (smaller id, larger id); a flagged-flagged pair emerges
+    // from both sides' scans and the distinct() collapses it
+    val cand = tagged
       .groupBy("gkey")
-      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .agg(collect_list(col("m")).as("ms"))
       .select(explode(expr(
-        """flatten(transform(ms, (x, i) ->
-             filter(transform(slice(ms, i + 2, size(ms) - i - 1), y -> struct(x, y)),
-                    p -> p.x.pref OR p.y.pref)))""")).as("p"))
-      .select(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"))
+        """flatten(transform(filter(ms, m -> m.pref), x ->
+             transform(filter(ms, y -> y.doc_id != x.doc_id),
+               y -> struct(CASE WHEN x.doc_id < y.doc_id THEN x ELSE y END AS x,
+                           CASE WHEN x.doc_id < y.doc_id THEN y ELSE x END AS y))))"""))
+        .as("p"))
+      .select(col("p.x.doc_id").as("a_id"), col("p.y.doc_id").as("b_id"),
+        col("p.x.ng").as("a_n"), col("p.y.ng").as("b_n"))
       .distinct()
-    // exact |A∩B| over the full gram-key arrays of the surviving candidates
-    val aSets = gramSets.select(col("doc_id").as("a_id"), col("gkeys").as("a_g"))
-    val bSets = gramSets.select(col("doc_id").as("b_id"), col("gkeys").as("b_g"))
+    // |A∩B| over the IN-RANGE gram arrays already built for the ordering —
+    // EXACTLY the base form's intersection (a shared out-of-range gram counts
+    // in neither form), with no re-tokenize and no full-gram-array shuffle:
+    // the candidate set is the small side, so both re-joins broadcast it
+    val aSets = ordered.select(col("doc_id").as("a_id"), col("okeys").as("a_g"))
+    val bSets = ordered.select(col("doc_id").as("b_id"), col("okeys").as("b_g"))
     cand.join(aSets, "a_id").join(bSets, "b_id")
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("a_g"), col("b_g"))).cast("double").as("inter"),
-        size(col("a_g")).cast("double").as("a_n"),
-        size(col("b_g")).cast("double").as("b_n"))
+        col("a_n").cast("double").as("a_n"), col("b_n").cast("double").as("b_n"))
       .select(explode(array(
         struct(col("a_id").as("contained_id"), col("b_id").as("container_id"),
           (col("inter") / col("a_n")).as("containment")),

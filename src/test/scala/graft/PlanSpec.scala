@@ -455,6 +455,17 @@ class PlanSpec extends SparkSpec {
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("Bloom decontamination's corpus pass is map-only: zero exchanges") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Curation.decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0), n = 3)
+    val p = physical(df)
+    // the bloom fit pays its own (bounded) job at build time; the RETURNED
+    // corpus plan must be scan -> project, streaming-append-safe
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"bloom probe pass must not shuffle the corpus:\n$p")
+  }
+
   test("persisted IVF index probe partition-prunes to the probed cells only") {
     val emb = Tables.embeddings(spark, d)
     val cents = Similarity.trainCentroidsSampled(emb, 8, 3)

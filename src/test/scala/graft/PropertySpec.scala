@@ -281,6 +281,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination dominates the exact form for every corpus (no false negatives)") {
+    forAll(genDocs, runs = 4) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.filter(col("doc_id") % 3 =!= 0)
+      val bench = df.filter(col("doc_id") % 3 === 0)
+      if (bench.count() > 0 && corpus.count() > 0) {
+        val exact = Curation.decontaminate(corpus, bench, n = 2).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val bloom = Curation.decontaminateBloom(corpus, bench, n = 2).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(exact.keySet === bloom.keySet)
+        // per doc the Bloom count dominates the exact count: a Bloom filter
+        // can only ADD matches (false positives), never lose one
+        val lost = exact.collect { case (id, m) if bloom(id) < m => id }
+        assert(lost.isEmpty, s"bloom lost matches for docs: $lost")
+      }
+    }
+  }
+
   test("fastHash split matches slow-hash proportions within 1% and keeps dups together") {
     // the xxhash64 scale path assigns different individual documents than the
     // rolling-hash oracle path (different hash, same semantics), but the split
