@@ -1857,6 +1857,23 @@ object SparkEntry {
       },
       None),
 
+    Q("sim_ivfpq_persisted_topk", // the IVFADC index LIFECYCLE: residual-PQ
+      // codes cell-partitioned on disk, probed via partition pruning + ADC +
+      // exact rerank — the billion-scale serving layout (scan fraction AND
+      // bytes-per-row both shrink). Rows-only (trained models); bit-identical
+      // to the in-memory ivfPqTopK under the same models (SimilaritySpec).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val (cents, books) = Similarity.trainIvfPq(emb, nlist = 8, m = 16,
+          ksub = 32, iters = 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${math.abs(d.hashCode)}"
+        Similarity.writeIvfPqIndex(emb, cents, books, path)
+        Similarity.ivfPqProbePersisted(s, path, cents, books,
+            emb.filter(col("vec_id") < 5), emb, 10, nprobe = 5, rerankFactor = 4)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      None),
+
     Q("sim_random_projection", // Johnson–Lindenstrauss sign projection 64→16
       // dims: map-only, one native dot per output dim against a literal
       // ±1/√16 sign row; the sign formula is pure integer arithmetic, so the
@@ -2301,6 +2318,21 @@ object SparkEntry {
         Curation.decontaminateBloom(
           docs.filter(col("doc_id") % 20 =!= 0),
           docs.filter(col("doc_id") % 20 === 0), n = 3)
+      },
+      None),
+
+    Q("w_stream_decontaminate_bloom", // the Bloom decontamination gate over a
+      // REAL stream: the fixed-size filter fits BATCH-side (a model object,
+      // like centroids) and the corpus pass is the map-only literal probe —
+      // append mode, zero state, the regime where the broadcast-join form
+      // cannot run at all. Rows-only (bloom bits are engine-specific);
+      // StreamingSpec pins stream ≡ batch verdict equality.
+      (s, d) => {
+        val bench = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
+        StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wbloom_sink", src => Curation.decontaminateBloom(
+            src.filter(col("doc_id") % 20 =!= 0), bench, n = 3),
+          outputMode = "append")
       },
       None),
 

@@ -628,6 +628,25 @@ object Similarity {
     }
   }
 
+  /** Fit the IVFADC models: sampled coarse centroids plus PQ codebooks
+    * trained on the RESIDUALS under them — the (cents, books) pair every
+    * IVFADC path shares ([[ivfPqTopK]] inline,
+    * [[writeIvfPqIndex]]/[[ivfPqProbePersisted]] persisted). Deterministic
+    * end to end, so a refit with equal params reproduces the index
+    * bit-for-bit. */
+  def trainIvfPq(corpus: DataFrame, nlist: Int, m: Int, ksub: Int,
+                 iters: Int): (Centroids, Codebooks) = {
+    val spark = corpus.sparkSession
+    val cents = trainCentroidsSampled(corpus, nlist, iters)
+    val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
+      .toDF("cell", "cent"))
+    val resid = ivfAssignments(corpus, cents)
+      .join(centDf, "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("emb"), col("cent"), (a, b) => a - b).as("embedding"))
+    (cents, trainPQ(resid, m, ksub, iters))
+  }
+
   /** IVFADC — the composition of the coarse quantizer and PQ (Jégou et al.
     * 2011 §IV; the FAISS `IVFx,PQy` index): corpus vectors assign to IVF cells
     * ([[ivfAssignments]]), their RESIDUALS (x − centroid[cell]) compress to PQ
@@ -647,8 +666,7 @@ object Similarity {
                 nlist: Int = 16, nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
                 iters: Int = 2, rerankFactor: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    // coarse quantizer from the sampled fit — same rationale as ivfTopK
-    val cents = trainCentroidsSampled(corpus, nlist, iters)
+    val (cents, books) = trainIvfPq(corpus, nlist, m, ksub, iters)
     val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "cent"))
     // residuals: x - centroid[cell]; the centroid arrives via the broadcast
@@ -657,7 +675,6 @@ object Similarity {
       .join(centDf, "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("emb"), col("cent"), (a, b) => a - b).as("embedding"))
-    val books = trainPQ(resid, m, ksub, iters)
     val coded = resid.select(col("vec_id"), col("cell"),
       graft.functions.PQExprs.pqCodes(col("embedding"), books).as("codes"))
     // query side: expand to nprobe cells, attach each probed centroid
@@ -667,6 +684,57 @@ object Similarity {
       .withColumn("cell", explode(nearestCells(col("q_emb"), cents, nprobe)))
       .join(centDf, "cell")
     val scored = broadcast(probed).join(coded, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(
+          VectorFns.dot(col("q_emb"), col("cent")) +
+            graft.functions.PQExprs.pqAdc(col("q_emb"), col("codes"), books))
+          .as("cosine"))
+    if (rerankFactor <= 0) heapTopK(scored, k)
+    else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
+  }
+
+  /** Persist the IVFADC index: `(vec_id, codes)` residual-PQ rows laid out
+    * CELL-PARTITIONED on disk — the billion-scale serving layout (FAISS
+    * `IVFx,PQy` on object storage): both the scan FRACTION (partition-pruned
+    * cells) and the BYTES per scanned row (m code bytes, not the vector)
+    * shrink. Centroids and codebooks are kilobyte-scale driver models,
+    * persisted separately like any model artifact. `books` must be trained on
+    * the RESIDUALS under these same `cents` (as [[ivfPqTopK]] does) — the
+    * probe decomposes dot(q, x̂) = dot(q, centroid) + dot(q, residual̂). */
+  def writeIvfPqIndex(corpus: DataFrame, cents: Centroids, books: Codebooks,
+                      path: String): Unit = {
+    val spark = corpus.sparkSession
+    val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
+      .toDF("cell", "cent"))
+    ivfAssignments(corpus, cents)
+      .join(centDf, "cell")
+      .select(col("vec_id"), col("cell"),
+        graft.functions.PQExprs.pqCodes(
+          zip_with(col("emb"), col("cent"), (a, b) => a - b), books).as("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** Probe a [[writeIvfPqIndex]] layout: the probe-cell set is computed
+    * driver-side and pushed as a PARTITION filter (only probed cell
+    * directories are read, as [[ivfProbePersisted]]); candidates ADC-score
+    * from the stored residual codes plus the broadcast centroid term, and the
+    * shortlist re-ranks exactly against the full-precision `corpus` — the
+    * only reads of full vectors are shortlist rows. Bit-identical to
+    * [[ivfPqTopK]] under the same models (spec-asserted). */
+  def ivfPqProbePersisted(spark: SparkSession, path: String, cents: Centroids,
+                          books: Codebooks, queries: DataFrame, corpus: DataFrame,
+                          k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
+      .toDF("cell", "cent"))
+    val probed = queries
+      .select(col("vec_id").as("query_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), cents, nprobe)))
+      .join(centDf, "cell")
+    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+    val scored = broadcast(probed).join(idx, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         VectorFns.simKey(

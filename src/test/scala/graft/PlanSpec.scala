@@ -365,7 +365,9 @@ class PlanSpec extends SparkSpec {
       "dedup_containment_prefix" -> 5, // + the in-range ordering join's per-doc agg and the candidate distinct — the prefix machinery's priced overhead; candidate re-joins broadcast the tiny pair set
       "search_hybrid_rrf_batch" -> 9, // per-query fusion: batch-BM25's 6 (pinned above) + vec-channel heap-topk + the two rank-bounded channel outputs' (query, doc) full-outer; all post-channel frames <= queries x 2*kRetrieval rows
       "sim_ivf_persisted_topk" -> 1, // partition-pruned index scan + broadcast probe: the only exchange is the bounded top-k agg (the dedicated pruning test below pins the scan shape)
+      "sim_ivfpq_persisted_topk" -> 1, // pruned cells + ADC from stored codes + rerank: shortlist/rerank heap-topk aggs collapse to one exchange at fixture stats (full vectors read only for shortlist rows)
       "pipeline_decontaminate_bloom" -> 0, // map-only corpus pass (the dedicated zero-exchange test above); the bloom fit pays its own bounded job at build time
+      "w_stream_decontaminate_bloom" -> 0, // the same map-only plan as a settled STREAM result: append mode, zero state, zero exchanges
       // round-8 additions: positional search, event analytics, DSIR, Gopher
       "search_phrase" -> 2, // (doc,start) vote agg + doc occurrence agg; corpus filters to the phrase vocabulary before either
       "search_proximity" -> 1, // ONE doc-keyed position-collect agg; min-distance map-only after it

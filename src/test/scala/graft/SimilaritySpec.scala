@@ -111,6 +111,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.8, f"IVF recall $r%.3f below 0.8 floor — resize nlist/nprobe")
   }
 
+  test("ivfPqProbePersisted is bit-identical to the in-memory ivfPqTopK") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val (cents, books) = Similarity.trainIvfPq(emb, nlist = 8, m = 16, ksub = 32, iters = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString + "/index"
+    Similarity.writeIvfPqIndex(emb, cents, books, path)
+    val queries = emb.filter($"vec_id" < 5)
+    val persisted = rowSet(Similarity.ivfPqProbePersisted(spark, path, cents, books,
+      queries, emb, 10, nprobe = 5, rerankFactor = 4))
+    // the in-memory form refits the same deterministic models internally
+    val inMemory = rowSet(Similarity.ivfPqTopK(emb, queries, 10,
+      nlist = 8, nprobe = 5, m = 16, ksub = 32, iters = 3, rerankFactor = 4))
+    assert(persisted === inMemory,
+      "persisted IVFADC probe diverged from the in-memory composition")
+  }
+
   test("ivfProbePersisted is bit-identical to ivfProbeAssigned on the same centroids") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val cents = Similarity.trainCentroidsSampled(emb, 8, 3)

@@ -83,6 +83,30 @@ class StreamingSpec extends SparkSpec {
       s"batch stage counts diverged: $batch")
   }
 
+  test("streaming Bloom decontamination equals the batch verdicts (append, stateless)") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((90L, "alpha beta gamma")).toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (1L, "alpha beta gamma delta"), // shares the bench bigram 'alpha beta'
+      (2L, "zeta eta theta iota"),    // disjoint
+      (3L, "one"))                    // sub-n-token, must appear clean
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Curation
+      .decontaminateBloom(stream.toDF().toDF("doc_id", "text"), bench, n = 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_bloom_stream").start()
+    try {
+      stream.addData(corpusRows.take(1)); q.processAllAvailable()
+      stream.addData(corpusRows.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Curation
+      .decontaminateBloom(corpusRows.toDF("doc_id", "text"), bench, n = 2)
+    assert(rowSet(spark.table("t_bloom_stream")) === rowSet(batch))
+    // and the exact join form agrees on this collision-free fixture
+    assert(rowSet(batch) === rowSet(graft.operators.Curation
+      .decontaminate(corpusRows.toDF("doc_id", "text"), bench, n = 2)))
+  }
+
   test("streamFunnel idleTimeout evicts silent users' state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
