@@ -223,7 +223,15 @@ object PlanDump {
          "binary literal; the corpus pass is MAP-ONLY — a higher-order " +
          "`filter` probes each doc's gram array in place, no explode, no " +
          "join, NO exchange (the pin is 0) — streaming-append-safe like the " +
-         "literal-array form.")
+         "literal-array form."),
+      ("sim_ivfpq_persisted_topk",
+       "Persisted IVFADC (the billion-scale serving layout): the probe " +
+         "partition-prunes to its cells, ADC-scores the stored residual " +
+         "codes (native `pqadcexpr` + the broadcast centroid term), and the " +
+         "exact rerank reads full-precision vectors only for shortlist " +
+         "rows — scan FRACTION (IVF pruning) and BYTES per scanned row (PQ " +
+         "codes) both shrink, and the only hash exchange is the bounded " +
+         "top-k aggregate.")
     ).map { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize adaptive plan
