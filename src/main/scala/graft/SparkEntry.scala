@@ -1103,6 +1103,28 @@ object SparkEntry {
               SELECT doc_id, pack_group, n_tokens,
                 CAST(floor(tokens_before / 2048.0) AS BIGINT) AS pack_id FROM w""")),
 
+    Q("pipeline_pack_manifest", // the dataloader contract on top of packing:
+      // per-pack member order + token offsets inside the pack — the spans an
+      // attention mask / boundary loss reset reads. Budget 512 so sf-fixture
+      // packs actually span multiple docs per pack.
+      (s, d) => Curation.packManifest(Tables.documents(s, d), 512, 32),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              s AS (SELECT doc_id, doc_id % 32 AS pack_group,
+                CAST(len(toks) AS BIGINT) AS n_tokens FROM t),
+              w AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS tokens_before
+                FROM s),
+              p AS (SELECT *, CAST(floor(tokens_before / 512.0) AS BIGINT) AS pack_id FROM w)
+              SELECT doc_id, pack_group, pack_id,
+                CAST(row_number() OVER (PARTITION BY pack_group, pack_id ORDER BY doc_id) AS BIGINT)
+                  AS seq_in_pack,
+                CAST(tokens_before - min(tokens_before) OVER (PARTITION BY pack_group, pack_id)
+                  AS BIGINT) AS pack_offset,
+                n_tokens
+              FROM p""")),
+
     Q("sim_quantize_int8", // int8 embedding compression (16x ANN memory) —
       // hash-oracled: the codes are pure IEEE arithmetic (y = x·(127/max|x|),
       // code = sign(y)·floor(|y|+0.5) — explicit ties-away-from-zero, no

@@ -653,6 +653,37 @@ object Curation {
         floor(col("tokens_before") / budgetTokens).as("pack_id"))
   }
 
+  /** [[packByTokenBudget]]'s MANIFEST — the contract a training dataloader
+    * actually consumes: every pack's member documents in concatenation order
+    * with their token offsets inside the pack. Returns `(doc_id, pack_group,
+    * pack_id, seq_in_pack, pack_offset, n_tokens)`: concatenating a pack's
+    * docs by `seq_in_pack` places each doc's tokens at
+    * `[pack_offset, pack_offset + n_tokens)` — the spans an attention mask or
+    * document-boundary loss reset reads directly.
+    *
+    * Cost over the base op: the per-pack windows require clustering by
+    * (group, pack), which the existing HashPartitioning(group) already
+    * satisfies (pack derives from the group's own running total), so the
+    * plan keeps ONE exchange — the added windows ride the same sort. */
+  def packManifest(docs: DataFrame, budgetTokens: Long = 2048,
+                   groups: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gw = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pw = Window.partitionBy("pack_group", "pack_id").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), pmod(col("doc_id"), lit(groups.toLong)).as("pack_group"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", sum(col("n_tokens")).over(gw) - col("n_tokens"))
+      .withColumn("pack_id", floor(col("tokens_before") / budgetTokens))
+      .withColumn("seq_in_pack", row_number().over(pw).cast("long"))
+      // ordered ascending, so the running min IS the pack's first offset
+      .withColumn("pack_offset", col("tokens_before") - min(col("tokens_before"))
+        .over(pw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("doc_id", "pack_group", "pack_id", "seq_in_pack", "pack_offset", "n_tokens")
+  }
+
   /** The Gopher stopword list (Rae et al. 2021, A1.1): a document must contain
     * at least `minStopwords` DISTINCT members to pass the stopword rule. */
   val gopherStopwords: Seq[String] =

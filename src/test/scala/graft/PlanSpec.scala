@@ -368,6 +368,7 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_persisted_topk" -> 1, // pruned cells + ADC from stored codes + rerank: shortlist/rerank heap-topk aggs collapse to one exchange at fixture stats (full vectors read only for shortlist rows)
       "pipeline_decontaminate_bloom" -> 0, // map-only corpus pass (the dedicated zero-exchange test above); the bloom fit pays its own bounded job at build time
       "w_stream_decontaminate_bloom" -> 0, // the same map-only plan as a settled STREAM result: append mode, zero state, zero exchanges
+      "pipeline_pack_manifest" -> 1, // the per-pack windows cluster on (group, pack), which HashPartitioning(group) already satisfies — same single exchange as the base packing op
       // round-8 additions: positional search, event analytics, DSIR, Gopher
       "search_phrase" -> 2, // (doc,start) vote agg + doc occurrence agg; corpus filters to the phrase vocabulary before either
       "search_proximity" -> 1, // ONE doc-keyed position-collect agg; min-distance map-only after it

@@ -281,6 +281,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pack manifest tiles every pack contiguously from offset zero") {
+    forAll(genDocs, runs = 4) { docs =>
+      val m = Curation.packManifest(docs.toDF("doc_id", "text"),
+        budgetTokens = 10, groups = 3).collect()
+      // base-op agreement: same (doc, pack) assignment
+      val base = Curation.packByTokenBudget(docs.toDF("doc_id", "text"),
+        budgetTokens = 10, groups = 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(m.map(r => r.getLong(0) -> r.getLong(2)).toMap === base)
+      m.groupBy(r => (r.getLong(1), r.getLong(2))).foreach { case (_, rows) =>
+        val ordered = rows.sortBy(_.getLong(3))
+        assert(ordered.head.getLong(3) === 1L, "seq_in_pack must start at 1")
+        assert(ordered.head.getLong(4) === 0L, "first doc must sit at offset 0")
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b.getLong(4) === a.getLong(4) + a.getLong(5),
+              s"gap in pack tiling: $a -> $b")
+            assert(b.getLong(3) === a.getLong(3) + 1, "seq_in_pack must be dense")
+          case _ => ()
+        }
+      }
+    }
+  }
+
   test("bloom decontamination dominates the exact form for every corpus (no false negatives)") {
     forAll(genDocs, runs = 4) { docs =>
       val df = docs.toDF("doc_id", "text")
