@@ -2248,19 +2248,23 @@ object SparkEntry {
                   (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
               FROM t""")),
 
-    Q("multimodal_blob_features",
-      (s, d) => Tables.documents(s, d).select(col("doc_id"),
-        octet_length(col("text")).cast("long").as("byte_len"),
-        md5(col("text").cast("binary")).as("payload_md5"),
-        (ascii(substring(col("text"), 1, 1)) * 256 + ascii(substring(col("text"), 2, 1)))
-          .cast("long").as("fake_width"),
-        (ascii(substring(col("text"), 3, 1)) * 256 + ascii(substring(col("text"), 4, 1)))
-          .cast("long").as("fake_height")),
-      Some("""SELECT doc_id,
-              CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-              md5(text) AS payload_md5,
-              CAST(ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1)) AS BIGINT) AS fake_width,
-              CAST(ord(substr(text, 3, 1)) * 256 + ord(substr(text, 4, 1)) AS BIGINT) AS fake_height
+    Q("multimodal_blob_features", // REAL-codec round trip: each doc becomes a
+      // genuine 24-bit BMP (dims a pure function of doc_id), and the features
+      // come from parsing those actual bytes — magic, LE dimension fields —
+      // in the per-partition-init mapPartitions decoder. The oracle recomputes
+      // dims and the spec'd file length (54 + ceil(3w/4)·4·h) arithmetically,
+      // so a hash match proves the encode→parse round trip end to end.
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.syntheticImagesFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")),
+      Some("""SELECT doc_id AS media_id, 'bmp' AS format,
+              CAST(54 + ((3 * ((doc_id % 16) + 1) + 3) // 4) * 4 * ((doc_id % 12) + 1) AS BIGINT) AS byte_len,
+              CAST((doc_id % 16) + 1 AS BIGINT) AS width,
+              CAST((doc_id % 12) + 1 AS BIGINT) AS height
               FROM documents""")),
 
     Q("multimodal_frame_sample",

@@ -199,10 +199,25 @@ object Curation {
     * filter has no false negatives, so no leaked benchmark doc is ever missed;
     * `matched_grams` may overcount by the false-positive rate
     * ((1 − e^(−k·n/m))^k; SearchSpec measures it and asserts the superset
-    * property). Size `numBits` ≈ 10× the distinct gram count for ~1% FP. */
+    * property).
+    *
+    * SIZING — the per-DOC false-positive rate is what matters, and it
+    * COMPOUNDS: a doc with g distinct grams false-flags with probability
+    * ≈ 1 − (1 − p)^g ≈ g·p at per-gram FP p, so a "1% per gram" filter marks
+    * essentially every long document contaminated. Pass `numBits = 0`
+    * (default) to auto-size from a per-doc target: per-gram p =
+    * `docFp / gramsPerDoc`, bits = ⌈−expectedGrams·ln(p)/ln²2⌉ (the optimal-k
+    * Bloom identity; the defaults give p = 1e-7 ≈ 33.5 bits/gram ≈ 4.2 MB at
+    * 1M grams — still a bounded model object). `minMatchedGrams` raises the
+    * contamination verdict threshold instead of (or on top of) the sizing —
+    * the knob for corpora whose docs legitimately share a stray gram. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                          expectedGrams: Long = 1000000L,
-                         numBits: Long = 8388608L): DataFrame = {
+                         numBits: Long = 0L,
+                         docFp: Double = 1e-4, gramsPerDoc: Long = 1000L,
+                         minMatchedGrams: Long = 1L): DataFrame = {
+    val bits = if (numBits > 0) numBits
+               else bloomBitsFor(expectedGrams, docFp, gramsPerDoc)
     def gramHashes(df: DataFrame): DataFrame = df
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -214,7 +229,7 @@ object Curation {
     // constant filter, and this is the centroids/BPE-merges discipline anyway
     val bloomBytes = gramHashes(benchmark)
       .select(explode(col("ghs")).as("gh"))
-      .agg(graft.functions.BloomFns.bloomAgg(col("gh"), expectedGrams, numBits).as("bf"))
+      .agg(graft.functions.BloomFns.bloomAgg(col("gh"), expectedGrams, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
     gramHashes(corpus)
       .select(col("doc_id"),
@@ -222,7 +237,20 @@ object Curation {
           gh => graft.functions.BloomFns.mightContain(lit(bloomBytes), gh)))
           .cast("long").as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
-        (col("matched_grams") > 0).as("contaminated"))
+        (col("matched_grams") >= minMatchedGrams).as("contaminated"))
+  }
+
+  /** Bloom bits for a PER-DOC false-positive target: per-gram p must be
+    * `docFp / gramsPerDoc` (union bound over a doc's distinct grams), and the
+    * optimal-k Bloom identity gives bits/item = −ln(p)/ln²2. Kept as its own
+    * function so callers sizing an external filter share the arithmetic. */
+  def bloomBitsFor(expectedGrams: Long, docFp: Double = 1e-4,
+                   gramsPerDoc: Long = 1000L): Long = {
+    require(docFp > 0 && docFp < 1, s"docFp must be in (0,1), got $docFp")
+    require(expectedGrams > 0 && gramsPerDoc > 0, "sizes must be positive")
+    val perGram = docFp / gramsPerDoc
+    val ln2sq = math.log(2) * math.log(2)
+    math.ceil(expectedGrams * (-math.log(perGram)) / ln2sq).toLong.max(64L)
   }
 
   /** Cap the number of documents kept per domain — the anti-domination rule of

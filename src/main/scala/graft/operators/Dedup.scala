@@ -670,9 +670,9 @@ object Dedup {
     * RAISING `maxDf` (catching pairs whose only shared grams sit at higher
     * df) without inheriting the base form's C(df, 2)-per-gram explosion:
     * there the flag culls the in-bucket pair space to shared-RARE-gram
-    * pairs — the mid-df boilerplate A/B in ScaleSmoke (maxDf = 200 with a
-    * planted df≈100 boilerplate gram per doc group) is the regime where it
-    * wins, and the measured evidence. */
+    * pairs — the mid-df boilerplate A/B in ScaleSmoke (maxDf = 1000 with a
+    * planted df≈500 boilerplate gram per 500-doc group) is the regime where
+    * it wins, and the measured evidence. */
   def containmentPairsPrefix(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                              threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,

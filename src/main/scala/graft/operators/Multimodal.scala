@@ -4,50 +4,150 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video travel as opaque `binary` columns
-  * with typed metadata. The image/audio codec libraries are not in this container,
-  * so the DECODE step is a clearly-marked deterministic stub — but everything
-  * Spark-side (schema, partition-preserving mapPartitions, batch shape, explode
-  * for frame sampling) is real and tested.
+  * with typed metadata. The decode step is a REAL public-format header parse —
+  * PNG / BMP / GIF / JPEG magic bytes and dimension fields, pure JVM, no codec
+  * libraries — inside the per-partition-init mapPartitions shape a heavier
+  * JNI/FFI decoder would use. Pixel-level decode (beyond dimensions) is out of
+  * scope in this container; the parsing below is byte-exact per the public
+  * format specs (PNG RFC 2083 IHDR, BMP BITMAPINFOHEADER, GIF89a logical screen
+  * descriptor, JPEG SOFn frame header).
   *
   * Scale notes: binary payloads ride the scan; feature extraction is
-  * mapPartitions (one decoder init per partition, not per row — the pattern a real
-  * JNI/FFI decoder needs); frame sampling is a generator (posexplode), never a
-  * driver-side loop.
+  * mapPartitions (one decoder init per partition, not per row); frame sampling
+  * is a generator (posexplode), never a driver-side loop.
   */
 object Multimodal {
 
   /** One media row: payload + typed metadata. */
   case class MediaRecord(media_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Extracted features; `width`/`height` come from the (stubbed) decode. */
+  /** Extracted features; `format`/`width`/`height` come from the REAL header
+    * parse ([[decodeHeader]]); unknown payloads report ("unknown", 0, 0). */
   case class MediaFeatures(media_id: Long, media_type: String, byte_len: Int,
-                           width: Int, height: Int, checksum: Long)
+                           format: String, width: Int, height: Int, checksum: Long)
 
   /** Adapt the `documents` table into a media table (text payload as bytes) — the
-    * container has no image fixtures, so documents act as the binary carrier. */
+    * opaque-binary carrier shape; [[decodeHeader]] classifies these "unknown". */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("media_id"), lit("text/plain").as("media_type"),
       col("text").cast("binary").as("payload"))
 
-  /** DECODE STUB — a real implementation would hand `payload` to an image/audio
-    * codec here (initialized once per partition). The stub derives deterministic
-    * fake dimensions from the first payload bytes so tests are exact. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int) = {
-    def b(i: Int): Int = if (i < payload.length) payload(i) & 0xff else 0
-    (b(0) * 256 + b(1), b(2) * 256 + b(3)) // ??? real codec goes here
+  private def beInt(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def leInt(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def beShort(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** Real image-header decode from magic bytes — (format, width, height).
+    *  - PNG:  8-byte signature 89 50 4E 47 0D 0A 1A 0A; IHDR is always the
+    *          first chunk, so width/height are big-endian int32 at 16/20.
+    *  - BMP:  'BM'; BITMAPINFOHEADER width LE int32 at 18, height at 22
+    *          (negative height = top-down rows → magnitude).
+    *  - GIF:  'GIF87a'/'GIF89a'; logical screen W/H are LE uint16 at 6/8.
+    *  - JPEG: FF D8; walk marker segments to the first SOFn (C0–CF minus the
+    *          non-frame C4/C8/CC): height BE uint16 at +5, width at +7.
+    *  Anything else (or a truncated header) is ("unknown", 0, 0). */
+  def decodeHeader(payload: Array[Byte]): (String, Int, Int) = {
+    val b = payload
+    def is(i: Int, v: Int): Boolean = i < b.length && (b(i) & 0xff) == v
+    if (b.length >= 24 && is(0, 0x89) && is(1, 'P') && is(2, 'N') && is(3, 'G') &&
+        is(4, 0x0d) && is(5, 0x0a) && is(6, 0x1a) && is(7, 0x0a))
+      ("png", beInt(b, 16), beInt(b, 20))
+    else if (b.length >= 26 && is(0, 'B') && is(1, 'M'))
+      ("bmp", leInt(b, 18), math.abs(leInt(b, 22)))
+    else if (b.length >= 10 && is(0, 'G') && is(1, 'I') && is(2, 'F') && is(3, '8') &&
+        (is(4, '7') || is(4, '9')) && is(5, 'a'))
+      ("gif", leShort(b, 6), leShort(b, 8))
+    else if (b.length >= 4 && is(0, 0xff) && is(1, 0xd8)) {
+      // JPEG marker walk: [FF marker] [len_hi len_lo] payload(len-2) ...
+      var i = 2
+      var out: (String, Int, Int) = ("jpeg", 0, 0)
+      var done = false
+      while (!done && i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) { done = true } // desynced — stop
+        else {
+          val m = b(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
+          else if (m == 0xd9 || m == 0xda) done = true // EOI / SOS: no SOF found
+          else {
+            val len = beShort(b, i + 2)
+            val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+            if (isSof && i + 8 < b.length) {
+              out = ("jpeg", beShort(b, i + 7), beShort(b, i + 5)); done = true
+            } else i += 2 + len
+          }
+        }
+      }
+      out
+    } else ("unknown", 0, 0)
   }
 
-  /** Feature extraction over the media table: typed mapPartitions with per-partition
-    * decoder setup — the real pipeline shape with a stubbed codec core. */
+  /** Build a genuine 24-bit uncompressed BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER + padded BGR rows) — deterministic pixel bytes derived
+    * from `seed`, so fixtures are real encoded files, not placeholder blobs.
+    * Byte length is exactly 54 + rowSize·height with rowSize = ⌈3·w/4⌉·4. */
+  def encodeBmp(width: Int, height: Int, seed: Long = 0L): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    val rowSize = ((3 * width + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val total = 54 + dataSize
+    val out = new Array[Byte](total)
+    def putLe(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putLe(2, total); putLe(6, 0); putLe(10, 54) // size, reserved, pixel offset
+    putLe(14, 40) // BITMAPINFOHEADER size
+    putLe(18, width); putLe(22, height)
+    out(26) = 1 // planes (LE uint16)
+    out(28) = 24 // bits per pixel
+    putLe(30, 0); putLe(34, dataSize) // BI_RGB, image size
+    putLe(38, 2835); putLe(42, 2835) // 72 DPI in px/metre
+    putLe(46, 0); putLe(50, 0) // palette fields
+    var i = 54
+    var p = seed
+    while (i < total) {
+      p = p * 6364136223846793005L + 1442695040888963407L // LCG (Knuth MMIX)
+      out(i) = ((p >>> 32) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Real-encoded synthetic media table: one genuine BMP per document, with
+    * dimensions a pure function of `doc_id` — so an oracle can recompute
+    * width/height/byte_len arithmetically while THIS side round-trips them
+    * through actual BMP bytes ([[encodeBmp]] → [[decodeHeader]]). Typed
+    * mapPartitions: the encode is per-row JVM work, exactly where a real
+    * transcoder would sit. */
+  def syntheticImagesFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        MediaRecord(id, "image/bmp",
+          encodeBmp((id % 16).toInt + 1, (id % 12).toInt + 1, seed = id))
+      }
+    }
+  }
+
+  /** Feature extraction over the media table: typed mapPartitions with
+    * per-partition decoder setup (the CRC instance stands where a JNI codec
+    * handle would), REAL header parse per row. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
-      // per-partition decoder/codec initialization would happen HERE, once.
+      // per-partition decoder/codec initialization happens HERE, once.
       val crc = new java.util.zip.CRC32()
       rows.map { r =>
-        val (w, h) = decodeStub(r.payload)
+        val (fmt, w, h) = decodeHeader(r.payload)
         crc.reset(); crc.update(r.payload)
-        MediaFeatures(r.media_id, r.media_type, r.payload.length, w, h, crc.getValue)
+        MediaFeatures(r.media_id, r.media_type, r.payload.length, fmt, w, h, crc.getValue)
       }
     }
   }

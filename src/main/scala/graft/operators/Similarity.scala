@@ -229,6 +229,21 @@ object Similarity {
   private def nearestCells(emb: Column, centroids: Centroids, nprobe: Int): Column =
     graft.functions.NearestCellsExpr.nearestCells(emb, centroids, nprobe)
 
+  /** Driver-side collect of a persisted-index probe fan-out: one
+    * (query_id, q_emb, cell) row per (query, probed cell) — bounded by
+    * |queries|·nprobe, i.e. model-scale like the centroids themselves. The
+    * persisted-probe paths derive BOTH the partition-filter cell set and the
+    * broadcast probe side from this one collect, so the queries subplan is
+    * evaluated exactly once. */
+  private def collectProbes(queries: DataFrame, centroids: Centroids,
+                            nprobe: Int): Array[(Long, Seq[Double], Int)] =
+    queries
+      .select(col("vec_id").as("query_id"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(nearestCells(col("q_emb"), centroids, nprobe)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+
   /** DataFrame-form Lloyd's k-means over the embedding column — the trained
     * centroids [[ivfTopK]] promises. Deterministic end to end: the seed set is
     * the `nlist` vectors with smallest (xxhash64(vec_id), vec_id); each round
@@ -400,11 +415,16 @@ object Similarity {
     * spec-asserted). */
   def ivfProbePersisted(spark: SparkSession, path: String, centroids: Centroids,
                         queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val probed = queries
-      .select(col("vec_id").as("query_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
-      .withColumn("cell", explode(nearestCells(col("q_emb"), centroids, nprobe)))
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // Collect the probed rows ONCE (bounded by |queries|·nprobe — model-scale)
+    // and derive BOTH the partition-filter cell set and the broadcast probe
+    // side from the same collected array: evaluating the `queries` subplan
+    // twice would cost an extra job and, on a non-deterministic source, could
+    // produce probe rows whose cells were never collected (silent candidate
+    // loss — advisor, round 9).
+    val probedRows = collectProbes(queries, centroids, nprobe)
+    val cells = probedRows.map(_._3).distinct.sorted
+    import spark.implicits._
+    val probed = probedRows.toSeq.toDF("query_id", "q_emb", "cell")
     val index = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
     val cand = broadcast(probed).join(index, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -725,14 +745,15 @@ object Similarity {
   def ivfPqProbePersisted(spark: SparkSession, path: String, cents: Centroids,
                           books: Codebooks, queries: DataFrame, corpus: DataFrame,
                           k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
-    val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
-      .toDF("cell", "cent"))
-    val probed = queries
-      .select(col("vec_id").as("query_id"),
-        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
-      .withColumn("cell", explode(nearestCells(col("q_emb"), cents, nprobe)))
-      .join(centDf, "cell")
-    val cells = probed.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    // One collect serves the cell filter AND the probe side (see
+    // [[ivfProbePersisted]]); the per-cell centroid term attaches driver-side
+    // from the model itself — no centroid join in the plan at all.
+    val centById = cents.map { case (id, c) => id -> c }.toMap
+    val probedRows = collectProbes(queries, cents, nprobe)
+      .map { case (qid, qe, cell) => (qid, qe, cell, centById(cell)) }
+    val cells = probedRows.map(_._3).distinct.sorted
+    import spark.implicits._
+    val probed = probedRows.toSeq.toDF("query_id", "q_emb", "cell", "cent")
     val idx = spark.read.parquet(path).filter(col("cell").isin(cells: _*))
     val scored = broadcast(probed).join(idx, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))

@@ -323,20 +323,31 @@ object StreamingViews {
     * `t1 + horizon` can never re-qualify (t1 is monotone non-increasing, so
     * the window only moves earlier) and drops immediately. Pre-stage-1
     * arrivals of later stages are kept until a stage-1 event bounds them —
-    * a watermark alone does NOT evict `mapGroupsWithState` state, so two
+    * a watermark alone does NOT evict `mapGroupsWithState` state, so three
     * explicit bounds cover adversarial streams: `idleTimeout` (e.g.
-    * `"2 hours"`) arms a processing-time timeout per user — a user silent
+    * `"2 hours"`) arms a PROCESSING-time timeout per user — a user silent
     * that long emits a final verdict and FREES its state (a later event
     * restarts the funnel from empty: the deployment trade-off vs unbounded
-    * retention, off by default to preserve exact batch equivalence) — and
-    * `maxLaterEvents` caps the pre-stage-1 buffer per user, keeping the
-    * EARLIEST events by (ts, stage) (deterministic; earliest events are the
-    * ones a yet-unseen stage-1 window can still qualify). Defaults preserve
-    * the exact-batch-equivalent behavior of the hash-gated entry. */
+    * retention, off by default to preserve exact batch equivalence);
+    * `eventIdleTimeout` is the EVENT-time sibling (milliseconds of event
+    * time) — the state evicts when the WATERMARK passes lastEventTime +
+    * eventIdleTimeout, so a replayed historical stream evicts at the same
+    * points every run (processing-time eviction depends on wall-clock batch
+    * cadence and does not); it applies `watermarkDelay` to the source. And `maxLaterEvents` caps the later-event buffer per user
+    * ONLY while no stage-1 event has arrived (t1 unknown — the unbounded
+    * regime; once t1 exists the horizon filter is the bound, and capping
+    * there could evict within-horizon events still needed to complete the
+    * chain, undercounting vs batch — advisor, round 9), keeping the EARLIEST
+    * events by (ts, stage) (deterministic; earliest events are the ones a
+    * yet-unseen stage-1 window can still qualify). Defaults preserve the
+    * exact-batch-equivalent behavior of the hash-gated entry. */
   def streamFunnel(events: DataFrame, stages: Seq[String],
                    maxSpanHours: Int = 168, idleTimeout: String = "",
-                   maxLaterEvents: Int = 0): DataFrame = {
+                   maxLaterEvents: Int = 0, eventIdleTimeout: Long = 0L,
+                   watermarkDelay: String = "10 seconds"): DataFrame = {
     require(stages.size >= 2, s"a funnel needs >= 2 stages, got ${stages.size}")
+    require(idleTimeout.isEmpty || eventIdleTimeout == 0L,
+      "pick ONE eviction clock: processing-time idleTimeout or event-time eventIdleTimeout")
     val spark = events.sparkSession
     import spark.implicits._
     val k = stages.size
@@ -353,16 +364,26 @@ object StreamingViews {
       reached
     }
     val timeoutConf =
-      if (idleTimeout.isEmpty) GroupStateTimeout.NoTimeout
-      else GroupStateTimeout.ProcessingTimeTimeout
+      if (idleTimeout.nonEmpty) GroupStateTimeout.ProcessingTimeTimeout
+      else if (eventIdleTimeout > 0L) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val idxMap = map_from_arrays(array(stages.map(lit): _*),
       array(stages.indices.map(i => lit(i)): _*))
-    events
+    // the watermarked timestamp column stays in the projection all the way to
+    // the stateful operator — EventTimeTimeout requires the watermark to reach
+    // it, and projecting the tagged column away would sever that
+    val tagged = events
       .filter(col("event_type").isin(stages: _*))
-      .select(col("user_id").cast("long"),
-        element_at(idxMap, col("event_type")),
-        unix_micros(col("ts").cast("timestamp")))
-      .as[(Long, Int, Long)]
+      .select(col("user_id").cast("long").as("user_id"),
+        element_at(idxMap, col("event_type")).as("stage_idx"),
+        col("ts").cast("timestamp").as("ts"))
+    val bounded =
+      if (eventIdleTimeout > 0L) tagged.withWatermark("ts", watermarkDelay)
+      else tagged
+    bounded
+      .select(col("user_id"), col("stage_idx"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .mapGroupsWithState[FunnelState, (Long, Long, Int)](timeoutConf) {
         case (user, rows, state) =>
@@ -374,18 +395,30 @@ object StreamingViews {
             (user, prev.nUpdates, chainReached(prev.t1, prev.later))
           } else {
             val prev = state.getOption.getOrElse(FunnelState(0L, Long.MaxValue, Nil))
-            val incoming = rows.toList
+            val incoming = rows.map { case (u, i, us, _) => (u, i, us) }.toList
             val t1 = (prev.t1 :: incoming.collect { case (_, 0, ts) => ts }).min
             val unbounded = (prev.later ++
                 incoming.collect { case (_, i, ts) if i > 0 => (i, ts) })
               .filter { case (_, ts) => t1 == Long.MaxValue || ts <= t1 + horizon }
+            // cap ONLY the pre-stage-1 regime: with t1 known the horizon
+            // filter above is the bound, and trimming there could drop
+            // within-horizon events a chain still needs (undercount vs batch)
             val later =
-              if (maxLaterEvents > 0 && unbounded.size > maxLaterEvents)
+              if (maxLaterEvents > 0 && t1 == Long.MaxValue &&
+                  unbounded.size > maxLaterEvents)
                 unbounded.sortBy { case (i, ts) => (ts, i) }.take(maxLaterEvents)
               else unbounded
             val next = FunnelState(prev.nUpdates + 1, t1, later)
             state.update(next)
             if (idleTimeout.nonEmpty) state.setTimeoutDuration(idleTimeout)
+            if (eventIdleTimeout > 0L) {
+              // evict when the WATERMARK passes lastEventTime + eventIdleTimeout
+              // (ms); clamp above the current watermark — a legal late arrival
+              // can carry an event time whose deadline is already in the past
+              val lastMs = incoming.map(_._3).max / 1000L
+              state.setTimeoutTimestamp(
+                math.max(lastMs + eventIdleTimeout, state.getCurrentWatermarkMs() + 1))
+            }
             (user, next.nUpdates, chainReached(t1, later))
           }
       }
