@@ -79,6 +79,109 @@ object SparkEntry {
        UNION ALL
        SELECT b_id, a_id, c_ba FROM sc WHERE c_ba >= 0.8"""
 
+  /** Oracle for the prefix-filtered containment entry: identical dataflow to
+    * [[containmentOracle]], but over the boilerplate-augmented corpus (the
+    * planted mid-df regime — see the entry comment) and with the df bound
+    * raised to the entry's maxDf = 1000. */
+  private val containmentPrefixOracle: String =
+    """WITH t AS (SELECT doc_id,
+         lower(trim(regexp_replace(
+           text || ' zqbp zqboiler zqplate zqg' || CAST(doc_id % 10 AS VARCHAR),
+           '\s+', ' ', 'g'))) AS norm FROM documents WHERE doc_id % 4 = 0),
+       tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+       g0 AS (SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS grams FROM tk),
+       g AS (SELECT * FROM g0 WHERE len(grams) > 0),
+       sz AS (SELECT doc_id, CAST(len(grams) AS DOUBLE) AS n_grams FROM g),
+       post AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       keep AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM post GROUP BY gram)
+                WHERE df BETWEEN 2 AND 1000),
+       bounded AS (SELECT p.doc_id, p.gram FROM post p JOIN keep k ON p.gram = k.gram),
+       inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(count(*) AS DOUBLE) AS inter
+         FROM bounded a JOIN bounded b
+           ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       sc AS (SELECT i.a_id, i.b_id, i.inter / sa.n_grams AS c_ab,
+           i.inter / sb.n_grams AS c_ba
+         FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+         JOIN sz sb ON sb.doc_id = i.b_id)
+       SELECT a_id AS contained_id, b_id AS container_id, c_ab AS containment
+       FROM sc WHERE c_ab >= 0.8
+       UNION ALL
+       SELECT b_id, a_id, c_ba FROM sc WHERE c_ba >= 0.8"""
+
+  // ------------------------------------------------------------------
+  // Driver-visible quality gates (verdict r9 task 1): the spec-level
+  // recall / agreement / bit-equality gates, promoted into the driver
+  // record through the proven bounds-gate pattern (q_sketch_reagg_bounds):
+  // Spark computes the quality metric AND its boolean verdict, every
+  // other output column is exactly recomputable by DuckDB, and the oracle
+  // expects TRUE — so a quality regression (recall dip, persisted/in-memory
+  // divergence, stream/batch split) fails the driver's hash compare, not
+  // just a ScalaTest assertion.
+  // ------------------------------------------------------------------
+
+  /** Single-row multiset-equality probe of two result sets (exceptAll both
+    * ways) — the driver-visible form of a "stream ≡ batch" / "persisted ≡
+    * in-memory" spec pin. Column `__eq`; callers rename. */
+  private def multisetEqualCol(a: DataFrame, b: DataFrame): DataFrame = {
+    val d1 = a.exceptAll(b).agg(count(lit(1)).as("__d1"))
+    val d2 = b.exceptAll(a).agg(count(lit(1)).as("__d2"))
+    d1.crossJoin(d2).select((col("__d1") === 0 && col("__d2") === 0).as("__eq"))
+  }
+
+  /** Mean recall@k of an approximate top-k against its exact twin, one row:
+    * (n_queries, n_results, recall_ok). n_queries and n_results are exact —
+    * every query keeps k results whenever its candidate pool covers k, which
+    * the fixtures guarantee — so DuckDB recomputes both; recall_ok gates
+    * hits / (k·n_queries) at `floor` (the spec-measured operating point). */
+  private def topkRecallGate(exact: DataFrame, approx: DataFrame, k: Int,
+                             floor: Double): DataFrame = {
+    val e = exact.select(col("query_id"), col("vec_id"))
+    val a = approx.select(col("query_id"), col("vec_id"))
+    val hits = a.join(e, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    a.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_results"))
+      .crossJoin(hits)
+      .select(col("n_queries"), col("n_results"),
+        (col("__hits") >= lit(floor) * col("n_queries") * k).as("recall_ok"))
+  }
+
+  /** Bit-equality of a persisted-index probe against its in-memory twin, one
+    * row: (n_queries, n_results, persisted_equals_memory). */
+  private def persistedEqualityGate(persisted: DataFrame, memory: DataFrame): DataFrame =
+    persisted.agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("n_results"))
+      .crossJoin(multisetEqualCol(persisted, memory))
+      .select(col("n_queries"), col("n_results"),
+        col("__eq").as("persisted_equals_memory"))
+
+  /** Pair recall (and optionally precision-exactly-1) of an approximate
+    * candidate-pair set against the exact truth, one row:
+    * (n_true_pairs, recall_ok[, precision_one]). n_true_pairs is exact and
+    * DuckDB-recomputed from the same truth definition. */
+  private def pairRecallGate(truth: DataFrame, got: DataFrame, floor: Double,
+                             withPrecision: Boolean = false): DataFrame = {
+    val t = truth.select(col("a_id"), col("b_id"))
+    val g = got.select(col("a_id"), col("b_id"))
+    val hits = t.join(g, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+    val base = t.agg(count(lit(1)).as("n_true_pairs")).crossJoin(hits)
+    val cols0 = Seq(col("n_true_pairs"),
+      (col("__hits") >= lit(floor) * col("n_true_pairs")).as("recall_ok"))
+    if (!withPrecision) base.select(cols0: _*)
+    else {
+      val extra = g.join(t, Seq("a_id", "b_id"), "left_anti")
+        .agg(count(lit(1)).as("__extra"))
+      base.crossJoin(extra)
+        .select(cols0 :+ (col("__extra") === 0).as("precision_one"): _*)
+    }
+  }
+
   /** Shared oracle for both curation-audit forms (text-keyed and
     * fingerprint-keyed — verdicts identical barring 64-bit collision). */
   private val curateAuditOracle: String =
@@ -1064,12 +1167,38 @@ object SparkEntry {
               FROM f GROUP BY norm""")),
 
     Q("pipeline_curate_semantic", // quality gates + SemDeDup embedding-space
-      // dedup (catches paraphrases exact dedup cannot) — rows-only (trained
-      // cells); composition is spec-tested against its hand-built equivalent
-      (s, d) => Curation.curateCorpusSemantic(
-        Tables.documents(s, d), Tables.embeddings(s, d), threshold = 0.4,
-        minTokens = 20, nassign = 2),
-      None),
+      // dedup (catches paraphrases exact dedup cannot) as a DRIVER-VISIBLE
+      // composition gate: every kept doc must be a quality survivor WITH an
+      // embedding (kept_subset_of_quality), and every quality survivor the
+      // semantic pass dropped must participate in at least one EXACT
+      // cosine>=0.4 pair among survivor embeddings (drops_witnessed — no doc
+      // is discarded on trained-blocking evidence alone). n_docs is
+      // DuckDB-exact; the composition's hand-built equivalence stays in spec.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val emb = Tables.embeddings(s, d)
+        val kept = Curation.curateCorpusSemantic(docs, emb, threshold = 0.4,
+          minTokens = 20, nassign = 3).select(col("doc_id"))
+        val surv = Curation.scoredSurvivors(docs, "en", 20, 5.0).select("doc_id")
+        val survEmb = emb.join(surv.withColumnRenamed("doc_id", "vec_id"),
+          Seq("vec_id"), "left_semi")
+        val truth = Similarity.cosineDupPairs(survEmb, 0.4)
+        val hasDup = truth.select(col("a_id").as("doc_id"))
+          .union(truth.select(col("b_id").as("doc_id"))).distinct()
+          .withColumn("__hd", lit(true))
+        val candidates = survEmb.select(col("vec_id").as("doc_id"))
+        val keptBad = kept.join(candidates, Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("__kb"))
+        val unjust = candidates.join(kept, Seq("doc_id"), "left_anti")
+          .join(hasDup, Seq("doc_id"), "left")
+          .agg(sum(when(col("__hd").isNull, 1L).otherwise(0L)).as("__uj"))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(keptBad).crossJoin(unjust)
+          .select(col("n_docs"), (col("__kb") === 0).as("kept_subset_of_quality"),
+            (coalesce(col("__uj"), lit(0L)) === 0).as("drops_witnessed"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS kept_subset_of_quality,
+              TRUE AS drops_witnessed
+              FROM documents""")),
 
     Q("pipeline_chunk", // context-length prep: overlapping token windows
       // (chunkSize=64, overlap=16 → stride 48); every token covered, last
@@ -1158,14 +1287,38 @@ object SparkEntry {
       None),
 
     Q("text_bpe_token_count", // per-doc token counts under the TRAINED
-      // tokenizer (replaces the regex stand-in in text_token_count) — encode
-      // is map-only via the native BpeEncodeExpr, merges ride as a reference
-      // object
+      // tokenizer, as a PER-DOC driver gate: encode is map-only via the
+      // native BpeEncodeExpr, merges ride as a reference object. The trained
+      // merge table is engine-specific (the iterative fit is what SQL cannot
+      // express — text_bpe_merges stays rows-only), but the ENCODE invariants
+      // are exact and DuckDB-checkable per doc: BPE merges only concatenate
+      // within words, so the tokens' total characters equal the words' total
+      // characters (chars_preserved), and the token count sits in
+      // [n_words, n_chars] (count_bounded). n_words is DuckDB-recomputed.
       (s, d) => {
-        val merges = graft.operators.Bpe.trainMerges(Tables.documents(s, d), numMerges = 40)
-        graft.operators.Bpe.tokenCounts(Tables.documents(s, d), merges)
+        val docs = Tables.documents(s, d)
+        val merges = graft.operators.Bpe.trainMerges(docs, numMerges = 40)
+        docs.select(col("doc_id"),
+            TextFns.tokens(col("text")).as("__words"),
+            graft.operators.Bpe.encode(col("text"), merges).as("__toks"))
+          .select(col("doc_id"),
+            size(col("__words")).cast("long").as("n_words"),
+            aggregate(col("__toks"), lit(0),
+              (acc, t) => acc + length(t)).as("__tokChars"),
+            aggregate(col("__words"), lit(0),
+              (acc, w) => acc + length(w)).as("__wordChars"),
+            size(col("__toks")).cast("long").as("__nToks"))
+          .select(col("doc_id"), col("n_words"),
+            (col("__tokChars") === col("__wordChars")).as("chars_preserved"),
+            (col("__nToks") >= col("n_words") &&
+              col("__nToks") <= col("__wordChars")).as("count_bounded"))
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                TRUE AS chars_preserved, TRUE AS count_bounded
+              FROM t""")),
 
     Q("text_bpe_encode_fixed", // the encode half under a PINNED literal merge
       // table: deterministic, so hash-oracled — DuckDB replays the merges in
@@ -1464,12 +1617,21 @@ object SparkEntry {
 
     Q("dedup_exact_canonical_fp", // scale path of the canonical selection: same
       // argmax, but keyed on the 8-byte xxhash64 fingerprint instead of the
-      // normalized text — the exchange never carries document bodies. Rows-only
-      // (xxhash64 isn't in DuckDB); DedupSpec asserts its survivor set equals
-      // dedup_exact_canonical's on the fixture.
+      // normalized text — the exchange never carries document bodies. The
+      // OUTPUT (survivor id + dup_count) is identical to the norm-keyed form
+      // barring a 64-bit collision (the same caveat the hash-oracled
+      // dedup_incremental already carries), so it shares
+      // dedup_exact_canonical's FULL hash oracle — promoted from rows-only.
       (s, d) => Dedup.exactDedupCanonicalByFingerprint(Tables.documents(s, d),
         length(col("text")).cast("long")),
-      None),
+      Some("""WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+                FROM documents),
+              r AS (SELECT doc_id, norm,
+                row_number() OVER (PARTITION BY norm ORDER BY q DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY norm) AS dup_count FROM t)
+              SELECT doc_id, CAST(dup_count AS BIGINT) AS dup_count
+              FROM r WHERE rn = 1""")),
 
     Q("dedup_dup_spans", // cross-document duplicate SPANS (Lee et al. 2022
       // substring dedup, dataflow form): every 8-gram shared by >= 2 docs,
@@ -1591,14 +1753,58 @@ object SparkEntry {
                 round(coalesce(c.cov, 0) / greatest(len(t.toks), 1), 6) AS dup_span_fraction
               FROM t LEFT JOIN c ON t.doc_id = c.doc_id""")),
 
-    Q("dedup_minhash_lsh", // xxhash64-based signatures — engine-specific, rows-only
-      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), threshold = 0.2),
-      None),
+    Q("dedup_minhash_lsh", // DRIVER-VISIBLE recall gate (was rows-only):
+      // MinHash-LSH candidate pairs (16 bands x 4 rows, est-Jaccard >= 0.5)
+      // vs the EXACT prefix-blocked 3-gram Jaccard truth at the same 0.5
+      // threshold — the DedupSpec gate, promoted: DuckDB recomputes
+      // n_true_pairs from the same truth definition and expects recall_ok
+      // (floor 0.8) to be TRUE.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        pairRecallGate(
+          Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40, threshold = 0.5),
+          Dedup.minhashLshPairs(docs, threshold = 0.5),
+          floor = 0.8)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, substr(norm, 1, 40) AS block,
+                string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, block,
+                list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                  len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+                FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id)
+              SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok
+              FROM p WHERE jaccard >= 0.5""")),
 
-    Q("dedup_simhash", // xxhash64-based — rows-only; pigeonhole banding makes
-      // recall EXACTLY 1.0 at the Hamming budget (DedupSpec equality gate)
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 8),
-      None),
+    Q("dedup_simhash", // DRIVER-VISIBLE recall gate: pigeonhole banding makes
+      // candidate recall EXACTLY 1.0 at the Hamming budget (a pair within
+      // Hamming <= 8 of 64 bits matches at least one of the 9 bands) — the
+      // DedupSpec equality pin, promoted: the all-pairs Hamming truth is
+      // recomputed in-entry (bit_count over a bounded nested-loop join) and
+      // every truth pair must appear among the banded candidates.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val sh = Dedup.simhashes(docs)
+        val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("__ha"))
+        val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("__hb"))
+        val truth = a.join(b, col("a_id") < col("b_id"))
+          .filter(bit_count(col("__ha").bitwiseXOR(col("__hb"))) <= 8)
+          .select(col("a_id"), col("b_id"))
+        val missing = truth.join(
+            Dedup.simhashPairs(docs, maxHamming = 8).select("a_id", "b_id"),
+            Seq("a_id", "b_id"), "left_anti")
+          .agg(count(lit(1)).as("__miss"))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(missing)
+          .select(col("n_docs"), (col("__miss") === 0).as("recall_exact_one"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS recall_exact_one
+              FROM documents""")),
 
     Q("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 3,
@@ -1634,10 +1840,33 @@ object SparkEntry {
       // side's RAREST |g|-ceil(t|g|)+1 grams (pigeonhole bound), so the
       // bucket pair explosion fires only on shared rare grams; exact |A∩B|
       // then comes from array_intersect over candidate gram arrays.
-      // Bit-identical to dedup_containment on this fixture (both exact).
-      (s, d) => Dedup.containmentPairsPrefix(Tables.documents(s, d), n = 3,
-        maxDf = 20, threshold = 0.8),
-      Some(containmentOracle)),
+      // WIRED IN ITS WINNING REGIME (verdict r9 task 2): the raw sf fixtures
+      // have max gram df 25 — no mid-df boilerplate, the regime where the
+      // prefix machinery is pure overhead and the base form wins (SCALE.md
+      // A/B). So this entry PLANTS the regime the form exists for: each doc
+      // gains a deterministic boilerplate tail whose inner gram is shared by
+      // its doc_id%10 group (df ≈ n/10 — mid-df), plus one corpus-wide gram
+      // (df = n, dropped by the bound on both sides), and runs at
+      // maxDf = 1000. Under the base form each planted gram would explode
+      // into C(n/10, 2) bucket pairs per group; the prefix flag culls the
+      // pair space to shared-RARE-gram candidates. The oracle replays the
+      // same augmentation verbatim — still hash-exact; form-equivalence vs
+      // the base form at equal params stays pinned in PropertySpec. The
+      // fixture is the doc_id%4 quarter-corpus (verdict r9 task 2's "shrink
+      // its fixture"): at fixture scale NO pair space explodes enough for the
+      // prefix machinery's constants to pay for themselves — the measured
+      // WIN evidence for this form is ScaleSmoke's 1M-doc mid-df A/B
+      // (SCALE.md: 14.2 s vs 17.4 s) — so the sweep entry's job is exercising
+      // the distinctive dataflow (rarest-first flags, flag-only buckets,
+      // array-intersect rescoring) hash-exactly, not re-proving the win.
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") % 4 === 0)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" zqbp zqboiler zqplate zqg"),
+              (col("doc_id") % 10).cast("string")).as("text"))
+        Dedup.containmentPairsPrefix(docs, n = 3, maxDf = 1000, threshold = 0.8)
+      },
+      Some(containmentPrefixOracle)),
 
     Q("dedup_clusters", // connected components over ngram-jaccard pairs
       (s, d) => {
@@ -1706,13 +1935,29 @@ object SparkEntry {
                 FROM e a JOIN e b ON a.vec_id < b.vec_id)
               SELECT a_id, b_id, cosine FROM p WHERE cosine >= 0.4""")),
 
-    Q("dedup_embedding_cosine_lsh", // LSH-blocked scale form — rows-only; params
-      // sized by MEASURED recall (SimilaritySpec): the fixture is near-orthogonal
-      // (max cosine 0.48), so buckets must be coarse — nbits=3, tables=8 gives
-      // pair recall 0.879 at threshold 0.4 (the old nbits=8 default: 0.12)
-      (s, d) => Similarity.cosineDupPairsLsh(Tables.embeddings(s, d), 0.4, dim = 64,
-        nbits = 3, tables = 8),
-      None),
+    Q("dedup_embedding_cosine_lsh", // LSH-blocked scale form as a
+      // DRIVER-VISIBLE recall gate vs the exact all-pairs truth (the
+      // dedup_embedding_cosine oracle's own definition — DuckDB recomputes
+      // n_true_pairs): nbits=3, tables=8 gives pair recall 0.879 at
+      // threshold 0.4 on the near-orthogonal fixture (nbits=8: 0.12), gated
+      // at the SimilaritySpec 0.8 floor; precision is exactly 1 (the LSH
+      // form exact-filters every candidate), also asserted.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        pairRecallGate(
+          Similarity.cosineDupPairs(emb, 0.4),
+          Similarity.cosineDupPairsLsh(emb, 0.4, dim = 64, nbits = 3, tables = 8),
+          floor = 0.8, withPrecision = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok,
+                TRUE AS precision_one
+              FROM p WHERE cosine >= 0.4""")),
 
     Q("dedup_clusters_canonical", // canonical-selection cluster resolution:
       // components over ngram-jaccard pairs, survivor = LONGEST member
@@ -1752,54 +1997,134 @@ object SparkEntry {
               SELECT cc.id AS doc_id, cc.cluster_id, cc.id = rep.rep AS keep
               FROM cc JOIN rep USING (cluster_id)""")),
 
-    Q("dedup_embedding_incremental", // cross-snapshot EMBEDDING near-dedup:
-      // new vectors (vec_id % 5 = 0) keep/drop vs within-batch and
-      // frozen-base cosine near-dups, candidates from shared hyperplane
-      // buckets (base tag table = the persisted artifact at scale) — the
-      // embedding sibling of dedup_incremental_minhash; rows-only
-      // (hash-derived buckets); recall gated in SimilaritySpec
+    Q("dedup_embedding_incremental", // cross-snapshot EMBEDDING near-dedup as
+      // a DRIVER-VISIBLE gate: new vectors (vec_id % 5 = 0) keep/drop vs
+      // within-batch and frozen-base cosine near-dups, candidates from shared
+      // hyperplane buckets (base tag table = the persisted artifact at
+      // scale). Gated vs the EXACT all-pairs truth: batch vectors with a true
+      // base near-dup must be flagged at >= the SimilaritySpec 0.8 recall
+      // floor (measured 0.879 at nbits=3, tables=8), and every DROP must have
+      // an exact witness (precision 1 — candidates exact-filter). n_batch is
+      // DuckDB-exact.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.incrementalCosineDedup(
+        val isBatch = (c: Column) => c % 5 === 0
+        val verdicts = Similarity.incrementalCosineDedup(
           batch = emb.filter(col("vec_id") % 5 === 0),
           base = emb.filter(col("vec_id") % 5 =!= 0),
           threshold = 0.4, dim = 64, nbits = 3, tables = 8)
+        val truth = Similarity.cosineDupPairs(emb, 0.4)
+        val baseWitness = truth
+          .filter(isBatch(col("a_id")) && !isBatch(col("b_id")))
+          .select(col("a_id").as("vec_id"))
+          .union(truth.filter(isBatch(col("b_id")) && !isBatch(col("a_id")))
+            .select(col("b_id").as("vec_id")))
+          .distinct().withColumn("__bw", lit(true))
+        val selfWitness = truth
+          .filter(isBatch(col("a_id")) && isBatch(col("b_id")))
+          .select(col("b_id").as("vec_id"))
+          .distinct().withColumn("__sw", lit(true))
+        verdicts.join(baseWitness, Seq("vec_id"), "left")
+          .join(selfWitness, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("__bw").isNotNull, 1L).otherwise(0L)).as("__nw"),
+            sum(when(col("__bw").isNotNull && col("base_match_count") > 0, 1L)
+              .otherwise(0L)).as("__nwf"),
+            sum(when(!col("keep") && col("__bw").isNull && col("__sw").isNull, 1L)
+              .otherwise(0L)).as("__unjust"))
+          .select(col("n_batch"),
+            (col("__nwf") >= col("__nw") * 0.8).as("base_recall_ok"),
+            (col("__unjust") === 0).as("drops_justified"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_batch, TRUE AS base_recall_ok,
+              TRUE AS drops_justified
+              FROM embeddings WHERE vec_id % 5 = 0""")),
 
-    Q("w_stream_cosine_matches", // streaming EMBEDDING near-dup suspects: new
-      // vectors (vec_id % 5 = 0) stream against the frozen base's hyperplane
-      // tag table — per-row buckets, stateless stream-static LEFT SEMI join,
-      // one vec-keyed dropDuplicates; rows-only (hash-derived buckets;
-      // StreamingSpec pins flag-once / novel-pass semantics). nbits=3,
-      // tables=8 = the measured dedup_embedding_cosine_lsh operating point
+    Q("w_stream_cosine_matches", // streaming EMBEDDING near-dup suspects as a
+      // DRIVER-VISIBLE stream≡batch gate: new vectors (vec_id % 5 = 0) stream
+      // against the frozen base's hyperplane tag table — per-row buckets,
+      // stateless stream-static LEFT SEMI join, one vec-keyed dropDuplicates
+      // (nbits=3, tables=8 = the measured dedup_embedding_cosine_lsh
+      // operating point). The SAME stateless pipeline re-runs in batch over
+      // the same rows; the settled stream output must equal it multiset-
+      // exactly (the StreamingSpec pin, promoted). n_new_vecs is DuckDB-exact.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // localCheckpoint: same persisted-artifact rationale as the minhash
+        // bucket table — one tag build serves the stream pass and batch twin
         val baseTags = Similarity.hyperplaneTagTable(
           emb.filter(col("vec_id") % 5 =!= 0), dim = 64, nbits = 3, tables = 8)
-        StreamingViews.runToMemory(s, s"$d/embeddings.parquet",
-          "graft_wcos_sink", src => StreamingViews.streamCosineBaseMatches(
+          .localCheckpoint(true)
+        def flagged(src: DataFrame): DataFrame =
+          StreamingViews.streamCosineBaseMatches(
             src.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
             baseTags, dim = 64, nbits = 3, tables = 8)
-            .select(col("vec_id")),
-          outputMode = "append")
+            .select(col("vec_id"))
+        val streamed = StreamingViews.runToMemory(s, s"$d/embeddings.parquet",
+          "graft_wcos_sink", flagged, outputMode = "append")
+        emb.filter(col("vec_id") % 5 === 0).agg(count(lit(1)).as("n_new_vecs"))
+          .crossJoin(multisetEqualCol(streamed, flagged(emb)))
+          .select(col("n_new_vecs"), col("__eq").as("stream_equals_batch"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_new_vecs, TRUE AS stream_equals_batch
+              FROM embeddings WHERE vec_id % 5 = 0""")),
 
-    Q("dedup_semantic_pairs", // SemDeDup: k-means-cell-blocked cosine pairs —
-      // rows-only (cells are trained); nlist auto-sizes to n/512 so per-cell
-      // quadratic work stays constant across scale factors; nassign=2 recovers
-      // boundary pairs (fixture recall 0.924 vs all-pairs at auto nlist=4;
-      // nassign=1 was 0.56) — precision exactly 1 (SimilaritySpec gates)
-      (s, d) => Similarity.semanticDupPairs(Tables.embeddings(s, d), 0.4,
-        nassign = 2),
-      None),
+    Q("dedup_semantic_pairs", // SemDeDup k-means-cell-blocked cosine pairs as
+      // a DRIVER-VISIBLE recall gate vs the exact all-pairs truth: nlist
+      // auto-sizes to n/512 (per-cell quadratic work constant across scale
+      // factors), nassign=3 recovers boundary pairs — measured recall 1.0 at
+      // sf0.01 / 0.84 at sf0.1 (nassign=2 fell to 0.62 at 2000 vectors on
+      // the near-orthogonal fixture — the gate surfaced it; nassign=1: 0.56
+      // even at 500), gated at the SimilaritySpec 0.8 floor; precision
+      // exactly 1 (exact cosine filter reruns on every candidate). DuckDB
+      // recomputes n_true_pairs from the same truth definition.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        pairRecallGate(
+          Similarity.cosineDupPairs(emb, 0.4),
+          Similarity.semanticDupPairs(emb, 0.4, nassign = 3),
+          floor = 0.8, withPrecision = true)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(a.emb)), i -> a.emb[i] * b.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              SELECT CAST(count(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok,
+                TRUE AS precision_one
+              FROM p WHERE cosine >= 0.4""")),
 
-    Q("dedup_semantic", // SemDeDup keep/drop: components over within-cell
-      // pairs, smallest vec_id survives — rows-only (same trained blocking)
-      (s, d) => Similarity.semanticDedup(Tables.embeddings(s, d), 0.4,
-        nassign = 2),
-      None),
+    Q("dedup_semantic", // SemDeDup keep/drop as a DRIVER-VISIBLE verdict gate:
+      // components over within-cell pairs, smallest vec_id survives. Gated:
+      // every cluster keeps EXACTLY its min-id member (survivors_min_id) and
+      // every dropped vector participates in at least one EXACT cosine>=0.4
+      // pair (drops_justified — no vector is discarded on trained-blocking
+      // evidence alone); n_vecs is DuckDB-exact.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val res = Similarity.semanticDedup(emb, 0.4, nassign = 3)
+        val truth = Similarity.cosineDupPairs(emb, 0.4)
+        val hasDup = truth.select(col("a_id").as("vec_id"))
+          .union(truth.select(col("b_id").as("vec_id"))).distinct()
+          .withColumn("__has_dup", lit(true))
+        val clusterOk = res.groupBy("cluster_id")
+          .agg(min(col("vec_id")).as("__mn"),
+            min(when(col("keep"), col("vec_id"))).as("__kmin"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("__nk"))
+          .agg(sum(when(col("__mn") === col("__kmin") && col("__nk") === 1L, 0L)
+            .otherwise(1L)).as("__badc"))
+        val dropOk = res.join(hasDup, Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(!col("keep") && col("__has_dup").isNull, 1L).otherwise(0L))
+              .as("__unjust"))
+        dropOk.crossJoin(clusterOk)
+          .select(col("n_vecs"), (col("__badc") === 0).as("survivors_min_id"),
+            (col("__unjust") === 0).as("drops_justified"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS survivors_min_id,
+              TRUE AS drops_justified
+              FROM embeddings""")),
 
     Q("sim_topk_bruteforce",
       (s, d) => {
@@ -1818,83 +2143,119 @@ object SparkEntry {
                 ORDER BY cosine DESC, vec_id) AS rank FROM s)
               SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10""")),
 
-    Q("sim_lsh_topk", // hyperplane LSH buckets are hash-derived — rows-only;
-      // params sized by MEASURED recall@10 vs brute force (SimilaritySpec):
-      // nbits=3, tables=8 = 0.865 on the near-orthogonal fixture (nbits=6: 0.22)
+    Q("sim_lsh_topk", // DRIVER-VISIBLE recall gate (was rows-only): hyperplane
+      // LSH top-10 vs the exact brute-force twin, mean recall@10 over the
+      // spec's 20-query set gated at the 0.8 floor (measured 0.865 at
+      // nbits=3, tables=8 — nbits=6 was 0.22; SimilaritySpec). DuckDB
+      // recomputes n_queries/n_results exactly and expects recall_ok = TRUE.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), 10, dim = 64,
-          nbits = 3, tables = 8)
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.lshTopK(emb, q, 10, dim = 64, nbits = 3, tables = 8),
+          k = 10, floor = 0.8)
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
 
-    Q("sim_ivf_topk", // k-means-trained IVF — rows-only; nlist=8, nprobe=5 =
-      // measured recall@10 0.905 (SimilaritySpec gate >= 0.8)
+    Q("sim_ivf_topk", // DRIVER-VISIBLE recall gate: k-means-trained IVF
+      // (nlist=8, nprobe=5) vs brute force — measured recall@10 0.905,
+      // gated at the spec's 0.8 floor; counts hash-oracled, boolean TRUE
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), 10, nlist = 8, nprobe = 5)
-          .withColumn("rank", col("rank").cast("long"))
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 5),
+          k = 10, floor = 0.8)
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
 
-    Q("sim_ivf_persisted_topk", // the index LIFECYCLE: build the
-      // cell-partitioned index on disk once, probe it in a separate
-      // partition-pruned read — the probe scan touches only probed cell
-      // directories and never re-exchanges the corpus (PlanSpec pins the
-      // pruning and the single candidate exchange). Rows-only here;
-      // bit-identical to the in-memory ivfProbeAssigned on the same
-      // centroids (SimilaritySpec equality gate).
+    Q("sim_ivf_persisted_topk", // the index LIFECYCLE, now as a DRIVER-VISIBLE
+      // bit-equality gate: build the cell-partitioned index on disk once,
+      // probe it partition-pruned (PlanSpec pins pruning + the single
+      // candidate exchange), and compare the probe MULTISET-EXACTLY against
+      // the in-memory ivfTopK under the same deterministic training — the
+      // SimilaritySpec equality pin, made to fail the driver's hash compare
+      // if the persisted path ever diverges.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 20)
         val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${math.abs(d.hashCode)}"
         Similarity.writeIvfIndex(emb, cents, path)
-        Similarity.ivfProbePersisted(s, path, cents,
-            emb.filter(col("vec_id") < 5), 10, nprobe = 5)
-          .withColumn("rank", col("rank").cast("long"))
+        persistedEqualityGate(
+          Similarity.ivfProbePersisted(s, path, cents, q, 10, nprobe = 5),
+          Similarity.ivfTopK(emb, q, 10, nlist = 8, nprobe = 5))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
 
-    Q("sim_pq_topk", // product-quantization ANN (ADC scan + exact rerank) —
-      // rows-only (codebooks are trained); m=16, ksub=32, rerank 4k = measured
-      // recall@10 0.880 on the near-orthogonal fixture (SimilaritySpec gate
-      // >= 0.8). PQ scores EVERY vector (no blocking misses): corpus memory
-      // traffic is m ints/vector, 16x under the float32 embedding
+    Q("sim_pq_topk", // DRIVER-VISIBLE recall gate: product-quantization ANN
+      // (ADC scan + exact rerank; m=16, ksub=32, rerank 8k) vs brute force —
+      // measured recall@10 0.97 at sf0.01 / 0.895 at sf0.1 (rerank 4k fell
+      // to 0.775 at 2000 vectors — the gate surfaced it; 8k holds the 0.8
+      // floor at both fixture scales). PQ scores EVERY vector (no blocking
+      // misses): corpus memory traffic is m ints/vector, 16x under the
+      // float32 embedding.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.pqTopK(emb, emb.filter(col("vec_id") < 5), 10,
-            m = 16, ksub = 32, iters = 3, rerankFactor = 4)
-          .withColumn("rank", col("rank").cast("long"))
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.pqTopK(emb, q, 10, m = 16, ksub = 32, iters = 3, rerankFactor = 8),
+          k = 10, floor = 0.8)
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
 
-    Q("sim_ivfpq_topk", // IVFADC (FAISS IVFx,PQy architecture): coarse cells +
-      // PQ-coded residuals, nprobe-cell ADC scan + exact rerank — rows-only
-      // (trained); measured recall@10 0.870 at these params (spec gate >= 0.8)
+    Q("sim_ivfpq_topk", // DRIVER-VISIBLE recall gate: IVFADC (FAISS IVFx,PQy
+      // architecture — coarse cells + PQ-coded residuals, nprobe-cell ADC
+      // scan + exact rerank) vs brute force; measured recall@10 0.895 at
+      // sf0.01 / 0.85 at sf0.1 with nprobe=6, rerank 8k (the old nprobe=5,
+      // rerank 4k fell to 0.705 at 2000 vectors — the gate surfaced it),
+      // gated at the spec's 0.8 floor
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), 10,
-            nlist = 8, nprobe = 5, m = 16, ksub = 32, iters = 3, rerankFactor = 4)
-          .withColumn("rank", col("rank").cast("long"))
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.ivfPqTopK(emb, q, 10,
+            nlist = 8, nprobe = 6, m = 16, ksub = 32, iters = 3, rerankFactor = 8),
+          k = 10, floor = 0.8)
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
 
-    Q("sim_ivfpq_persisted_topk", // the IVFADC index LIFECYCLE: residual-PQ
-      // codes cell-partitioned on disk, probed via partition pruning + ADC +
-      // exact rerank — the billion-scale serving layout (scan fraction AND
-      // bytes-per-row both shrink). Rows-only (trained models); bit-identical
-      // to the in-memory ivfPqTopK under the same models (SimilaritySpec).
+    Q("sim_ivfpq_persisted_topk", // the IVFADC index LIFECYCLE as a
+      // DRIVER-VISIBLE bit-equality gate: residual-PQ codes cell-partitioned
+      // on disk, probed via partition pruning + ADC + exact rerank — the
+      // billion-scale serving layout (scan fraction AND bytes-per-row both
+      // shrink) — compared multiset-exactly against the in-memory ivfPqTopK
+      // under the same deterministic training (SimilaritySpec pin, promoted).
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 20)
         val (cents, books) = Similarity.trainIvfPq(emb, nlist = 8, m = 16,
           ksub = 32, iters = 3)
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_${math.abs(d.hashCode)}"
         Similarity.writeIvfPqIndex(emb, cents, books, path)
-        Similarity.ivfPqProbePersisted(s, path, cents, books,
-            emb.filter(col("vec_id") < 5), emb, 10, nprobe = 5, rerankFactor = 4)
-          .withColumn("rank", col("rank").cast("long"))
+        persistedEqualityGate(
+          Similarity.ivfPqProbePersisted(s, path, cents, books, q, emb, 10,
+            nprobe = 6, rerankFactor = 8),
+          Similarity.ivfPqTopK(emb, q, 10,
+            nlist = 8, nprobe = 6, m = 16, ksub = 32, iters = 3, rerankFactor = 8))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
 
     Q("sim_random_projection", // Johnson–Lindenstrauss sign projection 64→16
       // dims: map-only, one native dot per output dim against a literal
@@ -2042,12 +2403,26 @@ object SparkEntry {
                 w.pred_label = e.label AS correct
               FROM w JOIN e ON e.vec_id = w.query_id WHERE wr = 1""")),
 
-    Q("sim_knn_classify_ivf", // the scale twin: neighbors from the trained
-      // IVF probe (nlist=8, nprobe=5 — the sim_ivf_topk params, recall@10
-      // 0.905) instead of the all-pairs scan; rows-only (trained cells) with
-      // a measured prediction-agreement gate vs the exact form (ClassifySpec)
-      (s, d) => Classify.knnClassifyIvf(Tables.embeddings(s, d), k = 5),
-      None),
+    Q("sim_knn_classify_ivf", // the scale twin as a DRIVER-VISIBLE agreement
+      // gate: neighbors from the trained IVF probe (nlist=8, nprobe=5 — the
+      // sim_ivf_topk params, recall@10 0.905) instead of the all-pairs scan;
+      // prediction agreement vs the exact form (measured 0.784) gated at the
+      // ClassifySpec 0.6 floor. n_vecs is DuckDB-exact; the exact twin keeps
+      // its own full hash oracle in sim_knn_classify.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val exact = Classify.knnClassify(emb, k = 5)
+          .select(col("vec_id"), col("pred_label").as("__pe"))
+        val ivf = Classify.knnClassifyIvf(emb, k = 5)
+          .select(col("vec_id"), col("pred_label").as("__pi"))
+        exact.join(ivf, "vec_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("__pe") === col("__pi"), 1L).otherwise(0L)).as("__agree"))
+          .select(col("n_vecs"),
+            (col("__agree") >= col("n_vecs") * 0.6).as("agreement_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS agreement_ok
+              FROM embeddings""")),
 
     Q("text_langid",
       (s, d) => {
@@ -2334,65 +2709,119 @@ object SparkEntry {
               FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
     Q("pipeline_decontaminate_bloom", // the benchmark-outgrows-broadcast
-      // regime: a distributed-fitted fixed-size Bloom filter over the
-      // benchmark gram hashes, probed map-side by the corpus. Rows-only
-      // (filter bits are Spark-internal); SearchSpec asserts the exact form's
-      // contaminated set is a SUBSET (no false negatives) and measures the FP
-      // rate against the sized bound.
+      // regime as a PER-DOC driver gate: a distributed-fitted fixed-size
+      // Bloom filter over the benchmark gram hashes, probed map-side by the
+      // corpus. The SearchSpec superset pin, promoted per document: DuckDB
+      // recomputes each doc's EXACT contamination verdict and expects
+      // no_false_negative (exact-contaminated ⇒ bloom-flagged) to be TRUE on
+      // every row — a single missed leak fails the hash compare. The filter
+      // auto-sizes for a per-DOC FP target (see Curation.bloomBitsFor).
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Curation.decontaminateBloom(
-          docs.filter(col("doc_id") % 20 =!= 0),
-          docs.filter(col("doc_id") % 20 === 0), n = 3)
+        val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+        val bench = docs.filter(col("doc_id") % 20 === 0)
+        val exact = Curation.decontaminate(corpus, bench, n = 3)
+          .select(col("doc_id"), col("contaminated").as("exact_contaminated"))
+        val bloom = Curation.decontaminateBloom(corpus, bench, n = 3)
+          .select(col("doc_id"), col("contaminated").as("__bloom"))
+        exact.join(bloom, "doc_id")
+          .select(col("doc_id"), col("exact_contaminated"),
+            (!col("exact_contaminated") || col("__bloom")).as("no_false_negative"))
       },
-      None),
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 20 = 0),
+              corp AS (SELECT doc_id, grams FROM g WHERE doc_id % 20 <> 0),
+              cg AS (SELECT doc_id, unnest(grams) AS gram FROM corp),
+              hits AS (SELECT cg.doc_id, count(b.gram) AS m
+                FROM cg LEFT JOIN bench b USING (gram) GROUP BY cg.doc_id)
+              SELECT c.doc_id, coalesce(h.m, 0) > 0 AS exact_contaminated,
+                TRUE AS no_false_negative
+              FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
     Q("w_stream_decontaminate_bloom", // the Bloom decontamination gate over a
-      // REAL stream: the fixed-size filter fits BATCH-side (a model object,
-      // like centroids) and the corpus pass is the map-only literal probe —
-      // append mode, zero state, the regime where the broadcast-join form
-      // cannot run at all. Rows-only (bloom bits are engine-specific);
-      // StreamingSpec pins stream ≡ batch verdict equality.
+      // REAL stream, now a DRIVER-VISIBLE stream≡batch gate: the fixed-size
+      // filter fits BATCH-side (a model object, like centroids) and the
+      // corpus pass is the map-only literal probe — append mode, zero state,
+      // the regime where the broadcast-join form cannot run at all. The same
+      // probe re-runs in batch over the same rows and the settled stream
+      // verdicts must equal it multiset-exactly (StreamingSpec pin,
+      // promoted); the fit is order-free (bit-OR of item hashes), so the two
+      // passes probe identical filter bits.
       (s, d) => {
-        val bench = Tables.documents(s, d).filter(col("doc_id") % 20 === 0)
-        StreamingViews.runToMemory(s, s"$d/documents.parquet",
-          "graft_wbloom_sink", src => Curation.decontaminateBloom(
-            src.filter(col("doc_id") % 20 =!= 0), bench, n = 3),
-          outputMode = "append")
+        val docs = Tables.documents(s, d)
+        val bloom = Curation.fitBenchmarkBloom(
+          docs.filter(col("doc_id") % 20 === 0), n = 3)
+        def verdicts(src: DataFrame): DataFrame = Curation.decontaminateWithBloom(
+          src.filter(col("doc_id") % 20 =!= 0), bloom, n = 3)
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wbloom_sink", verdicts, outputMode = "append")
+        docs.filter(col("doc_id") % 20 =!= 0).agg(count(lit(1)).as("n_corpus_docs"))
+          .crossJoin(multisetEqualCol(streamed, verdicts(docs)))
+          .select(col("n_corpus_docs"), col("__eq").as("stream_equals_batch"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs, TRUE AS stream_equals_batch
+              FROM documents WHERE doc_id % 20 <> 0""")),
 
     Q("w_stream_incremental_dedup", // the governance intake gate as a REAL
-      // stream: file-source docs -> in-stream dropDuplicates(fp) ->
-      // stream-static LEFT ANTI join vs the base fingerprint table; rows-only
-      // (xxhash64 fingerprints; StreamingSpec pins the per-doc semantics)
+      // stream, now a DRIVER-VISIBLE stream≡batch gate: file-source docs ->
+      // in-stream dropDuplicates(fp) -> stream-static LEFT ANTI join vs the
+      // base fingerprint table. The settled stream's novel FINGERPRINT SET
+      // must equal the batch-computed novel set exactly (which doc_id
+      // survives a within-batch fp group depends on arrival order in BOTH
+      // engines — the set of surviving fingerprints does not; the per-doc
+      // semantics stay pinned in StreamingSpec). n_new_docs is DuckDB-exact.
       (s, d) => {
-        val baseFps = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        val docs = Tables.documents(s, d)
+        val baseFps = docs.filter(col("doc_id") % 5 =!= 0)
           .select(TextFns.fastFingerprint(col("text")).as("fp"))
-        StreamingViews.runToMemory(s, s"$d/documents.parquet",
+        val streamedFps = StreamingViews.runToMemory(s, s"$d/documents.parquet",
           "graft_winc_sink", src => StreamingViews.streamIncrementalDedup(
             src.filter(col("doc_id") % 5 === 0), baseFps)
             .select(col("doc_id"), col("fp")),
           outputMode = "append")
+          .select(col("fp")).distinct()
+        val batchFps = docs.filter(col("doc_id") % 5 === 0)
+          .select(TextFns.fastFingerprint(col("text")).as("fp")).distinct()
+          .join(baseFps, Seq("fp"), "left_anti")
+        docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_new_docs"))
+          .crossJoin(multisetEqualCol(streamedFps, batchFps))
+          .select(col("n_new_docs"), col("__eq").as("stream_equals_batch"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_new_docs, TRUE AS stream_equals_batch
+              FROM documents WHERE doc_id % 5 = 0""")),
 
-    Q("w_stream_minhash_matches", // streaming NEAR-dup suspect stream: new
-      // docs (doc_id % 5 = 0) stream against the frozen base's minhash
-      // bucket table — per-row signatures (MinHashSigExpr, no streaming
-      // aggregation state), stateless stream-static LEFT SEMI join, one
-      // doc-keyed dropDuplicates; rows-only (xxhash64 banding; StreamingSpec
-      // pins flag-once / novel-pass semantics)
+    Q("w_stream_minhash_matches", // streaming NEAR-dup suspect stream, now a
+      // DRIVER-VISIBLE stream≡batch gate: new docs (doc_id % 5 = 0) stream
+      // against the frozen base's minhash bucket table — per-row signatures
+      // (MinHashSigExpr, no streaming aggregation state), stateless
+      // stream-static LEFT SEMI join, one doc-keyed dropDuplicates. The same
+      // chain re-runs in batch and the settled stream output must equal it
+      // multiset-exactly (StreamingSpec flag-once / novel-pass pin, promoted).
       (s, d) => {
+        val docs = Tables.documents(s, d)
+        // localCheckpoint: the bucket table is the persisted base artifact at
+        // scale — materializing it here means the stream pass and its batch
+        // twin probe the SAME table instead of re-signing the base twice
         val baseBuckets = Dedup.minhashBucketTable(
-          Tables.documents(s, d).filter(col("doc_id") % 5 =!= 0))
-        StreamingViews.runToMemory(s, s"$d/documents.parquet",
-          "graft_wmh_sink", src => StreamingViews.streamMinhashBaseMatches(
+          docs.filter(col("doc_id") % 5 =!= 0)).localCheckpoint(true)
+        def flagged(src: DataFrame): DataFrame =
+          StreamingViews.streamMinhashBaseMatches(
             src.filter(col("doc_id") % 5 === 0), baseBuckets)
-            .select(col("doc_id")),
-          outputMode = "append")
+            .select(col("doc_id"))
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wmh_sink", flagged, outputMode = "append")
+        docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_new_docs"))
+          .crossJoin(multisetEqualCol(streamed, flagged(docs)))
+          .select(col("n_new_docs"), col("__eq").as("stream_equals_batch"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_new_docs, TRUE AS stream_equals_batch
+              FROM documents WHERE doc_id % 5 = 0""")),
 
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass
@@ -2541,14 +2970,41 @@ object SparkEntry {
                 WHEN fp % 10000 < 9500 THEN 'val'
                 ELSE 'test' END AS split FROM f""")),
 
-    Q("pipeline_split_fp", // the 100 TB path of pipeline_split: identical
-      // split semantics keyed on xxhash64 instead of the char-wise rolling
-      // hash (one hash pass, ~20x at 1M docs per ScaleSmoke). Rows-only —
-      // xxhash64 isn't in DuckDB; PropertySpec gates split proportions to
-      // within 1% of the slow-hash form and asserts dup-consistency.
-      (s, d) => Curation.assignSplit(Tables.documents(s, d),
-        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), fastHash = true),
-      None),
+    Q("pipeline_split_fp", // the 100 TB path of pipeline_split as a
+      // DRIVER-VISIBLE gate: identical split semantics keyed on xxhash64
+      // instead of the char-wise rolling hash (one hash pass, ~20x at 1M
+      // docs per ScaleSmoke). The PropertySpec gates, promoted: per-split
+      // proportions track the slow-hash form (fracs_ok) and exact duplicates
+      // never split apart (dup_consistent — the leak-proof-splits property);
+      // n_docs is DuckDB-exact. Tolerance is 5pp HERE, not the spec's 1pp:
+      // the sf fixtures plant duplicate groups (one hash draw each) and the
+      // val/test strata are tens of docs, so the measured honest noise floor
+      // is 3.0pp at sf0.001 / 2.2pp at sf0.01 / 1.1pp at sf0.1 — the 1pp
+      // property on a 20k-DISTINCT-doc corpus stays asserted in PropertySpec;
+      // this driver gate catches gross breakage (a degenerate hash collapses
+      // a stratum by far more than 5pp).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+        val fast = Curation.assignSplit(docs, fracs, fastHash = true)
+        val slow = Curation.assignSplit(docs, fracs)
+        val tot = docs.agg(count(lit(1)).as("n_docs"))
+        val maxDiv = fast.groupBy("split").agg(count(lit(1)).as("__nf"))
+          .join(slow.groupBy("split").agg(count(lit(1)).as("__ns")), Seq("split"), "full")
+          .crossJoin(tot)
+          .select((abs(coalesce(col("__nf"), lit(0L)) - coalesce(col("__ns"), lit(0L)))
+            / col("n_docs")).as("__d"))
+          .agg(max(col("__d")).as("__maxd"))
+        val dupOk = fast.join(docs.select("doc_id", "text"), "doc_id")
+          .groupBy(col("text")).agg(countDistinct(col("split")).as("__k"))
+          .agg(sum(when(col("__k") === 1L, 0L).otherwise(1L)).as("__badDup"))
+        tot.crossJoin(maxDiv).crossJoin(dupOk)
+          .select(col("n_docs"), (col("__maxd") <= 0.05).as("fracs_ok"),
+            (col("__badDup") === 0).as("dup_consistent"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS fracs_ok,
+              TRUE AS dup_consistent
+              FROM documents""")),
 
     Q("pipeline_dsir_weights", // DSIR importance resampling (Xie et al. 2023):
       // per-doc log importance weight of the target-domain n-gram model
@@ -2583,17 +3039,38 @@ object SparkEntry {
                   AS dsir_logw
               FROM agg CROSS JOIN st""")),
 
-    Q("pipeline_dsir_weights_hashed", // the paper's actual 100 TB form:
-      // features collapse to xxhash64 mod 4096 buckets, so BOTH count models
-      // are dense <=4096-row tables no matter the corpus size. Rows-only —
-      // xxhash64 isn't in DuckDB; PropertySpec gates selection agreement
-      // against the exact-feature form on the fixture.
+    Q("pipeline_dsir_weights_hashed", // the paper's actual 100 TB form as a
+      // DRIVER-VISIBLE selection-agreement gate: features collapse to
+      // xxhash64 mod 4096 buckets, so BOTH count models are dense <=4096-row
+      // tables no matter the corpus size. The PropertySpec gate, promoted:
+      // the top-half selection under hashed weights must overlap the
+      // exact-feature form's top half by >= 0.7 (what a resampler actually
+      // consumes is the selection, not the raw weight). n_docs is
+      // DuckDB-exact; the exact form keeps its full hash oracle in
+      // pipeline_dsir_weights.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Curation.dsirWeights(docs, docs.filter(col("source").isin("src0", "src1")),
-          hashBuckets = 4096)
+        val target = docs.filter(col("source").isin("src0", "src1"))
+        def topHalf(df: DataFrame, w: String): DataFrame = {
+          val n = df.agg(count(lit(1)).as("__n"))
+          df.crossJoin(n)
+            .withColumn("__r", row_number().over(
+              Window.orderBy(col(w).desc, col("doc_id"))))
+            .filter(col("__r") <= greatest(floor(col("__n") / 2), lit(1L)))
+            .select("doc_id")
+        }
+        val exact = Curation.dsirWeights(docs, target)
+          .select(col("doc_id"), col("dsir_logw").as("__we"))
+        val hashed = Curation.dsirWeights(docs, target, hashBuckets = 4096)
+          .select(col("doc_id"), col("dsir_logw").as("__wh"))
+        val overlap = topHalf(exact, "__we").join(topHalf(hashed, "__wh"), "doc_id")
+          .agg(count(lit(1)).as("__o"))
+        docs.agg(count(lit(1)).as("n_docs")).crossJoin(overlap)
+          .select(col("n_docs"),
+            (col("__o") >= floor(col("n_docs") / 2) * 0.7).as("selection_overlap_ok"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS selection_overlap_ok
+              FROM documents""")),
 
     Q("pipeline_curate_audit", // the curation chain with per-document
       // verdicts instead of silent drops: first failing gate in gate order,
@@ -2847,18 +3324,37 @@ object SparkEntry {
               WHERE norm NOT IN (SELECT norm FROM t WHERE doc_id % 5 <> 0)""")),
 
     Q("dedup_incremental_minhash", // cross-snapshot NEAR-dedup, the fuzzy
-      // sibling of dedup_incremental: per-batch-doc keep/drop verdict vs
-      // within-batch near-dups (greedy pair rule) and base-corpus near-dups
-      // (banded signature join; base signatures are the persisted artifact
-      // at scale) — rows-only (xxhash64 signatures); recall vs true
-      // cross-snapshot Jaccard and planted-copy behavior gated in DedupSpec
+      // sibling of dedup_incremental, as a DRIVER-VISIBLE recall gate:
+      // per-batch-doc keep/drop verdict vs within-batch near-dups (greedy
+      // pair rule) and base-corpus near-dups (banded signature join; base
+      // signatures are the persisted artifact at scale). Gated vs the EXACT
+      // prefix-blocked 3-gram Jaccard truth at the banding threshold (0.5):
+      // batch docs with a true base near-dup must carry base_match_count > 0
+      // at >= the DedupSpec 0.8 recall floor. n_batch is DuckDB-exact.
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Dedup.incrementalMinhashDedup(
+        val isBatch = (c: Column) => c % 5 === 0
+        val verdicts = Dedup.incrementalMinhashDedup(
           batch = docs.filter(col("doc_id") % 5 === 0),
           base = docs.filter(col("doc_id") % 5 =!= 0))
+        val truth = Dedup.ngramJaccardPairs(docs, n = 3, prefixLen = 40,
+          threshold = 0.5)
+        val baseWitness = truth
+          .filter(isBatch(col("a_id")) && !isBatch(col("b_id")))
+          .select(col("a_id").as("doc_id"))
+          .union(truth.filter(isBatch(col("b_id")) && !isBatch(col("a_id")))
+            .select(col("b_id").as("doc_id")))
+          .distinct().withColumn("__bw", lit(true))
+        verdicts.join(baseWitness, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_batch"),
+            sum(when(col("__bw").isNotNull, 1L).otherwise(0L)).as("__nw"),
+            sum(when(col("__bw").isNotNull && col("base_match_count") > 0, 1L)
+              .otherwise(0L)).as("__nwf"))
+          .select(col("n_batch"),
+            (col("__nwf") >= col("__nw") * 0.8).as("base_recall_ok"))
       },
-      None),
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_batch, TRUE AS base_recall_ok
+              FROM documents WHERE doc_id % 5 = 0""")),
 
     Q("search_bm25", // Okapi BM25 top-25 for a 3-term query: map-side tf kernel,
       // single-row stats broadcast, TakeOrderedAndProject top-k — no corpus

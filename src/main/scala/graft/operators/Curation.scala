@@ -34,8 +34,8 @@ object Curation {
           size(col("toks"))).as("avg_token_len"),
         TextFns.predictLangFromTokens(col("toks")).as("pred_lang"))
 
-  private def scoredSurvivors(docs: DataFrame, lang: String, minTokens: Int,
-                              maxAvgTokenLen: Double): DataFrame =
+  private[graft] def scoredSurvivors(docs: DataFrame, lang: String, minTokens: Int,
+                                     maxAvgTokenLen: Double): DataFrame =
     scoredAll(docs)
       .filter(col("pred_lang") === lang &&
         col("n_tokens") >= minTokens && col("avg_token_len") <= maxAvgTokenLen)
@@ -212,33 +212,63 @@ object Curation {
     * contamination verdict threshold instead of (or on top of) the sizing —
     * the knob for corpora whose docs legitimately share a stray gram. */
   def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
-                         expectedGrams: Long = 1000000L,
+                         expectedGrams: Long = 0L,
                          numBits: Long = 0L,
                          docFp: Double = 1e-4, gramsPerDoc: Long = 1000L,
-                         minMatchedGrams: Long = 1L): DataFrame = {
-    val bits = if (numBits > 0) numBits
-               else bloomBitsFor(expectedGrams, docFp, gramsPerDoc)
-    def gramHashes(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
-          g => xxhash64(g)).as("ghs"))
-    // the fitted filter is a MODEL object of exactly numBits/8 bytes (1 MB at
-    // the default) regardless of gram count: ONE bounded driver hop, then it
-    // rides the probe plan as a binary literal — `might_contain` requires a
-    // constant filter, and this is the centroids/BPE-merges discipline anyway
-    val bloomBytes = gramHashes(benchmark)
-      .select(explode(col("ghs")).as("gh"))
-      .agg(graft.functions.BloomFns.bloomAgg(col("gh"), expectedGrams, bits).as("bf"))
+                         minMatchedGrams: Long = 1L): DataFrame =
+    decontaminateWithBloom(corpus,
+      fitBenchmarkBloom(benchmark, n, expectedGrams, numBits, docFp, gramsPerDoc),
+      n, minMatchedGrams)
+
+  /** The fit half of [[decontaminateBloom]], exposed so one fitted filter can
+    * serve MANY probe passes (a stream and its batch twin, several corpus
+    * snapshots): the fitted filter is a MODEL object of exactly numBits/8
+    * bytes regardless of gram count — ONE bounded driver hop, then it rides
+    * each probe plan as a binary literal (`might_contain` requires a constant
+    * filter; the centroids/BPE-merges discipline). Bit-setting is an OR over
+    * item hashes, so the fit is arrival-order-free and deterministic.
+    *
+    * `expectedGrams = 0` (default) sizes to the MEASURED distinct-gram
+    * cardinality (one cheap HLL pass, +10% headroom): a filter sized for a
+    * worst-case benchmark is plan-literal dead weight on every probe task —
+    * at the per-doc-FP bits rate, 1M assumed grams is a 4 MB literal where a
+    * 25k-gram eval suite needs 100 KB. Pass a positive value only when the
+    * fit-time cardinality pass is itself too expensive (rarely — it is one
+    * map-side-combined sketch over the BENCHMARK, the small side). */
+  def fitBenchmarkBloom(benchmark: DataFrame, n: Int = 8,
+                        expectedGrams: Long = 0L, numBits: Long = 0L,
+                        docFp: Double = 1e-4, gramsPerDoc: Long = 1000L): Array[Byte] = {
+    val grams = gramHashesFor(benchmark, n).select(explode(col("ghs")).as("gh"))
+    val items =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(1024L, (grams
+        .agg(approx_count_distinct(col("gh")).as("c"))
+        .head().getLong(0) * 1.1).toLong)
+    val bits = if (numBits > 0) numBits else bloomBitsFor(items, docFp, gramsPerDoc)
+    grams
+      .agg(graft.functions.BloomFns.bloomAgg(col("gh"), items, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
-    gramHashes(corpus)
+  }
+
+  /** The probe half of [[decontaminateBloom]]: map-only end to end (the
+    * higher-order `filter` probes each doc's distinct-gram array in place —
+    * no explode, no join, no exchange), so it runs unchanged over a STREAMING
+    * corpus in append mode. */
+  def decontaminateWithBloom(corpus: DataFrame, bloomBytes: Array[Byte],
+                             n: Int = 8, minMatchedGrams: Long = 1L): DataFrame =
+    gramHashesFor(corpus, n)
       .select(col("doc_id"),
         size(filter(col("ghs"),
           gh => graft.functions.BloomFns.mightContain(lit(bloomBytes), gh)))
           .cast("long").as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
         (col("matched_grams") >= minMatchedGrams).as("contaminated"))
-  }
+
+  private def gramHashesFor(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    .select(col("doc_id"),
+      transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+        g => xxhash64(g)).as("ghs"))
 
   /** Bloom bits for a PER-DOC false-positive target: per-gram p must be
     * `docFp / gramsPerDoc` (union bound over a doc's distinct grams), and the

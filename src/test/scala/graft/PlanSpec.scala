@@ -351,7 +351,7 @@ class PlanSpec extends SparkSpec {
       "pipeline_embedding_outliers" -> 1, // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
       "text_pmi_top" -> 3, // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
       "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
-      "dedup_embedding_incremental" -> 5, // candidate dedup + base-count agg + keep-flag joins; tag generation is map-only and every exchange carries ids/buckets, never vectors
+      "dedup_embedding_incremental" -> 7, // GATE FORM (r10): the verdict plan (candidate dedup + base-count agg + keep-flag joins — ids/buckets only, never vectors) + the exact all-pairs truth and witness joins of the recall gate
       "search_domain_keywords" -> 4, // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
       "dedup_clusters_canonical" -> 2, // cluster-keyed argmax agg + verdict re-join atop resolveClusters' fast path (label map broadcast at fixture scale)
       // round-8 additions: graph analytics. The entries' own final plans are
@@ -364,10 +364,10 @@ class PlanSpec extends SparkSpec {
       "dedup_containment" -> 3, // explode-once bucket form: df-count pre-filter agg (bounds the collect_list buffers BEFORE collection — the round-8 ADVICE fix, a deliberate +1) + gkey bucket agg + (a,b) pair agg; every exchange carries (gkey|doc_id|n) longs, never grams or text
       "dedup_containment_prefix" -> 5, // + the in-range ordering join's per-doc agg and the candidate distinct — the prefix machinery's priced overhead; candidate re-joins broadcast the tiny pair set
       "search_hybrid_rrf_batch" -> 9, // per-query fusion: batch-BM25's 6 (pinned above) + vec-channel heap-topk + the two rank-bounded channel outputs' (query, doc) full-outer; all post-channel frames <= queries x 2*kRetrieval rows
-      "sim_ivf_persisted_topk" -> 1, // partition-pruned index scan + broadcast probe: the only exchange is the bounded top-k agg (the dedicated pruning test below pins the scan shape)
-      "sim_ivfpq_persisted_topk" -> 1, // pruned cells + ADC from stored codes + rerank: shortlist/rerank heap-topk aggs collapse to one exchange at fixture stats (full vectors read only for shortlist rows)
-      "pipeline_decontaminate_bloom" -> 0, // map-only corpus pass (the dedicated zero-exchange test above); the bloom fit pays its own bounded job at build time
-      "w_stream_decontaminate_bloom" -> 0, // the same map-only plan as a settled STREAM result: append mode, zero state, zero exchanges
+      "sim_ivf_persisted_topk" -> 5, // GATE FORM (r10): pruned-scan probe top-k + the in-memory twin's top-k + the exceptAll-both-ways equality aggs; the dedicated pruning test below still pins the scan shape of the probe alone
+      "sim_ivfpq_persisted_topk" -> 5, // GATE FORM (r10): pruned ADC probe + the in-memory IVFADC twin + equality aggs (full vectors still read only for shortlist rows)
+      "pipeline_decontaminate_bloom" -> 2, // GATE FORM (r10): the bloom probe itself stays MAP-ONLY (the dedicated zero-exchange test above pins the operator); the per-doc no-false-negative gate adds the exact form's gram join + verdict join
+      "w_stream_decontaminate_bloom" -> 2, // GATE FORM (r10): the streamed probe stays map-only/zero-state; the stream==batch equality adds the batch twin + exceptAll aggs
       "pipeline_pack_manifest" -> 1, // the per-pack windows cluster on (group, pack), which HashPartitioning(group) already satisfies — same single exchange as the base packing op
       // round-8 additions: positional search, event analytics, DSIR, Gopher
       "search_phrase" -> 2, // (doc,start) vote agg + doc occurrence agg; corpus filters to the phrase vocabulary before either
@@ -375,7 +375,7 @@ class PlanSpec extends SparkSpec {
       "q_funnel" -> 3, // one user-keyed min-agg per stage; stage joins broadcast at fixture stats (user-keyed equi-joins at scale)
       "q_retention_cohorts" -> 3, // first-seen agg + (user,week) distinct + (cohort,offset) count; cohort join broadcasts at fixture stats
       "pipeline_dsir_weights" -> 5, // two vocab-bounded count-model aggs + model full-outer + corpus feature join + doc agg; scalars broadcast
-      "pipeline_dsir_weights_hashed" -> 5, // same shape, <=4096-row models
+      "pipeline_dsir_weights_hashed" -> 20, // GATE FORM (r10): BOTH dsir forms run (5 each, <=4096-row models on the hashed side) + the two top-half selection windows and the overlap join of the agreement gate
       "text_gopher_rules" -> 0, // map-only rule gate: NO exchange
       "q_hourly_anomalies" -> 2, // (type,hour) count agg + the types×hours window exchange — events never enter a window sort
       "text_bpe_fertility" -> 0, // map-only: pinned-merge encode + tokenize-once word count

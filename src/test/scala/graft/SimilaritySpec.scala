@@ -307,10 +307,10 @@ class SimilaritySpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val truePairs = Similarity.cosineDupPairs(emb, 0.4)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = Similarity.semanticDupPairs(emb, 0.4, nassign = 2) // nlist auto-sizes
+    val got = Similarity.semanticDupPairs(emb, 0.4, nassign = 3) // nlist auto-sizes
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val r = got.count(truePairs).toDouble / truePairs.size
-    info(f"semanticDupPairs(auto nlist, nassign=2) pair recall = $r%.3f (${got.size}/${truePairs.size})")
+    info(f"semanticDupPairs(auto nlist, nassign=3) pair recall = $r%.3f (${got.size}/${truePairs.size})")
     assert(got.subsetOf(truePairs), "precision must be 1 — exact filter reruns on candidates")
     assert(r >= 0.8, f"pair recall $r%.3f below 0.8 floor — raise nassign or lower nlist")
   }
@@ -320,8 +320,8 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 20)
     val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
     val r = recallOf(exact, topMap(
-      Similarity.pqTopK(emb, queries, 10, m = 16, ksub = 32, iters = 3, rerankFactor = 4)))
-    info(f"pqTopK(m=16, ksub=32, rerank=4k) recall@10 = $r%.3f")
+      Similarity.pqTopK(emb, queries, 10, m = 16, ksub = 32, iters = 3, rerankFactor = 8)))
+    info(f"pqTopK(m=16, ksub=32, rerank=8k) recall@10 = $r%.3f")
     assert(r >= 0.8, f"PQ recall $r%.3f below 0.8 floor — raise m/ksub/rerankFactor")
   }
 
@@ -330,8 +330,8 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 20)
     val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
     val r = recallOf(exact, topMap(Similarity.ivfPqTopK(emb, queries, 10,
-      nlist = 8, nprobe = 5, m = 16, ksub = 32, iters = 3, rerankFactor = 4)))
-    info(f"ivfPqTopK(nlist=8, nprobe=5, m=16, ksub=32, rerank=4k) recall@10 = $r%.3f")
+      nlist = 8, nprobe = 6, m = 16, ksub = 32, iters = 3, rerankFactor = 8)))
+    info(f"ivfPqTopK(nlist=8, nprobe=6, m=16, ksub=32, rerank=8k) recall@10 = $r%.3f")
     assert(r >= 0.8, f"IVFADC recall $r%.3f below 0.8 floor — raise nprobe/m/rerank")
   }
 
