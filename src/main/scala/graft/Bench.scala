@@ -31,7 +31,9 @@ object Bench {
     // round-8 capabilities
     "q_funnel", "q_heavy_hitters", "q_target_encode",
     // round-9 capabilities
-    "sim_ivf_persisted_topk", "pipeline_decontaminate_bloom")
+    "sim_ivf_persisted_topk", "pipeline_decontaminate_bloom",
+    // round-10 capabilities: the real-codec multimodal round trip
+    "multimodal_blob_features")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",
@@ -125,7 +127,12 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val runTotals = matrix.map(r => f(r.sum)).mkString("[", ",", "]")
       val nulls = nullTimes.map(f).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":${matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
+      // value_normalized = value / null_query_min: cross-round comparison in
+      // one division — when the host slows down, the probe floor rises by the
+      // same factor as every query, so this ratio is host-speed-invariant
+      // (verdict r9 task 6; replaces a paragraph of noise adjudication).
+      val normed = rs.map(_._2).sum / nullTimes.min
+      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"queries":$qs,"sf":"$sfDir","runs":${matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
     }
     val byName = results.toMap
     if (args.isEmpty) {

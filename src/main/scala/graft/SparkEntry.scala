@@ -844,6 +844,52 @@ object SparkEntry {
         .select("event_id", "event_type"),
       None),
 
+    Q("q_hash_sample_bounds", // driver-visible gate for the deterministic
+      // sampler (sibling of q_approx_distinct_bounds): the realized rate must
+      // sit within ±2pp of the requested 10% (binomial noise is ~0.2pp at
+      // fixture scale), and a 5% sample must NEST inside the 10% sample — the
+      // defining property of hash-bucket sampling (same content → same draw,
+      // smaller rates are prefixes of larger ones). n_events is DuckDB-exact;
+      // the raw sample stays driver-visible in q_hash_sample.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val s10 = Ops.hashSample(ev, "event_id", 0.1).select("event_id")
+        val s05 = Ops.hashSample(ev, "event_id", 0.05).select("event_id")
+        val notNested = s05.join(s10, Seq("event_id"), "left_anti")
+          .agg(count(lit(1)).as("__nn"))
+        ev.agg(count(lit(1)).as("n_events"))
+          .crossJoin(s10.agg(count(lit(1)).as("__n10")))
+          .crossJoin(notNested)
+          .select(col("n_events"),
+            (abs(col("__n10").cast("double") / col("n_events") - 0.1) <= 0.02)
+              .as("rate_ok"),
+            (col("__nn") === 0).as("nested_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_events, TRUE AS rate_ok,
+              TRUE AS nested_ok FROM events""")),
+
+    Q("q_stratified_sample_bounds", // PER-STRATUM driver gate for the
+      // stratified sampler: each stratum's realized rate within ±5pp of its
+      // requested rate (purchase 1.0 is exact by construction; view/signup
+      // binomial noise is well under 1pp at fixture scale). n_events per
+      // stratum is DuckDB-exact; the raw sample stays in q_stratified_sample.
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val samp = Ops.stratifiedHashSample(ev, "event_id", "event_type",
+          Map("purchase" -> 1.0, "view" -> 0.1, "signup" -> 0.5))
+        val want = map(lit("purchase"), lit(1.0), lit("view"), lit(0.1),
+          lit("signup"), lit(0.5))
+        ev.groupBy("event_type").agg(count(lit(1)).as("n_events"))
+          .join(samp.groupBy("event_type").agg(count(lit(1)).as("__ns")),
+            Seq("event_type"), "left")
+          .select(col("event_type"), col("n_events"),
+            (abs(coalesce(col("__ns"), lit(0L)).cast("double") / col("n_events")
+              - coalesce(element_at(want, col("event_type")), lit(0.0))) <= 0.05)
+              .as("rate_ok"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+              TRUE AS rate_ok FROM events GROUP BY event_type""")),
+
     Q("q_approx_distinct", // HLL sketch — engine-specific, rows-only check (no oracle)
       (s, d) => Tables.events(s, d).groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users")),

@@ -141,6 +141,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamFunnel eventIdleTimeout evicts on the WATERMARK — replay-deterministic") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    // eviction after 1 h of EVENT time: unlike the processing-time sibling,
+    // the eviction points are a pure function of the event stream, so a
+    // replayed historical stream evicts identically every run
+    val q = StreamingViews.streamFunnel(stream.toDF(),
+        Seq("signup", "view"), maxSpanHours = 24,
+        eventIdleTimeout = 3600000L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_funnel_evt_evict").start()
+    def rowsFor(user: Long): Array[(Long, Int)] =
+      spark.table("t_funnel_evt_evict").collect()
+        .filter(_.getLong(0) == user).map(r => (r.getLong(1), r.getInt(2)))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      // batch 1: user 1 signs up at 10:00 -> deadline = 11:00 event time
+      stream.addData(Seq(TestEvent(1, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}")))
+      q.processAllAvailable()
+      assert(rowsFor(1L).contains((1L, 1)))
+      // batch 2: another user's event moves the watermark to 13:00 (end of
+      // batch); the deadline is NOT yet crossed during this batch
+      stream.addData(Seq(TestEvent(2, 2, "signup", ts("2024-01-01 13:00:00"), 0, "{}")))
+      q.processAllAvailable()
+      // the engine's post-watermark-advance batch fires user 1's timeout:
+      // settled verdict re-emitted (same n_updates), state freed
+      waitFor("user 1's event-time eviction")(rowsFor(1L).count(_ == (1L, 1)) >= 2)
+      // user 1 returns at 14:00 with a stage-2 event: the funnel restarted
+      // from empty, so the view alone reaches stage 0, never stage 2
+      stream.addData(Seq(TestEvent(3, 1, "view", ts("2024-01-01 14:00:00"), 0, "{}")))
+      waitFor("user 1's post-eviction emission")(rowsFor(1L).exists(_._2 == 0))
+      assert(!rowsFor(1L).exists(_._2 == 2),
+        s"view chained onto evicted state: ${rowsFor(1L).toSeq}")
+    } finally q.stop()
+  }
+
+  test("streamFunnel eventIdleTimeout preserves batch parity when nothing evicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val events = Seq(
+      TestEvent(1, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}"),
+      TestEvent(2, 1, "view", ts("2024-01-01 10:30:00"), 0, "{}"),
+      TestEvent(3, 2, "view", ts("2024-01-01 10:40:00"), 0, "{}"))
+    val q = StreamingViews.streamFunnel(stream.toDF(),
+        Seq("signup", "view"), maxSpanHours = 24,
+        eventIdleTimeout = 86400000L, watermarkDelay = "1 hour")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_funnel_evt_parity").start()
+    try {
+      stream.addData(events.take(1)); q.processAllAvailable()
+      stream.addData(events.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val settled = Ops.latestPerKeyAgg(spark.table("t_funnel_evt_parity"),
+        Seq("user_id"), Seq(col("n_updates")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // hand-computed batch verdicts: user 1 chains signup->view (stage 2);
+    // user 2 has a view but no signup (stage 0). The timeout never fires
+    // (deadline 24 h past the last event), so verdicts match the
+    // no-timeout streaming form exactly.
+    assert(settled === Map(1L -> 2, 2L -> 0), s"got $settled")
+  }
+
   test("streamFunnel maxLaterEvents caps the pre-stage-1 buffer deterministically") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
