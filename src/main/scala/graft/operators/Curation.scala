@@ -244,7 +244,13 @@ object Curation {
       else math.max(1024L, (grams
         .agg(approx_count_distinct(col("gh")).as("c"))
         .head().getLong(0) * 1.1).toLong)
-    val bits = if (numBits > 0) numBits else bloomBitsFor(items, docFp, gramsPerDoc)
+    // clamp at Spark's BloomFilterAggregate ceiling (64M bits = 8 MB): past
+    // ~2M grams the per-doc FP target degrades gracefully instead of erroring;
+    // a benchmark that large should shard into per-suite filters (each probe
+    // is map-only, so N filters = N probe columns OR-ed, still zero-exchange)
+    val bits = math.min(
+      if (numBits > 0) numBits else bloomBitsFor(items, docFp, gramsPerDoc),
+      67108864L)
     grams
       .agg(graft.functions.BloomFns.bloomAgg(col("gh"), items, bits).as("bf"))
       .head().getAs[Array[Byte]](0)
