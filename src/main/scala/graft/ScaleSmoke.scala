@@ -292,6 +292,18 @@ object ScaleSmoke {
       sim.lshTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
         nbits = 16, tables = 4).count()
     }
+    time("binaryTopK 10 queries sign-Hamming + rerank", exactly(100)) {
+      // stage-1 scan moves ONE long per corpus row (32x under the float scan;
+      // the cheapest full-coverage compressor scan). The planted near-copy of
+      // vec 10 differs only by +0.05 on dim 0 pre-normalization — sign
+      // pattern identical → Hamming 0 → it MUST survive the shortlist and
+      // rank first after exact rerank.
+      val rs = sim.binaryTopK(vecs, vecs.filter(col("vec_id") < 10), 10,
+        dim = dim, rerankFactor = 10).collect()
+      require(rs.exists(r => r.getAs[Long]("query_id") == 9L && r.getAs[Long]("vec_id") == 10L),
+        "planted near-dup (9, 10) missing from binary ANN results")
+      rs.length.toLong
+    }
     time("mrlTopK 10 queries prefix=8 of 32", exactly(100)) {
       // stage-1 scan moves 1/4 of the vector bytes; exact rerank on top-100.
       // No planted-pair assert here: this fixture is uniform-random, so the

@@ -2400,6 +2400,39 @@ object SparkEntry {
                 ORDER BY cosine DESC, vec_id) AS rank FROM ex)
               SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
 
+    Q("sim_binary_topk", // binary-quantized ANN: per-dimension sign bits pack
+      // into ONE long (32x compression; Charikar 2002 — Hamming between sign
+      // words estimates the angle), whole-corpus popcount shortlist, exact
+      // rerank of the top 100. Deterministic arithmetic end to end (sign,
+      // XOR, popcount), so like the RP/MRL paths this scale twin hash-matches
+      // an oracle END TO END — the oracle counts sign mismatches directly;
+      // recall vs brute force is additionally gated in SimilaritySpec
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.binaryTopK(emb, emb.filter(col("vec_id") < 5), 10,
+            dim = 64, rerankFactor = 10)
+          .withColumn("rank", col("rank").cast("long"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+              q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+              h AS (SELECT query_id, vec_id,
+                len(list_filter(generate_series(1, len(emb)),
+                  i -> (qe[i] >= 0) != (emb[i] >= 0))) AS ham
+                FROM q, e WHERE query_id != vec_id),
+              short AS (SELECT query_id, vec_id FROM
+                (SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY ham ASC, vec_id) AS srk FROM h) WHERE srk <= 100),
+              ex AS (SELECT short.query_id, short.vec_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(c.emb)),
+                    i -> qe.emb[i] * c.emb[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM short JOIN e c ON short.vec_id = c.vec_id
+                JOIN e qe ON short.query_id = qe.vec_id),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, vec_id) AS rank FROM ex)
+              SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
+
     Q("sim_centroid_classify", // nearest-class-centroid (Rocchio) classifier:
       // per-class mean vector via ONE (class, dim) agg, cosine scoring over a
       // broadcast |classes|-row centroid table, bounded per-vec argmax — the

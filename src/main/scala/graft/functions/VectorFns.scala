@@ -39,6 +39,23 @@ object VectorFns {
     * deterministic. */
   def simKey(sim: Column): Column = round(sim, 6)
 
+  /** Pack each dimension's SIGN BIT (value >= 0 → 1) into ONE LongType word —
+    * the binary-embedding signature (dim <= 64 fits a single long; 64-dim
+    * float32 compresses 32x). The fold runs highest dimension first with
+    * `acc·2 + bit` (wrapping multiply IS shift-left), so no variable-shift
+    * builtin is needed and the result is pure deterministic integer
+    * arithmetic — everything built on the word (XOR, popcount Hamming,
+    * shortlists) hash-oracles across engines; the oracle can count sign
+    * mismatches directly without packing. */
+  def signBits(v: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 64, s"signBits packs one long: dim in [1, 64], got $dim")
+    aggregate(
+      transform(sequence(lit(dim - 1), lit(0), lit(-1)),
+        i => when(element_at(toDoubleArray(v), i + 1) >= 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, b) => acc * 2 + b)
+  }
+
   /** L2-normalize against a PRE-MATERIALIZED norm column. The norm must be
     * bound in its own projection (`.select(..., l2Norm(v).as("nrm"))`) — passed
     * as an expression it would be inlined into the per-element lambda and

@@ -891,6 +891,36 @@ object Similarity {
     else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
   }
 
+  /** Binary-quantized ANN (sign-bit Hamming shortlist + exact rerank): each
+    * vector compresses to ONE 64-bit word — its per-dimension sign bits
+    * ([[VectorFns.signBits]]; Charikar 2002: P[sign mismatch] = θ/π, so
+    * Hamming distance between sign words is an unbiased angle estimator) —
+    * and stage 1 ranks the WHOLE corpus by `bit_count(sig XOR q_sig)`: one
+    * long of memory traffic per row, 32x under the float32 scan — the
+    * cheapest full-coverage compressor scan of the family (PQ moves m bytes,
+    * RP/MRL move d′ doubles; this moves 8 bytes and its distance is a single
+    * popcount instruction). No blocking → no candidate misses, only
+    * mis-rankings past the shortlist boundary; stage 2 rescores the
+    * `rerankFactor`·k shortlist exactly ([[exactRerank]]). Deterministic
+    * arithmetic end to end (sign, XOR, popcount) — hash-oracles like the
+    * RP/MRL paths; recall vs brute force is gated in SimilaritySpec. At
+    * 100 TB the signature column persists next to the corpus (8 bytes/row)
+    * and the stage-1 scan never touches the embedding column at all. */
+  def binaryTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                 rerankFactor: Int = 10): DataFrame = {
+    def sig(df: DataFrame, idAs: String, sigAs: String): DataFrame = df.select(
+      col("vec_id").as(idAs),
+      VectorFns.signBits(col("embedding"), dim).as(sigAs))
+    val scored = broadcast(sig(queries, "query_id", "q_sig"))
+      .join(sig(corpus, "vec_id", "sig"), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        // negate: heapTopK keeps the LARGEST scores, Hamming wants smallest;
+        // ties break on vec_id either way, so the shortlist is deterministic
+        (-bit_count(col("q_sig").bitwiseXOR(col("sig"))).cast("double")).as("cosine"))
+    if (rerankFactor <= 0) heapTopK(scored, k)
+    else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
+  }
+
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nbits: Int = 8, tables: Int = 4): DataFrame = {
     def tagged(df: DataFrame, idAs: String, embAs: String): DataFrame =

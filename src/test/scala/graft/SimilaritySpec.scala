@@ -208,6 +208,59 @@ class SimilaritySpec extends SparkSpec {
     assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
   }
 
+  test("binaryTopK recall@10 vs brute force: rerank recovers the sign-quantization loss") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val queries = emb.filter($"vec_id" < 20)
+    val exact = topMap(Similarity.bruteForceTopK(emb, queries, 10))
+    // raw sign-word Hamming ranking on near-orthogonal vectors: the angle
+    // spread is tiny, so 64 sign bits (noise sd ~ 0.5/sqrt(64) in mismatch
+    // fraction) blur it — this fixture is the operator's worst case, like
+    // the RP/MRL rows; measured 0.23 raw, rerank must carry the recall
+    val raw = recallOf(exact, topMap(
+      Similarity.binaryTopK(emb, queries, 10, dim = 64, rerankFactor = 0)))
+    val reranked = recallOf(exact, topMap(
+      Similarity.binaryTopK(emb, queries, 10, dim = 64, rerankFactor = 10)))
+    info(f"binaryTopK raw recall@10 = $raw%.3f; with 10k-shortlist rerank = $reranked%.3f")
+    assert(reranked >= raw + 0.2, "rerank stage must add substantial recall")
+    assert(reranked >= 0.5, f"reranked recall $reranked%.3f below floor — deepen shortlist")
+  }
+
+  test("signBits packs sign bits exactly; packed-XOR popcount equals naive mismatch count") {
+    // hand-built vectors: dims 0,2 positive, 1,3 negative → bits 0101 = 5;
+    // all-positive → 1111 = 15; zero counts as non-negative (bit set)
+    val df = Seq(
+      (1L, Array(0.5f, -0.25f, 1f, -2f)),
+      (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(0f, -1f, -1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val sigs = df.select($"vec_id",
+      graft.functions.VectorFns.signBits($"embedding", 4).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs === Map(1L -> 5L, 2L -> 15L, 3L -> 9L))
+    // Hamming via packed bit_count must equal the per-dim mismatch count
+    // (the identity the oracle relies on) — check every pair
+    val vecs = Map(1L -> Array(0.5f, -0.25f, 1f, -2f),
+      2L -> Array(1f, 2f, 3f, 4f), 3L -> Array(0f, -1f, -1f, 0f))
+    for (a <- vecs.keys; b <- vecs.keys if a < b) {
+      val naive = vecs(a).zip(vecs(b)).count { case (x, y) => (x >= 0) != (y >= 0) }
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) === naive, s"pair ($a,$b)")
+    }
+    // 64-dim round trip on real fixture vectors: top bit set iff dim 63 >= 0
+    // (the wrapping-multiply fold must land bits at the documented positions)
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir).limit(5)
+    val rows = emb.select($"vec_id",
+        graft.functions.VectorFns.toDoubleArray($"embedding").as("e"),
+        graft.functions.VectorFns.signBits($"embedding", 64).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1); val sig = r.getLong(2)
+      (0 until 64).foreach { i =>
+        assert(((sig >>> i) & 1L) === (if (e(i) >= 0) 1L else 0L),
+          s"vec ${r.getLong(0)} bit $i")
+      }
+    }
+  }
+
   test("incremental cosine dedup: base near-copy drops, self dup resolves, novel keeps") {
     val base = Seq((100L, Array(1.0f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
     val batch = Seq(
