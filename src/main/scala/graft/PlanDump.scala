@@ -198,6 +198,13 @@ object PlanDump {
          "ONE map-side-combined aggregate BEFORE the per-type trailing " +
          "window — the window sorts types x hours rows (24/day/type), so " +
          "no raw event ever enters a window sort."),
+      ("sim_binary_topk",
+       "Binary-quantized ANN: the sign-bit signature packs in a map-only " +
+         "projection (one long per row), stage-1 Hamming ranking is " +
+         "`bit_count(XOR)` feeding the bounded-heap top-k aggregate (the " +
+         "only hash exchange), and the exact rerank broadcasts the id-only " +
+         "shortlist — full-precision vectors are read only for shortlist " +
+         "rows (the rpTopK architecture with an 8-byte compressor)."),
       ("sim_mrl_topk",
        "Matryoshka-prefix ANN: stage-1 scoring is a map-only slice + " +
          "`dotproductexpr` over the first 16 dims feeding the bounded-heap " +

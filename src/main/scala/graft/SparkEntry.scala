@@ -1324,13 +1324,29 @@ object SparkEntry {
                   CAST(sign(x * scale) * floor(abs(x * scale) + 0.5) AS BIGINT))) AS BIGINT) AS q_sum
               FROM s""")),
 
-    Q("text_bpe_merges", // trained BPE vocabulary: distributed word-frequency
-      // agg + driver-side merge fit (Sennrich et al. 2016) — rows-only (the
-      // iterative merge loop is not SQL-expressible; BpeSpec hand-computes the
-      // classic low/lower example and asserts determinism)
-      (s, d) => graft.operators.Bpe.mergesTable(s,
-        graft.operators.Bpe.trainMerges(Tables.documents(s, d), numMerges = 40)),
-      None),
+    Q("text_bpe_merges", // trained BPE vocabulary as a DRIVER-VISIBLE validity
+      // gate: distributed word-frequency agg + driver-side merge fit
+      // (Sennrich et al. 2016 — the fit is a driver-side model op by design,
+      // like k-means centroids). The iterative loop is what SQL cannot
+      // express, but the TRAINED-VOCABULARY INVARIANTS are checkable: exactly
+      // the requested number of merges, ranks dense 0..n-1, and every merge's
+      // sides are single characters or the product of an EARLIER rank — the
+      // exact property text_bpe_encode_fixed's replay oracle relies on.
+      (s, d) => {
+        import s.implicits._
+        val merges = graft.operators.Bpe.trainMerges(Tables.documents(s, d),
+          numMerges = 40)
+        val ranksDense = merges.map(_.rank).sorted == merges.indices.toList
+        val sidesValid = merges.forall { m =>
+          def ok(side: String) = side.length == 1 ||
+            merges.exists(p => p.rank < m.rank && p.left + p.right == side)
+          ok(m.left) && ok(m.right)
+        }
+        Seq((merges.size.toLong, ranksDense, sidesValid))
+          .toDF("n_merges", "ranks_dense", "sides_valid")
+      },
+      Some("""SELECT CAST(40 AS BIGINT) AS n_merges, TRUE AS ranks_dense,
+              TRUE AS sides_valid""")),
 
     Q("text_bpe_token_count", // per-doc token counts under the TRAINED
       // tokenizer, as a PER-DOC driver gate: encode is map-only via the
