@@ -122,6 +122,14 @@ object SparkEntry {
   // expects TRUE — so a quality regression (recall dip, persisted/in-memory
   // divergence, stream/batch split) fails the driver's hash compare, not
   // just a ScalaTest assertion.
+  //
+  // Scale note: the EXACT twins inside these gates (brute-force top-k,
+  // all-pairs cosine, unblocked Jaccard truth) are fixture-scale VALIDATION
+  // machinery, not production dataflow — at 100 TB the same gates run over a
+  // hash-sampled slice (Ops.hashSample keeps them deterministic), exactly as
+  // a production recall monitor samples its ground truth. The approximate
+  // operators under test are the scale path; their plans are snapshotted in
+  // operator form in PLANS.md.
   // ------------------------------------------------------------------
 
   /** Single-row multiset-equality probe of two result sets (exceptAll both
