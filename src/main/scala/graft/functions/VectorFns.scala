@@ -41,13 +41,21 @@ object VectorFns {
 
   /** Pack each dimension's SIGN BIT (value >= 0 → 1) into ONE LongType word —
     * the binary-embedding signature (dim <= 64 fits a single long; 64-dim
-    * float32 compresses 32x). The fold runs highest dimension first with
-    * `acc·2 + bit` (wrapping multiply IS shift-left), so no variable-shift
-    * builtin is needed and the result is pure deterministic integer
-    * arithmetic — everything built on the word (XOR, popcount Hamming,
-    * shortlists) hash-oracles across engines; the oracle can count sign
-    * mismatches directly without packing. */
-  def signBits(v: Column, dim: Int): Column = {
+    * float32 compresses 32x). Native codegen expression ([[SignBitsExpr]] —
+    * the signature projection runs once per corpus row in the binary-ANN
+    * scan, so the interpreted HOF fold is the wrong tool there); pure
+    * deterministic integer arithmetic, so everything built on the word
+    * (XOR, popcount Hamming, shortlists) hash-oracles across engines — the
+    * oracle counts sign mismatches directly without packing. */
+  def signBits(v: Column, dim: Int): Column =
+    SignBitsExpr.signBits(toDoubleArray(v), dim)
+
+  /** The composable HOF twin of [[signBits]] — the fold runs highest
+    * dimension first with `acc·2 + bit` (wrapping multiply IS shift-left).
+    * Kept as the independent parity oracle for the native expression
+    * (SimilaritySpec asserts bit-for-bit equality); interpreted — do not put
+    * it in a corpus scan. */
+  def signBitsHof(v: Column, dim: Int): Column = {
     require(dim >= 1 && dim <= 64, s"signBits packs one long: dim in [1, 64], got $dim")
     aggregate(
       transform(sequence(lit(dim - 1), lit(0), lit(-1)),

@@ -259,6 +259,12 @@ class SimilaritySpec extends SparkSpec {
           s"vec ${r.getLong(0)} bit $i")
       }
     }
+    // native expression ≡ composable HOF fold, bit for bit, on the full fixture
+    val parity = graft.sources.Tables.embeddings(spark, fixtureDir)
+      .select(graft.functions.VectorFns.signBits($"embedding", 64).as("a"),
+        graft.functions.VectorFns.signBitsHof($"embedding", 64).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(parity === 0L, "native SignBitsExpr diverged from the HOF fold")
   }
 
   test("incremental cosine dedup: base near-copy drops, self dup resolves, novel keeps") {
