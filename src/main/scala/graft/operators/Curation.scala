@@ -133,8 +133,13 @@ object Curation {
       .select(col("doc_id"),
         transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
           g => xxhash64(g)).as("ghs"))
+    // explode_OUTER + null filter here too (not just on the corpus side): a
+    // plain explode lets the optimizer infer size(ghs) > 0 and push it below
+    // the ghs projection, re-deriving the tokenize+shingle+hash pipeline as
+    // an interpreted per-row filter (see Dedup.containmentPairs)
     val benchGrams = gramHashes(benchmark)
-      .select(explode(col("ghs")).as("gh")).distinct()
+      .select(explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull).distinct()
       .withColumn("hit", lit(1L))
     // explode_outer keeps sub-n-token documents (empty gram arrays) in the
     // output with matched_grams = 0
@@ -238,7 +243,11 @@ object Curation {
   def fitBenchmarkBloom(benchmark: DataFrame, n: Int = 8,
                         expectedGrams: Long = 0L, numBits: Long = 0L,
                         docFp: Double = 1e-4, gramsPerDoc: Long = 1000L): Array[Byte] = {
-    val grams = gramHashesFor(benchmark, n).select(explode(col("ghs")).as("gh"))
+    // outer + null filter: a plain explode's inferred size(ghs) > 0 filter
+    // would push down and re-derive the gram pipeline per row (see
+    // Dedup.containmentPairs)
+    val grams = gramHashesFor(benchmark, n)
+      .select(explode_outer(col("ghs")).as("gh")).filter(col("gh").isNotNull)
     val items =
       if (expectedGrams > 0) expectedGrams
       else math.max(1024L, (grams

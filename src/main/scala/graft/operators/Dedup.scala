@@ -599,13 +599,30 @@ object Dedup {
     * integers — bit-identical across engines. */
   def containmentPairs(docs: DataFrame, n: Int = 3, maxDf: Int = 20,
                        threshold: Double = 0.8): DataFrame = {
+    // Projection discipline (measured 14.3 s → 4.9 s on the sf0.1 sweep
+    // entry, mostly in the posting build: 6.6 s → 0.7 s):
+    //  - `toks` binds in its own projection so the shingle lambda slices a
+    //    MATERIALIZED array — passing split(norm) inline re-splits the
+    //    document once per gram index (the TextFns.shinglesFromTokens rule);
+    //  - `grams` is referenced twice in its consumer projection (size + the
+    //    carried array), so CollapseProject keeps it materialized below the
+    //    Generate instead of inlining the pipeline per exploded row;
+    //  - explode_OUTER + a post-Generate null filter, NOT a plain explode:
+    //    from `Generate explode(g)` the optimizer infers `size(g) > 0` and
+    //    predicate pushdown then substitutes g through every projection down
+    //    to the scan — re-deriving the whole normalize→shingle pipeline as an
+    //    interpreted per-row filter (HOFs break whole-stage codegen). The
+    //    outer form infers nothing, and the null filter references the
+    //    GENERATED attribute, so nothing can push below the Generate.
     val post = docs
       .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
       .select(col("doc_id"),
-        array_distinct(TextFns.shinglesFromTokens(split(col("norm"), " "), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
+        array_distinct(TextFns.shinglesFromTokens(col("toks"), n)).as("grams"))
       .select(col("doc_id"), size(col("grams")).cast("double").as("n_grams"),
-        explode(col("grams")).as("gram"))
+        col("grams"))
+      .select(col("doc_id"), col("n_grams"), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
       .select(xxhash64(col("gram")).as("gkey"),
         struct(col("doc_id"), col("n_grams")).as("m"))
     // df pre-filter: bound the collect_list below BEFORE anything is
@@ -677,13 +694,18 @@ object Dedup {
                              threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"containment threshold must be in (0, 1], got $threshold")
+    // same projection discipline as [[containmentPairs]]: `toks` materialized
+    // (no per-gram re-split) and explode_OUTER + post-Generate null filter so
+    // the inferred size(...)>0 constraint cannot push down and re-derive the
+    // shingle pipeline per scan row
     val gramSets = docs
       .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))
       .select(col("doc_id"),
-        array_distinct(TextFns.shinglesFromTokens(split(col("norm"), " "), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
+        array_distinct(TextFns.shinglesFromTokens(col("toks"), n)).as("grams"))
       .select(col("doc_id"), expr("transform(grams, g -> xxhash64(g))").as("gkeys"))
-    val post = gramSets.select(col("doc_id"), explode(col("gkeys")).as("gkey"))
+    val post = gramSets.select(col("doc_id"), explode_outer(col("gkeys")).as("gkey"))
+      .filter(col("gkey").isNotNull)
     val dfTab = post.groupBy("gkey").agg(count(lit(1)).as("df"))
     // rarest-first gram order per doc (df asc, gkey tie-break) over IN-RANGE
     // grams ONLY: hyper-common boilerplate never enters the df join or the

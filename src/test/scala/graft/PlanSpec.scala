@@ -301,6 +301,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
   }
 
+  test("no gram-pipeline entry re-derives its HOF pipeline in a pushed-down filter") {
+    // From `Generate explode(attr)` the optimizer infers `size(attr) > 0`,
+    // and predicate pushdown then substitutes attr through every projection
+    // down to the scan — re-deriving the normalize→shingle lambda pipeline as
+    // an INTERPRETED per-row filter (HOFs break whole-stage codegen; measured
+    // 6.6 s → 0.7 s on the sf0.1 containment posting build). The operators
+    // guard against it with explode_outer + a post-Generate null filter; this
+    // test pins the guard: no Filter node may contain a lambda over a split.
+    Seq("dedup_containment", "dedup_containment_prefix",
+        "pipeline_decontaminate", "pipeline_decontaminate_stateless",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, d)
+        .queryExecution.executedPlan.toString
+      val bad = plan.linesIterator.filter(l =>
+        l.contains("Filter") && l.contains("lambdafunction") && l.contains("split("))
+      assert(bad.isEmpty,
+        s"$name re-derives its gram pipeline in a filter:\n${bad.mkString("\n").take(600)}")
+    }
+  }
+
   test("plan-regression gate: headline queries keep pinned shuffle counts, no cartesian products") {
     // Snapshot of each headline query's finalized shuffle-exchange count at
     // fixture scale: a Catalyst upgrade or refactor that silently de-optimizes
