@@ -1925,8 +1925,9 @@ object SparkEntry {
       // fixture is the doc_id%4 quarter-corpus (verdict r9 task 2's "shrink
       // its fixture"): at fixture scale NO pair space explodes enough for the
       // prefix machinery's constants to pay for themselves — the measured
-      // WIN evidence for this form is ScaleSmoke's 1M-doc mid-df A/B
-      // (SCALE.md: 14.2 s vs 17.4 s) — so the sweep entry's job is exercising
+      // WIN evidence for this form is ScaleSmoke's 200k-doc mid-df A/B
+      // (SCALE.md: 5.1 s vs the base form's 13.8 s) — so the sweep entry's
+      // job is exercising
       // the distinctive dataflow (rarest-first flags, flag-only buckets,
       // array-intersect rescoring) hash-exactly, not re-proving the win.
       (s, d) => {
