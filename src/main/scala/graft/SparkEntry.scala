@@ -2511,13 +2511,16 @@ object SparkEntry {
       // gate: neighbors from the trained IVF probe (nlist=8, nprobe=5 — the
       // sim_ivf_topk params, recall@10 0.905) instead of the all-pairs scan;
       // prediction agreement vs the exact form (measured 0.784) gated at the
-      // ClassifySpec 0.6 floor. n_vecs is DuckDB-exact; the exact twin keeps
-      // its own full hash oracle in sim_knn_classify.
+      // ClassifySpec 0.6 floor. The agreement SAMPLE is vec_id < 1000 — the
+      // full set at sf0.01 (500 vecs), half at sf0.1 — so the gate's exact
+      // twin stays fixture-bounded while sim_knn_classify remains the full
+      // hash-oracled exact entry. n_vecs is DuckDB-exact.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
-        val exact = Classify.knnClassify(emb, k = 5)
+        val q = emb.filter(col("vec_id") < 1000)
+        val exact = Classify.knnClassify(emb, k = 5, queries = Some(q))
           .select(col("vec_id"), col("pred_label").as("__pe"))
-        val ivf = Classify.knnClassifyIvf(emb, k = 5)
+        val ivf = Classify.knnClassifyIvf(emb, k = 5, queries = Some(q))
           .select(col("vec_id"), col("pred_label").as("__pi"))
         exact.join(ivf, "vec_id")
           .agg(count(lit(1)).as("n_vecs"),
@@ -2526,7 +2529,7 @@ object SparkEntry {
             (col("__agree") >= col("n_vecs") * 0.6).as("agreement_ok"))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_vecs, TRUE AS agreement_ok
-              FROM embeddings""")),
+              FROM embeddings WHERE vec_id < 1000""")),
 
     Q("text_langid",
       (s, d) => {

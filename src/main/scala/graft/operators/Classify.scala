@@ -153,9 +153,15 @@ object Classify {
     * testdata fixture self-kNN accuracy sits at chance — individual vectors
     * are near-orthogonal (max pairwise cosine 0.48); class structure lives in
     * the MEANS, which is exactly what [[centroidClassify]]'s 0.37-vs-0.10
-    * gate shows. ClassifySpec proves the semantics on planted clusters. */
-  def knnClassify(embeddings: DataFrame, k: Int = 5): DataFrame =
-    voteOnNeighbors(Similarity.bruteForceTopK(embeddings, embeddings, k),
+    * gate shows. ClassifySpec proves the semantics on planted clusters.
+    * `queries` restricts WHICH vectors get classified (neighbors still come
+    * from the full labeled corpus) — the shape of a production scorer
+    * labeling a new batch against the reference set, and of a sampled
+    * agreement gate. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+                  queries: Option[DataFrame] = None): DataFrame =
+    voteOnNeighbors(
+      Similarity.bruteForceTopK(embeddings, queries.getOrElse(embeddings), k),
       embeddings.select(col("vec_id"), col("label")))
 
   /** [[knnClassify]]'s scale twin: neighbors come from the trained IVF probe
@@ -172,10 +178,12 @@ object Classify {
     * form rather than `1 + iters` full-corpus jobs (identical centroids
     * whenever the corpus fits the sample cap, as on every fixture). */
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
-                     nlist: Int = 8, nprobe: Int = 5): DataFrame = {
+                     nlist: Int = 8, nprobe: Int = 5,
+                     queries: Option[DataFrame] = None): DataFrame = {
     val cents = Similarity.trainCentroidsSampled(embeddings, nlist)
     val nn = Similarity.ivfProbeAssigned(
-      Similarity.ivfAssignments(embeddings, cents), cents, embeddings, k, nprobe,
+      Similarity.ivfAssignments(embeddings, cents), cents,
+      queries.getOrElse(embeddings), k, nprobe,
       broadcastProbes = false)
     voteOnNeighbors(nn, embeddings.select(col("vec_id"), col("label")))
   }
