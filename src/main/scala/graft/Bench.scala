@@ -32,8 +32,9 @@ object Bench {
     "q_funnel", "q_heavy_hitters", "q_target_encode",
     // round-9 capabilities
     "sim_ivf_persisted_topk", "pipeline_decontaminate_bloom",
-    // round-10 capabilities: real-codec multimodal round trip + binary ANN
-    "multimodal_blob_features", "sim_binary_topk")
+    // round-10 capabilities: real-codec multimodal round trip, binary ANN,
+    // span-level (surgical) decontamination
+    "multimodal_blob_features", "sim_binary_topk", "pipeline_decontaminate_trim")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -438,6 +438,18 @@ object ScaleSmoke {
         docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
         n = 3).filter(col("contaminated")).count()
     }
+    // span-level (surgical) decontamination in the saturated regime: the
+    // 10-word vocabulary makes every corpus 3-gram a benchmark member, so
+    // every doc is ONE full-width span and trims to empty — the removed-token
+    // total (990k docs x 24 tokens) is the exact invariant
+    time("decontaminateTrim 1M corpus vs 10k bench", exactly(990000)) {
+      val r = graft.operators.Dedup.decontaminateTrim(
+        docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
+        n = 3)
+        .agg(count(lit(1)), sum(col("n_tokens_removed"))).head()
+      require(r.getLong(1) == 990000L * 24, s"trim token total off: ${r.getLong(1)}")
+      r.getLong(0)
+    }
     time("bm25TopK 3 terms over 1M docs", exactly(100)) {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()

@@ -2851,6 +2851,80 @@ object SparkEntry {
                 TRUE AS no_false_negative
               FROM corp c LEFT JOIN hits h USING (doc_id)""")),
 
+    Q("pipeline_decontaminate_spans", // SPAN-level decontamination, the
+      // SURGICAL sibling of pipeline_decontaminate: every corpus token span
+      // covered by a benchmark 3-gram, island-merged — the spans a
+      // remove-the-quote policy cuts instead of dropping whole documents.
+      // Wired on the xxhash64 gram key (scale path); the oracle keys on the
+      // literal string — identical barring a 64-bit collision (the
+      // dedup_dup_spans caveat).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.contaminatedSpans(
+          corpus = docs.filter(col("doc_id") % 20 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 20 === 0), n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+                FROM t WHERE len(toks) >= 3),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+                FROM g),
+              bench AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 20 = 0),
+              h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bench USING (gram)
+                WHERE g2.doc_id % 20 <> 0),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l)
+              SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                CAST(max(pos) + 2 AS BIGINT) AS span_end,
+                CAST(count(*) AS BIGINT) AS n_grams
+              FROM s GROUP BY doc_id, island""")),
+
+    Q("pipeline_decontaminate_trim", // the removal half: corpus documents
+      // rebuilt with every benchmark-covered span dropped — clean docs pass
+      // through whole, a verbatim benchmark copy trims to empty (the
+      // whole-doc verdict recovered as the degenerate case)
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.decontaminateTrim(
+          corpus = docs.filter(col("doc_id") % 20 =!= 0),
+          benchmark = docs.filter(col("doc_id") % 20 === 0), n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              g AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 2)) AS i, toks
+                FROM t WHERE len(toks) >= 3),
+              g2 AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS gram
+                FROM g),
+              bench AS (SELECT DISTINCT gram FROM g2 WHERE doc_id % 20 = 0),
+              h AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN bench USING (gram)
+                WHERE g2.doc_id % 20 <> 0),
+              l AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 3
+                     THEN 1 ELSE 0 END AS ni
+                FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+              s AS (SELECT doc_id, pos, sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS UNBOUNDED PRECEDING) AS island FROM l),
+              sp AS (SELECT doc_id, min(pos) AS a, max(pos) + 2 AS b
+                FROM s GROUP BY doc_id, island),
+              corp AS (SELECT doc_id, toks FROM t WHERE doc_id % 20 <> 0),
+              tok AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS j, toks FROM corp),
+              tok2 AS (SELECT doc_id, j - 1 AS p, toks[j] AS w FROM tok),
+              kept AS (SELECT k.doc_id, k.p, k.w FROM tok2 k
+                WHERE NOT EXISTS (SELECT 1 FROM sp
+                  WHERE sp.doc_id = k.doc_id AND k.p BETWEEN sp.a AND sp.b)),
+              agg AS (SELECT doc_id, array_to_string(list(w ORDER BY p), ' ') AS text_trimmed,
+                count(*) AS n_kept FROM kept GROUP BY doc_id)
+              SELECT corp.doc_id, coalesce(agg.text_trimmed, '') AS text_trimmed,
+                CAST(len(corp.toks) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_tokens_removed
+              FROM corp LEFT JOIN agg ON corp.doc_id = agg.doc_id""")),
+
     Q("w_stream_decontaminate_bloom", // the Bloom decontamination gate over a
       // REAL stream, now a DRIVER-VISIBLE stream≡batch gate: the fixed-size
       // filter fits BATCH-side (a model object, like centroids) and the

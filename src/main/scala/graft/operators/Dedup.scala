@@ -997,8 +997,14 @@ object Dedup {
     * the trim itself is a map-only higher-order filter over the token array —
     * no token ever crosses an exchange. */
   def trimDuplicateSpans(docs: DataFrame, n: Int = 8, minDocs: Int = 2,
-                         hashGrams: Boolean = true): DataFrame = {
-    val spans = duplicateSpans(docs, n, minDocs, hashGrams)
+                         hashGrams: Boolean = true): DataFrame =
+    trimSpans(docs, duplicateSpans(docs, n, minDocs, hashGrams))
+
+  /** Rebuild each doc's normalized text with the given `(doc_id, span_start,
+    * span_end)` token spans dropped — the shared trim stage of
+    * [[trimDuplicateSpans]] and [[decontaminateTrim]]. */
+  private def trimSpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start").as("a"), col("span_end").as("b"))).as("__sp"))
     docs
@@ -1015,6 +1021,39 @@ object Dedup {
         array_join(col("__kept").getField("w"), " ").as("text_trimmed"),
         (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_tokens_removed"))
   }
+
+  /** SPAN-level benchmark decontamination — the SURGICAL sibling of
+    * [[Curation.decontaminate]]: instead of flagging whole documents, locate
+    * the exact token spans covered by BENCHMARK word n-grams (island-merged
+    * like [[duplicateSpans]]) so a document quoting one leaked eval question
+    * loses the quote, not its other five thousand tokens. Returns corpus-side
+    * span rows (doc_id, span_start, span_end, n_grams).
+    *
+    * Scale shape: the benchmark reduces to its DISTINCT gram keys (8-byte
+    * xxhash64 — eval-suite-sized, broadcast; at 100 TB of accumulated suites,
+    * a pre-materialized table bucketed on `g` like the incremental span
+    * base), the corpus gram stream semi-joins it for membership, and only
+    * HITS reach the per-doc island-merge window — clean corpus documents
+    * cost one gram scan and nothing downstream. */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                        hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    val benchKeys = keyedGrams(benchmark, n, hashGrams).select("g").distinct()
+    val hits = keyedGrams(corpus, n, hashGrams)
+      .join(benchKeys, Seq("g"), "left_semi")
+      .select("doc_id", "pos")
+    mergeIslands(hits, n)
+  }
+
+  /** The removal half of span-level decontamination: corpus documents rebuilt
+    * with every benchmark-covered span dropped ([[contaminatedSpans]] +
+    * the shared trim stage). Clean documents pass through with their
+    * normalized text and n_tokens_removed = 0; a document that IS a
+    * benchmark member's copy trims to empty — the whole-doc verdict of
+    * [[Curation.decontaminate]] recovered as the degenerate case. */
+  def decontaminateTrim(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                        hashGrams: Boolean = true): DataFrame =
+    trimSpans(corpus, contaminatedSpans(corpus, benchmark, n, hashGrams))
 
   /** Per-document fraction of tokens covered by cross-document duplicate
     * spans ([[duplicateSpans]]) — the quality signal a curation gate consumes

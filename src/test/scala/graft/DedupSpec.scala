@@ -153,6 +153,38 @@ class DedupSpec extends SparkSpec {
     assert(again.count() === 0L, "trim must remove every duplicated span")
   }
 
+  test("contaminatedSpans/decontaminateTrim cut exactly the benchmark-covered spans") {
+    import org.apache.spark.sql.functions._
+    // benchmark: one 4-token "eval question"; corpus doc 1 quotes it verbatim
+    // mid-text, doc 2 is clean, doc 3 IS a verbatim benchmark copy
+    val bench = Seq((100L, "what is the capital")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words here what is the capital closing words after"),
+      (2L, "totally unrelated clean document text"),
+      (3L, "what is the capital")
+    ).toDF("doc_id", "text")
+    val spans = rowSet(Dedup.contaminatedSpans(corpus, bench, n = 4))
+    // doc 1: the quote sits at tokens 3..6 -> one span [3,6] of 1 gram;
+    // doc 3: fully covered [0,3]; doc 2: nothing
+    assert(spans === Set(Seq(1L, 3L, 6L, 1L), Seq(3L, 0L, 3L, 1L)))
+    val r = Dedup.decontaminateTrim(corpus, bench, n = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r(1L) === (("intro words here closing words after", 4L)),
+      "only the quoted span must be removed")
+    assert(r(2L) === (("totally unrelated clean document text", 0L)),
+      "clean docs pass through whole")
+    assert(r(3L) === (("", 4L)),
+      "a verbatim benchmark copy trims to empty — the whole-doc verdict")
+    // the trimmed corpus is decontaminated: a second pass finds nothing
+    assert(Dedup.contaminatedSpans(
+      Dedup.decontaminateTrim(corpus, bench, n = 4)
+        .select(col("doc_id"), col("text_trimmed").as("text")),
+      bench, n = 4).count() === 0L)
+    // hashed gram keys select identical spans as literal strings
+    assert(rowSet(Dedup.contaminatedSpans(corpus, bench, n = 4, hashGrams = false))
+      === spans)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val pairs = rowSet(Dedup.minhashLshPairs(docs, threshold = 0.3)
       .select("a_id", "b_id"))
