@@ -47,6 +47,21 @@ object SparkEntry {
       Merge(9, "h", "a"))
   }
 
+  /** Pinned piece table for `text_unigram_encode_fixed`: six two-char pieces
+    * whose first chars are pairwise distinct (at most one piece can start at
+    * any position) and whose suffix set {r,n,y,h} is disjoint from their
+    * prefix set {e,a,i,o,l,c} (no two occurrences can overlap). Piece
+    * occurrences in any word are therefore unique and non-overlapping, and
+    * with each piece's log-prob (-3) beating its two-char decomposition
+    * (2 × unk = -20) the Viterbi optimum is exactly "use every occurrence" —
+    * which DuckDB replays as one bracket-replace pass per piece (the
+    * text_bpe_encode_fixed trick), making the decode fully hash-oracled. */
+  private val fixedUnigramPieces: Seq[graft.operators.Unigram.Piece] = {
+    import graft.operators.Unigram.Piece
+    Seq(Piece("er", -3.0), Piece("an", -3.0), Piece("in", -3.0),
+      Piece("on", -3.0), Piece("ly", -3.0), Piece("ch", -3.0))
+  }
+
   /** Shared oracle for both containment forms: the base bucket form and the
     * positional-prefix-filtered form are bit-identical on the fixture (max
     * gram df = 7 < 20 — both exact; see
@@ -1459,6 +1474,92 @@ object SparkEntry {
                 round(CAST(n_bpe_tokens AS DOUBLE) / n_words, 6) AS fertility
               FROM n""")),
 
+    Q("text_unigram_vocab", // trained unigram-LM (SentencePiece-family)
+      // tokenizer vocabulary as a DRIVER-VISIBLE validity gate (Kudo 2018;
+      // the [[graft.operators.Unigram]] scaladoc carries the architecture).
+      // The EM fit is what SQL cannot express, but the TRAINED-VOCABULARY
+      // invariants are checkable: exactly the requested piece count, unigram
+      // probabilities normalized, every piece's characters covered by
+      // single-char pieces (words stay segmentable without unks on the
+      // training corpus), and the per-phase EM log-likelihood trace
+      // non-decreasing — the textbook EM guarantee as a driver gate.
+      (s, d) => {
+        import s.implicits._
+        val r = graft.operators.Unigram.trainVocab(Tables.documents(s, d),
+          vocabSize = 150)
+        val probsNormalized =
+          math.abs(r.pieces.iterator.map(p => math.exp(p.logProb)).sum - 1.0) < 1e-9
+        val singleChars = r.pieces.iterator.map(_.piece).filter(_.length == 1).toSet
+        val charsCovered =
+          r.pieces.forall(_.piece.forall(c => singleChars(c.toString)))
+        val llMonotone = r.llTrace.forall(phase =>
+          phase.lazyZip(phase.drop(1)).forall((a, b) => b >= a - math.abs(a) * 1e-9))
+        Seq((r.pieces.size.toLong, probsNormalized, charsCovered, llMonotone))
+          .toDF("n_pieces", "probs_normalized", "chars_covered", "ll_nondecreasing")
+      },
+      Some("""SELECT CAST(150 AS BIGINT) AS n_pieces, TRUE AS probs_normalized,
+              TRUE AS chars_covered, TRUE AS ll_nondecreasing""")),
+
+    Q("text_unigram_token_count", // per-doc token counts under the TRAINED
+      // unigram tokenizer, as a PER-DOC driver gate (the text_bpe_token_count
+      // twin): Viterbi encode is map-only via the native UnigramEncodeExpr,
+      // the piece table rides as a reference object. ENCODE invariants are
+      // exact and DuckDB-checkable per doc: a segmentation concatenates back
+      // to its words (chars_preserved) and the piece count sits in
+      // [n_words, n_chars] (count_bounded). n_words is DuckDB-recomputed.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pieces = graft.operators.Unigram.trainVocab(docs, vocabSize = 150).pieces
+        docs.select(col("doc_id"),
+            TextFns.tokens(col("text")).as("__words"),
+            graft.operators.Unigram.encode(col("text"), pieces).as("__toks"))
+          .select(col("doc_id"),
+            size(col("__words")).cast("long").as("n_words"),
+            aggregate(col("__toks"), lit(0),
+              (acc, t) => acc + length(t)).as("__tokChars"),
+            aggregate(col("__words"), lit(0),
+              (acc, w) => acc + length(w)).as("__wordChars"),
+            size(col("__toks")).cast("long").as("__nToks"))
+          .select(col("doc_id"), col("n_words"),
+            (col("__tokChars") === col("__wordChars")).as("chars_preserved"),
+            (col("__nToks") >= col("n_words") &&
+              col("__nToks") <= col("__wordChars")).as("count_bounded"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                TRUE AS chars_preserved, TRUE AS count_bounded
+              FROM t""")),
+
+    Q("text_unigram_encode_fixed", // the Viterbi decode under a PINNED piece
+      // table chosen so the optimum is provably "use every piece occurrence"
+      // (see fixedUnigramPieces) — deterministic, so fully hash-oracled:
+      // DuckDB replays the decode as one bracket-replace pass per piece over
+      // char-wrapped words. trainVocab stays gate-oracled (text_unigram_vocab)
+      // — the EM loop is what SQL can't express, not the decode. Literal
+      // '<'/'>' stripped on BOTH sides (the text_bpe_encode_fixed rule).
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Unigram.encode(
+            regexp_replace(col("text"), "[<>]", ""), fixedUnigramPieces).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_unigram_tokens"),
+          array_join(col("toks"), " ").as("unigram_tokens")),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(
+                  regexp_replace(text, '[<>]', '', 'g'), '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              enc AS (SELECT doc_id, list_transform(toks, w ->
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(w, '(.)', '<\1>', 'g'),
+                    '<e><r>', '<er>'), '<a><n>', '<an>'), '<i><n>', '<in>'),
+                    '<o><n>', '<on>'), '<l><y>', '<ly>'), '<c><h>', '<ch>')) AS encw
+                FROM t)
+              SELECT doc_id,
+                CAST(list_sum(list_transform(encw, e -> len(e) - len(replace(e, '<', '')))) AS BIGINT) AS n_unigram_tokens,
+                array_to_string(list_transform(encw, e -> trim(replace(e, '><', ' '), '<>')), ' ') AS unigram_tokens
+              FROM enc""")),
+
     Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
       // counts, per-doc mean bigram log-probability
       (s, d) => Curation.lmScore(Tables.documents(s, d)),
@@ -1477,6 +1578,35 @@ object SparkEntry {
               FROM b JOIN cb USING (bg)
               JOIN cw ON string_split(bg, ' ')[1] = cw.w1
               GROUP BY doc_id""")),
+
+    Q("text_lm_score_kn", // interpolated Kneser-Ney bigram LM score — the
+      // smoothing CCNet-class perplexity filters actually train (KenLM's
+      // default); the discount + continuation-probability arithmetic is pure
+      // integer-count algebra in doubles, so fully hash-oracled against
+      // DuckDB recomputing the identical expression tree
+      (s, d) => Curation.lmScoreKneserNey(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t),
+              cb AS (SELECT bg, count(*) AS c_bg,
+                  string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                FROM b GROUP BY bg),
+              ls AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1p_w1
+                FROM cb GROUP BY w1),
+              rs AS (SELECT w2, count(*) AS n1p_w2,
+                  sum(count(*)) OVER () AS n_types
+                FROM cb GROUP BY w2),
+              m AS (SELECT bg,
+                  (c_bg - 0.75) / c_w1 + 0.75 * n1p_w1 / c_w1 *
+                    (CAST(n1p_w2 AS DOUBLE) / n_types) AS p_kn
+                FROM cb JOIN ls USING (w1) JOIN rs USING (w2))
+              SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(p_kn)), 6) AS kn_score
+              FROM b JOIN m USING (bg) GROUP BY doc_id""")),
 
     Q("text_nb_classify", // model-based filtering: multinomial Naive Bayes
       // (add-one smoothing) self-trained on the lang label and self-scored —

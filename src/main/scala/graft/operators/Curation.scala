@@ -546,6 +546,69 @@ object Curation {
         round(avg(log(col("c_bg").cast("double") / col("c_w1"))), 6).as("lm_score"))
   }
 
+  /** Interpolated Kneser-Ney bigram LM score — the smoothing the CCNet-class
+    * perplexity filters actually train (Wenzek et al. 2020 use KenLM, whose
+    * default is modified Kneser-Ney; [[lmScore]] is the unsmoothed MLE form).
+    * Per observed bigram:
+    *
+    *   P_kn(w2|w1) = (c(w1 w2) − D)/c(w1·) + D·N1+(w1·)/c(w1·) · P_cont(w2)
+    *   P_cont(w2)  = N1+(·w2) / |distinct bigram types|
+    *
+    * where N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct left
+    * contexts of w2, and D the absolute discount. The continuation term is
+    * what distinguishes KN from plain absolute discounting: a word seen after
+    * MANY different contexts ("francisco" vs "the") keeps low continuation
+    * mass, so boilerplate that glues common words scores differently than raw
+    * frequency suggests. Self-trained scoring only ever looks up OBSERVED
+    * bigrams (c ≥ 1 > D), so every log is finite; the backoff term still
+    * reshapes the score exactly as in held-out use.
+    *
+    * Returns (doc_id, n_bigrams, kn_score) for docs with ≥ 1 bigram;
+    * `kn_score` = mean ln P_kn, rounded to 6 (absorbs summation-order ulps,
+    * the [[lmScore]] precedent). Fully SQL-expressible → hash-oracled.
+    *
+    * Scale shape identical to [[lmScore]]: the corpus-scale bigram stream is
+    * tokenized once and pays exactly ONE equi-join against the assembled
+    * model; all model tables (bigram counts, left stats, continuation stats)
+    * are vocab²-bounded, and the distinct-type total rides an unpartitioned
+    * window over the vocab-bounded RIGHT-stats frame (the [[cooccurrencePmi]]
+    * one-scan normalizer pattern), never a second corpus scan. At 100 TB:
+    * train the counts on an [[graft.operators.Ops.hashSample]] — only the
+    * scoring pass must read every row. */
+  def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    val bigrams = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    val bigramCounts = bigrams.groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    // left stats: total mass and distinct-continuation count per context w1
+    val leftStats = bigramCounts.groupBy("w1")
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    // continuation stats: distinct left contexts per w2; the global type
+    // total is the sum of exactly these counts, so it rides a window over
+    // this vocab-bounded frame instead of a second aggregate
+    val rightStats = bigramCounts.groupBy("w2")
+      .agg(count(lit(1)).as("n1p_w2"))
+      .withColumn("n_types", sum(col("n1p_w2")).over(Window.partitionBy()))
+    val model = bigramCounts
+      .join(leftStats, "w1")
+      .join(rightStats, "w2")
+      .select(col("bg"),
+        ((col("c_bg") - lit(discount)) / col("c_w1") +
+          lit(discount) * col("n1p_w1") / col("c_w1") *
+            (col("n1p_w2").cast("double") / col("n_types"))).as("p_kn"))
+    bigrams
+      .join(model, "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(col("p_kn"))), 6).as("kn_score"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): every doc draws a pseudo-uniform u from its CONTENT
     * hash and ranks by ln(u)/w — the top `k` such keys are exactly a

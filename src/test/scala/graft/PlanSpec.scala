@@ -301,6 +301,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
   }
 
+  test("Kneser-Ney LM score: model joins broadcast; type total windows the vocab frame") {
+    val df = graft.operators.Curation.lmScoreKneserNey(Tables.documents(spark, d))
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"KN model must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
+    // the distinct-type total must ride the vocab-bounded right-stats frame
+    // (one unpartitioned Window node), never a second corpus aggregate
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    assert(finalPlan.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"expected exactly one Window (the n_types normalizer):\n$p")
+  }
+
   test("no gram-pipeline entry re-derives its HOF pipeline in a pushed-down filter") {
     // From `Generate explode(attr)` the optimizer infers `size(attr) > 0`,
     // and predicate pushdown then substitutes attr through every projection

@@ -546,6 +546,53 @@ class SearchSpec extends SparkSpec {
     assert(r(1L) > r(99L), s"templated doc must outscore shuffled soup: $r")
   }
 
+  test("lmScoreKneserNey: hand-computed interpolated-KN probabilities") {
+    val corpus = Seq(
+      (1L, "a b a b"), // bigrams: "a b","b a","a b"
+      (2L, "a b c"),   // bigrams: "a b","b c"
+      (3L, "solo")     // no bigrams -> absent
+    ).toDF("doc_id", "text")
+    // counts: C(a b)=3, C(b a)=1, C(b c)=1; c(a.)=3 n1p(a.)=1; c(b.)=2
+    // n1p(b.)=2; continuation types: n1p(.b)=n1p(.a)=n1p(.c)=1 of 3 total.
+    // P(b|a) = (3-.75)/3 + .75*1/3*(1/3) = 5/6
+    // P(a|b) = P(c|b) = (1-.75)/2 + .75*2/2*(1/3) = 3/8
+    val pAB = (3 - 0.75) / 3 + 0.75 * 1 / 3.0 * (1 / 3.0)
+    val pBA = (1 - 0.75) / 2 + 0.75 * 2 / 2.0 * (1 / 3.0)
+    assert(math.abs(pAB - 5.0 / 6) < 1e-12 && math.abs(pBA - 0.375) < 1e-12)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rowSet(Curation.lmScoreKneserNey(corpus))
+    assert(r === Set(
+      Seq(1L, 3L, r6((2 * math.log(pAB) + math.log(pBA)) / 3)),
+      Seq(2L, 2L, r6((math.log(pAB) + math.log(pBA)) / 2))), s"got $r")
+  }
+
+  test("lmScoreKneserNey: per-context probability mass stays under 1 (proper discounting)") {
+    // one doc per bigram OCCURRENCE, so exp(kn_score) of each doc IS that
+    // bigram's P_kn — summing exp over the distinct bigrams of a context
+    // recovers the context's observed probability mass, which interpolated
+    // KN must keep at or under 1 (the discount withheld for unseen pairs)
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "b a"), (5L, "b c")).toDF("doc_id", "text")
+    for (d <- Seq(0.25, 0.75)) {
+      val scored = Curation.lmScoreKneserNey(corpus, d).collect()
+        .map(r => r.getLong(0) -> math.exp(r.getDouble(2))).toMap
+      val massA = scored(1L) // distinct bigrams of context a: just "a b"
+      val massB = scored(4L) + scored(5L)
+      assert(massA <= 1 + 1e-9 && massB <= 1 + 1e-9,
+        s"D=$d: context masses a=$massA b=$massB must stay <= 1")
+      // the discount is withheld, not lost: mass strictly below 1 where a
+      // context has unseen continuations (both do here)
+      assert(massA < 1 && massB < 1)
+    }
+    // ranking parity with the MLE form on the template-vs-soup fixture
+    val template = (1L to 8L).map(i => (i, "the quick brown fox jumps over the fence"))
+    val soup = Seq((99L, "fence brown the over quick jumps fox the"))
+    val kn = Curation.lmScoreKneserNey((template ++ soup).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(kn(1L) > kn(99L), s"templated doc must outscore shuffled soup: $kn")
+    intercept[IllegalArgumentException] { Curation.lmScoreKneserNey(docs, 1.0) }
+  }
+
   // ---- per-language quantile gate -------------------------------------------
 
   test("qualityQuantileFilter keeps each language's docs at or above its own median") {
