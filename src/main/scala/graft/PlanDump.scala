@@ -238,7 +238,27 @@ object PlanDump {
          "exact rerank reads full-precision vectors only for shortlist " +
          "rows — scan FRACTION (IVF pruning) and BYTES per scanned row (PQ " +
          "codes) both shrink, and the only hash exchange is the bounded " +
-         "top-k aggregate.")
+         "top-k aggregate."),
+      ("text_lm_score_kn",
+       "Kneser-Ney LM score: the corpus-scale bigram stream tokenizes once " +
+         "and pays exactly ONE equi-join against the assembled count model; " +
+         "every model table (bigram counts, left stats, continuation stats) " +
+         "is vocab²-bounded and broadcasts, and the distinct-type total " +
+         "rides one unpartitioned window over the vocab-bounded " +
+         "continuation frame — never a second corpus scan."),
+      ("text_unigram_encode_fixed",
+       "Unigram-LM Viterbi encode (pinned vocabulary): map-only — the " +
+         "native `unigramencodeexpr` evaluates inside a single " +
+         "`WholeStageCodegen` projection with the piece table riding as a " +
+         "codegen reference object; NO exchange anywhere (the pin is 0)."),
+      ("text_lm_score_kn_transfer",
+       "Transfer KN scoring (frozen model, the CCNet deployment shape): the " +
+         "score-side bigram stream tokenizes once and pays three LEFT " +
+         "broadcast joins against the train-vocab-bounded model tables plus " +
+         "a one-row totals broadcast — left joins plant no " +
+         "constraint-inference filters on the stream side, so the " +
+         "split-derived w1/w2 keys compute once; the only corpus-keyed " +
+         "exchange is the per-doc score aggregate.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

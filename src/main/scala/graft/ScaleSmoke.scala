@@ -570,6 +570,48 @@ object ScaleSmoke {
         r.getLong(0)
       }
     }
+    // unigram-LM tokenizer: same architecture as BPE (one distributed
+    // word-freq agg + driver EM fit over the 10-word synthetic vocab, then
+    // the map-only native Viterbi encode over the full corpus)
+    locally {
+      val t0 = System.nanoTime()
+      val r = graft.operators.Unigram.trainVocab(docs, vocabSize = 150)
+      require(r.pieces.size >= 21 && r.pieces.size <= 150,
+        s"unigram vocab size off: ${r.pieces.size}")
+      require(math.abs(r.pieces.iterator.map(p => math.exp(p.logProb)).sum - 1.0) < 1e-9,
+        "unigram probs must normalize")
+      emit(f"SCALE ${"unigram trainVocab (EM) over 1M docs"}%-52s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=${r.pieces.size}  ok(in [21, 150], probs sum 1)")
+      time("unigram viterbi encode+count 1M docs", exactly(nDocs)) {
+        val c = graft.operators.Unigram.tokenCounts(docs, r.pieces)
+          .agg(count(lit(1)), sum(col("n_pieces"))).head()
+        // 24 words/doc: >= 1 piece per word, <= total chars (~5/word)
+        require(c.getLong(1) >= 24L * nDocs && c.getLong(1) <= 130L * nDocs,
+          s"unigram token total off: ${c.getLong(1)}")
+        c.getLong(0)
+      }
+    }
+    // Kneser-Ney LM scoring: bigram vocab is 10x10-bounded, so the model
+    // broadcasts; the corpus pays one tokenize + one equi-join + the per-doc
+    // aggregate. 24-token docs -> every doc has 23 bigrams.
+    time("lmScoreKneserNey 1M docs (broadcast model)", exactly(nDocs)) {
+      val r = graft.operators.Curation.lmScoreKneserNey(docs)
+        .agg(count(lit(1)), sum(col("n_bigrams")), sum(col("kn_score"))).head()
+      require(r.getLong(1) == 23L * nDocs, s"bigram total off: ${r.getLong(1)}")
+      require(r.getDouble(2) < 0, "mean log-probs must be negative (P < 1)")
+      r.getLong(0)
+    }
+    // transfer form: model frozen on the even half, odd half scored under it
+    // through three LEFT broadcast joins; the 10-word vocab saturates both
+    // halves, so zero OOV bigrams is the exact expectation
+    time("lmScoreKneserNeyTransfer 500k vs 500k", exactly(nDocs / 2)) {
+      val r = graft.operators.Curation.lmScoreKneserNeyTransfer(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        .agg(count(lit(1)), sum(col("n_oov_bigrams")), sum(col("kn_score"))).head()
+      require(r.getLong(1) == 0L, s"unexpected OOV bigrams: ${r.getLong(1)}")
+      require(r.getDouble(2) < 0, "mean log-probs must be negative (P < 1)")
+      r.getLong(0)
+    }
     time("resolveClustersCanonical 1M docs", within(985000, 995000)) {
       // components over the planted-dup pair set + one cluster-keyed argmax
       graft.operators.Dedup.resolveClustersCanonical(

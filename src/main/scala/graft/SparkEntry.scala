@@ -1560,6 +1560,39 @@ object SparkEntry {
                 array_to_string(list_transform(encw, e -> trim(replace(e, '><', ' '), '<>')), ' ') AS unigram_tokens
               FROM enc""")),
 
+    Q("text_unigram_fertility", // tokenizer-audit fertility under the pinned
+      // unigram piece table (the text_bpe_fertility twin — comparing the two
+      // tokenizers' fertility on the same corpus is exactly the audit this
+      // table exists for); map-only, one Viterbi pass + the tokenize-once
+      // word count
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.operators.Unigram.encode(
+            regexp_replace(col("text"), "[<>]", ""), fixedUnigramPieces).as("toks"),
+          size(TextFns.tokens(regexp_replace(col("text"), "[<>]", "")))
+            .cast("long").as("n_words"))
+        .select(col("doc_id"), col("n_words"),
+          size(col("toks")).cast("long").as("n_unigram_tokens"))
+        .withColumn("fertility",
+          round(col("n_unigram_tokens").cast("double") / col("n_words"), 6)),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(
+                  regexp_replace(text, '[<>]', '', 'g'), '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              enc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                list_transform(toks, w ->
+                  replace(replace(replace(replace(replace(replace(
+                    regexp_replace(w, '(.)', '<\1>', 'g'),
+                    '<e><r>', '<er>'), '<a><n>', '<an>'), '<i><n>', '<in>'),
+                    '<o><n>', '<on>'), '<l><y>', '<ly>'), '<c><h>', '<ch>')) AS encw
+                FROM t),
+              n AS (SELECT doc_id, n_words,
+                CAST(list_sum(list_transform(encw, e -> len(e) - len(replace(e, '<', '')))) AS BIGINT) AS n_unigram_tokens
+                FROM enc)
+              SELECT doc_id, n_words, n_unigram_tokens,
+                round(CAST(n_unigram_tokens AS DOUBLE) / n_words, 6) AS fertility
+              FROM n""")),
+
     Q("text_lm_score", // CCNet-style LM quality signal: self-trained bigram
       // counts, per-doc mean bigram log-probability
       (s, d) => Curation.lmScore(Tables.documents(s, d)),
@@ -1607,6 +1640,54 @@ object SparkEntry {
               SELECT doc_id, count(*) AS n_bigrams,
                 round(avg(ln(p_kn)), 6) AS kn_score
               FROM b JOIN m USING (bg) GROUP BY doc_id""")),
+
+    Q("text_lm_score_kn_transfer", // the ACTUAL CCNet deployment shape: KN
+      // model FROZEN on one corpus half (even doc_ids), odd half scored under
+      // it with the full interpolated backoff for unseen bigrams/contexts —
+      // every case is count algebra, so fully hash-oracled; n_oov_bigrams is
+      // the domain-shift signal DuckDB recomputes exactly
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.lmScoreKneserNeyTransfer(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      },
+      Some("""WITH t0 AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              tb AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t0 WHERE doc_id % 2 = 0),
+              sb AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t0 WHERE doc_id % 2 = 1),
+              cb AS (SELECT bg, count(*) AS c_bg,
+                  string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                FROM tb GROUP BY bg),
+              ls AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1p_w1
+                FROM cb GROUP BY w1),
+              rs AS (SELECT w2, count(*) AS n1p_w2 FROM cb GROUP BY w2),
+              tot AS (SELECT sum(n1p_w2) AS n_types FROM rs),
+              j AS (SELECT s.doc_id, cb.c_bg,
+                  CASE WHEN cb.c_bg IS NOT NULL THEN
+                      (cb.c_bg - 0.75) / ls.c_w1 + 0.75 * ls.n1p_w1 / ls.c_w1 *
+                        (coalesce(CAST(rs.n1p_w2 AS DOUBLE), 1.0) / tot.n_types)
+                    WHEN ls.c_w1 IS NOT NULL THEN
+                      0.75 * ls.n1p_w1 / ls.c_w1 *
+                        (coalesce(CAST(rs.n1p_w2 AS DOUBLE), 1.0) / tot.n_types)
+                    ELSE coalesce(CAST(rs.n1p_w2 AS DOUBLE), 1.0) / tot.n_types
+                  END AS p_kn
+                FROM sb s
+                LEFT JOIN cb ON s.bg = cb.bg
+                LEFT JOIN ls ON string_split(s.bg, ' ')[1] = ls.w1
+                LEFT JOIN rs ON string_split(s.bg, ' ')[2] = rs.w2
+                CROSS JOIN tot)
+              SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov_bigrams,
+                round(avg(ln(p_kn)), 6) AS kn_score
+              FROM j GROUP BY doc_id""")),
 
     Q("text_nb_classify", // model-based filtering: multinomial Naive Bayes
       // (add-one smoothing) self-trained on the lang label and self-scored —

@@ -609,6 +609,69 @@ object Curation {
         round(avg(log(col("p_kn"))), 6).as("kn_score"))
   }
 
+  /** Transfer Kneser-Ney scoring — the ACTUAL CCNet deployment shape (Wenzek
+    * et al. 2020 fit KenLM on Wikipedia and score the crawl): the bigram
+    * model fits on `train` and every `score` document gets its mean
+    * log-probability under that FROZEN model, with the full interpolated-KN
+    * backoff for material the model never saw:
+    *
+    *   seen bigram:      (c − D)/c(w1·) + D·N1+(w1·)/c(w1·) · P_cont(w2)
+    *   unseen, w1 seen:  D·N1+(w1·)/c(w1·) · P_cont(w2)   (pure backoff mass)
+    *   unseen w1:        P_cont(w2)                        (continuation only)
+    *   unseen w2:        P_cont = 1/|types|                (one pseudo-type)
+    *
+    * — each case is the previous one with the unavailable statistics dropped,
+    * so the score degrades smoothly instead of −∞ on OOV material (the whole
+    * point of smoothing; [[lmScoreKneserNey]] is the self-trained form that
+    * never meets an unseen bigram). Returns (doc_id, n_bigrams,
+    * n_oov_bigrams, kn_score); n_oov_bigrams counts score-side bigrams absent
+    * from the trained model — itself a useful domain-shift signal.
+    *
+    * All four cases are count algebra in doubles → fully hash-oracled.
+    *
+    * Scale shape: model tables are train-vocab-bounded; the score-side bigram
+    * stream tokenizes once and pays three LEFT equi-joins against them (left
+    * joins plant no constraint-inference filters on the stream side, so the
+    * split-derived w1/w2 keys are computed once) plus a one-row totals
+    * broadcast. At 100 TB the model is a persisted artifact; only the scoring
+    * pass reads the corpus. */
+  def lmScoreKneserNeyTransfer(train: DataFrame, score: DataFrame,
+                               discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    def bigramsOf(docs: DataFrame) = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    val trainCounts = bigramsOf(train).groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val leftStats = trainCounts.groupBy("w1")
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val rightStats = trainCounts.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val totals = rightStats.agg(sum(col("n1p_w2")).as("n_types"))
+    val pCont = coalesce(col("n1p_w2").cast("double"), lit(1.0)) / col("n_types")
+    bigramsOf(score)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(trainCounts.select("bg", "c_bg"), Seq("bg"), "left")
+      .join(leftStats, Seq("w1"), "left")
+      .join(rightStats, Seq("w2"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("c_bg"),
+        when(col("c_bg").isNotNull,
+          (col("c_bg") - lit(discount)) / col("c_w1") +
+            lit(discount) * col("n1p_w1") / col("c_w1") * pCont)
+        .when(col("c_w1").isNotNull,
+          lit(discount) * col("n1p_w1") / col("c_w1") * pCont)
+        .otherwise(pCont).as("p_kn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_oov_bigrams"),
+        round(avg(log(col("p_kn"))), 6).as("kn_score"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): every doc draws a pseudo-uniform u from its CONTENT
     * hash and ranks by ln(u)/w — the top `k` such keys are exactly a

@@ -314,6 +314,27 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one Window (the n_types normalizer):\n$p")
   }
 
+  test("transfer KN score: frozen model re-attaches via broadcast left joins") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Curation.lmScoreKneserNeyTransfer(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    df.collect()
+    val p = physical(df)
+    assert(p.contains("BroadcastHashJoin"), s"model tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"one-row totals must broadcast, not cartesian:\n$p")
+  }
+
+  test("unigram Viterbi encode is map-only: native expression, no exchange") {
+    val df = SparkEntry.queries("text_unigram_encode_fixed")(spark, d)
+    df.collect()
+    val p = physical(df)
+    assert(!p.contains("Exchange"), s"pinned-vocab encode must not shuffle:\n$p")
+    assert(p.toLowerCase.contains("unigramencodeexpr"),
+      s"encode must run through the native expression:\n$p")
+  }
+
   test("no gram-pipeline entry re-derives its HOF pipeline in a pushed-down filter") {
     // From `Generate explode(attr)` the optimizer infers `size(attr) > 0`,
     // and predicate pushdown then substitutes attr through every projection

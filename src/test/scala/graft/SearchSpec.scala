@@ -593,6 +593,31 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Curation.lmScoreKneserNey(docs, 1.0) }
   }
 
+  test("lmScoreKneserNeyTransfer: all four backoff cases hand-computed") {
+    // frozen model from the KN hand fixture: C(a b)=3, C(b a)=1, C(b c)=1;
+    // c(a.)=3 n1p(a.)=1; c(b.)=2 n1p(b.)=2; pcont(a)=pcont(b)=pcont(c)=1/3;
+    // unseen w2 -> pcont = 1/3 (one pseudo-type over n_types=3)
+    val train = Seq((2L, "a b a b"), (4L, "a b c")).toDF("doc_id", "text")
+    val sc = Seq(
+      (1L, "a b"), // seen bigram:        P = 5/6
+      (3L, "a c"), // unseen, w1 seen:    P = 0.75*1/3 * 1/3 = 1/12
+      (5L, "z b"), // unseen w1:          P = pcont(b) = 1/3
+      (7L, "b z")  // unseen w2, w1 seen: P = 0.75*2/2 * 1/3 = 1/4
+    ).toDF("doc_id", "text")
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rowSet(Curation.lmScoreKneserNeyTransfer(train, sc))
+    assert(r === Set(
+      Seq(1L, 1L, 0L, r6(math.log(5.0 / 6))),
+      Seq(3L, 1L, 1L, r6(math.log(1.0 / 12))),
+      Seq(5L, 1L, 1L, r6(math.log(1.0 / 3))),
+      Seq(7L, 1L, 1L, r6(math.log(0.25)))), s"got $r")
+    // in-domain text outscores out-of-domain under the frozen model
+    val inD = Curation.lmScoreKneserNeyTransfer(train,
+      Seq((11L, "a b c"), (13L, "x y z")).toDF("doc_id", "text"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(inD(11L) > inD(13L), s"in-domain must outscore OOV soup: $inD")
+  }
+
   // ---- per-language quantile gate -------------------------------------------
 
   test("qualityQuantileFilter keeps each language's docs at or above its own median") {
