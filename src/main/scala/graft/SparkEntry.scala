@@ -1560,6 +1560,45 @@ object SparkEntry {
                 array_to_string(list_transform(encw, e -> trim(replace(e, '><', ' '), '<>')), ' ') AS unigram_tokens
               FROM enc""")),
 
+    Q("text_unigram_encode_sampled", // subword-regularization sampling
+      // (Kudo 2018 §4 — the augmentation the unigram LM exists for) as a
+      // PER-DOC driver gate under the pinned piece table: the draw is a pure
+      // content hash (deterministic), the segmentation must still rebuild its
+      // words (chars_preserved), and its token count sits in
+      // [viterbi_n, n_chars] — Viterbi IS the piece-count minimum under this
+      // vocab (every piece use saves one token and occurrences are
+      // independent), so a sampled draw can only match or exceed it.
+      // n_words is DuckDB-recomputed.
+      (s, d) => {
+        val stripped = regexp_replace(col("text"), "[<>]", "")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextFns.tokens(col("text")).as("__words"),
+            graft.operators.Unigram.encodeSampled(
+              stripped, fixedUnigramPieces, alpha = 0.5, seed = 7L).as("__toks"),
+            graft.operators.Unigram.encode(
+              stripped, fixedUnigramPieces).as("__vit"))
+          .select(col("doc_id"),
+            size(col("__words")).cast("long").as("n_words"),
+            aggregate(col("__toks"), lit(0),
+              (acc, t) => acc + length(t)).as("__tokChars"),
+            aggregate(col("__words"), lit(0),
+              (acc, w) => acc + length(w) -
+                size(split(w, "[<>]")) + 1).as("__wordChars"),
+            size(col("__toks")).cast("long").as("__nToks"),
+            size(col("__vit")).cast("long").as("__nVit"))
+          .select(col("doc_id"), col("n_words"),
+            (col("__tokChars") === col("__wordChars")).as("chars_preserved"),
+            (col("__nToks") >= col("__nVit") &&
+              col("__nToks") <= col("__wordChars")).as("count_bounded"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+                TRUE AS chars_preserved, TRUE AS count_bounded
+              FROM t""")),
+
     Q("text_unigram_fertility", // tokenizer-audit fertility under the pinned
       // unigram piece table (the text_bpe_fertility twin — comparing the two
       // tokenizers' fertility on the same corpus is exactly the audit this
@@ -1640,6 +1679,44 @@ object SparkEntry {
               SELECT doc_id, count(*) AS n_bigrams,
                 round(avg(ln(p_kn)), 6) AS kn_score
               FROM b JOIN m USING (bg) GROUP BY doc_id""")),
+
+    Q("pipeline_perplexity_buckets", // CCNet's OUTPUT artifact: head/middle/
+      // tail perplexity tertiles. NOT an ntile window (whole-corpus one-task
+      // sort) — thresholds from ONE percentile aggregate broadcast back,
+      // assignment map-only; thresholds and scores round to 6 so the
+      // boundary comparison hash-oracles
+      (s, d) => Curation.perplexityBuckets(Tables.documents(s, d)),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+                  list_transform(generate_series(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1])
+                  ELSE [] END) AS bg FROM t),
+              cb AS (SELECT bg, count(*) AS c_bg,
+                  string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+                FROM b GROUP BY bg),
+              ls AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1p_w1
+                FROM cb GROUP BY w1),
+              rs AS (SELECT w2, count(*) AS n1p_w2,
+                  sum(count(*)) OVER () AS n_types
+                FROM cb GROUP BY w2),
+              m AS (SELECT bg,
+                  (c_bg - 0.75) / c_w1 + 0.75 * n1p_w1 / c_w1 *
+                    (CAST(n1p_w2 AS DOUBLE) / n_types) AS p_kn
+                FROM cb JOIN ls USING (w1) JOIN rs USING (w2)),
+              s AS (SELECT doc_id, count(*) AS n_bigrams,
+                  round(avg(ln(p_kn)), 6) AS kn_score
+                FROM b JOIN m USING (bg) GROUP BY doc_id),
+              th AS (SELECT
+                  round(quantile_cont(kn_score, 0.3333333333333333), 6) AS t0,
+                  round(quantile_cont(kn_score, 0.6666666666666666), 6) AS t1
+                FROM s)
+              SELECT doc_id, n_bigrams, kn_score,
+                CAST(3 - (CASE WHEN kn_score > t0 THEN 1 ELSE 0 END +
+                          CASE WHEN kn_score > t1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS ppl_bucket
+              FROM s, th""")),
 
     Q("text_lm_score_kn_transfer", // the ACTUAL CCNet deployment shape: KN
       // model FROZEN on one corpus half (even doc_ids), odd half scored under

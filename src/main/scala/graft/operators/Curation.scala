@@ -672,6 +672,39 @@ object Curation {
         round(avg(log(col("p_kn"))), 6).as("kn_score"))
   }
 
+  /** Perplexity bucketing — CCNet's actual OUTPUT artifact (Wenzek et al.
+    * 2020 §4.3 ship each language shard split into head/middle/tail by LM
+    * perplexity tertile; consumers then train on head+middle or reweight):
+    * every doc gets its [[lmScoreKneserNey]] score and a quality bucket,
+    * 1 = head (highest score = lowest perplexity) … `nBuckets` = tail.
+    *
+    * Scale shape — deliberately NOT an `ntile` window: an unpartitioned
+    * ranking window sorts the whole corpus on one task. Instead the bucket
+    * THRESHOLDS come from one exact interpolated-percentile aggregate (an
+    * `nBuckets`-bounded row that broadcasts back) and assignment is a
+    * map-only comparison — the [[qualityQuantileFilter]] pattern; at 100 TB
+    * swap `percentile` for `approx_percentile`, the join shape is unchanged.
+    * Thresholds round to 6 (like every score here) so the boundary
+    * comparison is engine-reproducible; a doc exactly ON a threshold falls
+    * in the lower-quality bucket (not >), deterministically. */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        discount: Double = 0.75): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100,
+      s"nBuckets must be in [2,100], got $nBuckets")
+    val scored = lmScoreKneserNey(docs, discount)
+    val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    val th = scored
+      .agg(expr(s"percentile(kn_score, array(${ps.mkString(",")}))").as("__ths"))
+      .select((0 until nBuckets - 1).map(i =>
+        round(element_at(col("__ths"), i + 1), 6).as(s"__t$i")): _*)
+    val above = (0 until nBuckets - 1).map(i =>
+        when(col("kn_score") > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("n_bigrams"), col("kn_score"),
+        (lit(nBuckets) - above).cast("long").as("ppl_bucket"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): every doc draws a pseudo-uniform u from its CONTENT
     * hash and ranks by ln(u)/w — the top `k` such keys are exactly a

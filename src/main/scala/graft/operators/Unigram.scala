@@ -198,6 +198,21 @@ object Unigram {
     docs.select(col("doc_id"), encode(col("text"), pieces).as("pieces"))
       .select(col("doc_id"), size(col("pieces")).cast("long").as("n_pieces"))
 
+  /** Subword-regularization SAMPLED encode (Kudo 2018 §4): each word draws a
+    * segmentation from the α-scaled lattice distribution P(x|w) ∝ P(x)^α —
+    * the training-time augmentation the unigram LM exists for (α → ∞
+    * approaches [[encode]]'s Viterbi; α = 0 is uniform over segmentations).
+    * Deterministic by the repo-wide content-hash contract: draws hash
+    * (seed, word, position), so runs/engines/partitionings agree and
+    * epoch-varied augmentation = vary `seed` per epoch. Map-only, native
+    * codegen ([[graft.functions.UnigramSampleExpr]] — exact
+    * forward-filtering/backward-sampling, no l-best truncation). */
+  def encodeSampled(text: Column, pieces: Seq[Piece], alpha: Double = 0.2,
+                    seed: Long = 0L, unkLogProb: Double = -10.0): Column =
+    graft.functions.UnigramSampleExpr.unigramSample(
+      TextFns.normalize(text), pieces.map(p => (p.piece, p.logProb)),
+      alpha, seed, unkLogProb)
+
   /** The trained vocabulary as a DataFrame (piece, log_prob) — persist next
     * to the corpus; encode jobs load it and ride it into [[encode]] as a
     * reference object. */

@@ -618,6 +618,35 @@ class SearchSpec extends SparkSpec {
     assert(inD(11L) > inD(13L), s"in-domain must outscore OOV soup: $inD")
   }
 
+  test("perplexityBuckets: head/middle/tail by score tertile, tie-grouped") {
+    // three groups of identical docs -> three identical-score plateaus;
+    // interpolated tertile thresholds land STRICTLY between plateaus, so
+    // each group maps to exactly one bucket, best score = bucket 1 (head)
+    val corpus = (
+      (1L to 3L).map(i => (i, "the quick brown fox jumps over the fence")) ++
+      (4L to 6L).map(i => (i, "the quick brown fox sees another brown fox")) ++
+      (7L to 9L).map(i => (i, "fence brown the over quick jumps fox the"))
+    ).toDF("doc_id", "text")
+    val r = Curation.perplexityBuckets(corpus).collect()
+      .map(x => (x.getLong(0), x.getDouble(2), x.getLong(3)))
+    assert(r.map(_._3).toSet.subsetOf(Set(1L, 2L, 3L)))
+    (1L to 3L).foreach(b => assert(r.count(_._3 == b) == 3,
+      s"each tertile must hold one 3-doc plateau: ${r.toSeq}"))
+    // bucket assignment must be monotone in score: better score, never a
+    // worse (higher) bucket
+    for ((_, sa, ba) <- r; (_, sb, bb) <- r if sa > sb)
+      assert(ba <= bb, s"monotonicity violated: ($sa,$ba) vs ($sb,$bb)")
+    // identical docs share a bucket (plateaus never split)
+    r.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).distinct.length == 1, s"score plateau split: ${g.toSeq}")
+    }
+    // deterministic across runs
+    val again = Curation.perplexityBuckets(corpus).collect()
+      .map(x => (x.getLong(0), x.getDouble(2), x.getLong(3)))
+    assert(r.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    intercept[IllegalArgumentException] { Curation.perplexityBuckets(docs, 1) }
+  }
+
   // ---- per-language quantile gate -------------------------------------------
 
   test("qualityQuantileFilter keeps each language's docs at or above its own median") {

@@ -121,6 +121,47 @@ class UnigramSpec extends SparkSpec {
     assert(table.count() === 3)
   }
 
+  test("sampled encode: chars preserved, count >= Viterbi, deterministic per seed") {
+    val docs = fixtureDocs.limit(50)
+      .select(graft.functions.TextFns.normalize(col("text")).as("norm"),
+        Unigram.encodeSampled(col("text"), pinned, alpha = 0.5, seed = 7L).as("samp"),
+        Unigram.encode(col("text"), pinned).as("vit"))
+    docs.collect().foreach { r =>
+      val norm = r.getString(0).replace(" ", "")
+      assert(r.getSeq[String](1).mkString("") === norm,
+        "sampled segmentation must rebuild the normalized text")
+      // Viterbi is the piece-count MINIMUM under the pinned vocab (each
+      // occurrence use saves one token, occurrences independent)
+      assert(r.getSeq[String](1).size >= r.getSeq[String](2).size)
+    }
+    // pure content function: same seed -> same draw, every time
+    def all(seed: Long) = fixtureDocs.limit(50)
+      .select(Unigram.encodeSampled(col("text"), pinned, alpha = 0.0, seed = seed).as("t"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(all(7L) === all(7L))
+    // a new seed is a new draw (alpha = 0: uniform over segmentations, so
+    // 50 docs differing nowhere is astronomically unlikely)
+    assert(all(7L) !== all(8L))
+  }
+
+  test("sampled encode follows the alpha-scaled lattice distribution") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = Seq("ab" -> -1.0, "a" -> -1.0, "b" -> -1.0)
+    def draw(alpha: Double, seed: Long): Int =
+      graft.functions.UnigramSampleExpr(Literal("x"), vocab, -10.0, alpha, seed)
+        .encode(UTF8String.fromString("ab")).numElements()
+    // alpha = 1: P(["ab"]) = p_ab / (p_ab + p_a p_b) = 1/(1+e^-1) ≈ 0.731
+    val n1 = (1 to 400).count(s => draw(1.0, s.toLong) == 1)
+    assert(n1 > 250 && n1 < 335, s"alpha=1 single-piece rate $n1/400, want ~292")
+    // alpha = 0: uniform over the two segmentations ≈ 0.5
+    val n0 = (1 to 400).count(s => draw(0.0, s.toLong) == 1)
+    assert(n0 > 160 && n0 < 240, s"alpha=0 single-piece rate $n0/400, want ~200")
+    // alpha large: sampling collapses onto Viterbi (choosing the worse
+    // branch needs u within e^(-alpha*17), below the 53-bit draw resolution)
+    (1 to 50).foreach(s => assert(draw(50.0, s.toLong) == 1))
+  }
+
   test("trainVocab rejects invalid parameters") {
     intercept[IllegalArgumentException] { Unigram.trainVocab(fixtureDocs, vocabSize = 1) }
     intercept[IllegalArgumentException] {
