@@ -3237,6 +3237,31 @@ object SparkEntry {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs, TRUE AS stream_equals_batch
               FROM documents WHERE doc_id % 20 <> 0""")),
 
+    Q("w_stream_lm_score_kn", // frozen-model KN scoring at the stream
+      // boundary (the CCNet crawl-intake deployment): the model tables are
+      // static, the distinct-type total rides as a collected literal (a
+      // model parameter, like Bloom bits), so the stream pays stateless
+      // stream-static LEFT joins + one per-doc aggregate. Settled stream
+      // scores must equal the batch transfer form multiset-exactly — which
+      // also pins the literal-total and crossJoin forms bit-equal.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val train = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wkn_sink",
+          src => Curation.lmScoreKneserNeyTransferStreamSafe(train,
+            src.filter(pmod(col("doc_id"), lit(2)) === 1)),
+          outputMode = "complete")
+        val batch = Curation.lmScoreKneserNeyTransfer(train,
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .agg(count(lit(1)).as("n_scored_docs"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_scored_docs"), col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_scored_docs, TRUE AS stream_equals_batch
+              FROM documents WHERE doc_id % 2 = 1""")),
+
     Q("w_stream_incremental_dedup", // the governance intake gate as a REAL
       // stream, now a DRIVER-VISIBLE stream≡batch gate: file-source docs ->
       // in-stream dropDuplicates(fp) -> stream-static LEFT ANTI join vs the

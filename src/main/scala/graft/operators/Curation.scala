@@ -672,6 +672,49 @@ object Curation {
         round(avg(log(col("p_kn"))), 6).as("kn_score"))
   }
 
+  /** Streaming face of [[lmScoreKneserNeyTransfer]]: identical arithmetic,
+    * but the distinct-type total is COLLECTED into a literal — it is a frozen
+    * model PARAMETER (like the Bloom filter's bits or k-means centroids), and
+    * a one-row crossJoin is not stream-safe. The plan is then explode +
+    * stream-static LEFT equi-joins (stateless) + the per-doc aggregate (the
+    * only streaming state); run in complete/update mode. Batch-equivalent
+    * bit-for-bit: `lit(nTypes)` divides exactly as the crossJoined column. */
+  def lmScoreKneserNeyTransferStreamSafe(train: DataFrame, score: DataFrame,
+                                         discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"absolute discount must be in (0,1), got $discount")
+    def bigramsOf(docs: DataFrame) = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    val trainCounts = bigramsOf(train).groupBy(col("bg"))
+      .agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val leftStats = trainCounts.groupBy("w1")
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val rightStats = trainCounts.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
+    val nTypes: Long = rightStats.agg(sum(col("n1p_w2"))).head().getLong(0)
+    val pCont = coalesce(col("n1p_w2").cast("double"), lit(1.0)) / lit(nTypes)
+    bigramsOf(score)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(trainCounts.select("bg", "c_bg"), Seq("bg"), "left")
+      .join(leftStats, Seq("w1"), "left")
+      .join(rightStats, Seq("w2"), "left")
+      .select(col("doc_id"), col("c_bg"),
+        when(col("c_bg").isNotNull,
+          (col("c_bg") - lit(discount)) / col("c_w1") +
+            lit(discount) * col("n1p_w1") / col("c_w1") * pCont)
+        .when(col("c_w1").isNotNull,
+          lit(discount) * col("n1p_w1") / col("c_w1") * pCont)
+        .otherwise(pCont).as("p_kn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_oov_bigrams"),
+        round(avg(log(col("p_kn"))), 6).as("kn_score"))
+  }
+
   /** Perplexity bucketing — CCNet's actual OUTPUT artifact (Wenzek et al.
     * 2020 §4.3 ship each language shard split into head/middle/tail by LM
     * perplexity tertile; consumers then train on head+middle or reweight):
