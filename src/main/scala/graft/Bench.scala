@@ -34,7 +34,10 @@ object Bench {
     "sim_ivf_persisted_topk", "pipeline_decontaminate_bloom",
     // round-10 capabilities: real-codec multimodal round trip, binary ANN,
     // span-level (surgical) decontamination
-    "multimodal_blob_features", "sim_binary_topk", "pipeline_decontaminate_trim")
+    "multimodal_blob_features", "sim_binary_topk", "pipeline_decontaminate_trim",
+    // round-10 LM + tokenizer families: frozen-model Kneser-Ney scoring and
+    // the unigram-LM (SentencePiece-family) train+encode path
+    "text_lm_score_kn_transfer", "text_unigram_token_count")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",
