@@ -443,7 +443,15 @@ class PlanSpec extends SparkSpec {
       "pipeline_curate_audit_fp" -> 2, // same, both exchanges carrying xxhash64 keys, never text
       "q_target_encode" -> 1, // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
       "text_nb_calibration" -> 9, // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
-      "q_triangle_count" -> 8) // edge dedup + degree agg + orientation joins + wedge/closure equi-joins + node count; every exchange carries 8-byte endpoints
+      "q_triangle_count" -> 8, // edge dedup + degree agg + orientation joins + wedge/closure equi-joins + node count; every exchange carries 8-byte endpoints
+      // round-10 session additions: the KN LM family + unigram tokenizer
+      "text_lm_score_kn" -> 6, // model assembly (bigram agg + left/right stats — vocab²-bounded) appears per reference plus the per-doc score agg; model joins broadcast, the n_types window is a single-partition exchange (not hash)
+      "text_lm_score_kn_transfer" -> 8, // train-side model aggs + the score stream's per-doc agg; the three model joins broadcast, totals ride a one-row broadcast
+      "pipeline_perplexity_buckets" -> 8, // the KN score subtree + ONE percentile threshold agg; assignment is a broadcast crossJoin, map-only — never an ntile sort
+      "text_unigram_token_count" -> 0, // EM fit is driver-side (word-freq agg runs in training, not this plan); the scored plan is the map-only native encode
+      "text_unigram_encode_fixed" -> 0, // pinned-vocab Viterbi: map-only
+      "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
+      "text_unigram_fertility" -> 0) // map-only encode + tokenize-once word count
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
