@@ -268,6 +268,23 @@ object ScaleSmoke {
       require(probeSecs < buildSecs / 2,
         f"warm persisted probe ($probeSecs%.2f s) should amortize well under the build ($buildSecs%.2f s)")
       emit(f"SCALE ${"ivfProbePersisted 10 queries (warm pruned read)"}%-52s $probeSecs%8.2f s  rows=100  ok(probe << build: ${probeSecs / buildSecs * 100}%.0f%% of build)")
+      // APPEND half of the lifecycle: 100k new vectors (clones of the first
+      // 100k, re-tagged past nVec) assign under the FROZEN centroids and
+      // append cell files — cost tracks the batch, not the index
+      locally {
+        val newVecs = vecs.filter(col("vec_id") < 100000)
+          .select((col("vec_id") + lit(nVec)).as("vec_id"), col("embedding"))
+        val ta = System.nanoTime()
+        sim.appendIvfIndex(newVecs, cents, s"$idxDir/ivf")
+        val appendSecs = (System.nanoTime() - ta) / 1e9
+        require(appendSecs < buildSecs,
+          f"append of a 10%% batch ($appendSecs%.2f s) must undercut the full build ($buildSecs%.2f s)")
+        val rs2 = probeIvf()
+        require(rs2.length == 100, s"post-append probe rows=${rs2.length}")
+        require(rs2.exists(_.getAs[Long]("vec_id") >= nVec),
+          "appended clone vectors never surfaced in the probe top-10s")
+        emit(f"SCALE ${"appendIvfIndex 100k into 1M-vector index"}%-52s $appendSecs%8.2f s  rows=100000  ok(append << build: ${appendSecs / buildSecs * 100}%.0f%% of build; clones probe-visible)")
+      }
       // IVFADC sibling: residual-PQ codes cell-partitioned, ADC probe + rerank
       val (pcents, pbooks) = sim.trainIvfPq(vecs, nlist = 64, m = 8, ksub = 32, iters = 2)
       val tb2 = System.nanoTime()

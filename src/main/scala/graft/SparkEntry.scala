@@ -2555,6 +2555,32 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
               FROM embeddings WHERE vec_id < 20""")),
 
+    Q("sim_ivf_persisted_append_topk", // the index lifecycle's APPEND half
+      // (FAISS add-after-train): build the cell-partitioned index on the
+      // base corpus, append the new batch under the SAME frozen centroids
+      // (map-only assignment over only the new rows; no directory rewritten),
+      // then probe the union partition-pruned — and require it MULTISET-EXACT
+      // against the in-memory probe over the full corpus with the same
+      // centroids. A dropped batch row, a stale cell, or an assignment drift
+      // between build and append all fail the driver's hash compare.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val q = emb.filter(col("vec_id") < 20)
+        val cents = Similarity.trainCentroidsSampled(base, 8, 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_append_${math.abs(d.hashCode)}"
+        Similarity.writeIvfIndex(base, cents, path)
+        Similarity.appendIvfIndex(batch, cents, path)
+        persistedEqualityGate(
+          Similarity.ivfProbePersisted(s, path, cents, q, 10, nprobe = 5),
+          Similarity.ivfProbeAssigned(
+            Similarity.ivfAssignments(emb, cents), cents, q, 10, nprobe = 5))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
+
     Q("sim_pq_topk", // DRIVER-VISIBLE recall gate: product-quantization ANN
       // (ADC scan + exact rerank; m=16, ksub=32, rerank 8k) vs brute force —
       // measured recall@10 0.97 at sf0.01 / 0.895 at sf0.1 (rerank 4k fell

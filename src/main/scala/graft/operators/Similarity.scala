@@ -404,6 +404,22 @@ object Similarity {
     ivfAssignments(corpus, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+  /** Append NEW vectors to a persisted [[writeIvfIndex]] layout — the
+    * build-once / APPEND-OFTEN production lifecycle (FAISS's `add` after
+    * `train`): each new vector assigns to its nearest cell under the SAME
+    * frozen centroids (retraining would move cell boundaries and invalidate
+    * every stored assignment) and new cell-partitioned files append in
+    * place. Cost is one map-only assignment pass over ONLY the new rows;
+    * existing cell directories gain files, none is rewritten, and
+    * [[ivfProbePersisted]] sees the union through the identical pruned-scan
+    * plan. Recall for appended vectors matches build-time vectors exactly
+    * (same assignment function); only centroid DRIFT (a corpus whose
+    * distribution moves far from the frozen training sample) degrades it —
+    * the rebuild trigger a deployment monitors its recall gate for. */
+  def appendIvfIndex(newVecs: DataFrame, centroids: Centroids, path: String): Unit =
+    ivfAssignments(newVecs, centroids)
+      .write.mode("append").partitionBy("cell").parquet(path)
+
   /** Probe a [[writeIvfIndex]] layout: the probe-cell set is computed
     * DRIVER-SIDE (bounded by min(nlist, |queries|·nprobe) ints — model-scale,
     * like the centroids) and pushed into the read as a partition filter, so

@@ -140,6 +140,34 @@ class SimilaritySpec extends SparkSpec {
       "persisted-index probe diverged from the in-memory assignment probe")
   }
 
+  test("appendIvfIndex: appended batch becomes probe-visible; union ≡ in-memory") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val cents = Similarity.trainCentroidsSampled(base, 8, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString + "/index"
+    Similarity.writeIvfIndex(base, cents, path)
+    val queries = emb.filter($"vec_id" < 10)
+    def probe() = rowSet(
+      Similarity.ivfProbePersisted(spark, path, cents, queries, 10, nprobe = 5))
+    // before the append, no batch vector can be a result
+    val before = probe()
+    assert(before.forall(r => r(1).asInstanceOf[Long] % 5 != 0),
+      "batch vectors must be absent before the append")
+    Similarity.appendIvfIndex(batch, cents, path)
+    val after = probe()
+    // the union probe is bit-identical to in-memory over the full corpus
+    // under the same frozen centroids
+    assert(after === rowSet(Similarity.ivfProbeAssigned(
+      Similarity.ivfAssignments(emb, cents), cents, queries, 10, nprobe = 5)),
+      "appended-index probe diverged from the in-memory union probe")
+    // appended vectors actually surface (20% of the corpus: some top-10 hit)
+    assert(after.exists(r => r(1).asInstanceOf[Long] % 5 == 0),
+      "no appended vector ever surfaced in any top-10")
+    // append is incremental: base cell files were not rewritten
+    assert(after !== before)
+  }
+
   test("randomProject: identical inputs project identically; signs are balanced") {
     val r = rowList(Similarity.randomProject(emb, dim = 4, outDim = 4)
       .select("vec_id", "rp"))
