@@ -2642,6 +2642,34 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
               FROM embeddings WHERE vec_id < 20""")),
 
+    Q("sim_ivfpq_persisted_append_topk", // the IVFADC lifecycle's APPEND
+      // half: new vectors assign + residual-PQ-encode under the FROZEN
+      // (centroids, codebooks) and append cell files. Gate: probing the
+      // appended index is MULTISET-EXACT against probing a full REBUILD
+      // under the same models — append ≡ rebuild is the lifecycle
+      // invariant (a dropped row, stale cell, or encode drift fails the
+      // driver's hash compare).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val q = emb.filter(col("vec_id") < 20)
+        val (cents, books) = Similarity.trainIvfPq(base, nlist = 8, m = 16,
+          ksub = 32, iters = 3)
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pathA = s"$tmp/graft_ivfpq_append_${math.abs(d.hashCode)}"
+        val pathB = s"$tmp/graft_ivfpq_rebuild_${math.abs(d.hashCode)}"
+        Similarity.writeIvfPqIndex(base, cents, books, pathA)
+        Similarity.appendIvfPqIndex(batch, cents, books, pathA)
+        Similarity.writeIvfPqIndex(emb, cents, books, pathB)
+        def probe(p: String) = Similarity.ivfPqProbePersisted(s, p, cents, books,
+          q, emb, 10, nprobe = 6, rerankFactor = 8)
+        persistedEqualityGate(probe(pathA), probe(pathB))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
+
     Q("sim_random_projection", // Johnson–Lindenstrauss sign projection 64→16
       // dims: map-only, one native dot per output dim against a literal
       // ±1/√16 sign row; the sign formula is pure integer arithmetic, so the

@@ -738,18 +738,40 @@ object Similarity {
     * persisted separately like any model artifact. `books` must be trained on
     * the RESIDUALS under these same `cents` (as [[ivfPqTopK]] does) — the
     * probe decomposes dot(q, x̂) = dot(q, centroid) + dot(q, residual̂). */
-  def writeIvfPqIndex(corpus: DataFrame, cents: Centroids, books: Codebooks,
-                      path: String): Unit = {
-    val spark = corpus.sparkSession
+  /** The stored-row projection shared by build and append: nearest-cell
+    * assignment + residual-PQ codes under (cents, books). */
+  private def ivfPqIndexRows(vecs: DataFrame, cents: Centroids,
+                             books: Codebooks): DataFrame = {
+    val spark = vecs.sparkSession
     val centDf = broadcast(spark.createDataFrame(cents.map { case (id, c) => (id, c) })
       .toDF("cell", "cent"))
-    ivfAssignments(corpus, cents)
+    ivfAssignments(vecs, cents)
       .join(centDf, "cell")
       .select(col("vec_id"), col("cell"),
         graft.functions.PQExprs.pqCodes(
           zip_with(col("emb"), col("cent"), (a, b) => a - b), books).as("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
+
+  def writeIvfPqIndex(corpus: DataFrame, cents: Centroids, books: Codebooks,
+                      path: String): Unit =
+    ivfPqIndexRows(corpus, cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Append NEW vectors to a persisted [[writeIvfPqIndex]] layout — the
+    * IVFADC face of [[appendIvfIndex]] (FAISS add-after-train for
+    * IVFx,PQy): each new vector assigns to its nearest cell and
+    * residual-PQ-encodes under the SAME frozen (centroids, codebooks) —
+    * retraining either model would invalidate every stored code — then
+    * appends cell-partitioned files in place. Cost is one map-only
+    * assign+encode pass over only the new rows; [[ivfPqProbePersisted]]
+    * sees the union unchanged. Same drift caveat as [[appendIvfIndex]]:
+    * the frozen models quantize appended vectors exactly as build-time
+    * ones, and only distribution drift (rising ADC error on new data) says
+    * rebuild. */
+  def appendIvfPqIndex(newVecs: DataFrame, cents: Centroids, books: Codebooks,
+                       path: String): Unit =
+    ivfPqIndexRows(newVecs, cents, books)
+      .write.mode("append").partitionBy("cell").parquet(path)
 
   /** Probe a [[writeIvfPqIndex]] layout: the probe-cell set is computed
     * driver-side and pushed as a PARTITION filter (only probed cell

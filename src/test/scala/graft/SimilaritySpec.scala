@@ -168,6 +168,26 @@ class SimilaritySpec extends SparkSpec {
     assert(after !== before)
   }
 
+  test("appendIvfPqIndex: append to base index ≡ full rebuild under frozen models") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val (cents, books) = Similarity.trainIvfPq(base, nlist = 8, m = 16,
+      ksub = 32, iters = 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_app").toString
+    Similarity.writeIvfPqIndex(base, cents, books, s"$dir/a")
+    Similarity.appendIvfPqIndex(batch, cents, books, s"$dir/a")
+    Similarity.writeIvfPqIndex(emb, cents, books, s"$dir/b")
+    val queries = emb.filter($"vec_id" < 10)
+    def probe(p: String) = rowSet(Similarity.ivfPqProbePersisted(spark, p,
+      cents, books, queries, emb, 10, nprobe = 6, rerankFactor = 8))
+    val appended = probe(s"$dir/a")
+    assert(appended === probe(s"$dir/b"),
+      "appended IVFADC index diverged from a full rebuild under the same models")
+    assert(appended.exists(r => r(1).asInstanceOf[Long] % 5 == 0),
+      "no appended vector ever surfaced in any top-10")
+  }
+
   test("randomProject: identical inputs project identically; signs are balanced") {
     val r = rowList(Similarity.randomProject(emb, dim = 4, outDim = 4)
       .select("vec_id", "rp"))
