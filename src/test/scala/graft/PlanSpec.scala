@@ -451,7 +451,9 @@ class PlanSpec extends SparkSpec {
       "text_unigram_token_count" -> 0, // EM fit is driver-side (word-freq agg runs in training, not this plan); the scored plan is the map-only native encode
       "text_unigram_encode_fixed" -> 0, // pinned-vocab Viterbi: map-only
       "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
-      "text_unigram_fertility" -> 0) // map-only encode + tokenize-once word count
+      "text_unigram_fertility" -> 0, // map-only encode + tokenize-once word count
+      "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
+      "sim_ivfpq_persisted_append_topk" -> 5) // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
