@@ -741,6 +741,16 @@ object ScaleSmoke {
         // keep=true would be vacuously 0)
         graft.operators.Curation.gopherQualityRules(docs).count()
       }
+      time("gopherRepetitionStats n=3 1M docs (map-only)", exactly(nDocs)) {
+        // native per-row kernel, no exchange; force the fraction columns so
+        // the kernel actually runs (bare count() would prune it away)
+        val r = graft.operators.Curation.gopherRepetitionStats(docs)
+          .agg(count(lit(1)), sum(col("top_gram_frac")), sum(col("dup_gram_frac"))).head()
+        val (top, dup) = (r.getDouble(1), r.getDouble(2))
+        require(top > 0 && !top.isNaN, s"top-gram mass not positive/finite: $top")
+        require(dup > 0 && !dup.isNaN, s"dup-gram mass not positive/finite: $dup")
+        r.getLong(0)
+      }
       time("dsirWeights hashed 1M docs vs 5% target", exactly(nDocs)) {
         // both count models dense <=65536 rows; corpus pays one feature join.
         // Force the weight column and require a finite total.

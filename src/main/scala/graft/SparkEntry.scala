@@ -1941,6 +1941,46 @@ object SparkEntry {
               SELECT doc_id, t.lang, n_tokens, round(lang_threshold, 6) AS lang_threshold
               FROM t JOIN th USING (lang) WHERE n_tokens >= lang_threshold""")),
 
+    Q("pipeline_gopher_repetition", // Gopher Table-A1 within-doc repetition:
+      // top-bigram char fraction + duplicated-bigram covered-char fraction,
+      // map-only via the native GramRepetitionExpr kernel (no exchange);
+      // n = 2 keeps the signal non-vacuous on the small-vocab fixture — the
+      // operator's defaults are the paper's n = 3 row
+      (s, d) => Curation.gopherRepetitionStats(Tables.documents(s, d),
+        n = 2, maxTopGramFrac = 0.20, maxDupGramFrac = 0.60),
+      Some("""WITH base AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok,
+                generate_subscripts(string_split(norm, ' '), 1) AS pos FROM base),
+              offs AS (SELECT doc_id, tok, pos,
+                coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cstart FROM toks),
+              grams AS (SELECT doc_id, pos, cstart,
+                tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+                FROM offs),
+              g AS (SELECT doc_id, pos, cstart, gram, cstart + length(gram) AS cend
+                FROM grams WHERE gram IS NOT NULL),
+              counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+              top1 AS (SELECT doc_id, c * length(gram) AS top_chars FROM (
+                SELECT doc_id, gram, c,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rk
+                FROM counts) WHERE rk = 1),
+              dspan AS (SELECT g.doc_id, g.cstart, g.cend FROM g JOIN counts
+                ON g.doc_id = counts.doc_id AND g.gram = counts.gram WHERE counts.c >= 2),
+              cov AS (SELECT doc_id, cstart, cend,
+                coalesce(max(cend) OVER (PARTITION BY doc_id ORDER BY cstart
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_end FROM dspan),
+              dchars AS (SELECT doc_id,
+                sum(greatest(0, cend - greatest(cstart, prev_end))) AS dup_chars
+                FROM cov GROUP BY 1)
+              SELECT b.doc_id,
+                round(coalesce(t.top_chars, 0) / greatest(length(b.norm), 1), 6) AS top_gram_frac,
+                round(coalesce(d.dup_chars, 0) / greatest(length(b.norm), 1), 6) AS dup_gram_frac,
+                (round(coalesce(t.top_chars, 0) / greatest(length(b.norm), 1), 6) <= 0.20 AND
+                 round(coalesce(d.dup_chars, 0) / greatest(length(b.norm), 1), 6) <= 0.60) AS keep
+              FROM base b LEFT JOIN top1 t USING (doc_id)
+              LEFT JOIN dchars d USING (doc_id)""")),
+
     Q("dedup_edit_distance", // character-level near-dup: prefix-OR-suffix
       // blocked Levenshtein with a native banded early-abandon DP
       // (O(len*maxDist) per distinct candidate pair)

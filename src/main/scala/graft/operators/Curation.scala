@@ -1017,6 +1017,39 @@ object Curation {
           col("rule_alpha") && col("rule_stopwords"))
   }
 
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1) — the within-document
+    * half of the repetition family: documents dominated by a single repeated
+    * n-gram (`top_gram_frac` = chars in occurrences of the most frequent gram
+    * / normalized chars; can exceed 1 on overlapping single-token loops, which
+    * is the signal) or by duplicated n-grams overall (`dup_gram_frac` = chars
+    * covered by the span UNION of every gram occurring ≥ 2 times — bounded
+    * ≤ 1). Gopher's thresholds: top 2/3/4-gram ≤ 0.20/0.18/0.16, duplicate
+    * 5..10-gram ≤ 0.15..0.10; the n = 3 defaults here are that table's row.
+    * Cross-document siblings live in [[graft.operators.Dedup.dupNgramStats]]
+    * and `dupSpanFraction`; the top-TOKEN share (n = 1) is `text_repetition`.
+    *
+    * Scale shape: MAP-ONLY — one normalize projection, one native
+    * O(chars)-per-row kernel ([[graft.functions.GramRepetitionExpr]], counts +
+    * span walk inside whole-stage codegen), no exchange at all. This gate runs
+    * at scan speed ahead of any dedup shuffle, exactly like
+    * [[gopherQualityRules]] — at 100 TB the repetition filter costs one pass
+    * over the bytes it was already reading. */
+  def gopherRepetitionStats(docs: DataFrame, n: Int = 3,
+                            maxTopGramFrac: Double = 0.18,
+                            maxDupGramFrac: Double = 0.30): DataFrame = {
+    import graft.functions.GramRepetitionExpr.gramRepetition
+    val denom = greatest(length(col("norm")), lit(1)).cast("double")
+    docs
+      .select(col("doc_id"), TextFns.normalizeNonNull(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        gramRepetition(split(col("norm"), " "), n).as("rep"))
+      .select(col("doc_id"),
+        round(col("rep.top_chars").cast("double") / denom, 6).as("top_gram_frac"),
+        round(col("rep.dup_chars").cast("double") / denom, 6).as("dup_gram_frac"))
+      .withColumn("keep",
+        col("top_gram_frac") <= maxTopGramFrac && col("dup_gram_frac") <= maxDupGramFrac)
+  }
+
   /** Curation AUDIT trail — [[curateCorpus]]'s gate chain with per-document
     * verdicts instead of silent drops: every input doc gets exactly one of
     * `lang` / `too_short` / `token_len` (first failing gate, in gate order) /

@@ -452,6 +452,7 @@ class PlanSpec extends SparkSpec {
       "text_unigram_encode_fixed" -> 0, // pinned-vocab Viterbi: map-only
       "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
       "text_unigram_fertility" -> 0, // map-only encode + tokenize-once word count
+      "pipeline_gopher_repetition" -> 0, // map-only native kernel: NO exchange (the text_gopher_rules shape)
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
       "sim_ivfpq_persisted_append_topk" -> 5) // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>

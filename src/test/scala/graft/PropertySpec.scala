@@ -855,6 +855,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Independent driver-side recomputation of the Gopher repetition signals
+    * (the GramRepetitionExpr contract: top = count x len of the most frequent
+    * gram, smallest-gram tie-break; dup = span UNION of grams occurring >= 2). */
+  private def repetitionRecompute(text: String, n: Int): (Double, Double) = {
+    val norm = Option(text).getOrElse("").toLowerCase.trim.replaceAll("\\s+", " ")
+    val toks = norm.split(" ", -1)
+    val m = toks.length
+    val denom = math.max(norm.length, 1).toDouble
+    if (m < n) return (0.0, 0.0)
+    val offsets = toks.scanLeft(0)((a, t) => a + t.length + 1)
+    val grams = (0 to m - n).map(i => toks.slice(i, i + n).mkString(" "))
+    val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
+    val (topGram, topCount) = counts.toSeq.minBy { case (g, c) => (-c, g) }
+    var dup = 0L
+    var covered = 0
+    for (i <- 0 to m - n if counts(grams(i)) >= 2) {
+      val s = math.max(offsets(i), covered)
+      val e = offsets(i + n - 1) + toks(i + n - 1).length
+      if (e > s) { dup += e - s; covered = e }
+    }
+    (round6(topCount.toLong * topGram.length / denom), round6(dup / denom))
+  }
+
+  test("gopherRepetitionStats: hand-computed fractions, span-union overlap, edges") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // top "a b" 3x3/11; dup union covers everything
+      (2L, "a b c d"),       // all grams unique: top is smallest gram, dup 0
+      (3L, "x x x a b c"),   // overlapping "x x" spans union to [0,5)
+      (4L, "z z z z"),       // top-frac exceeds 1 on a single-token loop: 9/7
+      (5L, "solo"),          // shorter than n: both 0
+      (6L, "")               // empty text: both 0
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRepetitionStats(docs, n = 2,
+      maxTopGramFrac = 0.20, maxDupGramFrac = 0.60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(out(1L) === (round6(9.0 / 11), 1.0, false))
+    // even a count-1 top gram counts (the Gopher rule presumes long docs,
+    // hence its >= 50-word sibling rule): 3/7 > 0.20 -> rejected
+    assert(out(2L) === (round6(3.0 / 7), 0.0, false))
+    assert(out(3L) === (round6(6.0 / 11), round6(5.0 / 11), false))
+    assert(out(4L) === (round6(9.0 / 7), 1.0, false))
+    assert(out(5L) === (0.0, 0.0, true))
+    assert(out(6L) === (0.0, 0.0, true))
+  }
+
+  test("gopherRepetitionStats equals a driver-side recomputation on every corpus") {
+    for (n <- Seq(2, 3)) forAll(genDocs, runs = 4) { docsList =>
+      val expected = docsList.map { case (id, t) => id -> repetitionRecompute(t, n) }.toMap
+      val out = Curation.gopherRepetitionStats(docsList.toDF("doc_id", "text"), n = n)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      assert(out === expected, s"repetition mismatch at n=$n")
+    }
+  }
+
   test("weightedSample equals a driver-side recomputation of the ES ranking") {
     forAll(genDocs, runs = 4) { docsList =>
       val withW = docsList.map { case (id, t) => (id, t, (id % 7) + 1) }
