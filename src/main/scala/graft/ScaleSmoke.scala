@@ -455,6 +455,17 @@ object ScaleSmoke {
         docs.filter(col("doc_id") >= 10000), docs.filter(col("doc_id") < 10000),
         n = 3).filter(col("contaminated")).count()
     }
+    // one-pass MULTI-benchmark form: the same corpus screened against 8
+    // benchmark slices at once — corpus shingle work paid once, not 8 times
+    // (vs ~8x the single-bench row above); hot vocab saturates the overlap so
+    // nearly every (doc, bench) pair reports
+    time("decontaminateBatch 1M corpus vs 8 benches, one pass", within(7000000, 7920000)) {
+      graft.operators.Curation.decontaminateBatch(
+        docs.filter(col("doc_id") >= 10000),
+        docs.filter(col("doc_id") < 10000)
+          .withColumn("bench_id", pmod(col("doc_id"), lit(8L))),
+        n = 3).count()
+    }
     // span-level (surgical) decontamination in the saturated regime: the
     // 10-word vocabulary makes every corpus 3-gram a benchmark member, so
     // every doc is ONE full-width span and trims to empty — the removed-token
@@ -750,6 +761,26 @@ object ScaleSmoke {
         require(top > 0 && !top.isNaN, s"top-gram mass not positive/finite: $top")
         require(dup > 0 && !dup.isNaN, s"dup-gram mass not positive/finite: $dup")
         r.getLong(0)
+      }
+      time("tokenDistributionDrift 1M docs even/odd", exactly(10)) {
+        // two token-count aggs over the corpus; the 10-word smoke vocab caps
+        // the report at 10 rows and the even/odd split should barely diverge
+        val r = graft.operators.Curation.tokenDistributionDrift(
+          docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 =!= 0))
+          .agg(count(lit(1)), min(col("js_total")), max(col("js_total"))).head()
+        val (lo, hi) = (r.getDouble(1), r.getDouble(2))
+        require(lo == hi && lo >= 0.0 && lo <= 0.01,
+          s"even/odd halves of one corpus must be near-identical: js_total $lo..$hi")
+        r.getLong(0)
+      }
+      time("zipfFit 1M docs", exactly(1)) {
+        // one corpus token-count agg; 24 tokens x 1M docs, hash-near-uniform
+        // over the 10-word vocab -> slope near 0, never positive
+        val r = graft.operators.Curation.zipfFit(docs).head()
+        require(r.getLong(0) == 10L, s"n_types ${r.getLong(0)}")
+        require(r.getLong(1) == 24000000L, s"n_tokens ${r.getLong(1)}")
+        require(r.getDouble(2) <= 0.0, s"slope ${r.getDouble(2)} must be <= 0")
+        1L
       }
       time("dsirWeights hashed 1M docs vs 5% target", exactly(nDocs)) {
         // both count models dense <=65536 rows; corpus pays one feature join.

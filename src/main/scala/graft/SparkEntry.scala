@@ -3040,6 +3040,33 @@ object SparkEntry {
                 round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_token_share
               FROM tf GROUP BY doc_id""")),
 
+    Q("text_zipf_fit", // vocabulary-health scalar: least-squares slope + r2 of
+      // log2(freq) vs log2(rank) over the type table (natural text ~ -1;
+      // crawler loops flatten it). One corpus token-count agg; the fit runs
+      // on the vocab-bounded frame
+      (s, d) => Curation.zipfFit(Tables.documents(s, d)),
+      Some("""WITH toks AS (SELECT unnest(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents),
+              c AS (SELECT token, count(*) AS c FROM toks
+                WHERE len(token) > 0 GROUP BY 1),
+              xy AS (SELECT c,
+                log2(row_number() OVER (ORDER BY c DESC, token ASC) * 1.0) AS x,
+                log2(c * 1.0) AS y FROM c),
+              m AS (SELECT count(*) * 1.0 AS n, count(*) AS n_types,
+                CAST(sum(c) AS BIGINT) AS n_tokens,
+                sum(x * y) AS sxy0, sum(x) AS sx, sum(y) AS sy,
+                sum(x * x) AS sxx0, sum(y * y) AS syy0 FROM xy)
+              SELECT n_types, n_tokens,
+                round(CASE WHEN n * sxx0 - sx * sx > 0
+                  THEN (n * sxy0 - sx * sy) / (n * sxx0 - sx * sx) ELSE 0 END, 6)
+                  AS zipf_slope,
+                round(CASE WHEN n * sxx0 - sx * sx > 0 AND n * syy0 - sy * sy > 0
+                  THEN ((n * sxy0 - sx * sy) * (n * sxy0 - sx * sy)) /
+                       ((n * sxx0 - sx * sx) * (n * syy0 - sy * sy)) ELSE 1.0 END, 6)
+                  AS zipf_r2
+              FROM m""")),
+
     Q("text_ngram_freq", // corpus-wide top-50 trigram frequency
       (s, d) => {
         val grams = Tables.documents(s, d)
@@ -3170,6 +3197,34 @@ object SparkEntry {
               SELECT c.doc_id, CAST(coalesce(h.m, 0) AS BIGINT) AS matched_grams,
                 coalesce(h.m, 0) > 0 AS contaminated
               FROM corp c LEFT JOIN hits h USING (doc_id)""")),
+
+    Q("pipeline_decontaminate_batch", // one-pass MULTI-benchmark contamination
+      // report: 3 synthetic benchmarks carved from the eval slice
+      // (bench_id = doc_id % 3); corpus tokenize/shingle/explode paid ONCE
+      // however many benchmarks (the bm25TopKBatch principle). Spark keys
+      // grams by xxhash64, the oracle by literal strings — identical barring
+      // 64-bit collision
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.decontaminateBatch(
+          corpus = docs.filter(col("doc_id") % 20 =!= 0),
+          benchmarks = docs.filter(col("doc_id") % 20 === 0)
+            .withColumn("bench_id", pmod(col("doc_id"), lit(3L))),
+          n = 3)
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+              g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+                  list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [] END) AS grams FROM tk),
+              bench AS (SELECT DISTINCT bench_id, gram FROM (
+                SELECT doc_id % 3 AS bench_id, unnest(grams) AS gram FROM g
+                WHERE doc_id % 20 = 0) b0),
+              cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
+              SELECT cg.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched_grams
+              FROM cg JOIN bench b USING (gram) GROUP BY 1, 2""")),
 
     Q("pipeline_decontaminate_stateless", // the same verdicts via the literal-
       // probed stateless form (no join, no aggregation — the shape that runs
@@ -3704,6 +3759,42 @@ object SparkEntry {
                      ELSE 'unchanged' END AS status
                 FROM o FULL JOIN n ON o.doc_id = n.doc_id)
               SELECT doc_id, status FROM v WHERE status != 'unchanged'""")),
+
+    Q("pipeline_token_drift", // content-level snapshot monitor: Jensen-
+      // Shannon divergence (log2, [0,1]) between the en and fr slices'
+      // unigram distributions, decomposed per token and ranked — "the crawl
+      // shifted: WHAT shifted". Corpus work is one token-count agg per side;
+      // everything after runs on vocab-bounded frames
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.tokenDistributionDrift(
+          docs.filter(col("lang") === "en"), docs.filter(col("lang") === "fr"))
+      },
+      Some("""WITH ta AS (SELECT unnest(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents WHERE lang = 'en'),
+              tb AS (SELECT unnest(string_split(
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS token
+                FROM documents WHERE lang = 'fr'),
+              ca AS (SELECT token, count(*) AS c FROM ta WHERE len(token) > 0 GROUP BY 1),
+              cb AS (SELECT token, count(*) AS c FROM tb WHERE len(token) > 0 GROUP BY 1),
+              pa AS (SELECT token, c * 1.0 / sum(c) OVER () AS p_a FROM ca),
+              pb AS (SELECT token, c * 1.0 / sum(c) OVER () AS p_b FROM cb),
+              j AS (SELECT token, coalesce(p_a, 0) AS p_a, coalesce(p_b, 0) AS p_b
+                FROM pa FULL JOIN pb USING (token)),
+              c2 AS (SELECT token, p_a, p_b,
+                round(CASE WHEN p_a > 0
+                        THEN p_a * log2(p_a / ((p_a + p_b) / 2)) * 0.5 ELSE 0 END +
+                      CASE WHEN p_b > 0
+                        THEN p_b * log2(p_b / ((p_a + p_b) / 2)) * 0.5 ELSE 0 END, 9)
+                  AS js_contrib
+                FROM j),
+              t AS (SELECT token, p_a, p_b, js_contrib,
+                round(sum(js_contrib) OVER (), 6) AS js_total,
+                row_number() OVER (ORDER BY js_contrib DESC, token ASC) AS rk FROM c2)
+              SELECT token, round(p_a, 6) AS p_a, round(p_b, 6) AS p_b,
+                round(js_contrib, 6) AS js_contrib, js_total
+              FROM t WHERE rk <= 20""")),
 
     Q("pipeline_embedding_outliers", // embedding-space curation gate: flag
       // vectors whose cosine to the global corpus centroid is < -0.15 (the

@@ -152,6 +152,42 @@ object Curation {
         (col("matched_grams") > 0).as("contaminated"))
   }
 
+  /** One-pass MULTI-benchmark decontamination — real pipelines screen a corpus
+    * against DOZENS of held-out benchmarks, and scanning 100 TB once per
+    * benchmark is the wasteful form; this is the [[decontaminate]] dataflow
+    * with the benchmark id carried through the gram table, so corpus work
+    * (tokenize, shingle, hash, explode) is paid ONCE however many benchmarks
+    * (the `bm25TopKBatch` principle applied to contamination). Input
+    * `benchmarks` carries `(bench_id, text)` (many docs per benchmark);
+    * returns the matched pairs `(doc_id, bench_id, matched_grams)` — the
+    * contamination REPORT. The keep-set is its anti join; per-doc roll-ups
+    * (`contaminated_any`, which benchmarks) are one further groupBy.
+    *
+    * Scale shape: the union gram table is Σ per-bench distinct gram sets
+    * (kilobytes per benchmark) on a broadcast; the corpus side never
+    * shuffles text — the only exchange is the (doc, bench)-keyed count of
+    * matched rows, which tracks contamination volume, not corpus size. */
+  def decontaminateBatch(corpus: DataFrame, benchmarks: DataFrame, n: Int = 8): DataFrame = {
+    def gramHashes(df: DataFrame, key: Column, as: String): DataFrame = df
+      .select(key.as(as), TextFns.tokens(col("text")).as("toks"))
+      .select(col(as),
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g)).as("ghs"))
+      // explode_outer + null filter: a plain explode lets the optimizer infer
+      // size(ghs) > 0 below the projection and re-derive the shingle pipeline
+      // interpreted per row (the decontaminate / containmentPairs pitfall)
+      .select(col(as), explode_outer(col("ghs")).as("gh"))
+      .filter(col("gh").isNotNull)
+    // bench side needs a cross-DOC distinct (many docs per bench_id; the
+    // frame is benchmark-sized); the corpus side is already unique per
+    // (doc, gram) from the in-row array_distinct — no corpus-wide exchange
+    val benchGrams = gramHashes(benchmarks, col("bench_id"), "bench_id").distinct()
+    gramHashes(corpus, col("doc_id"), "doc_id")
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("matched_grams"))
+  }
+
   /** The distinct xxhash64'd word-`n`-gram set of a benchmark corpus, collected
     * — the MODEL object of streaming decontamination (like IVF centroids:
     * kilobytes-to-megabytes, planted into plans as a literal). Batch-side prep
@@ -873,6 +909,42 @@ object Curation {
       .withColumn("dup_rate",
         round(lit(1d) - col("distinct_docs").cast("double") / col("docs"), 6))
 
+  /** Zipf-law fit over the corpus unigram distribution — the vocabulary-health
+    * scalar for a data card: least-squares slope (and r²) of log2(frequency)
+    * against log2(rank) over the type table. Natural text sits near slope −1
+    * (Zipf 1949); a crawler loop or template flood flattens the head (slope
+    * toward 0 with low r²), a vocabulary collapse steepens it — alert on the
+    * pair across snapshots, drill into WHERE with [[tokenDistributionDrift]]
+    * and [[graft.operators.Search.domainKeywords]]. Returns ONE row
+    * `(n_types, n_tokens, zipf_slope, zipf_r2)`; a single-type corpus has no
+    * defined slope and reports (slope 0, r² 1).
+    *
+    * Scale shape: ONE map-side-combined token-count aggregate over the corpus
+    * (the floor for any frequency statistic), then rank + the five fit
+    * moments on the vocab-BOUNDED type table (unpartitioned window + one
+    * scalar aggregate — the [[tokenDistributionDrift]] frame pattern). */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val xy = counts
+      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("token"))))
+      .select(col("c"), log2(col("rank").cast("double")).as("x"),
+        log2(col("c").cast("double")).as("y"))
+    val nD = count(lit(1)).cast("double")
+    val sxy = nD * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+    val sxx = nD * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+    val syy = nD * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+    xy.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("c")).as("n_tokens"),
+      round(when(sxx > 0, sxy / sxx).otherwise(lit(0.0)), 6).as("zipf_slope"),
+      // constant y (or a single type): a flat line fits exactly -> r2 = 1
+      round(when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).otherwise(lit(1.0)), 6)
+        .as("zipf_r2"))
+  }
+
   /** Split each document into overlapping token windows — the context-length
     * prep step every LLM training pipeline runs before tokenizer packing
     * (stride = chunkSize - overlap, last chunk may be short, every token is
@@ -1118,6 +1190,56 @@ object Curation {
           .when(col("old_fp") =!= col("new_fp"), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
+  }
+
+  /** Token-distribution DRIFT between two corpus slices/snapshots — the
+    * Jensen–Shannon divergence (log base 2, so `js_total` ∈ [0, 1]) between
+    * their unigram distributions, with the per-token decomposition
+    *
+    *   js_contrib(t) = ½·p_a(t)·log2(p_a(t)/m(t)) + ½·p_b(t)·log2(p_b(t)/m(t)),
+    *   m = (p_a + p_b)/2,   js_total = Σ_t js_contrib(t)
+    *
+    * ranked so the answer to "the crawl shifted — WHAT shifted?" is the top-N
+    * rows (navigation chrome flooding in, a language slice collapsing, a
+    * domain's vocabulary drifting). JS rather than KL: symmetric, no −∞ on
+    * tokens present in only one side (x·log x → 0), bounded — a stable
+    * monitoring metric to alert on across snapshot pairs. The
+    * membership-level sibling is [[snapshotDiff]] (which docs changed); this
+    * is the content-level monitor (how the token mass moved). `js_contrib`
+    * rounds to 9 decimals before the total sums them, so the scalar is
+    * reproducible across engines and partition orders to the 6 decimals it
+    * reports.
+    *
+    * Scale shape: one tokenize+explode and ONE vocab-keyed count aggregate
+    * per side (map-side combined — the corpus never shuffles raw text), then
+    * everything downstream — normalizers, full-outer vocab join, total, rank
+    * — runs on vocab-BOUNDED frames (the [[mixtureTemperature]] one-scan
+    * normalizer pattern; unpartitioned windows over at most |vocab| rows).
+    * At 100 TB the cost is two token-count aggregations, which is the floor
+    * for any distribution comparison. */
+  def tokenDistributionDrift(a: DataFrame, b: DataFrame, topN: Int = 20): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def dist(df: DataFrame, pcol: String): DataFrame = df
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("c"))
+      .select(col("token"),
+        (col("c").cast("double") / sum("c").over(Window.partitionBy())).as(pcol))
+    val joined = dist(a, "p_a").join(dist(b, "p_b"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("p_a"), lit(0.0)).as("p_a"),
+        coalesce(col("p_b"), lit(0.0)).as("p_b"))
+    val m = (col("p_a") + col("p_b")) / 2
+    def term(p: Column): Column = when(p > 0, p * log2(p / m) * 0.5).otherwise(lit(0.0))
+    joined
+      .withColumn("js_contrib", round(term(col("p_a")) + term(col("p_b")), 9))
+      .withColumn("js_total", round(sum("js_contrib").over(Window.partitionBy()), 6))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("js_contrib").desc, col("token"))))
+      .filter(col("rk") <= topN)
+      .select(col("token"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("js_contrib"), 6).as("js_contrib"), col("js_total"))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language

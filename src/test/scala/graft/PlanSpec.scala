@@ -453,6 +453,9 @@ class PlanSpec extends SparkSpec {
       "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
       "text_unigram_fertility" -> 0, // map-only encode + tokenize-once word count
       "pipeline_gopher_repetition" -> 0, // map-only native kernel: NO exchange (the text_gopher_rules shape)
+      "pipeline_token_drift" -> 2, // one token-count agg per side; join/total/rank on vocab-bounded frames
+      "text_zipf_fit" -> 1, // ONE corpus token-count agg; fit moments on the vocab-bounded frame
+      "pipeline_decontaminate_batch" -> 2, // bench-side cross-doc distinct + the (doc, bench)-keyed matched-row count; corpus side rides the broadcast
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
       "sim_ivfpq_persisted_append_topk" -> 5) // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>

@@ -343,6 +343,39 @@ class SearchSpec extends SparkSpec {
     assert(rowSet(clean) === Set(Seq(2L)))
   }
 
+  test("decontaminateBatch: per-(doc, bench) exact overlap counts in one corpus pass") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // hits bench 0 only
+      (11L, "zeta eta theta iota kappa"),      // hits bench 1 only
+      (12L, "alpha beta gamma zeta eta theta iota"), // hits BOTH benchmarks
+      (13L, "one two three four five")         // clean -> absent from the report
+    ).toDF("doc_id", "text")
+    val benches = Seq(
+      (0L, "prefix alpha beta gamma delta"),   // grams incl. 2 shared with doc 10/12's head
+      (1L, "zeta eta theta iota tail")         // grams incl. shared with doc 11/12
+    ).toDF("bench_id", "text")
+    val r = rowSet(Curation.decontaminateBatch(corpus, benches, n = 3))
+    // bench 0 trigrams: {prefix alpha beta, alpha beta gamma, beta gamma delta};
+    //   doc 10 shares {alpha beta gamma, beta gamma delta} -> 2; doc 12 shares 1
+    // bench 1 trigrams: {zeta eta theta, eta theta iota, theta iota tail};
+    //   doc 11 shares 2; doc 12 shares 2
+    assert(r === Set(
+      Seq(10L, 0L, 2L), Seq(12L, 0L, 1L),
+      Seq(11L, 1L, 2L), Seq(12L, 1L, 2L)), s"got $r")
+  }
+
+  test("decontaminateBatch with one benchmark equals decontaminate's contaminated rows") {
+    val corpus = Seq(
+      (1L, "a b c d e"), (2L, "x y z w v"), (3L, "c d e f g")).toDF("doc_id", "text")
+    val bench = Seq((9L, "c d e")).toDF("doc_id", "text")
+    val single = rowSet(Curation.decontaminateBatch(
+        corpus, bench.withColumn("bench_id", lit(7L)), n = 3))
+      .map(r => Seq(r(0), r(2)))
+    val exact = rowSet(Curation.decontaminate(corpus, bench, n = 3))
+      .collect { case Seq(id, m, true) => Seq(id, m) }
+    assert(single === exact)
+  }
+
   test("decontaminateAgainstHashes (stateless form) equals the join form verdict-for-verdict") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"),
@@ -522,6 +555,72 @@ class SearchSpec extends SparkSpec {
   }
 
   // ---- LM quality score -----------------------------------------------------
+
+  // ---- token-distribution drift ---------------------------------------------
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("tokenDistributionDrift: identical corpora diverge 0, disjoint diverge 1") {
+    val a = corpus("a b c", "a a b")
+    val same = Curation.tokenDistributionDrift(a, corpus("a b c", "a a b")).collect()
+    assert(same.forall(_.getAs[Double]("js_total") === 0.0))
+    assert(same.forall(_.getAs[Double]("js_contrib") === 0.0))
+    val disjoint = Curation.tokenDistributionDrift(a, corpus("x y z", "x x y")).collect()
+    assert(disjoint.head.getAs[Double]("js_total") === 1.0,
+      "JS (log2) of disjoint distributions is exactly 1 bit")
+  }
+
+  test("tokenDistributionDrift: hand-computed contributions and symmetry") {
+    // A = {a: 1/2, b: 1/2}, B = {a: 1/2, c: 1/2}: contrib(a) = 0 (same mass),
+    // contrib(b) = 0.5*0.5*log2(0.5/0.25) = 0.25 = contrib(c) -> total 0.5
+    val a = corpus("a b")
+    val b = corpus("a c")
+    val out = Curation.tokenDistributionDrift(a, b).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("js_contrib")).toMap
+    assert(out === Map("a" -> 0.0, "b" -> 0.25, "c" -> 0.25))
+    val ab = Curation.tokenDistributionDrift(a, b).head().getAs[Double]("js_total")
+    val ba = Curation.tokenDistributionDrift(b, a).head().getAs[Double]("js_total")
+    assert(ab === 0.5 && ba === 0.5, "JS divergence is symmetric")
+  }
+
+  test("tokenDistributionDrift: topN truncates by contribution with smallest-token ties") {
+    val out = Curation.tokenDistributionDrift(corpus("a b"), corpus("a c"), topN = 1).collect()
+    assert(out.length === 1)
+    // b and c tie at 0.25; the smallest token wins the deterministic rank
+    assert(out.head.getString(0) === "b")
+  }
+
+  // ---- Zipf fit -------------------------------------------------------------
+
+  test("zipfFit: exact power-law corpus fits slope -1 with r2 = 1") {
+    // counts 12/6/4/3 = K/rank for K = 12: log2(c) = log2(12) - log2(rank)
+    val texts = Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++ Seq.fill(4)("t3") ++
+      Seq.fill(3)("t4")
+    val r = Curation.zipfFit(corpus(texts.mkString(" "))).head()
+    assert(r.getLong(0) === 4L && r.getLong(1) === 25L)
+    assert(r.getDouble(2) === -1.0, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) === 1.0, s"r2 ${r.getDouble(3)}")
+  }
+
+  test("zipfFit: flat and degenerate corpora report slope 0, r2 1") {
+    val flat = Curation.zipfFit(corpus("a b c")).head()
+    assert(flat.getLong(0) === 3L && flat.getDouble(2) === 0.0 && flat.getDouble(3) === 1.0)
+    val single = Curation.zipfFit(corpus("a a a")).head()
+    assert(single.getLong(0) === 1L && single.getLong(1) === 3L)
+    assert(single.getDouble(2) === 0.0 && single.getDouble(3) === 1.0)
+  }
+
+  test("zipfFit: template flood flattens the slope vs natural-ish text") {
+    // natural-ish: steep head; flooded: the same types forced near-uniform
+    val natural = corpus(("the " * 16) + ("of " * 8) + ("cat " * 4) + ("dog " * 2) + "zz")
+    val flooded = corpus("the of cat dog zz " * 8)
+    val sN = Curation.zipfFit(natural).head().getDouble(2)
+    val sF = Curation.zipfFit(flooded).head().getDouble(2)
+    assert(sN < -0.8, s"natural-ish slope $sN should be steep")
+    assert(sF === 0.0, s"flooded slope $sF should be flat")
+    assert(sF > sN + 0.5, "flooding must flatten the slope materially")
+  }
 
   test("lmScore: hand-computed bigram log-probabilities, sub-2-token docs absent") {
     val corpus = Seq(
