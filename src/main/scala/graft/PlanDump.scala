@@ -258,7 +258,20 @@ object PlanDump {
          "a one-row totals broadcast — left joins plant no " +
          "constraint-inference filters on the stream side, so the " +
          "split-derived w1/w2 keys compute once; the only corpus-keyed " +
-         "exchange is the per-doc score aggregate.")
+         "exchange is the per-doc score aggregate."),
+      ("pipeline_gopher_repetition",
+       "Gopher within-doc repetition gate: map-only — one normalize " +
+         "projection feeds the native `gramrepetitionexpr` kernel (per-row " +
+         "gram counts + span-union walk, O(chars)) inside a single " +
+         "`WholeStageCodegen` span; NO exchange anywhere (the pin is 0) — " +
+         "the quality gate runs at scan speed ahead of any dedup shuffle."),
+      ("pipeline_decontaminate_batch",
+       "One-pass multi-benchmark decontamination: the (gram, bench_id) union " +
+         "table is the BUILD side of a `BroadcastHashJoin`; the corpus " +
+         "tokenize/shingle/explode appears ONCE however many benchmarks are " +
+         "screened, and the only corpus-keyed exchange is the " +
+         "(doc, bench)-keyed matched-row count — its volume tracks " +
+         "contamination, not corpus size.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section
