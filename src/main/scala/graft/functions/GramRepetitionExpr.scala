@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Within-document n-gram repetition signals — the Gopher repetition rules
   * (Rae et al. 2021, "Scaling Language Models", Table A1): the fraction of a
@@ -20,8 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   *     tokens joined by single spaces (= substrings of the normalized text, so
   *     character offsets are well-defined);
   *   - `top_chars` = occurrences × character-length of the single most frequent
-  *     gram (ties broken to the lexicographically smallest gram — deterministic;
-  *     byte order and code-unit order agree on ASCII corpora). Overlapping
+  *     gram (ties broken to the UTF-8 byte-order-smallest gram — exactly the
+  *     order Spark's string sort and the oracle's `ORDER BY` use). Overlapping
   *     occurrences double-count, matching the published reproductions
   *     (NeMo Curator / SlimPajama), so the fraction can exceed 1 on
   *     pathological single-token loops — exactly the docs the rule rejects;
@@ -53,42 +54,43 @@ case class GramRepetitionExpr(child: Expression, n: Int) extends UnaryExpression
     StructField("top_chars", LongType, nullable = false),
     StructField("dup_chars", LongType, nullable = false)))
 
-  /** One pass to count grams, one position walk for the span union. */
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  /** One pass to count grams, one position walk for the span union. Gram keys
+    * stay `UTF8String` end to end: the tie-break compares in UTF-8 BYTE order
+    * (what Spark's sort and the DuckDB oracle's `ORDER BY gram` use — a
+    * java.lang.String compareTo would order supplementary code points
+    * differently), and the hot map-only path never decodes a token. */
   def compute(input: ArrayData): InternalRow = {
     val m = input.numElements()
     if (m < n) return new GenericInternalRow(Array[Any](0L, 0L))
-    val toks = new Array[String](m)
+    val toks = new Array[UTF8String](m)
     val lens = new Array[Int](m)
     // char offset of token i in the space-joined text; offsets(m) = total chars
     val offsets = new Array[Int](m + 1)
     var i = 0
     while (i < m) {
-      val t = if (input.isNullAt(i)) "" else input.getUTF8String(i).toString
+      val t = if (input.isNullAt(i)) UTF8String.EMPTY_UTF8 else input.getUTF8String(i)
       toks(i) = t
-      lens(i) = t.codePointCount(0, t.length)
+      lens(i) = t.numChars()
       offsets(i + 1) = offsets(i) + lens(i) + 1 // +1 single-space separator
       i += 1
     }
     val nGrams = m - n + 1
-    val grams = new Array[String](nGrams)
-    val counts = new JHashMap[String, Int](nGrams * 2)
-    val sb = new java.lang.StringBuilder
+    val grams = new Array[UTF8String](nGrams)
+    val counts = new JHashMap[UTF8String, Int](nGrams * 2)
+    val window = new Array[UTF8String](n)
     i = 0
     while (i < nGrams) {
-      sb.setLength(0)
       var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks(i + j))
-        j += 1
-      }
-      val g = sb.toString
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      val g = UTF8String.concatWs(space, window: _*)
       grams(i) = g
       counts.put(g, counts.get(g) + 1) // missing key unboxes to 0
       i += 1
     }
-    // top gram: max count, ties to the lexicographically smallest gram
-    var topGram: String = null
+    // top gram: max count, ties to the byte-order-smallest gram
+    var topGram: UTF8String = null
     var topCount = 0
     val it = counts.entrySet().iterator()
     while (it.hasNext) {
@@ -99,8 +101,7 @@ case class GramRepetitionExpr(child: Expression, n: Int) extends UnaryExpression
         topGram = e.getKey
       }
     }
-    val topChars =
-      topCount.toLong * topGram.codePointCount(0, topGram.length)
+    val topChars = topCount.toLong * topGram.numChars()
     // span union over duplicated grams; starts ascend with i, so one pointer
     var dupChars = 0L
     var coveredUntil = 0

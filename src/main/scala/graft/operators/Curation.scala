@@ -909,6 +909,16 @@ object Curation {
       .withColumn("dup_rate",
         round(lit(1d) - col("distinct_docs").cast("double") / col("docs"), 6))
 
+  /** The corpus unigram-count frame shared by [[zipfFit]] and
+    * [[tokenDistributionDrift]] — ONE map-side-combined (token, count)
+    * aggregate over the tokenize-once projection, vocab-bounded output; a
+    * single definition so the two data-card metrics can never disagree on
+    * what a "token" is. */
+  private def unigramCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(TextFns.tokens(col("text"))).as("token"))
+    .filter(length(col("token")) > 0)
+    .groupBy("token").agg(count(lit(1)).as("c"))
+
   /** Zipf-law fit over the corpus unigram distribution — the vocabulary-health
     * scalar for a data card: least-squares slope (and r²) of log2(frequency)
     * against log2(rank) over the type table. Natural text sits near slope −1
@@ -924,11 +934,7 @@ object Curation {
     * moments on the vocab-BOUNDED type table (unpartitioned window + one
     * scalar aggregate — the [[tokenDistributionDrift]] frame pattern). */
   def zipfFit(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(explode(TextFns.tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("c"))
-    val xy = counts
+    val xy = unigramCounts(docs)
       .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("token"))))
       .select(col("c"), log2(col("rank").cast("double")).as("x"),
         log2(col("c").cast("double")).as("y"))
@@ -938,7 +944,7 @@ object Curation {
     val syy = nD * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
     xy.agg(
       count(lit(1)).as("n_types"),
-      sum(col("c")).as("n_tokens"),
+      coalesce(sum(col("c")), lit(0L)).as("n_tokens"), // empty corpus: 0, not null
       round(when(sxx > 0, sxy / sxx).otherwise(lit(0.0)), 6).as("zipf_slope"),
       // constant y (or a single type): a flat line fits exactly -> r2 = 1
       round(when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).otherwise(lit(1.0)), 6)
@@ -1096,7 +1102,10 @@ object Curation {
     * is the signal) or by duplicated n-grams overall (`dup_gram_frac` = chars
     * covered by the span UNION of every gram occurring ≥ 2 times — bounded
     * ≤ 1). Gopher's thresholds: top 2/3/4-gram ≤ 0.20/0.18/0.16, duplicate
-    * 5..10-gram ≤ 0.15..0.10; the n = 3 defaults here are that table's row.
+    * 5..10-gram ≤ 0.15..0.10. The default `maxTopGramFrac = 0.18` is the
+    * table's top-3-gram threshold; Gopher publishes no duplicate-3-gram
+    * threshold, so `maxDupGramFrac = 0.30` is this engine's default knob —
+    * pick n and both bounds per the table row you are enforcing.
     * Cross-document siblings live in [[graft.operators.Dedup.dupNgramStats]]
     * and `dupSpanFraction`; the top-TOKEN share (n = 1) is `text_repetition`.
     *
@@ -1219,10 +1228,7 @@ object Curation {
     * for any distribution comparison. */
   def tokenDistributionDrift(a: DataFrame, b: DataFrame, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    def dist(df: DataFrame, pcol: String): DataFrame = df
-      .select(explode(TextFns.tokens(col("text"))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("c"))
+    def dist(df: DataFrame, pcol: String): DataFrame = unigramCounts(df)
       .select(col("token"),
         (col("c").cast("double") / sum("c").over(Window.partitionBy())).as(pcol))
     val joined = dist(a, "p_a").join(dist(b, "p_b"), Seq("token"), "full_outer")

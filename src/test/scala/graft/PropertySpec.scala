@@ -862,12 +862,13 @@ class PropertySpec extends SparkSpec {
     * (the GramRepetitionExpr contract: top = count x len of the most frequent
     * gram, smallest-gram tie-break; dup = span UNION of grams occurring >= 2). */
   private def repetitionRecompute(text: String, n: Int): (Double, Double) = {
+    def chars(s: String): Int = s.codePointCount(0, s.length) // match Spark length()
     val norm = Option(text).getOrElse("").toLowerCase.trim.replaceAll("\\s+", " ")
     val toks = norm.split(" ", -1)
     val m = toks.length
-    val denom = math.max(norm.length, 1).toDouble
+    val denom = math.max(chars(norm), 1).toDouble
     if (m < n) return (0.0, 0.0)
-    val offsets = toks.scanLeft(0)((a, t) => a + t.length + 1)
+    val offsets = toks.scanLeft(0)((a, t) => a + chars(t) + 1)
     val grams = (0 to m - n).map(i => toks.slice(i, i + n).mkString(" "))
     val counts = grams.groupBy(identity).view.mapValues(_.size).toMap
     val (topGram, topCount) = counts.toSeq.minBy { case (g, c) => (-c, g) }
@@ -875,10 +876,10 @@ class PropertySpec extends SparkSpec {
     var covered = 0
     for (i <- 0 to m - n if counts(grams(i)) >= 2) {
       val s = math.max(offsets(i), covered)
-      val e = offsets(i + n - 1) + toks(i + n - 1).length
+      val e = offsets(i + n - 1) + chars(toks(i + n - 1))
       if (e > s) { dup += e - s; covered = e }
     }
-    (round6(topCount.toLong * topGram.length / denom), round6(dup / denom))
+    (round6(topCount.toLong * chars(topGram) / denom), round6(dup / denom))
   }
 
   test("gopherRepetitionStats: hand-computed fractions, span-union overlap, edges") {

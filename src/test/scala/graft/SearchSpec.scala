@@ -554,8 +554,6 @@ class SearchSpec extends SparkSpec {
     }
   }
 
-  // ---- LM quality score -----------------------------------------------------
-
   // ---- token-distribution drift ---------------------------------------------
 
   private def corpus(texts: String*) =
@@ -621,6 +619,8 @@ class SearchSpec extends SparkSpec {
     assert(sF === 0.0, s"flooded slope $sF should be flat")
     assert(sF > sN + 0.5, "flooding must flatten the slope materially")
   }
+
+  // ---- LM quality score -----------------------------------------------------
 
   test("lmScore: hand-computed bigram log-probabilities, sub-2-token docs absent") {
     val corpus = Seq(
