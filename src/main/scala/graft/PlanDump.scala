@@ -271,7 +271,14 @@ object PlanDump {
          "tokenize/shingle/explode appears ONCE however many benchmarks are " +
          "screened, and the only corpus-keyed exchange is the " +
          "(doc, bench)-keyed matched-row count — its volume tracks " +
-         "contamination, not corpus size.")
+         "contamination, not corpus size."),
+      ("pipeline_decontaminate_batch_stateless",
+       "The STREAMING face of the multi-benchmark screen: k gram-set models " +
+         "probe via the native `longsethitsexpr` kernel (each reference set " +
+         "builds once — `array_intersect` vs a literal rebuilds its hash set " +
+         "per row, measured 4x slower), the k counts stack through one " +
+         "map-only Generate — no join, no aggregation, NO exchange (the pin " +
+         "is 0); append-mode-safe over a document stream.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

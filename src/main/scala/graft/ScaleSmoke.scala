@@ -466,6 +466,19 @@ object ScaleSmoke {
           .withColumn("bench_id", pmod(col("doc_id"), lit(8L))),
         n = 3).count()
     }
+    // the STREAMING face of the same screen: 8 gram-set models as codegen
+    // reference objects, map-only LongSetHitsExpr probes — no join, no agg.
+    // On this SATURATED fixture both forms are floored by materializing the
+    // 7.9M-row report (stateless ~0.85x the join form); at sparse overlap
+    // (the sf0.1 sweep entry) the kernel form is ~4x cheaper than its own
+    // array_intersect predecessor and beats the join form outright
+    time("decontaminateBatchStateless 1M corpus, 8 literal models", within(7000000, 7920000)) {
+      val models = graft.operators.Curation.benchmarkGramHashSets(
+        docs.filter(col("doc_id") < 10000)
+          .withColumn("bench_id", pmod(col("doc_id"), lit(8L))), n = 3)
+      graft.operators.Curation.decontaminateBatchStateless(
+        docs.filter(col("doc_id") >= 10000), models, n = 3).count()
+    }
     // span-level (surgical) decontamination in the saturated regime: the
     // 10-word vocabulary makes every corpus 3-gram a benchmark member, so
     // every doc is ONE full-width span and trims to empty — the removed-token

@@ -62,6 +62,24 @@ object SparkEntry {
       Piece("on", -3.0), Piece("ly", -3.0), Piece("ch", -3.0))
   }
 
+  /** Shared oracle for both multi-benchmark decontamination forms (join and
+    * stateless-literal): identical matched-pair reports by construction —
+    * Spark keys grams by xxhash64, this SQL by literal strings. */
+  private val batchDecontaminateOracle: String =
+    """WITH t AS (SELECT doc_id,
+         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+       tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
+       g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END) AS grams FROM tk),
+       bench AS (SELECT DISTINCT bench_id, gram FROM (
+         SELECT doc_id % 3 AS bench_id, unnest(grams) AS gram FROM g
+         WHERE doc_id % 20 = 0) b0),
+       cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
+       SELECT cg.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched_grams
+       FROM cg JOIN bench b USING (gram) GROUP BY 1, 2"""
+
   /** Shared oracle for both containment forms: the base bucket form and the
     * positional-prefix-filtered form are bit-identical on the fixture (max
     * gram df = 7 < 20 — both exact; see
@@ -3212,19 +3230,23 @@ object SparkEntry {
             .withColumn("bench_id", pmod(col("doc_id"), lit(3L))),
           n = 3)
       },
-      Some("""WITH t AS (SELECT doc_id,
-                lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
-              tk AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM t),
-              g AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3 THEN
-                  list_transform(generate_series(1, len(toks) - 2),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                  ELSE [] END) AS grams FROM tk),
-              bench AS (SELECT DISTINCT bench_id, gram FROM (
-                SELECT doc_id % 3 AS bench_id, unnest(grams) AS gram FROM g
-                WHERE doc_id % 20 = 0) b0),
-              cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 20 <> 0)
-              SELECT cg.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched_grams
-              FROM cg JOIN bench b USING (gram) GROUP BY 1, 2""")),
+      Some(batchDecontaminateOracle)),
+
+    Q("pipeline_decontaminate_batch_stateless", // the STREAMING face of the
+      // multi-benchmark screen: every bench gram set rides the plan as a
+      // keyed literal, one map-only explode(k models) per doc + an
+      // array_intersect count — no join, no aggregation, append-mode-safe
+      // (spec-run over a real MemoryStream); same matched pairs as the
+      // join form, same oracle
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val models = Curation.benchmarkGramHashSets(
+          docs.filter(col("doc_id") % 20 === 0)
+            .withColumn("bench_id", pmod(col("doc_id"), lit(3L))), n = 3)
+        Curation.decontaminateBatchStateless(
+          docs.filter(col("doc_id") % 20 =!= 0), models, n = 3)
+      },
+      Some(batchDecontaminateOracle)),
 
     Q("pipeline_decontaminate_stateless", // the same verdicts via the literal-
       // probed stateless form (no join, no aggregation — the shape that runs

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Count of a long-array column's elements present in a fixed reference set —
+  * [[MarkerHitsExpr]]'s rationale, 64-bit-hash edition: the composable form
+  * (`size(array_intersect(col, literalArray))`) rebuilds a hash set from the
+  * LITERAL side on EVERY row, so a 5k-gram benchmark model costs 5k inserts
+  * per (doc, benchmark) pair — measured 4.5 s for the k-benchmark stateless
+  * decontamination sweep entry at sf0.1. This kernel builds an open-addressed
+  * primitive table ONCE (a codegen reference object, no boxing) and probes it
+  * O(1) per element inside whole-stage codegen.
+  *
+  * Semantics: every OCCURRENCE counts (the inputs here are `array_distinct`'d
+  * gram arrays, so occurrence count == distinct-member count and the result
+  * equals `size(array_intersect(col, set))` exactly); null elements never
+  * match; null array yields null.
+  */
+case class LongSetHitsExpr(child: Expression, set: Array[Long])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_set_hits expects array<bigint>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  /** Open-addressed table, linear probing, power-of-2 capacity >= 2x size.
+    * Slot emptiness is marked by the EMPTY sentinel; a set member equal to
+    * the sentinel is tracked by the flag (xxhash64 CAN produce any long). */
+  @transient private lazy val state: (Array[Long], Boolean) = {
+    val cap = math.max(8, Integer.highestOneBit(math.max(1, set.length) * 4 - 1) << 1)
+    val t = Array.fill(cap)(LongSetHitsExpr.EMPTY)
+    val m = cap - 1
+    var sentinel = false
+    set.foreach { v =>
+      if (v == LongSetHitsExpr.EMPTY) sentinel = true
+      else {
+        var i = LongSetHitsExpr.mix(v) & m
+        while (t(i) != LongSetHitsExpr.EMPTY && t(i) != v) i = (i + 1) & m
+        t(i) = v
+      }
+    }
+    (t, sentinel)
+  }
+
+  def hits(arr: ArrayData): Int = {
+    val (table, hasSentinel) = state
+    val mask = table.length - 1
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = arr.getLong(i)
+        if (v == LongSetHitsExpr.EMPTY) { if (hasSentinel) c += 1 }
+        else {
+          var j = LongSetHitsExpr.mix(v) & mask
+          while (table(j) != LongSetHitsExpr.EMPTY && table(j) != v) j = (j + 1) & mask
+          if (table(j) == v) c += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
+  override def nullSafeEval(input: Any): Any = hits(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { arr =>
+      val ref = ctx.addReferenceObj("longSetHits", this, classOf[LongSetHitsExpr].getName)
+      s"${ev.value} = $ref.hits($arr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LongSetHitsExpr =
+    copy(child = newChild)
+}
+
+object LongSetHitsExpr {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private final val EMPTY = Long.MinValue
+
+  /** Stafford variant-13 finalizer — spreads consecutive/biased longs. */
+  private def mix(v: Long): Int = {
+    var z = v
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    (z ^ (z >>> 31)).toInt
+  }
+
+  def longSetHits(arr: Column, set: Array[Long]): Column =
+    ColumnBridge.column(LongSetHitsExpr(ColumnBridge.expression(arr), set))
+}

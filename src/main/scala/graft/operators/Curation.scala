@@ -188,6 +188,55 @@ object Curation {
       .agg(count(lit(1)).as("matched_grams"))
   }
 
+  /** Per-benchmark gram-hash MODEL objects for [[decontaminateBatchStateless]]
+    * — the [[benchmarkGramHashes]] collect, keyed: one `(bench_id, sorted
+    * distinct xxhash64 grams)` pair per benchmark. Benchmark corpora are
+    * model-scale (kilobytes–megabytes); fit once, screen many corpora and
+    * STREAMS against the result. */
+  def benchmarkGramHashSets(benchmarks: DataFrame, n: Int = 8): Seq[(Long, Array[Long])] =
+    benchmarks
+      .select(col("bench_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("bench_id"),
+        explode_outer(transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g))).as("gh"))
+      .filter(col("gh").isNotNull).distinct()
+      .collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (id, rows) => (id, rows.map(_.getLong(1)).sorted) }
+      .sortBy(_._1)
+
+  /** The STATELESS face of [[decontaminateBatch]] — every benchmark's gram set
+    * rides the plan as a literal (the [[decontaminateAgainstHashes]] regime,
+    * keyed): one map-only projection explodes the k bench models per document
+    * and counts the overlap with `array_intersect`, so there is NO join and
+    * NO aggregation — the report runs in APPEND MODE over a streaming corpus
+    * (the crawl-intake deployment: screen documents against every benchmark
+    * as they arrive). Emits the same matched `(doc_id, bench_id,
+    * matched_grams)` pairs as the join form (spec-gated equivalence).
+    * Benchmarks past literal/broadcast size belong to the Bloom regime
+    * ([[decontaminateBloom]] per benchmark) instead. */
+  def decontaminateBatchStateless(corpus: DataFrame, models: Seq[(Long, Array[Long])],
+                                  n: Int = 8): DataFrame = {
+    require(models.nonEmpty, "need at least one benchmark model")
+    // one native hashed-set probe column per model (LongSetHitsExpr: the set
+    // builds ONCE as a codegen reference — array_intersect against a literal
+    // would rebuild it per (doc, benchmark) row, measured 4.5 s vs sub-second
+    // on the sf0.1 sweep entry), then the k counts stack via one explode
+    val hitCols = array(models.map { case (id, ghs) =>
+      struct(lit(id).as("bench_id"),
+        graft.functions.LongSetHitsExpr.longSetHits(col("gram_hashes"), ghs)
+          .cast("long").as("matched_grams")) }: _*)
+    corpus
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
+          g => xxhash64(g)).as("gram_hashes"))
+      .select(col("doc_id"), explode(hitCols).as("b"))
+      .select(col("doc_id"), col("b.bench_id").as("bench_id"),
+        col("b.matched_grams").as("matched_grams"))
+      .filter(col("matched_grams") > 0)
+  }
+
   /** The distinct xxhash64'd word-`n`-gram set of a benchmark corpus, collected
     * — the MODEL object of streaming decontamination (like IVF centroids:
     * kilobytes-to-megabytes, planted into plans as a literal). Batch-side prep
@@ -211,14 +260,18 @@ object Curation {
     * stream or the benchmark is eval-suite-sized. */
   def decontaminateAgainstHashes(corpus: DataFrame, benchHashes: Array[Long],
                                  n: Int = 8): DataFrame = {
-    val bench = array(benchHashes.map(lit(_)): _*)
+    // native hashed-set probe (LongSetHitsExpr): the benchmark set builds once
+    // as a codegen reference object — `size(array_intersect(_, literal))`
+    // rebuilds the literal's hash set on every row (the gram arrays are
+    // array_distinct'd, so the counts are identical)
     corpus
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
           g => xxhash64(g)).as("gram_hashes"))
       .select(col("doc_id"),
-        size(array_intersect(col("gram_hashes"), bench)).cast("long").as("matched_grams"))
+        graft.functions.LongSetHitsExpr.longSetHits(col("gram_hashes"), benchHashes)
+          .cast("long").as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
         (col("matched_grams") > 0).as("contaminated"))
   }

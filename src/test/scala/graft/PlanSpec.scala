@@ -456,6 +456,7 @@ class PlanSpec extends SparkSpec {
       "pipeline_token_drift" -> 2, // one token-count agg per side; join/total/rank on vocab-bounded frames
       "text_zipf_fit" -> 1, // ONE corpus token-count agg; fit moments on the vocab-bounded frame
       "pipeline_decontaminate_batch" -> 2, // bench-side cross-doc distinct + the (doc, bench)-keyed matched-row count; corpus side rides the broadcast
+      "pipeline_decontaminate_batch_stateless" -> 0, // k bench models as keyed literals: map-only explode + array_intersect, NO exchange (append-mode streaming face)
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
       "sim_ivfpq_persisted_append_topk" -> 5) // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>

@@ -376,6 +376,24 @@ class SearchSpec extends SparkSpec {
     assert(single === exact)
   }
 
+  test("decontaminateBatchStateless equals the join form pair-for-pair") {
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "zeta eta theta iota kappa"),
+      (12L, "alpha beta gamma zeta eta theta iota"),
+      (13L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val benches = Seq(
+      (0L, "prefix alpha beta gamma delta"),
+      (1L, "zeta eta theta iota tail")
+    ).toDF("bench_id", "text")
+    val models = Curation.benchmarkGramHashSets(benches, n = 3)
+    assert(models.map(_._1) === Seq(0L, 1L))
+    assert(models.forall(_._2.length === 3), "each bench has 3 distinct trigrams")
+    assert(rowSet(Curation.decontaminateBatchStateless(corpus, models, n = 3)) ===
+      rowSet(Curation.decontaminateBatch(corpus, benches, n = 3)))
+  }
+
   test("decontaminateAgainstHashes (stateless form) equals the join form verdict-for-verdict") {
     val corpus = Seq(
       (10L, "alpha beta gamma delta epsilon"),

@@ -676,6 +676,39 @@ class StreamingSpec extends SparkSpec {
       s"exactly the base-neighborhood vectors must flag, once each: $flagged")
   }
 
+  test("multi-benchmark stateless decontamination streams in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benches = Seq(
+      (0L, "leaked eval answer text here"),
+      (1L, "another benchmark question body")).toDF("bench_id", "text")
+    val models = graft.operators.Curation.benchmarkGramHashSets(benches, n = 3)
+    val stream = MemoryStream[(Long, String)]
+    // append mode proves the k-model explode stays stateless (no join, no agg)
+    val q = graft.operators.Curation.decontaminateBatchStateless(
+        stream.toDF().toDF("doc_id", "text"), models, n = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_stream_decon_batch").start()
+    try {
+      stream.addData(
+        (1L, "contains leaked eval answer inside"),   // hits bench 0 only
+        (2L, "totally clean words in this doc"))      // hits neither
+      q.processAllAvailable()
+      stream.addData(
+        (3L, "leaked eval answer and another benchmark question too")) // hits BOTH
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = spark.table("t_stream_decon_batch").collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // bench 0 trigrams: {leaked eval answer, eval answer text, answer text here}
+    // bench 1 trigrams: {another benchmark question, benchmark question body}
+    assert(r === Map(
+      (1L, 0L) -> 1L,         // 'leaked eval answer'
+      (3L, 0L) -> 1L,         // 'leaked eval answer'
+      (3L, 1L) -> 1L),        // 'another benchmark question'
+      s"got $r")
+  }
+
   test("stateless decontamination runs in append mode over a document stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

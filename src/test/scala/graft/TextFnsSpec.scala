@@ -45,6 +45,30 @@ class TextFnsSpec extends SparkSpec {
     assert(r.getInt(0) === 3) // the, and, the
   }
 
+  test("longSetHits: membership counts, Long.MinValue sentinel, empty set, equals array_intersect") {
+    import graft.functions.LongSetHitsExpr.longSetHits
+    val df = Seq(
+      (1L, Array(1L, 2L, 3L, Long.MinValue)),
+      (2L, Array(7L, 8L)),
+      (3L, Array.empty[Long])
+    ).toDF("id", "arr")
+    val set = Array(2L, 3L, Long.MinValue, 99L)
+    val r = df.select($"id", longSetHits($"arr", set)).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // the EMPTY-slot sentinel (Long.MinValue) must still count as a member
+    assert(r === Map(1L -> 3, 2L -> 0, 3L -> 0))
+    val empty = df.select(longSetHits($"arr", Array.empty[Long])).collect().map(_.getInt(0))
+    assert(empty.toSeq === Seq(0, 0, 0))
+    // equivalence with the composable form on hash-like values
+    val vals = (0 until 200).map(i => i * 0x9e3779b97f4a7c15L) // hash-spread longs
+    val big = Seq((1L, vals.toArray)).toDF("id", "arr")
+    val subset = vals.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }.toArray
+    val a = big.select(longSetHits($"arr", subset)).head().getInt(0)
+    val b = big.select(size(array_intersect($"arr",
+      array(subset.map(lit(_)): _*)))).head().getInt(0)
+    assert(a === b && a === subset.length)
+  }
+
   test("predictLang argmax with precedence tie-break and und fallback") {
     assert(one("the cat and dog of to in").select(TextFns.predictLang($"text"))
       .head().getString(0) === "en")
