@@ -3234,8 +3234,8 @@ object SparkEntry {
 
     Q("pipeline_decontaminate_batch_stateless", // the STREAMING face of the
       // multi-benchmark screen: every bench gram set rides the plan as a
-      // keyed literal, one map-only explode(k models) per doc + an
-      // array_intersect count — no join, no aggregation, append-mode-safe
+      // codegen reference object, one map-only explode(k native
+      // LongSetHitsExpr counts) per doc — no join, no aggregation, append-safe
       // (spec-run over a real MemoryStream); same matched pairs as the
       // join form, same oracle
       (s, d) => {

@@ -23,6 +23,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 case class LongSetHitsExpr(child: Expression, set: Array[Long])
   extends UnaryExpression {
 
+  // loud failure instead of an Int-overflowed 8-slot table whose insert loop
+  // would spin forever; the model regime this kernel exists for is KB-MB
+  require(set.length < (1 << 28),
+    s"reference set too large for a literal model (${set.length} >= 2^28) — " +
+      "use the Bloom regime (decontaminateBloom) or the broadcast-join form")
+
+  /** Stable plan rendering: the default Array toString would embed a JVM
+    * identity hash (`[J@1a2b3c`) in every explain/PLANS.md snapshot, making
+    * the committed plan record churn on each regeneration. Render length +
+    * content hash instead — deterministic for identical models. */
+  override protected def stringArgs: Iterator[Any] = Iterator(child,
+    s"set(n=${set.length}, h=${java.util.Arrays.hashCode(set).toHexString})")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

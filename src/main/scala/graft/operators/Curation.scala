@@ -207,8 +207,10 @@ object Curation {
 
   /** The STATELESS face of [[decontaminateBatch]] — every benchmark's gram set
     * rides the plan as a literal (the [[decontaminateAgainstHashes]] regime,
-    * keyed): one map-only projection explodes the k bench models per document
-    * and counts the overlap with `array_intersect`, so there is NO join and
+    * keyed): one map-only projection probes the k bench models per document
+    * through the native [[graft.functions.LongSetHitsExpr]] hashed-set kernel
+    * (each set builds once as a codegen reference — `array_intersect` against
+    * a literal rebuilds its hash set per row), so there is NO join and
     * NO aggregation — the report runs in APPEND MODE over a streaming corpus
     * (the crawl-intake deployment: screen documents against every benchmark
     * as they arrive). Emits the same matched `(doc_id, bench_id,
@@ -222,15 +224,11 @@ object Curation {
     // builds ONCE as a codegen reference — array_intersect against a literal
     // would rebuild it per (doc, benchmark) row, measured 4.5 s vs sub-second
     // on the sf0.1 sweep entry), then the k counts stack via one explode
-    val hitCols = array(models.map { case (id, ghs) =>
+    val hitCols = array(models.map { case (id, model) =>
       struct(lit(id).as("bench_id"),
-        graft.functions.LongSetHitsExpr.longSetHits(col("gram_hashes"), ghs)
+        graft.functions.LongSetHitsExpr.longSetHits(col("ghs"), model)
           .cast("long").as("matched_grams")) }: _*)
-    corpus
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
-          g => xxhash64(g)).as("gram_hashes"))
+    gramHashesFor(corpus, n)
       .select(col("doc_id"), explode(hitCols).as("b"))
       .select(col("doc_id"), col("b.bench_id").as("bench_id"),
         col("b.matched_grams").as("matched_grams"))
@@ -264,13 +262,9 @@ object Curation {
     // as a codegen reference object — `size(array_intersect(_, literal))`
     // rebuilds the literal's hash set on every row (the gram arrays are
     // array_distinct'd, so the counts are identical)
-    corpus
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    gramHashesFor(corpus, n)
       .select(col("doc_id"),
-        transform(array_distinct(TextFns.shinglesFromTokens(col("toks"), n)),
-          g => xxhash64(g)).as("gram_hashes"))
-      .select(col("doc_id"),
-        graft.functions.LongSetHitsExpr.longSetHits(col("gram_hashes"), benchHashes)
+        graft.functions.LongSetHitsExpr.longSetHits(col("ghs"), benchHashes)
           .cast("long").as("matched_grams"))
       .select(col("doc_id"), col("matched_grams"),
         (col("matched_grams") > 0).as("contaminated"))
