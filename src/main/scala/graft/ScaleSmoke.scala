@@ -284,6 +284,23 @@ object ScaleSmoke {
         require(rs2.exists(_.getAs[Long]("vec_id") >= nVec),
           "appended clone vectors never surfaced in the probe top-10s")
         emit(f"SCALE ${"appendIvfIndex 100k into 1M-vector index"}%-52s $appendSecs%8.2f s  rows=100000  ok(append << build: ${appendSecs / buildSecs * 100}%.0f%% of build; clones probe-visible)")
+        // DELETE half: remove the 100k clones again — staged cell rewrites
+        // (the clones shadow the first 100k vectors, so they touch most
+        // cells; cost tracks affected-cell volume), and the probe must
+        // ROUND-TRIP bit-exactly to the pre-append results
+        val preAppend = rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val delIds = (nVec until nVec + 100000L).toArray
+        val td = System.nanoTime()
+        val nCells = sim.deleteFromIvfIndex(spark, s"$idxDir/ivf", delIds)
+        val deleteSecs = (System.nanoTime() - td) / 1e9
+        require(nCells >= 1 && nCells <= 64, s"affected cells $nCells out of range")
+        val rs3 = probeIvf()
+        require(rs3.length == 100, s"post-delete probe rows=${rs3.length}")
+        require(rs3.forall(_.getAs[Long]("vec_id") < nVec),
+          "a deleted clone survived in the probe top-10s")
+        require(rs3.map(r => (r.getLong(0), r.getLong(1))).toSet == preAppend,
+          "append-then-delete failed to round-trip to the pre-append probe")
+        emit(f"SCALE ${"deleteFromIvfIndex 100k clones (round-trip)"}%-52s $deleteSecs%8.2f s  rows=100000  ok(probe == pre-append; $nCells cells rewritten)")
       }
       // IVFADC sibling: residual-PQ codes cell-partitioned, ADC probe + rerank
       val (pcents, pbooks) = sim.trainIvfPq(vecs, nlist = 64, m = 8, ksub = 32, iters = 2)

@@ -2639,6 +2639,62 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
               FROM embeddings WHERE vec_id < 20""")),
 
+    Q("sim_ivf_persisted_delete_topk", // the lifecycle's DELETE half (FAISS
+      // remove_ids), completing build / append / delete / probe: build on the
+      // full corpus, delete the vec_id % 7 == 3 slice (cell-pruned staged
+      // rewrites — only affected cell directories are touched, an emptied
+      // cell vanishes), then probe — and require it MULTISET-EXACT against
+      // the in-memory probe over the SURVIVOR corpus under the same frozen
+      // centroids. A surviving deleted row, a half-rewritten cell, or a
+      // stale staged file all fail the driver's hash compare.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val survivors = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+        val q = survivors.filter(col("vec_id") < 20)
+        val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_delete_${math.abs(d.hashCode)}"
+        Similarity.writeIvfIndex(emb, cents, path)
+        val ids = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")).collect().map(_.getLong(0)) // model-scale batch
+        Similarity.deleteFromIvfIndex(s, path, ids)
+        persistedEqualityGate(
+          Similarity.ivfProbePersisted(s, path, cents, q, 10, nprobe = 5),
+          Similarity.ivfProbeAssigned(
+            Similarity.ivfAssignments(survivors, cents), cents, q, 10, nprobe = 5))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20 AND vec_id % 7 <> 3""")),
+
+    Q("sim_ivfpq_persisted_delete_topk", // the IVFADC lifecycle's DELETE
+      // half — deleteFromIvfIndex is layout-agnostic (rows rewrite whole,
+      // whatever their columns), so the SAME primitive serves the coded
+      // index. Gate: probing the deleted-from index is MULTISET-EXACT
+      // against probing a fresh REBUILD of the survivors under the same
+      // frozen (centroids, codebooks) — delete ≡ rebuild-without-the-ids is
+      // the lifecycle invariant.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val survivors = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+        val q = survivors.filter(col("vec_id") < 20)
+        val (cents, books) = Similarity.trainIvfPq(emb, nlist = 8, m = 16,
+          ksub = 32, iters = 3)
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pathA = s"$tmp/graft_ivfpq_delete_${math.abs(d.hashCode)}"
+        val pathB = s"$tmp/graft_ivfpq_survivors_${math.abs(d.hashCode)}"
+        Similarity.writeIvfPqIndex(emb, cents, books, pathA)
+        val ids = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .select(col("vec_id")).collect().map(_.getLong(0))
+        Similarity.deleteFromIvfIndex(s, pathA, ids)
+        Similarity.writeIvfPqIndex(survivors, cents, books, pathB)
+        def probe(p: String) = Similarity.ivfPqProbePersisted(s, p, cents, books,
+          q, survivors, 10, nprobe = 6, rerankFactor = 8)
+        persistedEqualityGate(probe(pathA), probe(pathB))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20 AND vec_id % 7 <> 3""")),
+
     Q("sim_pq_topk", // DRIVER-VISIBLE recall gate: product-quantization ANN
       // (ADC scan + exact rerank; m=16, ksub=32, rerank 8k) vs brute force —
       // measured recall@10 0.97 at sf0.01 / 0.895 at sf0.1 (rerank 4k fell

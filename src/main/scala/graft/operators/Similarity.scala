@@ -420,6 +420,59 @@ object Similarity {
     ivfAssignments(newVecs, centroids)
       .write.mode("append").partitionBy("cell").parquet(path)
 
+  /** DELETE vectors from a persisted cell-partitioned index — the lifecycle's
+    * third half (FAISS `remove_ids`): with build ([[writeIvfIndex]] /
+    * `writeIvfPqIndex`) and append ([[appendIvfIndex]] / `appendIvfPqIndex`)
+    * this completes build / append / delete / probe. Layout-agnostic: any
+    * `cell`-partitioned parquet index qualifies (plain IVF assignments and
+    * IVFADC code tables alike — rows are rewritten whole, whatever their
+    * columns), so ONE primitive serves both index families.
+    *
+    * Dataflow: (1) find the delete set's cells with a COLUMN-PRUNED
+    * `(vec_id, cell)` scan (parquet reads two columns, not the vectors);
+    * (2) rewrite ONLY the affected cell directories — a partition-pruned
+    * read minus the ids, staged then swapped per cell (the
+    * [[graft.sources.Lake.compact]] write-then-swap discipline: never edit a
+    * live directory in place) — a cell emptied by the delete simply
+    * disappears, which dynamic partition overwrite would silently get wrong
+    * (it rewrites only partitions PRESENT in the output, leaving a fully
+    * deleted cell's stale files live); (3) untouched cells keep their files
+    * byte-for-byte. Cost tracks the affected cells' size, never the index
+    * size; [[ivfProbePersisted]] / `ivfPqProbePersisted` see the survivor
+    * set through the identical pruned-scan plan (bit-equality vs a fresh
+    * rebuild without the ids — spec-asserted and driver-gated). Returns the
+    * number of affected cells. */
+  def deleteFromIvfIndex(spark: SparkSession, path: String, ids: Array[Long]): Int = {
+    require(ids.nonEmpty, "empty delete set")
+    import spark.implicits._
+    // the delete set rides a BROADCAST through semi/anti joins — an
+    // `isin(ids)` literal list plans O(|ids|) driver-side (a 100k-id batch
+    // cost 40 s in plan construction alone) where the join form plans O(1)
+    // and scales from one id to millions
+    val idDf = ids.toSeq.toDF("vec_id")
+    val affectedCells = spark.read.parquet(path)
+      .select(col("vec_id"), col("cell"))
+      .join(broadcast(idDf), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affectedCells.isEmpty) return 0
+    val kept = spark.read.parquet(path)
+      .filter(col("cell").isin(affectedCells.toSeq: _*))
+      .join(broadcast(idDf), Seq("vec_id"), "left_anti")
+    val staging = path + ".delete_staging"
+    kept.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affectedCells.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
+      val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
+      fs.delete(live, true)
+      if (fs.exists(staged)) fs.rename(staged, live) // absent = cell emptied
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    affectedCells.length
+  }
+
   /** Probe a [[writeIvfIndex]] layout: the probe-cell set is computed
     * DRIVER-SIDE (bounded by min(nlist, |queries|·nprobe) ints — model-scale,
     * like the centroids) and pushed into the read as a partition filter, so

@@ -458,7 +458,9 @@ class PlanSpec extends SparkSpec {
       "pipeline_decontaminate_batch" -> 2, // bench-side cross-doc distinct + the (doc, bench)-keyed matched-row count; corpus side rides the broadcast
       "pipeline_decontaminate_batch_stateless" -> 0, // k bench models as keyed literals: map-only explode + array_intersect, NO exchange (append-mode streaming face)
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
-      "sim_ivfpq_persisted_append_topk" -> 5) // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
+      "sim_ivfpq_persisted_append_topk" -> 5, // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
+      "sim_ivf_persisted_delete_topk" -> 5, // GATE FORM: deleted-from pruned probe + the survivor in-memory twin + equality aggs
+      "sim_ivfpq_persisted_delete_topk" -> 5) // GATE FORM: two pruned ADC probes (deleted-from + survivor rebuild) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

@@ -168,6 +168,41 @@ class SimilaritySpec extends SparkSpec {
     assert(after !== before)
   }
 
+  test("deleteFromIvfIndex: survivors probe ≡ in-memory, emptied cell vanishes, no-op safe") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val cents = Similarity.trainCentroidsSampled(emb, 8, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString + "/index"
+    Similarity.writeIvfIndex(emb, cents, path)
+    val assigned = Similarity.ivfAssignments(emb, cents)
+    // delete EVERY vector of one cell (the dynamic-overwrite trap case) plus
+    // a spread of ids from other cells
+    val firstCell = assigned.select($"cell").orderBy($"cell").head().getInt(0)
+    val cellIds = assigned.filter($"cell" === firstCell)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val spreadIds = emb.filter($"vec_id" % 11 === 0)
+      .select($"vec_id").collect().map(_.getLong(0))
+    val ids = (cellIds ++ spreadIds).distinct
+    val affected = Similarity.deleteFromIvfIndex(spark, path, ids)
+    assert(affected >= 1)
+    // no deleted id survives in the layout, and the emptied cell is GONE
+    val left = spark.read.parquet(path)
+    assert(left.filter($"vec_id".isin(ids.toSeq: _*)).count() === 0L)
+    assert(left.filter($"cell" === firstCell).count() === 0L)
+    assert(!new java.io.File(s"$path/cell=$firstCell").exists,
+      "a fully deleted cell must not leave a stale directory")
+    // probe ≡ in-memory probe over the survivors under the same centroids
+    val survivors = emb.filter(!$"vec_id".isin(ids.toSeq: _*))
+    val queries = survivors.filter($"vec_id" < 10)
+    assert(rowSet(Similarity.ivfProbePersisted(spark, path, cents, queries, 10, nprobe = 5)) ===
+      rowSet(Similarity.ivfProbeAssigned(
+        Similarity.ivfAssignments(survivors, cents), cents, queries, 10, nprobe = 5)),
+      "deleted-from index probe diverged from the survivor in-memory probe")
+    // deleting absent ids is a no-op: 0 affected cells, layout untouched
+    val beforeRows = rowSet(left.select($"vec_id", $"cell"))
+    assert(Similarity.deleteFromIvfIndex(spark, path, Array(999999991L)) === 0)
+    assert(rowSet(spark.read.parquet(path).select($"vec_id", $"cell")) === beforeRows)
+  }
+
   test("appendIvfPqIndex: append to base index ≡ full rebuild under frozen models") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val base = emb.filter($"vec_id" % 5 =!= 0)
