@@ -431,44 +431,65 @@ object Similarity {
     * Dataflow: (1) find the delete set's cells with a COLUMN-PRUNED
     * `(vec_id, cell)` scan (parquet reads two columns, not the vectors);
     * (2) rewrite ONLY the affected cell directories — a partition-pruned
-    * read minus the ids, staged then swapped per cell (the
-    * [[graft.sources.Lake.compact]] write-then-swap discipline: never edit a
-    * live directory in place) — a cell emptied by the delete simply
-    * disappears, which dynamic partition overwrite would silently get wrong
-    * (it rewrites only partitions PRESENT in the output, leaving a fully
-    * deleted cell's stale files live); (3) untouched cells keep their files
-    * byte-for-byte. Cost tracks the affected cells' size, never the index
+    * read minus the ids, fully STAGED before any live directory moves, then
+    * swapped per cell via checked atomic renames through a trash dir (a
+    * failed rename aborts loudly with trash + staging intact — nothing is
+    * destructively deleted until every swap succeeded) — a cell emptied by
+    * the delete simply disappears, which dynamic partition overwrite would
+    * silently get wrong (it rewrites only partitions PRESENT in the output,
+    * leaving a fully deleted cell's stale files live); (3) untouched cells
+    * keep their files byte-for-byte. SINGLE-WRITER maintenance op, like
+    * every file-layout mutation without a table format: a probe listing the
+    * index mid-swap can miss an in-flight cell, and append/delete must not
+    * overlap — serialize index maintenance (or adopt a transactional table
+    * format) in deployments that probe during writes.
+    * Cost tracks the affected cells' size, never the index
     * size; [[ivfProbePersisted]] / `ivfPqProbePersisted` see the survivor
     * set through the identical pruned-scan plan (bit-equality vs a fresh
     * rebuild without the ids — spec-asserted and driver-gated). Returns the
     * number of affected cells. */
   def deleteFromIvfIndex(spark: SparkSession, path: String, ids: Array[Long]): Int = {
-    require(ids.nonEmpty, "empty delete set")
+    if (ids.isEmpty) return 0 // FAISS remove_ids semantics: nothing expired = no-op
     import spark.implicits._
     // the delete set rides a BROADCAST through semi/anti joins — an
     // `isin(ids)` literal list plans O(|ids|) driver-side (a 100k-id batch
     // cost 40 s in plan construction alone) where the join form plans O(1)
-    // and scales from one id to millions
+    // and scales from one id to millions. ONE relation serves both reads:
+    // the root listing is paid once, and cell discovery and the rewrite see
+    // the same file snapshot.
     val idDf = ids.toSeq.toDF("vec_id")
-    val affectedCells = spark.read.parquet(path)
+    val index = spark.read.parquet(path)
+    val affectedCells = index
       .select(col("vec_id"), col("cell"))
       .join(broadcast(idDf), Seq("vec_id"), "left_semi")
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted
     if (affectedCells.isEmpty) return 0
-    val kept = spark.read.parquet(path)
+    val kept = index
       .filter(col("cell").isin(affectedCells.toSeq: _*))
       .join(broadcast(idDf), Seq("vec_id"), "left_anti")
     val staging = path + ".delete_staging"
     kept.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    // trash-then-swap, every FS verdict CHECKED: live cells move aside (an
+    // atomic directory rename, never a destructive delete), staged survivors
+    // move in, and only after EVERY swap succeeded does the trash drop. A
+    // failed rename aborts loudly with both the trash and staging directories
+    // intact on disk — nothing is lost, recovery is a rename back.
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(path + ".delete_trash")
+    if (!fs.mkdirs(trash)) sys.error(s"cannot create trash dir $trash")
     affectedCells.foreach { c =>
       val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
       val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      fs.delete(live, true)
-      if (fs.exists(staged)) fs.rename(staged, live) // absent = cell emptied
+      if (!fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
+        sys.error(s"swap aborted: cannot move live $live aside — " +
+          s"index unchanged for this and later cells; staging kept at $staging")
+      if (fs.exists(staged) && !fs.rename(staged, live)) // absent = cell emptied
+        sys.error(s"swap aborted: cannot move staged $staged into place — " +
+          s"recover by renaming ${trash}/cell=$c back to $live")
     }
+    fs.delete(trash, true)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     affectedCells.length
   }

@@ -200,6 +200,8 @@ class SimilaritySpec extends SparkSpec {
     // deleting absent ids is a no-op: 0 affected cells, layout untouched
     val beforeRows = rowSet(left.select($"vec_id", $"cell"))
     assert(Similarity.deleteFromIvfIndex(spark, path, Array(999999991L)) === 0)
+    assert(Similarity.deleteFromIvfIndex(spark, path, Array.empty[Long]) === 0,
+      "an empty delete set (nothing expired) must be a no-op, not a crash")
     assert(rowSet(spark.read.parquet(path).select($"vec_id", $"cell")) === beforeRows)
   }
 
