@@ -37,7 +37,10 @@ object Bench {
     "multimodal_blob_features", "sim_binary_topk", "pipeline_decontaminate_trim",
     // round-10 LM + tokenizer families: frozen-model Kneser-Ney scoring and
     // the unigram-LM (SentencePiece-family) train+encode path
-    "text_lm_score_kn_transfer", "text_unigram_token_count")
+    "text_lm_score_kn_transfer", "text_unigram_token_count",
+    // round-11 capabilities: CCNet-style boilerplate removal (map-only frozen-
+    // model form) and winnowing (MOSS) sampled-fingerprint near-dup pairs
+    "pipeline_remove_boilerplate_stateless", "dedup_winnow_pairs")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -508,6 +508,61 @@ object ScaleSmoke {
       require(r.getLong(1) == 990000L * 24, s"trim token total off: ${r.getLong(1)}")
       r.getLong(0)
     }
+    // ---- corpus-frequent segment removal (the CCNet boilerplate step): every
+    // doc carries a corpus-wide banner (df = 1M) and a df = 1000 group
+    // sentence; the unique 24-token body must survive. The two-pass join form
+    // vs the map-only frozen-model apply (the streaming path) — an A/B at
+    // identical semantics, invariant: exactly 2 segments removed per doc.
+    val segDocsDir = java.nio.file.Files.createTempDirectory("graft_scale_segs").toString
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(". zq corpus banner sentence. zq group sentence "),
+        pmod(col("doc_id"), lit(1000L)).cast("string")).as("text"))
+      .write.mode("overwrite").parquet(segDocsDir)
+    val segDocs = spark.read.parquet(segDocsDir)
+    segDocs.count() // scan warmup
+    time("removeFrequentSegments 1M docs (fit+apply join)", exactly(nDocs)) {
+      val r = graft.operators.Dedup.removeFrequentSegments(segDocs, minDf = 100)
+        .agg(count(lit(1)), sum(col("n_segments_removed")),
+          sum(when(length(col("text_cleaned")) === 0, 1L).otherwise(0L))).head()
+      require(r.getLong(1) == 2 * nDocs, s"removed-segment total off: ${r.getLong(1)}")
+      require(r.getLong(2) == 0L, s"${r.getLong(2)} docs lost their unique body")
+      r.getLong(0)
+    }
+    time("removeFrequentSegmentsStateless 1M docs (frozen model)", exactly(nDocs)) {
+      val model = graft.operators.Dedup.frequentSegmentModel(segDocs, minDf = 100)
+      require(model.length == 1001, s"model size ${model.length} != 1001 (banner + 1000 group)")
+      val r = graft.operators.Dedup.removeFrequentSegmentsStateless(segDocs, model)
+        .agg(count(lit(1)), sum(col("n_segments_removed"))).head()
+      require(r.getLong(1) == 2 * nDocs, s"removed-segment total off: ${r.getLong(1)}")
+      r.getLong(0)
+    }
+    // ---- winnowing fingerprints at 1M docs on a 100k-word vocabulary (the
+    // 10-word vocab above would make every 5-gram corpus-hot — a df-bound
+    // stress but useless for a pair-recall invariant): 24 tokens -> 20 grams,
+    // 17 windows per doc; the planted 10% exact dups share ALL fingerprints,
+    // so the pair set is exactly the 99999 planted (id-1, id) pairs.
+    val wdocsDir = java.nio.file.Files.createTempDirectory("graft_scale_winnow").toString
+    spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 24).map { i =>
+        concat(lit("w"), pmod(xxhash64(when(pmod(col("id"), lit(10)) === 0, col("id") - 1)
+          .otherwise(col("id")), lit(i)), lit(100000L)).cast("string"))
+      }: _*).as("text"))
+      .write.mode("overwrite").parquet(wdocsDir)
+    val wdocs = spark.read.parquet(wdocsDir)
+    wdocs.count() // scan warmup
+    time("winnowFingerprints 1M docs map-only (k=5, w=4)", within(5000000L, 17000000L)) {
+      // structural bounds: >= windows/w and <= windows per doc (17 windows);
+      // expected density 2/(w+1) = 0.4 of the 20M grams
+      graft.operators.Dedup.winnowFingerprints(wdocs, k = 5, w = 4).count()
+    }
+    time("winnowPairs 1M docs, planted dup pairs", exactly(99999)) {
+      val r = graft.operators.Dedup.winnowPairs(wdocs, k = 5, w = 4, minShared = 3L)
+        .agg(count(lit(1)),
+          sum(when(col("b_id") - col("a_id") =!= 1L ||
+            pmod(col("b_id"), lit(10L)) =!= 0L, 1L).otherwise(0L))).head()
+      require(r.getLong(1) == 0L, s"${r.getLong(1)} non-planted pairs surfaced")
+      r.getLong(0)
+    }
     time("bm25TopK 3 terms over 1M docs", exactly(100)) {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()

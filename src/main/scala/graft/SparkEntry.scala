@@ -80,6 +80,61 @@ object SparkEntry {
        SELECT cg.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched_grams
        FROM cg JOIN bench b USING (gram) GROUP BY 1, 2"""
 
+  /** Segment CTEs shared by the three boilerplate-removal oracles: the planted
+    * fixture (every doc gains one corpus-wide banner sentence + its doc_id%3
+    * group either shares a second sentence or gets a unique tail), segmented
+    * exactly like [[graft.operators.Dedup.segmentsCol]] (split ". ", trim
+    * '.'/' ' edges, drop empties), and the df >= 10 frequency table. */
+  private val boilerplateSegCtes: String =
+    """WITH aug AS (SELECT doc_id, text || '. subscribe to zq newsletter now. ' ||
+         CASE WHEN doc_id % 3 = 0 THEN 'zq group sentence alpha'
+              ELSE 'tail ' || CAST(doc_id AS VARCHAR) END AS text
+         FROM documents),
+       t AS (SELECT doc_id, list_filter(list_transform(
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), '. '),
+           s -> trim(s, '. ')), s -> len(s) > 0) AS segs FROM aug),
+       f AS (SELECT seg FROM (SELECT DISTINCT doc_id, unnest(segs) AS seg FROM t) d0
+         GROUP BY seg HAVING count(*) >= 10)"""
+
+  /** The planted boilerplate corpus the three pipeline_*boilerplate* entries
+    * run on — mirrors the `aug` CTE of [[boilerplateSegCtes]] exactly. */
+  private def boilerplateFixture(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(". subscribe to zq newsletter now. "),
+        when(col("doc_id") % 3 === 0, lit("zq group sentence alpha"))
+          .otherwise(concat(lit("tail "), col("doc_id").cast("string")))).as("text"))
+
+  /** Shared oracle for BOTH frequent-segment removal forms (two-pass join and
+    * frozen-model stateless): identical cleaned text by construction — the
+    * stateless form keys segments by xxhash64, this SQL by literal strings, so
+    * the driver hash-match doubles as the form-equivalence proof. */
+  private val boilerplateRemovalOracle: String =
+    boilerplateSegCtes + """,
+       fl AS (SELECT coalesce(list(seg), []) AS freq FROM f)
+       SELECT doc_id,
+         array_to_string(list_filter(t.segs, s -> NOT list_contains(fl.freq, s)), '. ') AS text_cleaned,
+         CAST(len(t.segs) - len(list_filter(t.segs, s -> NOT list_contains(fl.freq, s))) AS BIGINT) AS n_segments_removed
+       FROM t, fl"""
+
+  /** Winnowing CTEs shared by the fingerprint and pair oracles: 5-gram hashes
+    * keyed by the first 15 hex digits of md5 (60 bits — exact in both
+    * engines), windows of 4, rightmost-minimum selection (the reversed-list
+    * list_position picks the LAST argmin), distinct (pos, fp) per doc. */
+  private val winnowSelCtes: String =
+    """WITH t AS (SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+         FROM documents),
+       g AS (SELECT doc_id,
+           list_transform(generate_series(1, len(toks) - 4),
+             i -> CAST(('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15)) AS BIGINT)) AS hs
+         FROM t WHERE len(toks) >= 5),
+       sel AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(hs) - 3),
+           i -> struct_pack(
+             pos := i + (4 - list_position(list_reverse(hs[i:i+3]), list_min(hs[i:i+3]))) - 1,
+             fp := list_min(hs[i:i+3])))) AS u
+         FROM g WHERE len(hs) >= 4),
+       fps AS (SELECT DISTINCT doc_id, CAST(u.pos AS INT) AS pos, u.fp AS fp FROM sel)"""
+
   /** Shared oracle for both containment forms: the base bucket form and the
     * positional-prefix-filtered form are bit-identical on the fixture (max
     * gram df = 7 < 20 — both exact; see
@@ -2169,6 +2224,36 @@ object SparkEntry {
                 round(coalesce(c.cov, 0) / greatest(len(t.toks), 1), 6) AS dup_span_fraction
               FROM t LEFT JOIN c ON t.doc_id = c.doc_id""")),
 
+    Q("dedup_winnow_fingerprints", // winnowing (Schleimer et al. 2003 / MOSS):
+      // SAMPLED document fingerprints with the w+k-1 detection guarantee at
+      // ~2/(w+1) the gram count — the fingerprint table small enough to keep
+      // across snapshots where duplicateSpans' exhaustive gram index is not.
+      // md5-60-bit keys because the SELECTION depends on hash ORDER (an
+      // engine-specific hash would pick different minima) — both engines
+      // parse the same 15 hex digits, so the entry is fully hash-oracled;
+      // xxhash64 is the scale default (DedupSpec covers both modes).
+      (s, d) => Dedup.winnowFingerprints(Tables.documents(s, d),
+        k = 5, w = 4, md5Keys = true),
+      Some(winnowSelCtes + """
+              SELECT doc_id, pos, fp FROM fps""")),
+
+    Q("dedup_winnow_pairs", // the MOSS grouping step: pairs sharing >= 3
+      // winnowing fingerprints, postings df-bounded to [2, 1000] BEFORE the
+      // self-join (the containment/skew-safe-spans pattern) so a stop-phrase
+      // fingerprint caps at C(maxDf,2) bucket pairs. The guarantee makes this
+      // a recall-floored near-dup detector: DedupSpec measures 1.0 recall vs
+      // the exact 0.9-Jaccard truth at these params.
+      (s, d) => Dedup.winnowPairs(Tables.documents(s, d),
+        k = 5, w = 4, minShared = 3L, maxDf = 1000, md5Keys = true),
+      Some(winnowSelCtes + """,
+              good AS (SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps) p0
+                GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000),
+              b AS (SELECT DISTINCT doc_id, fp FROM fps WHERE fp IN (SELECT fp FROM good))
+              SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+                CAST(count(*) AS BIGINT) AS shared_fps
+              FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     Q("dedup_minhash_lsh", // DRIVER-VISIBLE recall gate (was rows-only):
       // MinHash-LSH candidate pairs (16 bands x 4 rows, est-Jaccard >= 0.5)
       // vs the EXACT prefix-blocked 3-gram Jaccard truth at the same 0.5
@@ -3303,6 +3388,39 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 =!= 0), models, n = 3)
       },
       Some(batchDecontaminateOracle)),
+
+    Q("pipeline_frequent_segments", // the CCNet/RefinedWeb boilerplate SIGNAL:
+      // corpus segment-frequency table (segments = ". "-split sentences of the
+      // single-line fixture docs), df = DISTINCT containing docs, df >= 10.
+      // The raw corpus has no cross-doc sentences (docs are one segment), so
+      // the fixture plants the regime: one corpus-wide banner (df = n) and a
+      // doc_id%3 group sentence (df ~ n/3) — both surface; unique tails don't.
+      (s, d) => Dedup.segmentFrequencies(boilerplateFixture(s, d), minDf = 10L),
+      Some(boilerplateSegCtes + """
+              SELECT seg AS segment, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, unnest(segs) AS seg FROM t) d1
+              GROUP BY seg HAVING count(*) >= 10""")),
+
+    Q("pipeline_remove_boilerplate", // the CCNet boilerplate step itself:
+      // corpus-frequent segments removed IN PLACE (survivors rejoined in
+      // order; an all-boilerplate doc cleans to ''), two-pass fit+apply with
+      // the frequent table broadcast (bounded by segments/minDf — see the
+      // operator scaladoc). Every fixture doc loses the banner; %3==0 docs
+      // lose the group sentence too.
+      (s, d) => Dedup.removeFrequentSegments(boilerplateFixture(s, d), minDf = 10L),
+      Some(boilerplateRemovalOracle)),
+
+    Q("pipeline_remove_boilerplate_stateless", // the ONE-PASS map-only apply
+      // against the frozen xxhash64 segment model (LongSetContainsExpr probe
+      // inside a higher-order filter — zero exchanges, stream-safe; the
+      // StreamingSpec runs it on a live MemoryStream). Same oracle as the
+      // join form: the driver hash-match IS the form-equivalence proof.
+      (s, d) => {
+        val docs = boilerplateFixture(s, d)
+        Dedup.removeFrequentSegmentsStateless(docs,
+          Dedup.frequentSegmentModel(docs, minDf = 10L))
+      },
+      Some(boilerplateRemovalOracle)),
 
     Q("pipeline_decontaminate_stateless", // the same verdicts via the literal-
       // probed stateless form (no join, no aggregation — the shape that runs

@@ -44,41 +44,17 @@ case class LongSetHitsExpr(child: Expression, set: Array[Long])
 
   override def dataType: DataType = IntegerType
 
-  /** Open-addressed table, linear probing, power-of-2 capacity >= 2x size.
-    * Slot emptiness is marked by the EMPTY sentinel; a set member equal to
-    * the sentinel is tracked by the flag (xxhash64 CAN produce any long). */
-  @transient private lazy val state: (Array[Long], Boolean) = {
-    val cap = math.max(8, Integer.highestOneBit(math.max(1, set.length) * 4 - 1) << 1)
-    val t = Array.fill(cap)(LongSetHitsExpr.EMPTY)
-    val m = cap - 1
-    var sentinel = false
-    set.foreach { v =>
-      if (v == LongSetHitsExpr.EMPTY) sentinel = true
-      else {
-        var i = LongSetHitsExpr.mix(v) & m
-        while (t(i) != LongSetHitsExpr.EMPTY && t(i) != v) i = (i + 1) & m
-        t(i) = v
-      }
-    }
-    (t, sentinel)
-  }
+  /** Open-addressed table, linear probing — [[LongProbeSet]], shared with the
+    * scalar sibling [[LongSetContainsExpr]]. Built once per executor. */
+  @transient private lazy val probe: LongProbeSet = new LongProbeSet(set)
 
   def hits(arr: ArrayData): Int = {
-    val (table, hasSentinel) = state
-    val mask = table.length - 1
+    val p = probe
     val n = arr.numElements()
     var c = 0
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val v = arr.getLong(i)
-        if (v == LongSetHitsExpr.EMPTY) { if (hasSentinel) c += 1 }
-        else {
-          var j = LongSetHitsExpr.mix(v) & mask
-          while (table(j) != LongSetHitsExpr.EMPTY && table(j) != v) j = (j + 1) & mask
-          if (table(j) == v) c += 1
-        }
-      }
+      if (!arr.isNullAt(i) && p.contains(arr.getLong(i))) c += 1
       i += 1
     }
     c
@@ -99,16 +75,6 @@ case class LongSetHitsExpr(child: Expression, set: Array[Long])
 object LongSetHitsExpr {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
-
-  private final val EMPTY = Long.MinValue
-
-  /** Stafford variant-13 finalizer — spreads consecutive/biased longs. */
-  private def mix(v: Long): Int = {
-    var z = v
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    (z ^ (z >>> 31)).toInt
-  }
 
   def longSetHits(arr: Column, set: Array[Long]): Column =
     ColumnBridge.column(LongSetHitsExpr(ColumnBridge.expression(arr), set))

@@ -1073,4 +1073,176 @@ object Dedup {
         round(coalesce(col("__cov"), lit(0L)).cast("double") /
           greatest(col("__nt"), lit(1L)), 6).as("dup_span_fraction"))
   }
+
+  // --------------------------------------------------------------------------
+  // Corpus-frequent segment removal — the CCNet/RefinedWeb boilerplate step
+  // (Wenzek et al. 2020 §3.1 dedup by paragraph hash; Penedo et al. 2023 line-
+  // level filtering): a sentence/line that recurs across MANY documents (cookie
+  // banners, "subscribe" calls, license headers) is boilerplate, and removing
+  // it IN PLACE beats dropping whole documents. Cross-doc frequency is the
+  // signal — within-doc repetition is Gopher's job (Curation.gopherRepetition).
+  // --------------------------------------------------------------------------
+
+  /** Segments of the normalized text: split on ". " (the single-line corpus's
+    * sentence boundary — for multi-line corpora pass text pre-split on \n),
+    * each segment trimmed of stray '.'/' ' edges, empties dropped. Bound the
+    * result in its own projection before deriving several columns from it
+    * (same CollapseProject caveat as [[TextFns.shinglesFromTokens]]). */
+  private[graft] def segmentsCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(transform(split(TextFns.normalizeNonNull(text), "\\. "),
+      s => trim(s, " .")), s => length(s) > 0)
+
+  /** Corpus segment-frequency table: `(segment, df)` for every segment
+    * occurring in at least `minDf` DISTINCT documents (a doc repeating its own
+    * sentence doesn't inflate df — cross-doc frequency is the boilerplate
+    * signal). The model-fitting half of [[removeFrequentSegments]].
+    *
+    * Scale shape: one corpus scan into a count-distinct aggregation keyed by
+    * the segment (Spark plans count_distinct as two hash aggregations with
+    * map-side partials — a hot boilerplate segment combines inside every map
+    * task, no skewed reduce). Output size is bounded by construction:
+    * Σ df <= total segment occurrences, so |{df >= minDf}| <= corpus segments
+    * / minDf — at 100 TB with minDf in the thousands this is a small table. */
+  def segmentFrequencies(docs: DataFrame, minDf: Long = 10L): DataFrame = {
+    require(minDf >= 2, s"minDf must be >= 2 (df=1 segments are just text), got $minDf")
+    docs
+      .select(col("doc_id"), explode(segmentsCol(col("text"))).as("segment"))
+      .groupBy("segment")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Remove corpus-frequent segments from every document: each doc's segments
+    * with cross-doc df >= `minDf` are dropped, the survivors rejoined with
+    * ". " in original order. Returns one row per input doc:
+    * `(doc_id, text_cleaned, n_segments_removed)` — a doc that was ALL
+    * boilerplate cleans to the empty string.
+    *
+    * Scale shape: two corpus passes (frequency fit + removal — CCNet's own
+    * structure; cache/checkpoint the segmented corpus to make it one read at
+    * scale) plus a per-doc regroup. The frequent table is broadcast by
+    * default — it is bounded by segments/minDf (see [[segmentFrequencies]]),
+    * so the anti join is map-side and the exploded corpus never shuffles on
+    * the segment; pass `broadcastFrequent = false` if a pathological corpus
+    * (tiny minDf) makes the model exceed broadcast limits, and the anti join
+    * falls back to a shuffle join AQE can still optimize.
+    * [[removeFrequentSegmentsStateless]] is the one-pass map-only form for a
+    * FROZEN model (the streaming face and the 100 TB apply path). */
+  def removeFrequentSegments(docs: DataFrame, minDf: Long = 10L,
+                             broadcastFrequent: Boolean = true): DataFrame = {
+    val freqRaw = segmentFrequencies(docs, minDf).select("segment")
+    val freq = if (broadcastFrequent) broadcast(freqRaw) else freqRaw
+    val segged = docs.select(col("doc_id"), segmentsCol(col("text")).as("__segs"))
+    val kept = segged
+      .select(col("doc_id"), posexplode(col("__segs")).as(Seq("__pos", "segment")))
+      .join(freq, Seq("segment"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("segment")))),
+          s => s.getField("segment")), ". ").as("__cleaned"),
+        count(lit(1)).as("__n_kept"))
+    segged
+      .select(col("doc_id"), size(col("__segs")).cast("long").as("__n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__cleaned"), lit("")).as("text_cleaned"),
+        (col("__n_segs") - coalesce(col("__n_kept"), lit(0L))).as("n_segments_removed"))
+  }
+
+  /** Collect the frequent-segment model as xxhash64 keys — the frozen-model
+    * half of the stateless form. Driver-bounded by segments/minDf (loud
+    * [[graft.functions.LongProbeSet]] failure at 2^28, far above any sane
+    * boilerplate model); at 100 TB fit this once per snapshot and reuse. */
+  def frequentSegmentModel(docs: DataFrame, minDf: Long = 10L): Array[Long] = {
+    import org.apache.spark.sql.Encoders
+    segmentFrequencies(docs, minDf)
+      .select(xxhash64(col("segment")).as("h"))
+      .as(Encoders.scalaLong).collect()
+  }
+
+  /** MAP-ONLY frequent-segment removal against a frozen model — identical
+    * output to [[removeFrequentSegments]] when `model` =
+    * [[frequentSegmentModel]] at the same minDf (barring 64-bit collisions;
+    * equivalence is driver-oracled). Zero exchanges: segment hashes probe a
+    * [[graft.functions.LongSetContainsExpr]] hashed-set kernel inside a
+    * higher-order filter, so this runs embarrassingly parallel over any
+    * partitioning — and unchanged on a STREAM (no state, no watermark),
+    * which is how a live ingest applies last snapshot's boilerplate model. */
+  def removeFrequentSegmentsStateless(docs: DataFrame, model: Array[Long]): DataFrame =
+    docs
+      .select(col("doc_id"), segmentsCol(col("text")).as("__segs"))
+      .select(col("doc_id"), size(col("__segs")).cast("long").as("__n_segs"),
+        filter(col("__segs"), s =>
+          !graft.functions.LongSetContainsExpr.longSetContains(xxhash64(s), model))
+          .as("__kept"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), ". ").as("text_cleaned"),
+        (col("__n_segs") - size(col("__kept"))).as("n_segments_removed"))
+
+  // --------------------------------------------------------------------------
+  // Winnowing fingerprints — Schleimer, Wilkerson & Aiken (SIGMOD 2003), the
+  // MOSS sampler: a SAMPLED document fingerprint with a detection guarantee
+  // (any shared substring of >= w+k-1 tokens yields a shared fingerprint) at
+  // ~2/(w+1) the storage of the full gram set. The sampled sibling of
+  // duplicateSpans' exhaustive gram index: spans finds every duplicate
+  // region exactly; winnowing trades exactness for a fingerprint table small
+  // enough to keep ACROSS snapshots at 100 TB.
+  // --------------------------------------------------------------------------
+
+  /** Winnowing fingerprints: `(doc_id, pos, fp)` — the selected k-gram hash
+    * `fp` at 0-based gram position `pos`, windows of `w` consecutive gram
+    * hashes, rightmost-minimum selection ([[graft.functions.WinnowExpr]]).
+    * Documents with fewer than w+k-1 tokens produce no fingerprints.
+    *
+    * `md5Keys = true` keys grams by the first 15 hex digits of md5 (60 bits,
+    * exact in both engines — the oracle-reproducible form; the selection
+    * depends on hash ORDER, so an engine-specific hash would diverge, unlike
+    * the membership-only uses of xxhash64 elsewhere). Default is xxhash64 —
+    * the scale path (no hex/decimal string round-trip per gram).
+    *
+    * Scale shape: map-only — tokenize, shingle, hash, and the O(grams·w)
+    * winnow scan all fuse into one projection pipeline; output is ~2/(w+1)
+    * of the gram stream. No shuffle until a consumer aggregates. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                         md5Keys: Boolean = false): DataFrame = {
+    require(k >= 1, s"gram size must be >= 1, got $k")
+    val hash = (g: org.apache.spark.sql.Column) =>
+      if (md5Keys) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else xxhash64(g)
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), TextFns.shinglesFromTokens(col("__toks"), k).as("__grams"))
+      .select(col("doc_id"), transform(col("__grams"), hash).as("__hs"))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowExpr.winnow(col("__hs"), w)).as("__f"))
+      .select(col("doc_id"), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+  }
+
+  /** Near-duplicate candidate pairs from shared winnowing fingerprints:
+    * `(a_id, b_id, shared_fps)` for pairs sharing at least `minShared`
+    * distinct fingerprints. The MOSS grouping step: because of the winnowing
+    * guarantee, any pair sharing a run of >= w+k-1 tokens appears here with
+    * shared_fps >= 1 — `minShared` trades that recall floor for precision.
+    *
+    * Scale shape: the fingerprint table is df-bounded BEFORE the self-join
+    * (fingerprints in [2, maxDf] docs — two hash aggregations + a semi join,
+    * the [[duplicateSpans]] skew-safe pattern), so a stop-phrase fingerprint
+    * shared by half the corpus caps at maxDf² bucket pairs instead of
+    * exploding; the pair count per fingerprint is C(df, 2) <= C(maxDf, 2). */
+  def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Long = 2L,
+                  maxDf: Int = 1000, md5Keys: Boolean = false): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    val post = winnowFingerprints(docs, k, w, md5Keys)
+      .select("doc_id", "fp").distinct()
+    val good = post.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("fp")
+    val bounded = post.join(good, Seq("fp"), "left_semi")
+    bounded.select(col("fp"), col("doc_id").as("a_id"))
+      .join(bounded.select(col("fp"), col("doc_id").as("b_id")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

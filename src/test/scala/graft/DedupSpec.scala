@@ -408,4 +408,143 @@ class DedupSpec extends SparkSpec {
     val j13 = m.find(p => p(0) == 1L && p(1) == 3L).map(_(2)).get
     assert(j13 == 12.0 / 16.0, s"got $j13")
   }
+
+  // ---- corpus-frequent segment removal (the CCNet boilerplate step) ---------
+
+  private def segDocs = Seq(
+    (1L, "unique alpha content. subscribe to our newsletter. more alpha words"),
+    (2L, "different beta story. subscribe to our newsletter. beta tail"),
+    (3L, "gamma text here. subscribe to our newsletter. Subscribe TO our newsletter. gamma end"),
+    (4L, "subscribe to our newsletter"), // all boilerplate -> cleans to ""
+    (5L, "delta only content with no shared sentence at all")
+  ).toDF("doc_id", "text")
+
+  test("segmentFrequencies counts DISTINCT docs per segment (self-repeats don't inflate)") {
+    val r = rowSet(Dedup.segmentFrequencies(segDocs, minDf = 2))
+    // doc 3 contains the boilerplate twice (case-varied) but counts once
+    assert(r === Set(Seq("subscribe to our newsletter", 4L)))
+    // df=1 segments never appear even at the floor
+    assert(!rowSet(Dedup.segmentFrequencies(segDocs, minDf = 2))
+      .exists(_.head == "unique alpha content"))
+  }
+
+  test("removeFrequentSegments drops boilerplate in place, keeps order, empties all-boilerplate docs") {
+    val r = rowSet(Dedup.removeFrequentSegments(segDocs, minDf = 2))
+    assert(r === Set(
+      Seq(1L, "unique alpha content. more alpha words", 1L),
+      Seq(2L, "different beta story. beta tail", 1L),
+      Seq(3L, "gamma text here. gamma end", 2L),
+      Seq(4L, "", 1L),
+      Seq(5L, "delta only content with no shared sentence at all", 0L)))
+  }
+
+  test("stateless frequent-segment removal equals the join form (small + fixture corpus)") {
+    val model = Dedup.frequentSegmentModel(segDocs, minDf = 2)
+    assert(rowSet(Dedup.removeFrequentSegmentsStateless(segDocs, model)) ===
+      rowSet(Dedup.removeFrequentSegments(segDocs, minDf = 2)))
+    // and on the fixture corpus with a planted boilerplate tail (the entry's shape)
+    import org.apache.spark.sql.functions._
+    val aug = fixtureDocs.select(col("doc_id"),
+      concat(col("text"), lit(". zq subscribe banner. tail "),
+        col("doc_id").cast("string")).as("text"))
+    val join = rowSet(Dedup.removeFrequentSegments(aug, minDf = 10))
+    val stateless = rowSet(Dedup.removeFrequentSegmentsStateless(
+      aug, Dedup.frequentSegmentModel(aug, minDf = 10)))
+    assert(stateless === join)
+    // non-vacuous: every doc lost exactly the planted banner
+    assert(join.forall(_(2) == 1L), "every doc should lose the planted banner")
+  }
+
+  test("removeFrequentSegments without broadcast hint selects the identical result") {
+    val hinted = rowSet(Dedup.removeFrequentSegments(segDocs, minDf = 2))
+    val plain = rowSet(Dedup.removeFrequentSegments(segDocs, minDf = 2,
+      broadcastFrequent = false))
+    assert(plain === hinted)
+  }
+
+  // ---- winnowing fingerprints (Schleimer et al. 2003) ------------------------
+
+  /** Brute-force reference: rightmost-min per window, distinct selections. */
+  private def winnowRef(hs: Seq[Long], w: Int): Set[(Int, Long)] =
+    if (hs.length < w) Set.empty
+    else (0 to hs.length - w).map { i =>
+      val win = hs.slice(i, i + w)
+      val m = win.min
+      (i + win.lastIndexOf(m), m)
+    }.toSet
+
+  test("WinnowExpr matches the brute-force reference incl. ties, w=1, short arrays") {
+    import graft.functions.WinnowExpr
+    import org.apache.spark.sql.functions._
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(5L, 1L, 2L, 9L, 0L, 7L, 3L, 3L, 3L, 8L, 1L, 1L),
+      Seq(1L, 1L, 1L, 1L, 1L),             // all ties -> rightmost per window
+      Seq(9L, 8L, 7L, 6L, 5L, 4L),          // strictly decreasing -> new min each window
+      Seq(Long.MinValue, 0L, Long.MaxValue, -5L),
+      Seq(4L, 2L, 7L),                      // shorter than w=4 -> empty
+      Seq.empty[Long])
+    for (w <- Seq(1, 2, 4); hs <- cases) {
+      val got = Seq(Tuple1(hs)).toDF("hs")
+        .select(explode(WinnowExpr.winnow(col("hs"), w)).as("f"))
+        .select("f.pos", "f.fp").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(got === winnowRef(hs, w), s"w=$w hs=$hs")
+    }
+    // null array -> null (not empty)
+    val nullRow = Seq(Tuple1(Option.empty[Seq[Long]])).toDF("hs")
+      .select(WinnowExpr.winnow(col("hs"), 4).as("f")).collect()
+    assert(nullRow.head.isNullAt(0))
+  }
+
+  test("winnowing guarantee: a shared run of >= w+k-1 tokens yields a shared fingerprint") {
+    val shared = "zq alpha beta gamma delta epsilon zeta eta" // 8 tokens = w+k-1 (k=5, w=4)
+    val pair = Seq(
+      (1L, "completely unrelated prefix words here " + shared + " one tail"),
+      (2L, shared + " other suffix content entirely different from before"),
+      (3L, "no overlap with anything at all in this document text")
+    ).toDF("doc_id", "text")
+    for (md5 <- Seq(false, true)) {
+      val fps = Dedup.winnowFingerprints(pair, k = 5, w = 4, md5Keys = md5)
+      val byDoc = fps.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet)
+      assert((byDoc(1L) & byDoc(2L)).nonEmpty, s"md5=$md5: guarantee violated")
+      assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+        s"md5=$md5: unrelated docs share a fingerprint")
+    }
+  }
+
+  test("winnow density on the fixture corpus is within the structural bounds") {
+    import org.apache.spark.sql.functions._
+    val k = 5; val w = 4
+    val nGrams = fixtureDocs
+      .select(greatest(size(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")) - (k - 1), lit(0)).as("g"))
+      .filter(col("g") >= w) // only docs long enough to produce windows
+      .agg(sum(col("g"))).head().getLong(0)
+    val nFps = Dedup.winnowFingerprints(fixtureDocs, k, w).count()
+    // every selection covers at most w windows -> fps >= windows/w ~ grams/w - 1;
+    // and selections can't outnumber windows; expected density is 2/(w+1) = 0.4
+    val density = nFps.toDouble / nGrams
+    info(f"winnow density = $density%.3f over $nGrams grams ($nFps fps)")
+    assert(density > 1.0 / w && density < 0.6, f"density $density%.3f outside (0.25, 0.6)")
+  }
+
+  test("winnowPairs finds the planted duplicate pairs; maxDf bound drops hot fingerprints") {
+    val truth = trueJaccardPairs(0.9) // the 27 near-identical planted pairs
+    val got = Dedup.winnowPairs(fixtureDocs, k = 5, w = 4, minShared = 3L)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.count(truth).toDouble / truth.size
+    info(f"winnowPairs(k=5, w=4, minShared=3) recall = $recall%.3f (${got.size} found / ${truth.size} true)")
+    assert(recall >= 0.9, f"winnow recall $recall%.3f below 0.9 floor")
+    // a boilerplate fingerprint shared by every doc is culled by the df bound:
+    // plant one corpus-wide 8-token run and bound df below the corpus size
+    import org.apache.spark.sql.functions._
+    val aug = fixtureDocs.select(col("doc_id"),
+      concat(lit("zq b1 b2 b3 b4 b5 b6 b7 b8 zz. "), col("text")).as("text"))
+    val bounded = Dedup.winnowPairs(aug, k = 5, w = 4, minShared = 1L, maxDf = 20)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // without the bound the planted run alone would pair EVERY doc with every
+    // other (C(500,2) ~ 125k pairs); with it only fingerprints straddling the
+    // banner/doc boundary survive (shared by the <= 20 docs with the same
+    // opening words), keeping the pair set two orders of magnitude smaller
+    assert(bounded.size < 10000, s"df bound failed: ${bounded.size} pairs")
+    assert(truth.subsetOf(bounded), "df bound must not drop true near-dup pairs")
+  }
 }

@@ -544,6 +544,45 @@ class PlanSpec extends SparkSpec {
       s"bloom probe pass must not shuffle the corpus:\n$p")
   }
 
+  test("stateless frequent-segment removal is map-only: zero exchanges") {
+    val docs = Tables.documents(spark, d)
+    val model = graft.operators.Dedup.frequentSegmentModel(docs, minDf = 2)
+    val df = graft.operators.Dedup.removeFrequentSegmentsStateless(docs, model)
+    val p = physical(df)
+    // the frozen model rides the plan as a codegen reference object; the
+    // apply pass must be scan -> project, streaming-append-safe
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"stateless boilerplate removal must not shuffle the corpus:\n$p")
+  }
+
+  test("frequent-segment removal anti-joins the corpus against a BROADCAST model") {
+    // the raw corpus has no df >= 2 segment (single-segment docs, no exact
+    // text dups), and an EMPTY frequent table lets AQE's empty-relation rule
+    // eliminate the anti join entirely — plant the boilerplate regime the
+    // operator exists for, like the driver entry does
+    val docs = Tables.documents(spark, d).select(col("doc_id"),
+      concat(col("text"), lit(". zq banner sentence")).as("text"))
+    val df = graft.operators.Dedup.removeFrequentSegments(docs, minDf = 2)
+    df.collect()
+    val p = physical(df).split("== Initial Plan ==").head
+    // the df >= minDf table is bounded by segments/minDf, so the exploded
+    // corpus never shuffles on the segment string — the anti join is map-side
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"frequent-segment anti join did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("winnow fingerprinting is map-only: zero exchanges") {
+    val docs = Tables.documents(spark, d)
+    val df = graft.operators.Dedup.winnowFingerprints(docs, k = 5, w = 4)
+    val p = physical(df)
+    // tokenize -> shingle -> hash -> winnow scan fuse into one projection
+    // pipeline; the ~2/(w+1)-sampled fingerprint stream shuffles only when a
+    // CONSUMER aggregates it
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"winnow fingerprints must not shuffle:\n$p")
+  }
+
   test("persisted IVF index probe partition-prunes to the probed cells only") {
     val emb = Tables.embeddings(spark, d)
     val cents = Similarity.trainCentroidsSampled(emb, 8, 3)

@@ -107,6 +107,35 @@ class StreamingSpec extends SparkSpec {
       .decontaminate(corpusRows.toDF("doc_id", "text"), bench, n = 2)))
   }
 
+  test("streaming frequent-segment removal equals the batch form (append, frozen model)") {
+    implicit val sqlCtx = spark.sqlContext
+    // model fitted on a frozen snapshot (the 100 TB lifecycle: fit per
+    // snapshot, apply map-only to the live ingest)
+    val snapshot = (1L to 12L).map(i =>
+      (i, s"unique body $i. subscribe to our newsletter. tail $i")).toDF("doc_id", "text")
+    val model = graft.operators.Dedup.frequentSegmentModel(snapshot, minDf = 10)
+    val liveRows = Seq(
+      (100L, "fresh doc alpha. subscribe to our newsletter. alpha end"),
+      (101L, "subscribe to our newsletter"), // all boilerplate -> ""
+      (102L, "clean doc with no banner at all"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup
+      .removeFrequentSegmentsStateless(stream.toDF().toDF("doc_id", "text"), model)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_boiler_stream").start()
+    try {
+      stream.addData(liveRows.take(1)); q.processAllAvailable()
+      stream.addData(liveRows.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = graft.operators.Dedup
+      .removeFrequentSegmentsStateless(liveRows.toDF("doc_id", "text"), model)
+    assert(rowSet(spark.table("t_boiler_stream")) === rowSet(batch))
+    assert(rowSet(batch) === Set(
+      Seq(100L, "fresh doc alpha. alpha end", 1L),
+      Seq(101L, "", 1L),
+      Seq(102L, "clean doc with no banner at all", 0L)))
+  }
+
   test("streamFunnel idleTimeout evicts silent users' state") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]

@@ -69,6 +69,26 @@ class TextFnsSpec extends SparkSpec {
     assert(a === b && a === subset.length)
   }
 
+  test("longSetContains: scalar membership, sentinel member, empty set, null input") {
+    import graft.functions.LongSetContainsExpr.longSetContains
+    val set = Array(2L, Long.MinValue, 99L)
+    val df = Seq(Some(2L), Some(3L), Some(Long.MinValue), None).toDF("v")
+    val r = df.select(longSetContains($"v", set)).collect()
+      .map(x => if (x.isNullAt(0)) null else x.getBoolean(0))
+    assert(r.toSeq === Seq(true, false, true, null))
+    val none = df.select(longSetContains($"v", Array.empty[Long])).collect()
+      .map(x => if (x.isNullAt(0)) null else x.getBoolean(0))
+    assert(none.toSeq === Seq(false, false, false, null))
+    // agrees with the array-kernel sibling on hash-spread values
+    val vals = (0 until 500).map(i => i * 0x9e3779b97f4a7c15L)
+    val members = vals.filter(_ % 3 == 0).toArray
+    val hits = Seq(Tuple1(vals.toArray)).toDF("arr").select(
+      size(filter($"arr", v => longSetContains(v, members)))).head().getInt(0)
+    val expected = Seq(Tuple1(vals.toArray)).toDF("arr").select(
+      graft.functions.LongSetHitsExpr.longSetHits($"arr", members)).head().getInt(0)
+    assert(hits === expected)
+  }
+
   test("predictLang argmax with precedence tie-break and und fallback") {
     assert(one("the cat and dog of to in").select(TextFns.predictLang($"text"))
       .head().getString(0) === "en")
