@@ -39,8 +39,10 @@ object Bench {
     // the unigram-LM (SentencePiece-family) train+encode path
     "text_lm_score_kn_transfer", "text_unigram_token_count",
     // round-11 capabilities: CCNet-style boilerplate removal (map-only frozen-
-    // model form) and winnowing (MOSS) sampled-fingerprint near-dup pairs
-    "pipeline_remove_boilerplate_stateless", "dedup_winnow_pairs")
+    // model form), winnowing (MOSS) sampled-fingerprint near-dup pairs, and
+    // cluster-balanced pruning (Sorscher et al. / DataComp)
+    "pipeline_remove_boilerplate_stateless", "dedup_winnow_pairs",
+    "pipeline_cluster_balance")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -630,6 +630,20 @@ object ScaleSmoke {
       graft.operators.Similarity.centroidOutliers(vecs, threshold = -0.15)
         .filter(col("is_outlier")).count()
     }
+    // cluster-balanced pruning: map-only seed assignment + ONE k-bounded heap
+    // agg (no window sort — a hot cluster combines map-side); 8 random seeds
+    // over 1M random unit vectors split far above the 10k quota, so the kept
+    // count is exactly 8 x 10000
+    time("clusterBalance 1M vectors, 8 seeds, quota 10k", exactly(80000)) {
+      val seeds = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int"), col("embedding"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+      val r = graft.operators.Curation.clusterBalance(vecs, seeds, perCluster = 10000)
+      val n = r.count()
+      require(r.select(col("cluster_id")).distinct().count() == 8L,
+        "a seed cluster starved below its quota")
+      n
+    }
     // embedding-side cross-snapshot near-dedup: 100k new vs 900k frozen —
     // bare tag rows cross the bucket join, vectors re-attach to candidates.
     // Every batch vector id >= 10 (id % 10 == 0) has its planted near-copy at

@@ -116,6 +116,31 @@ object SparkEntry {
          CAST(len(t.segs) - len(list_filter(t.segs, s -> NOT list_contains(fl.freq, s))) AS BIGINT) AS n_segments_removed
        FROM t, fl"""
 
+  /** Frozen seed centroids for the cluster-balance entries: the vec_id < 8
+    * embeddings, ids 0..7 — deterministic and DuckDB-replayable (a fitted
+    * k-means model would not be); model-scale collect. */
+  private def clusterSeeds(s: SparkSession, d: String): Seq[(Int, Seq[Double])] =
+    Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"),
+        graft.functions.VectorFns.toDoubleArray(col("embedding")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+
+  /** Shared assignment CTEs for both cluster-balance oracles: dot-product
+    * argmax against the vec_id < 8 seed vectors, ties to the LARGER seed id
+    * (the NearestCentroidExpr contract), prototypicality dot rounded to the
+    * 6-decimal cross-engine sim key. */
+  private val clusterAssignCtes: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       seeds AS (SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 8),
+       sc AS (SELECT e.vec_id, seeds.cid,
+           list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(e.v)),
+             i -> e.v[i] * seeds.c[i])), (acc, x) -> acc + x) AS dot
+         FROM e CROSS JOIN seeds),
+       asg AS (SELECT vec_id, cid, dot,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid DESC) AS rn
+         FROM sc),
+       a AS (SELECT vec_id, cid AS cluster_id, round(dot, 6) AS pdot FROM asg WHERE rn = 1)"""
+
   /** Winnowing CTEs shared by the fingerprint and pair oracles: 5-gram hashes
     * keyed by the first 15 hex digits of md5 (60 bits — exact in both
     * engines), windows of 4, rightmost-minimum selection (the reversed-list
@@ -4013,6 +4038,35 @@ object SparkEntry {
                     i -> c[i] * c[i])), (acc, x) -> acc + x))), 6) AS centroid_cos
                 FROM e, cent)
               SELECT vec_id, centroid_cos, centroid_cos < -0.15 AS is_outlier FROM sc""")),
+
+    Q("pipeline_cluster_balance", // cluster-balanced pruning (Sorscher et al.
+      // 2022 / DataComp): assign to 8 frozen seed centroids (the vec_id < 8
+      // vectors — deterministic, oracle-replayable), keep <= 40 per cluster
+      // by 52-bit md5 rank (exact in the heap's double score). Map-only
+      // assignment + ONE k-bounded heap aggregation (TopKByScoreAgg) — no
+      // window sort, so a power-law hot cluster combines map-side
+      (s, d) => Curation.clusterBalance(Tables.embeddings(s, d),
+        clusterSeeds(s, d), perCluster = 40),
+      Some(clusterAssignCtes + """,
+              r AS (SELECT vec_id, cluster_id,
+                  row_number() OVER (PARTITION BY cluster_id ORDER BY
+                    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13)) AS BIGINT) ASC,
+                    vec_id ASC) AS keep_rank FROM a)
+              SELECT vec_id, cluster_id, CAST(keep_rank AS BIGINT) AS keep_rank
+              FROM r WHERE keep_rank <= 40""")),
+
+    Q("pipeline_cluster_prune", // the keepHardest mode: within each cluster
+      // keep the 40 LEAST prototypical vectors (ascending assigned-centroid
+      // dot, 6-decimal sim key) — Sorscher's "prune easy examples" rule for
+      // the abundant-data regime; same assignment, same heap aggregation
+      (s, d) => Curation.clusterBalance(Tables.embeddings(s, d),
+        clusterSeeds(s, d), perCluster = 40, keepHardest = true),
+      Some(clusterAssignCtes + """,
+              r AS (SELECT vec_id, cluster_id, pdot,
+                  row_number() OVER (PARTITION BY cluster_id ORDER BY pdot ASC,
+                    vec_id ASC) AS keep_rank FROM a)
+              SELECT vec_id, cluster_id, CAST(keep_rank AS BIGINT) AS keep_rank
+              FROM r WHERE keep_rank <= 40""")),
 
     Q("pipeline_weighted_sample", // Efraimidis–Spirakis weighted sampling
       // without replacement: top-100 by ln(u)/w with u from the content

@@ -1353,4 +1353,65 @@ object Curation {
            log(col("t_tot").cast("double") + lit(alpha) * col("vocab"))), 6)
           .as("dsir_logw"))
   }
+
+  /** Cluster-balanced corpus pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"; the DataComp cluster-and-prune curation family —
+    * [[Similarity.semanticDedup]]'s budget-setting sibling): assign every
+    * embedding to its nearest seed centroid by dot-product argmax (the IVF
+    * assignment kernel — seeds are a FROZEN model-scale list, ids must be the
+    * contiguous 0..k-1), then KEEP at most `perCluster` rows per cluster.
+    * Web-scale data is power-law clustered — a few dense topics swallow any
+    * uniform sample — so the quota equalizes topic coverage. Two keep rules:
+    *
+    *  - default (balance): rank by a deterministic 52-bit md5 content hash of
+    *    `vec_id` — an unbiased, reproducible, oracle-replayable within-cluster
+    *    sample (52 bits so the rank is EXACT in the aggregate's double score;
+    *    ties, i.e. md5-collisions, break to the smaller vec_id);
+    *  - `keepHardest`: rank by ASCENDING prototypicality (dot with the
+    *    assigned centroid, rounded to the cross-engine 6-decimal sim key) —
+    *    the paper's finding that with abundant data, pruning the EASIEST
+    *    (most prototypical) examples beats random pruning.
+    *
+    * Returns `(vec_id, cluster_id, keep_rank)` for kept rows, keep_rank
+    * 1-based best-first.
+    *
+    * Scale shape: assignment is MAP-ONLY (one [[graft.functions
+    * .NearestCentroidExpr]] probe per row); the quota is ONE hash aggregation
+    * keyed by cluster_id through the k-bounded heap aggregate
+    * ([[graft.functions.TopKByScoreAgg]]) — map-side partials send at most
+    * `perCluster` rows per cluster per task, so a power-law hot cluster
+    * combines inside every map task instead of sorting half the corpus in one
+    * window task (the row_number form's failure mode at 100 TB). */
+  def clusterBalance(emb: DataFrame, seeds: Seq[(Int, Seq[Double])],
+                     perCluster: Int, keepHardest: Boolean = false): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    require(seeds.map(_._1).sorted == seeds.indices.toList,
+      s"seed ids must be the contiguous 0..${seeds.size - 1} (element_at lookup)")
+    import graft.functions.{NearestCentroidExpr, VectorFns}
+    val assigned = emb
+      .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("__v"))
+      .select(col("vec_id"), col("__v"),
+        NearestCentroidExpr.nearestCentroid(col("__v"), seeds).as("cluster_id"))
+    // best = LOWEST rank in both modes; the heap keeps GREATEST score with
+    // ties to the smaller id, so score = -rank gives (rank asc, vec_id asc)
+    val score =
+      if (keepHardest) {
+        // dot with the ASSIGNED centroid via a literal per-cluster dot array —
+        // one native DotProductExpr per seed, constant-folded lookup by id
+        val dots = array(seeds.sortBy(_._1).map { case (_, c) =>
+          VectorFns.dot(col("__v"),
+            array(c.map(lit): _*).cast("array<double>"))
+        }: _*)
+        -VectorFns.simKey(element_at(dots, col("cluster_id") + 1))
+      } else
+        -conv(substring(md5(col("vec_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").cast("double")
+    assigned
+      .groupBy(col("cluster_id"))
+      .agg(graft.functions.TopKByScoreAgg.topKByScore(
+        score, col("vec_id"), perCluster).as("__kept"))
+      .select(col("cluster_id"), posexplode(col("__kept")).as(Seq("__pos", "__k")))
+      .select(col("__k.id").as("vec_id"), col("cluster_id"),
+        (col("__pos") + 1).cast("long").as("keep_rank"))
+  }
 }

@@ -572,6 +572,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("clusterBalance is one heap aggregation: a single exchange, no window sort") {
+    val emb = Tables.embeddings(spark, d)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int"),
+        graft.functions.VectorFns.toDoubleArray(col("embedding")))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toSeq
+    val df = graft.operators.Curation.clusterBalance(emb, seeds, perCluster = 40)
+    df.collect()
+    val p = physical(df).split("== Initial Plan ==").head
+    // map-only assignment -> k-bounded heap agg on cluster_id; a row_number
+    // window here would sort a power-law hot cluster in ONE task at 100 TB
+    assert(!p.contains("Window"), s"quota must not use a window sort:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+  }
+
   test("winnow fingerprinting is map-only: zero exchanges") {
     val docs = Tables.documents(spark, d)
     val df = graft.operators.Dedup.winnowFingerprints(docs, k = 5, w = 4)

@@ -644,4 +644,30 @@ class SimilaritySpec extends SparkSpec {
     val b2 = emb.select(VectorFns.hyperplaneBucket($"embedding", 4, 8, 0).as("b"))
     assert(rowList(b1) === rowList(b2))
   }
+
+  test("clusterBalance: assignment by dot argmax, quota binds, hardest mode keeps the margin") {
+    import graft.operators.Curation
+    // two axis-aligned clusters: ids 0-3 near +x (cluster 0), 10-13 near +y
+    // (cluster 1); within each, increasing off-axis drift = decreasing
+    // prototypicality. Seeds are the pure axes.
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0.8f, 0.2f)), (3L, Seq(0.7f, 0.3f)),
+      (10L, Seq(0.0f, 1.0f)), (11L, Seq(0.1f, 0.9f)), (12L, Seq(0.2f, 0.8f)), (13L, Seq(0.3f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    val seeds = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val all = Curation.clusterBalance(rows, seeds, perCluster = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(all === Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0,
+      10L -> 1, 11L -> 1, 12L -> 1, 13L -> 1))
+    // quota binds: 2 per cluster, balance mode keeps a deterministic hash pick
+    val bal = Curation.clusterBalance(rows, seeds, perCluster = 2)
+    assert(bal.count() === 4)
+    assert(rowSet(bal) === rowSet(Curation.clusterBalance(rows, seeds, perCluster = 2)),
+      "hash-ranked quota must be deterministic")
+    // hardest mode keeps the LEAST prototypical two of each cluster (most
+    // off-axis drift = lowest assigned-centroid dot)
+    val hard = Curation.clusterBalance(rows, seeds, perCluster = 2, keepHardest = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hard === Set((3L, 0, 1L), (2L, 0, 2L), (13L, 1, 1L), (12L, 1, 2L)), s"got $hard")
+  }
 }
