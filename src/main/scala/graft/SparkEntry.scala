@@ -2279,6 +2279,28 @@ object SparkEntry {
               FROM b a JOIN b b2 ON a.fp = b2.fp AND a.doc_id < b2.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    Q("dedup_winnow_incremental", // the cross-snapshot lifecycle the sampled
+      // fingerprint table exists for: the new-crawl slice (doc_id % 20 = 0)
+      // checked against the frozen rest-of-corpus's persisted (doc_id, fp)
+      // table — base never re-fingerprinted, base postings df-bounded; the
+      // w+k-1 guarantee carries across snapshots, so planted near-dup pairs
+      // that straddle the split surface here
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.incrementalWinnowPairs(
+          docs.filter(col("doc_id") % 20 === 0),
+          docs.filter(col("doc_id") % 20 =!= 0),
+          k = 5, w = 4, minShared = 3L, maxDf = 1000, md5Keys = true)
+      },
+      Some(winnowSelCtes + """,
+              basef AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 <> 0),
+              batchf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 = 0),
+              good AS (SELECT fp FROM basef GROUP BY fp HAVING count(*) <= 1000)
+              SELECT batchf.doc_id AS batch_id, basef.doc_id AS base_id,
+                CAST(count(*) AS BIGINT) AS shared_fps
+              FROM batchf JOIN basef USING (fp) JOIN good USING (fp)
+              GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     Q("dedup_minhash_lsh", // DRIVER-VISIBLE recall gate (was rows-only):
       // MinHash-LSH candidate pairs (16 bands x 4 rows, est-Jaccard >= 0.5)
       // vs the EXACT prefix-blocked 3-gram Jaccard truth at the same 0.5
@@ -3680,6 +3702,33 @@ object SparkEntry {
             .select(col("doc_id"))
         val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
           "graft_wmh_sink", flagged, outputMode = "append")
+        docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_new_docs"))
+          .crossJoin(multisetEqualCol(streamed, flagged(docs)))
+          .select(col("n_new_docs"), col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_new_docs, TRUE AS stream_equals_batch
+              FROM documents WHERE doc_id % 5 = 0""")),
+
+    Q("w_stream_winnow_matches", // streaming SUBSTRING-overlap suspect stream
+      // as a stream≡batch gate: new docs (doc_id % 5 = 0) stream against the
+      // frozen base's persisted winnowing fingerprint table — the per-row
+      // WinnowExpr projection needs no streaming aggregation state, stateless
+      // stream-static LEFT SEMI join, one doc-keyed dropDuplicates. Flags
+      // docs sharing a >= w+k-1-token run with the base even when whole-doc
+      // MinHash similarity stays below threshold. Same chain re-runs in
+      // batch; settled stream output must equal it multiset-exactly.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // the persisted base artifact: materialize once so the stream pass
+        // and its batch twin probe the SAME table
+        val baseFps = Dedup.winnowFingerprints(
+          docs.filter(col("doc_id") % 5 =!= 0), k = 5, w = 4).localCheckpoint(true)
+        def flagged(src: DataFrame): DataFrame =
+          StreamingViews.streamWinnowBaseMatches(
+            src.filter(col("doc_id") % 5 === 0), baseFps, k = 5, w = 4)
+            .select(col("doc_id"))
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wwin_sink", flagged, outputMode = "append")
         docs.filter(col("doc_id") % 5 === 0).agg(count(lit(1)).as("n_new_docs"))
           .crossJoin(multisetEqualCol(streamed, flagged(docs)))
           .select(col("n_new_docs"), col("__eq").as("stream_equals_batch"))

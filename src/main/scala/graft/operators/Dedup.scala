@@ -1245,4 +1245,45 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** Cross-snapshot winnowing pairs — the lifecycle the sampled fingerprint
+    * table EXISTS for: a new crawl `batch` checked against the already-
+    * ingested `base` without re-processing it. Returns
+    * `(batch_id, base_id, shared_fps)` with shared_fps >= `minShared`; the
+    * w+k-1 guarantee holds across snapshots (both sides select identical
+    * fingerprints inside a shared run), so recall floors carry over.
+    *
+    * Scale shape: the base reduces to its DISTINCT (doc_id, fp) fingerprint
+    * table — ~2/(w+1) of the base gram stream, the artifact cheap enough to
+    * PERSIST per snapshot (at 100 TB a pre-materialized table bucketed on
+    * `fp`, exactly like the base tables [[incrementalDedup]] and
+    * [[incrementalDuplicateSpans]] assume — [[winnowPairsAgainstIndex]] takes
+    * it directly); only batch-sized data shuffles against it. Base postings
+    * are df-bounded like [[winnowPairs]] (a stop-phrase fingerprint caps at
+    * maxDf base candidates per batch fingerprint). */
+  def incrementalWinnowPairs(batch: DataFrame, base: DataFrame, k: Int = 5,
+                             w: Int = 4, minShared: Long = 2L, maxDf: Int = 1000,
+                             md5Keys: Boolean = false): DataFrame =
+    winnowPairsAgainstIndex(
+      winnowFingerprints(batch, k, w, md5Keys),
+      winnowFingerprints(base, k, w, md5Keys), minShared, maxDf)
+
+  /** [[incrementalWinnowPairs]] against a PRE-MATERIALIZED base fingerprint
+    * table (`(doc_id, fp)` rows, e.g. a persisted [[winnowFingerprints]]
+    * snapshot) — the form a production refresh runs so the base corpus is
+    * never re-fingerprinted. */
+  def winnowPairsAgainstIndex(batchFps: DataFrame, baseFps: DataFrame,
+                              minShared: Long = 2L, maxDf: Int = 1000): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val bFps = batchFps.select("doc_id", "fp").distinct()
+    val base = baseFps.select("doc_id", "fp").distinct()
+    val good = base.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    bFps.select(col("fp"), col("doc_id").as("batch_id"))
+      .join(base.join(good, Seq("fp"), "left_semi")
+        .select(col("fp"), col("doc_id").as("base_id")), Seq("fp"))
+      .groupBy("batch_id", "base_id")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

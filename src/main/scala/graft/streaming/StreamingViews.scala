@@ -262,6 +262,42 @@ object StreamingViews {
       .dropDuplicatesWithinWatermark("doc_id")
   }
 
+  /** Streaming near-dup suspect stream, WINNOWING edition: emits each
+    * streamed doc sharing at least one winnowing fingerprint with the static
+    * base corpus's persisted fingerprint table
+    * ([[graft.operators.Dedup.winnowFingerprints]] — the ~2/(w+1)-sampled
+    * artifact a snapshot keeps precisely so live ingest can probe it). The
+    * [[streamMinhashBaseMatches]] contract for SUBSTRING-level overlap: the
+    * w+k-1 guarantee means any streamed doc sharing a run of that many tokens
+    * with the base flags here, where whole-doc MinHash similarity can stay
+    * below its threshold (a long fresh doc quoting one base paragraph). The
+    * winnow selection ([[graft.functions.WinnowExpr]]) is a per-row
+    * projection — no streaming aggregation state — so the pipeline is the
+    * same stateless stream-static LEFT SEMI join + one doc-keyed
+    * dropDuplicates (watermark-boundable). Candidate-level flagging; the
+    * exact span/containment re-check runs in batch quarantine.
+    * `md5Keys` must match how the base table was built. */
+  def streamWinnowBaseMatches(docs: DataFrame, baseFps: DataFrame,
+                              k: Int = 5, w: Int = 4, md5Keys: Boolean = false,
+                              watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+    import graft.functions.{TextFns, WinnowExpr}
+    val hash = (g: org.apache.spark.sql.Column) =>
+      if (md5Keys) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
+      else xxhash64(g)
+    val tagged = docs
+      .withColumn("__toks", TextFns.tokens(col("text")))
+      .withColumn("__grams", TextFns.shinglesFromTokens(col("__toks"), k))
+      .withColumn("__hs", transform(col("__grams"), hash))
+      .withColumn("__f", explode(WinnowExpr.winnow(col("__hs"), w)))
+      .select((docs.columns.map(col) :+ col("__f.fp").as("fp")): _*)
+    val matched = tagged
+      .join(baseFps.select(col("fp")), Seq("fp"), "left_semi")
+      .drop("fp")
+    if (watermarkCol.isEmpty) matched.dropDuplicates("doc_id")
+    else matched.withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark("doc_id")
+  }
+
   /** Streaming near-dup suspect stream, EMBEDDING edition: emits each streamed
     * vector sharing at least one hyperplane-LSH bucket with the static base
     * corpus ([[graft.operators.Similarity.hyperplaneTagTable]] — persisted,

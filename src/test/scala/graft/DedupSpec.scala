@@ -547,4 +547,36 @@ class DedupSpec extends SparkSpec {
     assert(bounded.size < 10000, s"df bound failed: ${bounded.size} pairs")
     assert(truth.subsetOf(bounded), "df bound must not drop true near-dup pairs")
   }
+
+  test("incrementalWinnowPairs: batch-vs-base only, guarantee across snapshots, index form equal") {
+    val shared = "zq alpha beta gamma delta epsilon zeta eta theta iota"
+    val base = Seq(
+      (1L, "base doc one with " + shared + " inside it somewhere"),
+      (2L, "base doc two with " + shared + " inside it also"), // base-internal dup of 1
+      (3L, "unrelated base content about something else entirely here today")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, shared + " quoted by a fresh crawl document tail"),
+      (101L, "completely novel batch document with no base overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalWinnowPairs(batch, base, k = 5, w = 4, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the quoting batch doc pairs with BOTH base carriers; base-internal and
+    // batch-internal pairs are out of contract; the novel doc pairs with none
+    assert(got === Set((100L, 1L), (100L, 2L)), s"got $got")
+    // the persisted-index form sees the identical pairs from a materialized
+    // base fingerprint table (the per-snapshot artifact)
+    val baseFps = Dedup.winnowFingerprints(base, k = 5, w = 4).localCheckpoint(true)
+    val viaIndex = Dedup.winnowPairsAgainstIndex(
+      Dedup.winnowFingerprints(batch, k = 5, w = 4), baseFps, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === got)
+    // base-side df bound: a fingerprint carried by every base doc is culled
+    val hotBase = (1L to 30L).map(i => (i, shared + s" base variant $i")).toDF("doc_id", "text")
+    val boundedPairs = Dedup.incrementalWinnowPairs(batch, hotBase, k = 5, w = 4,
+      minShared = 1L, maxDf = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(boundedPairs.isEmpty,
+      s"df<=5 bound must cull the 30-doc-hot fingerprints, got $boundedPairs")
+  }
 }

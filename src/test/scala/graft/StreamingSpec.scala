@@ -678,6 +678,37 @@ class StreamingSpec extends SparkSpec {
       s"exactly the base near-copies must flag, once each: $flagged")
   }
 
+  test("streaming winnow gate: substring-quoting docs flag once, novel docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val shared = "zq alpha beta gamma delta epsilon zeta eta" // w+k-1 = 8 tokens
+    val base = Seq(
+      (1L, "base document carrying " + shared + " in the middle of it")
+    ).toDF("doc_id", "text")
+    val baseFps = graft.operators.Dedup.winnowFingerprints(base, k = 5, w = 4)
+      .localCheckpoint(true)
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingViews.streamWinnowBaseMatches(
+        stream.toDF().toDF("doc_id", "text"), baseFps, k = 5, w = 4)
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("t_winnow_matches").start()
+    try {
+      // 10 quotes the base run inside otherwise-fresh text (the case whole-doc
+      // MinHash misses); 11 is novel
+      stream.addData((10L, "fresh crawl text then " + shared + " then a long novel tail"),
+        (11L, "completely unrelated content about parquet column pruning today"))
+      q.processAllAvailable()
+      // replay of 10 must not re-emit; 12 = another quoting doc
+      stream.addData((10L, "fresh crawl text then " + shared + " then a long novel tail"),
+        (12L, shared + " opens this otherwise new document entirely"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flagged = spark.table("t_winnow_matches").collect().map(_.getLong(0)).toSeq
+    assert(flagged.sorted === Seq(10L, 12L),
+      s"exactly the quoting docs must flag, once each: $flagged")
+  }
+
   test("streaming cosine near-dup: base-neighborhood vectors flag once, novel pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
