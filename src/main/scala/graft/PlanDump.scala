@@ -278,7 +278,28 @@ object PlanDump {
          "builds once — `array_intersect` vs a literal rebuilds its hash set " +
          "per row, measured 4x slower), the k counts stack through one " +
          "map-only Generate — no join, no aggregation, NO exchange (the pin " +
-         "is 0); append-mode-safe over a document stream.")
+         "is 0); append-mode-safe over a document stream."),
+      ("pipeline_remove_boilerplate_stateless",
+       "Frozen-model boilerplate removal (the CCNet step's apply half): the " +
+         "xxhash64 segment model probes the scalar `longsetcontainsexpr` " +
+         "kernel inside a higher-order filter — scan → project, NO exchange " +
+         "(the pin is 0); runs unchanged on a stream. The fit+apply join " +
+         "form's anti join broadcasts the segments/minDf-bounded model " +
+         "(PlanSpec pins BroadcastHashJoin LeftAnti)."),
+      ("dedup_winnow_fingerprints",
+       "Winnowing (MOSS) fingerprints: tokenize → shingle → md5-60-bit hash " +
+         "→ the native `winnowexpr` rightmost-min window scan, all fused in " +
+         "one projection pipeline over the scan + a Generate for the " +
+         "~2/(w+1)-sampled selections — map-only, NO exchange (the pin is " +
+         "0); the fingerprint stream shuffles only when a consumer " +
+         "aggregates it (winnowPairs' df-bounded self-join)."),
+      ("pipeline_cluster_balance",
+       "Cluster-balanced pruning: map-only seed assignment " +
+         "(`nearestcentroidexpr`, the IVF kernel) feeding ONE k-bounded heap " +
+         "aggregation (`topkbyscoreagg`) keyed on cluster_id — a single " +
+         "exchange carrying at most perCluster rows per cluster per map " +
+         "task, and NO window sort (a row_number quota would sort a " +
+         "power-law hot cluster in one task at 100 TB).")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section
