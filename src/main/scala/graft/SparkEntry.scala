@@ -3364,6 +3364,27 @@ object SparkEntry {
               CAST((doc_id % 12) + 1 AS BIGINT) AS height
               FROM documents""")),
 
+    Q("multimodal_resize", // REAL pixel-level nearest-neighbor resize: the
+      // synthetic BMPs (dims doc_id%16+1 x doc_id%12+1) resize to 8x8 through
+      // actual padded-BGR-row sampling + re-encode, then the features come
+      // from re-PARSING the resized bytes — so a hash match proves the
+      // decode→resize→encode→decode chain; byte_len is the 24-bit BMP
+      // constant 54 + 24·8 = 246. Pixel-level sampling correctness (which no
+      // SQL oracle can replay) is pinned in MultimodalSpec on hand-built
+      // images.
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.resizeImages(s,
+            Multimodal.syntheticImagesFromDocuments(s, Tables.documents(s, d)).toDF(),
+            dstW = 8, dstH = 8).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"),
+          col("byte_len").cast("long").as("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")),
+      Some("""SELECT doc_id AS media_id, 'bmp' AS format, CAST(246 AS BIGINT) AS byte_len,
+              CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+              FROM documents""")),
+
     Q("multimodal_frame_sample",
       (s, d) => Multimodal.sampleOffsets(
         Multimodal.mediaFromDocuments(Tables.documents(s, d)), Seq(1, 101, 201, 301)),

@@ -89,4 +89,54 @@ class MultimodalSpec extends SparkSpec {
       Seq(1L, 1, "41"), Seq(1L, 3, "43"),   // 'A', 'C'
       Seq(2L, 1, "78")))                     // 'x'; offsets 3/100 out of range
   }
+
+  /** Hand-built w x h 24-bit BMP whose pixel (x, y) is the BGR triple
+    * (x, y, 0xAA) — every pixel identifies its own coordinates. */
+  private def coordBmp(w: Int, h: Int): Array[Byte] = {
+    val base = Multimodal.encodeBmp(w, h, seed = 0L)
+    val rowSize = ((3 * w + 3) / 4) * 4
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = 54 + y * rowSize + x * 3
+      base(i) = x.toByte; base(i + 1) = y.toByte; base(i + 2) = 0xAA.toByte
+    }
+    // zero the row-padding bytes the LCG filled, so byte equality is exact
+    for (y <- 0 until h; p <- 3 * w until rowSize) base(54 + y * rowSize + p) = 0
+    base
+  }
+
+  private def pixel(b: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val rowSize = ((3 * w + 3) / 4) * 4
+    val i = 54 + y * rowSize + x * 3
+    ((b(i) & 0xff), (b(i + 1) & 0xff), (b(i + 2) & 0xff))
+  }
+
+  test("resizeBmp: nearest-neighbor sampling exact on coordinate-tagged pixels") {
+    // upscale 2x2 -> 4x4: each src pixel replicates into a 2x2 block
+    val up = Multimodal.resizeBmp(coordBmp(2, 2), 4, 4).get
+    assert(Multimodal.decodeHeader(up) === ("bmp", 4, 4))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(pixel(up, 4, x, y) === (x / 2, y / 2, 0xAA), s"up($x,$y)")
+    // downscale 4x4 -> 2x2: picks src (0,0), (2,0), (0,2), (2,2)
+    val down = Multimodal.resizeBmp(coordBmp(4, 4), 2, 2).get
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(pixel(down, 2, x, y) === (2 * x, 2 * y, 0xAA), s"down($x,$y)")
+    // 1x1 collapses to src (0,0); identity resize is byte-identical
+    assert(pixel(Multimodal.resizeBmp(coordBmp(3, 3), 1, 1).get, 1, 0, 0) === (0, 0, 0xAA))
+    assert(Multimodal.resizeBmp(coordBmp(3, 2), 3, 2).get.toSeq === coordBmp(3, 2).toSeq)
+    // non-BMP and truncated payloads refuse instead of mis-parsing
+    assert(Multimodal.resizeBmp("not an image".getBytes, 2, 2).isEmpty)
+    assert(Multimodal.resizeBmp(coordBmp(4, 4).take(60), 2, 2).isEmpty)
+  }
+
+  test("resizeImages: BMPs resize, non-BMP rows pass through unchanged") {
+    import spark.implicits._
+    val mixed = Seq(
+      Multimodal.MediaRecord(1L, "image/bmp", Multimodal.encodeBmp(5, 3, seed = 7L)),
+      Multimodal.MediaRecord(2L, "text/plain", "just text".getBytes)
+    ).toDS().toDF()
+    val out = Multimodal.resizeImages(spark, mixed, 8, 8).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(Multimodal.decodeHeader(out(1L).payload) === ("bmp", 8, 8))
+    assert(out(2L).payload.toSeq === "just text".getBytes.toSeq)
+  }
 }
