@@ -39,10 +39,11 @@ object Bench {
     // the unigram-LM (SentencePiece-family) train+encode path
     "text_lm_score_kn_transfer", "text_unigram_token_count",
     // round-11 capabilities: CCNet-style boilerplate removal (map-only frozen-
-    // model form), winnowing (MOSS) sampled-fingerprint near-dup pairs, and
-    // cluster-balanced pruning (Sorscher et al. / DataComp)
+    // model form), winnowing (MOSS) sampled-fingerprint near-dup pairs,
+    // cluster-balanced pruning (Sorscher et al. / DataComp), and IVF-probed
+    // hard-negative mining for contrastive training data
     "pipeline_remove_boilerplate_stateless", "dedup_winnow_pairs",
-    "pipeline_cluster_balance")
+    "pipeline_cluster_balance", "sim_hard_negatives_ivf")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

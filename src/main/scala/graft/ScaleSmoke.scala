@@ -644,6 +644,16 @@ object ScaleSmoke {
         "a seed cluster starved below its quota")
       n
     }
+    // hard-negative mining, batch shape: 1000 anchors against the 1M corpus
+    // through the IVF probe (the all-pairs form would be 1000 x 1M dots —
+    // the probe visits nprobe/nlist of the corpus per anchor); labels are
+    // synthetic vec_id % 10, so ~90% of candidates are wrong-label and every
+    // anchor fills its k=5 — the exact-count invariant
+    time("hardNegativesIvf 1000 anchors vs 1M corpus", exactly(5000)) {
+      val lvecs = vecs.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+      graft.operators.Classify.hardNegativesIvf(lvecs, k = 5,
+        nlist = 64, nprobe = 8, queries = Some(lvecs.filter(col("vec_id") < 1000))).count()
+    }
     // embedding-side cross-snapshot near-dedup: 100k new vs 900k frozen —
     // bare tag rows cross the bucket join, vectors re-attach to candidates.
     // Every batch vector id >= 10 (id % 10 == 0) has its planted near-copy at

@@ -3069,6 +3069,41 @@ object SparkEntry {
               SELECT vec_id, label, pred_label, centroid_cos, pred_label = label AS correct
               FROM pred WHERE rn = 1""")),
 
+    Q("sim_hard_negatives", // hard-negative mining for contrastive training
+      // (DPR / triplet mining): per anchor the 5 highest-cosine DIFFERENT-
+      // label vectors — the close-but-wrong negatives InfoNCE wants, mined as
+      // a corpus join. Exact all-pairs form, deterministic (rounded cosine,
+      // vec_id tie-break) → fully hash-oracled; the IVF twin below is the
+      // 100 TB path and this entry is its recall oracle.
+      (s, d) => Classify.hardNegatives(Tables.embeddings(s, d), k = 5),
+      Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
+                  (acc, x) -> acc + x), 6) AS cosine
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label <> b.label),
+              r AS (SELECT query_id, vec_id, cosine,
+                row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+                FROM p)
+              SELECT query_id, vec_id, cosine, CAST(rnk AS INT) AS rank
+              FROM r WHERE rnk <= 5""")),
+
+    Q("sim_hard_negatives_ivf", // the scale twin as a DRIVER-VISIBLE recall
+      // gate: candidates from the IVF probe's nprobe cells (label filter
+      // BEFORE the heap, probes shuffle on cell — batch shape), recall@5 vs
+      // the exact form measured 0.85 on the near-orthogonal fixture, gated
+      // at 0.75; counts hash-oracled, boolean TRUE
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        topkRecallGate(
+          Classify.hardNegatives(emb, k = 5),
+          Classify.hardNegativesIvf(emb, k = 5, nlist = 8, nprobe = 5),
+          k = 5, floor = 0.75)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(5 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings""")),
+
     Q("sim_knn_classify", // instance-based classification (label propagation):
       // exact 5-NN majority vote, heap-bounded top-k + (n·k)-row vote agg,
       // deterministic tie-break (votes, closest rank, label) → hash-oracled.

@@ -33,9 +33,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   *
   * Semantics contract (keep in sync with the DuckDB oracle): fewer than `w`
   * hashes → empty result (short docs carry no fingerprints — the guarantee
-  * needs w+k-1 tokens anyway); null elements never win a window (treated as
-  * Long.MaxValue — gram-hash inputs are never null in practice); null array
-  * → null.
+  * needs w+k-1 tokens anyway); null elements never BECOME a fingerprint
+  * (treated as Long.MaxValue for the min, and a window whose winner is a
+  * null element emits nothing — gram-hash inputs are never null in practice,
+  * so this only guards malformed input); null array → null.
   */
 case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
 
@@ -66,7 +67,9 @@ case class WinnowExpr(child: Expression, w: Int) extends UnaryExpression {
         if (v <= m) { m = v; mp = j } // <= : rightmost occurrence wins ties
         j += 1
       }
-      if (mp != lastPos) {
+      // a window whose winner is a null element (only possible when every
+      // element is null, or a null ties MaxValue) yields no fingerprint
+      if (mp != lastPos && !arr.isNullAt(mp)) {
         out += InternalRow(mp, m)
         lastPos = mp
       }

@@ -188,6 +188,57 @@ object Classify {
     voteOnNeighbors(nn, embeddings.select(col("vec_id"), col("label")))
   }
 
+  /** Hard-negative mining for contrastive training — the embedding-side
+    * training-data op (DPR, Karpukhin et al. 2020; triplet mining, Schroff et
+    * al. 2015): for each anchor vector, the k highest-cosine vectors carrying
+    * a DIFFERENT label. In-batch random negatives are mostly easy; the
+    * close-but-wrong-label ones are what InfoNCE/triplet losses need, and
+    * mining them is a corpus-scale join problem — this engine's job.
+    * Returns (query_id, vec_id, cosine, rank), rank 1 = hardest.
+    *
+    * Exact all-pairs form (anchor side broadcasts — the `bruteForceTopK`
+    * contract): the recall oracle for [[hardNegativesIvf]], the 100 TB path.
+    * `queries` restricts which anchors are mined (negatives still come from
+    * the full labeled corpus). */
+  def hardNegatives(embeddings: DataFrame, k: Int = 5,
+                    queries: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFns
+    val q = queries.getOrElse(embeddings)
+      .select(col("vec_id").as("query_id"), col("label").as("__q_label"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+    val c = embeddings.select(col("vec_id"), col("label").as("__n_label"),
+      VectorFns.toDoubleArray(col("embedding")).as("emb"))
+    val scored = broadcast(q).join(c,
+        col("query_id") =!= col("vec_id") && col("__q_label") =!= col("__n_label"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
+    Similarity.heapTopK(scored, k)
+  }
+
+  /** [[hardNegatives]]' scale twin: candidates come from the IVF probe's
+    * nprobe cells instead of the all-pairs scan (label filter applied BEFORE
+    * the heap, so the k kept are genuinely wrong-label). Batch-kNN shape like
+    * [[knnClassifyIvf]]: probes shuffle on cell (never broadcast a
+    * corpus-sized anchor set), sampled one-collect centroid fit. Recall vs
+    * the exact form is the driver-gated quality bound. */
+  def hardNegativesIvf(embeddings: DataFrame, k: Int = 5,
+                       nlist: Int = 8, nprobe: Int = 5,
+                       queries: Option[DataFrame] = None): DataFrame = {
+    import graft.functions.VectorFns
+    val cents = Similarity.trainCentroidsSampled(embeddings, nlist)
+    val assigned = Similarity.ivfAssignments(embeddings, cents)
+      .join(embeddings.select(col("vec_id"), col("label").as("__n_label")), "vec_id")
+    val probed = queries.getOrElse(embeddings)
+      .select(col("vec_id").as("query_id"), col("label").as("__q_label"),
+        VectorFns.toDoubleArray(col("embedding")).as("q_emb"))
+      .withColumn("cell", explode(Similarity.nearestCells(col("q_emb"), cents, nprobe)))
+    val cand = probed.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id") && col("__q_label") =!= col("__n_label"))
+      .select(col("query_id"), col("vec_id"),
+        VectorFns.simKey(VectorFns.dot(col("q_emb"), col("emb"))).as("cosine"))
+    Similarity.heapTopK(cand, k)
+  }
+
   /** Majority vote over a (query_id, vec_id, rank) neighbor list — the
     * neighbor-source-agnostic half of k-NN classification. */
   private def voteOnNeighbors(nn: DataFrame, labels: DataFrame): DataFrame = {

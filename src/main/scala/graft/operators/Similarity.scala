@@ -199,7 +199,7 @@ object Similarity {
     * task forwards at most k candidates per query to the shuffle — the window-rank
     * form would shuffle and sort EVERY candidate. Output matches
     * `row_number over (partition by query_id order by cosine desc, vec_id)` <= k. */
-  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def heapTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(TopKByScoreAgg.topKByScore(col("cosine"), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -226,7 +226,7 @@ object Similarity {
     * native [[graft.functions.NearestCellsExpr]], same constant-codegen-size
     * rationale as [[bestCell]], so probing stays fast even when the query set
     * is corpus-sized (batch kNN). */
-  private def nearestCells(emb: Column, centroids: Centroids, nprobe: Int): Column =
+  private[operators] def nearestCells(emb: Column, centroids: Centroids, nprobe: Int): Column =
     graft.functions.NearestCellsExpr.nearestCells(emb, centroids, nprobe)
 
   /** Driver-side collect of a persisted-index probe fan-out: one

@@ -187,4 +187,36 @@ class ClassifySpec extends SparkSpec {
     // zero-division convention: unpredicted class scores precision 0, f1 0
     assert(r("c") === ((1L, 0L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("hardNegatives mines the infiltrator, never a same-label vector") {
+    // cluster A (label 0) + one label-1 vector planted INSIDE it: every
+    // label-0 anchor's hardest negative must be the infiltrator (9), not the
+    // distant label-1 cluster; label filter excludes all cluster-mates
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Array(0.99f, -0.1f, 0.0f, 0.0f), 0),
+      (9L, Array(0.97f, 0.05f, 0.2f, 0.0f), 1), // the infiltrator
+      (5L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (6L, Array(0.1f, 0.99f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Classify.hardNegatives(emb, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val byAnchor = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList)
+    for (a <- Seq(1L, 2L, 3L))
+      assert(byAnchor(a).head === 9L, s"anchor $a hardest: ${byAnchor(a)}")
+    // no same-label pair anywhere
+    val labels = Map(1L -> 0, 2L -> 0, 3L -> 0, 9L -> 1, 5L -> 1, 6L -> 1)
+    assert(rows.forall { case (q, n, _) => labels(q) != labels(n) }, rows.mkString(","))
+    // rank 1 = hardest = highest cosine (anchor 9's are its A-cluster hosts)
+    assert(byAnchor(9L).toSet.subsetOf(Set(1L, 2L, 3L)))
+    // the IVF twin keeps the driver-gated recall on the real fixture
+    val fix = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val exact = Classify.hardNegatives(fix, k = 5).select("query_id", "vec_id")
+    val ivf = Classify.hardNegativesIvf(fix, k = 5).select("query_id", "vec_id")
+    val recall = ivf.join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+      .toDouble / exact.count()
+    info(f"hardNegativesIvf recall@5 = $recall%.3f")
+    assert(recall >= 0.75, f"IVF hard-negative recall $recall%.3f below 0.75")
+  }
 }

@@ -931,4 +931,61 @@ class PropertySpec extends SparkSpec {
       assert(got === exp, s"ES ranking diverged: $got vs $exp")
     }
   }
+
+  test("WinnowExpr equals the rightmost-min reference for every hash array and window") {
+    // duplicate-heavy small domain forces tie-breaks; occasional nulls
+    // exercise the null-winner guard (a null never becomes a fingerprint)
+    val genArr: Gen[List[Option[Long]]] =
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n,
+        Gen.frequency(9 -> Gen.choose(0L, 6L).map(Some(_)), 1 -> Gen.const(None))))
+    def ref(hs: List[Option[Long]], w: Int): Set[(Int, Long)] =
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).flatMap { i =>
+        val win = hs.slice(i, i + w).map(_.getOrElse(Long.MaxValue))
+        val m = win.min
+        val mp = i + win.lastIndexOf(m)
+        if (hs(mp).isEmpty) None else Some((mp, m))
+      }.toSet
+    forAll(genArr, runs = 24) { hs =>
+      for (w <- Seq(1, 2, 3, 5)) {
+        val got = Seq(Tuple1(hs)).toDF("hs")
+          .select(explode(graft.functions.WinnowExpr.winnow($"hs", w)).as("f"))
+          .select("f.pos", "f.fp").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+        assert(got === ref(hs, w), s"w=$w hs=$hs")
+        // structural invariants: selections are gram positions, non-decreasing
+        // order arrives pre-deduplicated, density bounded by windows
+        val poss = Seq(Tuple1(hs)).toDF("hs")
+          .select(explode(graft.functions.WinnowExpr.winnow($"hs", w)).as("f"))
+          .select("f.pos").collect().map(_.getInt(0)).toList
+        assert(poss === poss.sorted && poss.distinct == poss, s"w=$w positions $poss")
+        assert(poss.size <= math.max(0, hs.length - w + 1))
+      }
+    }
+  }
+
+  test("stateless frequent-segment removal is idempotent for every doc set") {
+    val genSeg: Gen[String] = Gen.oneOf("alpha beta", "subscribe now", "gamma",
+      "delta content here", "zq banner")
+    val genDoc: Gen[String] =
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genSeg)).map(_.mkString(". "))
+    val genDocs: Gen[List[String]] = Gen.choose(2, 25).flatMap(n => Gen.listOfN(n, genDoc))
+    forAll(genDocs, runs = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = graft.operators.Dedup.frequentSegmentModel(df, minDf = 3)
+      val once = graft.operators.Dedup.removeFrequentSegmentsStateless(df, model)
+      val twice = graft.operators.Dedup.removeFrequentSegmentsStateless(
+        once.select(col("doc_id"), col("text_cleaned").as("text")), model)
+      // pass 2 over cleaned text removes nothing: the kept segments are by
+      // construction outside the model, and reassembly with ". " re-splits
+      // into exactly those segments
+      assert(twice.agg(sum("n_segments_removed")).head().getLong(0) === 0L,
+        s"second pass removed segments: ${rowList(twice)}")
+      assert(rowSet(twice.select(col("doc_id"), col("text_cleaned"))) ===
+        rowSet(once.select(col("doc_id"), col("text_cleaned"))))
+      // and the join form agrees with the stateless form on every corpus
+      assert(rowSet(graft.operators.Dedup.removeFrequentSegments(df, minDf = 3)) ===
+        rowSet(once))
+    }
+  }
 }
