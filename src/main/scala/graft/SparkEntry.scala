@@ -116,6 +116,38 @@ object SparkEntry {
          CAST(len(t.segs) - len(list_filter(t.segs, s -> NOT list_contains(fl.freq, s))) AS BIGINT) AS n_segments_removed
        FROM t, fl"""
 
+  /** Kneser-Ney self-scored tertile CTEs shared by the perplexity-bucket and
+    * curriculum-order oracles: bigram KN probabilities, per-doc mean log
+    * score rounded to 6, tertile thresholds (quantile_cont ≡ Spark's exact
+    * `percentile`, both rounded to 6 before the boundary compare). */
+  private val knBucketCtes: String =
+    """WITH t AS (SELECT doc_id,
+         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+         FROM documents),
+       b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END) AS bg FROM t),
+       cb AS (SELECT bg, count(*) AS c_bg,
+           string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+         FROM b GROUP BY bg),
+       ls AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1p_w1
+         FROM cb GROUP BY w1),
+       rs AS (SELECT w2, count(*) AS n1p_w2,
+           sum(count(*)) OVER () AS n_types
+         FROM cb GROUP BY w2),
+       m AS (SELECT bg,
+           (c_bg - 0.75) / c_w1 + 0.75 * n1p_w1 / c_w1 *
+             (CAST(n1p_w2 AS DOUBLE) / n_types) AS p_kn
+         FROM cb JOIN ls USING (w1) JOIN rs USING (w2)),
+       s AS (SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln(p_kn)), 6) AS kn_score
+         FROM b JOIN m USING (bg) GROUP BY doc_id),
+       th AS (SELECT
+           round(quantile_cont(kn_score, 0.3333333333333333), 6) AS t0,
+           round(quantile_cont(kn_score, 0.6666666666666666), 6) AS t1
+         FROM s)"""
+
   /** Frozen seed centroids for the cluster-balance entries: the vec_id < 8
     * embeddings, ids 0..7 — deterministic and DuckDB-replayable (a fitted
     * k-means model would not be); model-scale collect. */
@@ -1784,37 +1816,55 @@ object SparkEntry {
       // assignment map-only; thresholds and scores round to 6 so the
       // boundary comparison hash-oracles
       (s, d) => Curation.perplexityBuckets(Tables.documents(s, d)),
-      Some("""WITH t AS (SELECT doc_id,
-                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-                FROM documents),
-              b AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
-                  list_transform(generate_series(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i+1])
-                  ELSE [] END) AS bg FROM t),
-              cb AS (SELECT bg, count(*) AS c_bg,
-                  string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
-                FROM b GROUP BY bg),
-              ls AS (SELECT w1, sum(c_bg) AS c_w1, count(*) AS n1p_w1
-                FROM cb GROUP BY w1),
-              rs AS (SELECT w2, count(*) AS n1p_w2,
-                  sum(count(*)) OVER () AS n_types
-                FROM cb GROUP BY w2),
-              m AS (SELECT bg,
-                  (c_bg - 0.75) / c_w1 + 0.75 * n1p_w1 / c_w1 *
-                    (CAST(n1p_w2 AS DOUBLE) / n_types) AS p_kn
-                FROM cb JOIN ls USING (w1) JOIN rs USING (w2)),
-              s AS (SELECT doc_id, count(*) AS n_bigrams,
-                  round(avg(ln(p_kn)), 6) AS kn_score
-                FROM b JOIN m USING (bg) GROUP BY doc_id),
-              th AS (SELECT
-                  round(quantile_cont(kn_score, 0.3333333333333333), 6) AS t0,
-                  round(quantile_cont(kn_score, 0.6666666666666666), 6) AS t1
-                FROM s)
+      Some(knBucketCtes + """
               SELECT doc_id, n_bigrams, kn_score,
                 CAST(3 - (CASE WHEN kn_score > t0 THEN 1 ELSE 0 END +
                           CASE WHEN kn_score > t1 THEN 1 ELSE 0 END) AS BIGINT)
                   AS ppl_bucket
               FROM s, th""")),
+
+    Q("pipeline_curriculum_order", // curriculum data ordering (Bengio et al.
+      // 2009): one sortable key per doc — bucket-major (easy tertile first),
+      // 52-bit md5 shuffle within the bucket; the consumer's orderBy
+      // range-partitions it, so the global training order never sorts in one
+      // task. Same KN-tertile CTEs as pipeline_perplexity_buckets.
+      (s, d) => Curation.curriculumOrder(Tables.documents(s, d)),
+      Some(knBucketCtes + """
+              SELECT doc_id, ppl_bucket,
+                ppl_bucket * 4503599627370496 +
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                  AS order_key
+              FROM (SELECT doc_id,
+                  CAST(3 - (CASE WHEN kn_score > t0 THEN 1 ELSE 0 END +
+                            CASE WHEN kn_score > t1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS ppl_bucket
+                FROM s, th) z""")),
+
+    Q("pipeline_vocab_coverage", // tokenizer-vocabulary coverage monitor: the
+      // corpus's OOV rate against a FROZEN vocab (top-20 tokens of the
+      // doc_id % 20 = 0 reference slice, count-desc tie-to-token — the
+      // deterministic stand-in for a shipped tokenizer). Map-only probe of
+      // the LongSetContainsExpr hashed-set kernel — the drift signal that
+      // catches a crawl going off-domain before training does. topN = 20
+      // because the synthetic corpus has ~31 distinct tokens — 500 would be
+      // vacuous (zero OOV); at 20 every doc carries OOV mass (mean ~0.33).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Curation.vocabCoverage(docs.filter(col("doc_id") % 20 =!= 0),
+          Curation.frequentTokenVocab(docs.filter(col("doc_id") % 20 === 0), topN = 20))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                FROM documents),
+              ref AS (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 20 = 0),
+              v AS (SELECT tok FROM ref GROUP BY tok
+                ORDER BY count(*) DESC, tok ASC LIMIT 20),
+              vl AS (SELECT coalesce(list(tok), []) AS vl FROM v)
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                CAST(len(list_filter(toks, x -> NOT list_contains(vl.vl, x))) AS BIGINT) AS n_oov,
+                round(len(list_filter(toks, x -> NOT list_contains(vl.vl, x))) /
+                  greatest(len(toks), 1), 6) AS oov_rate
+              FROM t, vl WHERE doc_id % 20 <> 0""")),
 
     Q("text_lm_score_kn_transfer", // the ACTUAL CCNet deployment shape: KN
       // model FROZEN on one corpus half (even doc_ids), odd half scored under

@@ -831,6 +831,59 @@ object Curation {
         (lit(nBuckets) - above).cast("long").as("ppl_bucket"))
   }
 
+  /** Curriculum training order (Bengio et al. 2009, the data-engineering
+    * half): a deterministic GLOBAL order key that walks difficulty buckets
+    * easy → hard while shuffling pseudo-randomly WITHIN each bucket —
+    * `order_key = ppl_bucket · 2^52 + md5_52(doc_id)` (the 52-bit content
+    * hash keeps the key exact in a double too). Difficulty comes from
+    * [[perplexityBuckets]] (bucket 1 = highest KN score = most in-domain =
+    * easiest). Emits `(doc_id, ppl_bucket, order_key)`; the consumer's
+    * `.orderBy(order_key)` range-partitions the sort — the KEY is the
+    * scalable artifact (a materialized global row_number would sort the
+    * corpus in one task — the [[shuffleOrder]] contract, bucket-major). */
+  def curriculumOrder(docs: DataFrame, nBuckets: Int = 3,
+                      discount: Double = 0.75): DataFrame = {
+    require(nBuckets <= 100, s"nBuckets must be <= 100 (key packing), got $nBuckets")
+    perplexityBuckets(docs, nBuckets, discount)
+      .select(col("doc_id"), col("ppl_bucket"),
+        (col("ppl_bucket") * lit(1L << 52) +
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long")).as("order_key"))
+  }
+
+  /** Frozen-vocabulary model for [[vocabCoverage]]: xxhash64 keys of the
+    * top-`topN` reference-corpus tokens by (count DESC, token ASC) — the
+    * deterministic stand-in for a shipped tokenizer's vocab. TopN via
+    * TakeOrderedAndProject (per-partition heap), one token-keyed agg before
+    * it; the collected model is topN longs. */
+  def frequentTokenVocab(docs: DataFrame, topN: Int = 500): Array[Long] = {
+    import org.apache.spark.sql.Encoders
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc)
+      .limit(topN)
+      .select(xxhash64(col("tok")).as("h")).as(Encoders.scalaLong).collect()
+  }
+
+  /** Tokenizer/vocabulary coverage monitor — the governance signal that
+    * catches domain drift BEFORE training does (a corpus whose OOV rate
+    * against the shipped tokenizer's vocab climbs will fragment into
+    * garbage-length token sequences): per-doc `(n_tokens, n_oov, oov_rate)`
+    * against a frozen vocab. MAP-ONLY — token hashes probe the
+    * [[graft.functions.LongSetContainsExpr]] hashed-set kernel inside a
+    * higher-order filter, so the monitor runs at scan speed and unchanged on
+    * a stream (the [[removeFrequentSegmentsStateless]] shape). */
+  def vocabCoverage(docs: DataFrame, vocab: Array[Long]): DataFrame =
+    docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
+        size(filter(col("__toks"), t =>
+          !graft.functions.LongSetContainsExpr.longSetContains(xxhash64(t), vocab)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / greatest(col("n_tokens"), lit(1L)), 6))
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006): every doc draws a pseudo-uniform u from its CONTENT
     * hash and ranks by ln(u)/w — the top `k` such keys are exactly a

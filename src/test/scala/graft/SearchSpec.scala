@@ -766,6 +766,48 @@ class SearchSpec extends SparkSpec {
 
   // ---- per-language quantile gate -------------------------------------------
 
+  test("curriculumOrder: bucket-major easy-first key, md5 shuffle within buckets") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = graft.operators.Curation.curriculumOrder(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === 500)
+    // bucket-major: every bucket-b key sorts before every bucket-(b+1) key
+    val byBucket = r.groupBy(_._2).view.mapValues(_.map(_._3))
+    for (b <- byBucket.keys if byBucket.contains(b + 1))
+      assert(byBucket(b).max < byBucket(b + 1).min, s"bucket $b overlaps ${b + 1}")
+    // within a bucket the order is the 52-bit md5 of doc_id — spot-check one
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h52(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    r.foreach { case (id, b, k) => assert(k === b * (1L << 52) + h52(id), s"doc $id") }
+    // deterministic across invocations
+    assert(graft.operators.Curation.curriculumOrder(docs).collect()
+      .map(_.getLong(2)).sorted.toSeq === r.map(_._3).sorted.toSeq)
+  }
+
+  test("vocabCoverage: OOV counts against a frozen vocab, empty-vocab edge") {
+    val ref = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("doc_id", "text")
+    // top-3 by (count desc, token asc): the(2), sat(2), cat(1) — 'cat' beats
+    // 'dog' on the token tie-break
+    val vocab = graft.operators.Curation.frequentTokenVocab(ref, topN = 3)
+    assert(vocab.length === 3)
+    val target = Seq(
+      (10L, "the cat sat again"),   // 'again' OOV -> 1/4
+      (11L, "dog dog unknown"),     // all three OOV ('dog' missed the topN) -> 3/3
+      (12L, "the the the")          // fully covered -> 0/3
+    ).toDF("doc_id", "text")
+    val r = rowSet(graft.operators.Curation.vocabCoverage(target, vocab))
+    assert(r === Set(
+      Seq(10L, 4L, 1L, 0.25),
+      Seq(11L, 3L, 3L, 1.0),
+      Seq(12L, 3L, 0L, 0.0)))
+    // empty vocab: everything is OOV
+    val all = rowSet(graft.operators.Curation.vocabCoverage(target, Array.empty[Long]))
+    assert(all.forall(row => row(1) == row(2)), s"empty vocab must flag all: $all")
+  }
+
   test("qualityQuantileFilter keeps each language's docs at or above its own median") {
     val corpus = Seq(
       (1L, "one two three four", "en"),      // 4 tokens
