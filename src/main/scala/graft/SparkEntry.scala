@@ -3122,16 +3122,24 @@ object SparkEntry {
     Q("sim_hard_negatives", // hard-negative mining for contrastive training
       // (DPR / triplet mining): per anchor the 5 highest-cosine DIFFERENT-
       // label vectors — the close-but-wrong negatives InfoNCE wants, mined as
-      // a corpus join. Exact all-pairs form, deterministic (rounded cosine,
-      // vec_id tie-break) → fully hash-oracled; the IVF twin below is the
-      // 100 TB path and this entry is its recall oracle.
-      (s, d) => Classify.hardNegatives(Tables.embeddings(s, d), k = 5),
+      // a corpus join. Exact form, deterministic (rounded cosine, vec_id
+      // tie-break) → fully hash-oracled; the IVF twin below is the 100 TB
+      // path and this entry is its recall oracle. Anchors are the
+      // vec_id < 1000 sample (all 500 fixture vectors at sf0.001/0.01; 1/5 of
+      // sf0.1) so the sweep pays anchors × corpus, not corpus² — negatives
+      // still come from the FULL corpus.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Classify.hardNegatives(emb, k = 5,
+          queries = Some(emb.filter(col("vec_id") < 1000)))
+      },
       Some("""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
               p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
                 round(list_reduce(list_prepend(0.0,
                   list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])),
                   (acc, x) -> acc + x), 6) AS cosine
-                FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label <> b.label),
+                FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.label <> b.label
+                WHERE a.vec_id < 1000),
               r AS (SELECT query_id, vec_id, cosine,
                 row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
                 FROM p)
@@ -3142,17 +3150,22 @@ object SparkEntry {
       // gate: candidates from the IVF probe's nprobe cells (label filter
       // BEFORE the heap, probes shuffle on cell — batch shape), recall@5 vs
       // the exact form measured 0.85 on the near-orthogonal fixture, gated
-      // at 0.75; counts hash-oracled, boolean TRUE
+      // at 0.75; counts hash-oracled, boolean TRUE. The gate's anchor set is
+      // the vec_id < 1000 SAMPLE (the knn agreement-gate precedent): the
+      // exact side is the oracle twin and must not be paid corpus-wide twice
+      // per sweep — negatives still come from the FULL corpus on both sides.
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        val anchors = Some(emb.filter(col("vec_id") < 1000))
         topkRecallGate(
-          Classify.hardNegatives(emb, k = 5),
-          Classify.hardNegativesIvf(emb, k = 5, nlist = 8, nprobe = 5),
+          Classify.hardNegatives(emb, k = 5, queries = anchors),
+          Classify.hardNegativesIvf(emb, k = 5, nlist = 8, nprobe = 5,
+            queries = anchors),
           k = 5, floor = 0.75)
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
               CAST(5 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
-              FROM embeddings""")),
+              FROM embeddings WHERE vec_id < 1000""")),
 
     Q("sim_knn_classify", // instance-based classification (label propagation):
       // exact 5-NN majority vote, heap-bounded top-k + (n·k)-row vote agg,

@@ -460,7 +460,21 @@ class PlanSpec extends SparkSpec {
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
       "sim_ivfpq_persisted_append_topk" -> 5, // GATE FORM: two pruned ADC probes (appended + rebuilt) + equality aggs
       "sim_ivf_persisted_delete_topk" -> 5, // GATE FORM: deleted-from pruned probe + the survivor in-memory twin + equality aggs
-      "sim_ivfpq_persisted_delete_topk" -> 5) // GATE FORM: two pruned ADC probes (deleted-from + survivor rebuild) + equality aggs
+      "sim_ivfpq_persisted_delete_topk" -> 5, // GATE FORM: two pruned ADC probes (deleted-from + survivor rebuild) + equality aggs
+      // round-11 operators
+      "pipeline_remove_boilerplate_stateless" -> 0, // frozen-model map-only probe (LongSetContainsExpr in a HOF filter): NO exchange, the streaming apply path
+      "pipeline_remove_boilerplate" -> 3, // count-distinct freq fit (two-phase) + per-doc regroup; the segment anti join BROADCASTS (dedicated pin above)
+      "pipeline_frequent_segments" -> 2, // one count_distinct agg, planned as two hash-agg phases
+      "dedup_winnow_fingerprints" -> 0, // map-only: tokenize -> shingle -> hash -> WinnowExpr, one fused projection + Generate
+      "dedup_winnow_pairs" -> 5, // distinct (doc,fp) + df-bound agg + semi + pair agg; the fingerprint stream itself is map-only
+      "dedup_winnow_incremental" -> 5, // same shape against the base fingerprint table (batch side joins it, base never re-fingerprinted)
+      "pipeline_cluster_balance" -> 1, // map-only seed assignment + ONE k-bounded heap-agg exchange; NO window sort (dedicated pin above)
+      "pipeline_cluster_prune" -> 1, // same dataflow, prototypicality rank
+      "sim_hard_negatives" -> 1, // anchor-broadcast NLJ (label filter in the condition) + one heap-topk exchange
+      "sim_hard_negatives_ivf" -> 4, // GATE FORM: exact twin + cell-keyed probe join + heap-topk + recall aggs
+      "pipeline_curriculum_order" -> 8, // the perplexity-buckets subtree (pinned 8 above) + a map-only key projection
+      "pipeline_vocab_coverage" -> 0, // frozen-vocab map-only probe, the OOV monitor runs at scan speed
+      "multimodal_resize" -> 0) // typed mapPartitions chain (encode -> resize -> parse): payloads never shuffle
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
