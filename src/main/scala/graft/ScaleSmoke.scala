@@ -528,10 +528,13 @@ object ScaleSmoke {
       require(r.getLong(2) == 0L, s"${r.getLong(2)} docs lost their unique body")
       r.getLong(0)
     }
+    // fit OUTSIDE the timer — the deployed lifecycle fits once per snapshot
+    // and applies to the stream, so the A/B row must measure the map-only
+    // APPLY, not fit+apply (the join-form row above pays its own fit)
+    val segModel = graft.operators.Dedup.frequentSegmentModel(segDocs, minDf = 100)
+    require(segModel.length == 1001, s"model size ${segModel.length} != 1001 (banner + 1000 group)")
     time("removeFrequentSegmentsStateless 1M docs (frozen model)", exactly(nDocs)) {
-      val model = graft.operators.Dedup.frequentSegmentModel(segDocs, minDf = 100)
-      require(model.length == 1001, s"model size ${model.length} != 1001 (banner + 1000 group)")
-      val r = graft.operators.Dedup.removeFrequentSegmentsStateless(segDocs, model)
+      val r = graft.operators.Dedup.removeFrequentSegmentsStateless(segDocs, segModel)
         .agg(count(lit(1)), sum(col("n_segments_removed"))).head()
       require(r.getLong(1) == 2 * nDocs, s"removed-segment total off: ${r.getLong(1)}")
       r.getLong(0)

@@ -100,6 +100,71 @@ case class NearestCentroidExpr(child: Expression,
     copy(child = newChild)
 }
 
+/** [[NearestCentroidExpr]] returning `struct<id:int, dot:double>` — for
+  * consumers that need the winning centroid AND its dot product (cluster
+  * prototypicality ranking): ONE constant-size loop instead of the argmax
+  * probe plus an unrolled per-centroid-literal dot array, which at large
+  * nlist re-enters the JIT-size-threshold regime the argmax kernel was built
+  * to escape (126 s vs ~2 s at 1M x 64, per the scaladoc above) and pays the
+  * dot work twice. Same tie contract: larger id wins equal dots. */
+case class NearestCentroidDotExpr(child: Expression,
+                                  centroids: Array[Array[Double]],
+                                  ids: Array[Int])
+  extends UnaryExpression {
+
+  require(centroids.nonEmpty && centroids.length == ids.length,
+    "need one id per centroid row")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_dot expects array<double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", IntegerType, nullable = false),
+    org.apache.spark.sql.types.StructField("dot", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+
+  def probe(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val lim = math.min(n, cent.length)
+      var s = 0.0
+      var i = 0
+      while (i < lim) {
+        if (arr.isNullAt(i)) return null
+        s += arr.getDouble(i) * cent(i)
+        i += 1
+      }
+      if (s > bestSim || (s == bestSim && ids(c) > ids(best))) { bestSim = s; best = c }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(ids(best), bestSim)
+  }
+
+  override def nullSafeEval(input: Any): Any = probe(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, { arr =>
+      val ref = ctx.addReferenceObj("nearestCentroidDot", this,
+        classOf[NearestCentroidDotExpr].getName)
+      val tmp = ctx.freshName("probed")
+      s"""
+         |final Object $tmp = $ref.probe($arr);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDotExpr =
+    copy(child = newChild)
+}
+
 object NearestCentroidExpr {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.graft.ColumnBridge
@@ -107,6 +172,13 @@ object NearestCentroidExpr {
   /** Column form over (id, centroid) pairs. */
   def nearestCentroid(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     ColumnBridge.column(NearestCentroidExpr(
+      ColumnBridge.expression(v),
+      centroids.map(_._2.toArray).toArray,
+      centroids.map(_._1).toArray))
+
+  /** Column form of [[NearestCentroidDotExpr]]: struct(id, dot). */
+  def nearestCentroidWithDot(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    ColumnBridge.column(NearestCentroidDotExpr(
       ColumnBridge.expression(v),
       centroids.map(_._2.toArray).toArray,
       centroids.map(_._1).toArray))

@@ -63,6 +63,18 @@ object TextFns {
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** First `digits` hex digits of md5 as a non-negative long — the
+    * ORACLE-REPRODUCIBLE hash key (DuckDB: `CAST(('0x' || substr(md5(x), 1,
+    * digits)) AS BIGINT)`). 15 digits = 60 bits (winnowing selection keys,
+    * where hash ORDER must match across engines); 13 digits = 52 bits (rank
+    * keys that must stay exact inside a double score). ONE definition for
+    * every site — a digit-count drift between a persisted fingerprint table
+    * and its streaming prober would silently match nothing. */
+  def md5PrefixLong(c: Column, digits: Int): Column = {
+    require(digits >= 1 && digits <= 15, s"md5 prefix must be 1..15 hex digits, got $digits")
+    conv(substring(md5(c), 1, digits), 16, 10).cast("long")
+  }
+
   /** Deterministic document fingerprint: polynomial rolling hash
     * `h = (h*31 + code) mod 1e9+7` over the character codes of the ASCII-normalized
     * text — native O(n) byte loop ([[RollingHashExpr]]; the per-index

@@ -834,8 +834,10 @@ object Curation {
   /** Curriculum training order (Bengio et al. 2009, the data-engineering
     * half): a deterministic GLOBAL order key that walks difficulty buckets
     * easy → hard while shuffling pseudo-randomly WITHIN each bucket —
-    * `order_key = ppl_bucket · 2^52 + md5_52(doc_id)` (the 52-bit content
-    * hash keeps the key exact in a double too). Difficulty comes from
+    * `order_key = ppl_bucket · 2^52 + md5_52(doc_id)`. The packed key is
+    * exact ONLY as a long (past bucket 1 it exceeds 2^53 — do NOT feed it
+    * through a double-scored consumer like TopKByScoreAgg; sort on the long
+    * directly). Difficulty comes from
     * [[perplexityBuckets]] (bucket 1 = highest KN score = most in-domain =
     * easiest). Emits `(doc_id, ppl_bucket, order_key)`; the consumer's
     * `.orderBy(order_key)` range-partitions the sort — the KEY is the
@@ -847,8 +849,7 @@ object Curation {
     perplexityBuckets(docs, nBuckets, discount)
       .select(col("doc_id"), col("ppl_bucket"),
         (col("ppl_bucket") * lit(1L << 52) +
-          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-            .cast("long")).as("order_key"))
+          TextFns.md5PrefixLong(col("doc_id").cast("string"), 13)).as("order_key"))
   }
 
   /** Frozen-vocabulary model for [[vocabCoverage]]: xxhash64 keys of the
@@ -876,7 +877,11 @@ object Curation {
     * a stream (the [[removeFrequentSegmentsStateless]] shape). */
   def vocabCoverage(docs: DataFrame, vocab: Array[Long]): DataFrame =
     docs
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
+      // null-safe tokenization: with ANSI off, size(null) = -1 — a null-text
+      // crawl row would emit (-1, -1, -1.0) and silently drag aggregated OOV
+      // rates negative; null text monitors as the empty document instead
+      .select(col("doc_id"),
+        split(TextFns.normalizeNonNull(col("text")), " ").as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         size(filter(col("__toks"), t =>
           !graft.functions.LongSetContainsExpr.longSetContains(xxhash64(t), vocab)))
@@ -1439,26 +1444,23 @@ object Curation {
                      perCluster: Int, keepHardest: Boolean = false): DataFrame = {
     require(perCluster > 0, s"perCluster must be positive, got $perCluster")
     require(seeds.map(_._1).sorted == seeds.indices.toList,
-      s"seed ids must be the contiguous 0..${seeds.size - 1} (element_at lookup)")
-    import graft.functions.{NearestCentroidExpr, VectorFns}
+      s"seed ids must be the contiguous 0..${seeds.size - 1}")
+    import graft.functions.{NearestCentroidExpr, TextFns, VectorFns}
+    // ONE constant-size probe yields assignment AND prototypicality — the
+    // per-seed-literal dot array it replaces unrolls one generated dot loop
+    // per seed, which past ~64 seeds blows the JIT method-size threshold
+    // (the NearestCentroidExpr rationale) and pays every dot twice
     val assigned = emb
       .select(col("vec_id"), VectorFns.toDoubleArray(col("embedding")).as("__v"))
-      .select(col("vec_id"), col("__v"),
-        NearestCentroidExpr.nearestCentroid(col("__v"), seeds).as("cluster_id"))
+      .select(col("vec_id"),
+        NearestCentroidExpr.nearestCentroidWithDot(col("__v"), seeds).as("__p"))
+      .select(col("vec_id"), col("__p.id").as("cluster_id"),
+        col("__p.dot").as("__dot"))
     // best = LOWEST rank in both modes; the heap keeps GREATEST score with
     // ties to the smaller id, so score = -rank gives (rank asc, vec_id asc)
     val score =
-      if (keepHardest) {
-        // dot with the ASSIGNED centroid via a literal per-cluster dot array —
-        // one native DotProductExpr per seed, constant-folded lookup by id
-        val dots = array(seeds.sortBy(_._1).map { case (_, c) =>
-          VectorFns.dot(col("__v"),
-            array(c.map(lit): _*).cast("array<double>"))
-        }: _*)
-        -VectorFns.simKey(element_at(dots, col("cluster_id") + 1))
-      } else
-        -conv(substring(md5(col("vec_id").cast("string")), 1, 13), 16, 10)
-          .cast("long").cast("double")
+      if (keepHardest) -VectorFns.simKey(col("__dot"))
+      else -TextFns.md5PrefixLong(col("vec_id").cast("string"), 13).cast("double")
     assigned
       .groupBy(col("cluster_id"))
       .agg(graft.functions.TopKByScoreAgg.topKByScore(

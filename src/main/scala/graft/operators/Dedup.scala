@@ -1206,9 +1206,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
                          md5Keys: Boolean = false): DataFrame = {
     require(k >= 1, s"gram size must be >= 1, got $k")
-    val hash = (g: org.apache.spark.sql.Column) =>
-      if (md5Keys) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-      else xxhash64(g)
+    val hash = winnowGramHash(md5Keys)
     docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("__toks"))
       .select(col("doc_id"), TextFns.shinglesFromTokens(col("__toks"), k).as("__grams"))
@@ -1229,9 +1227,19 @@ object Dedup {
     * the [[duplicateSpans]] skew-safe pattern), so a stop-phrase fingerprint
     * shared by half the corpus caps at maxDf² bucket pairs instead of
     * exploding; the pair count per fingerprint is C(df, 2) <= C(maxDf, 2). */
+  /** The ONE gram-key definition shared by every winnowing face (batch
+    * fingerprints, pairs, incremental, and the streaming gate): md5-60-bit
+    * when the selection must be oracle-reproducible, xxhash64 at scale. A
+    * key drift between a persisted base table and its prober would silently
+    * match nothing — so there is exactly one definition. */
+  private[graft] def winnowGramHash(md5Keys: Boolean):
+      org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    g => if (md5Keys) TextFns.md5PrefixLong(g, 15) else xxhash64(g)
+
   def winnowPairs(docs: DataFrame, k: Int = 5, w: Int = 4, minShared: Long = 2L,
                   maxDf: Int = 1000, md5Keys: Boolean = false): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val post = winnowFingerprints(docs, k, w, md5Keys)
       .select("doc_id", "fp").distinct()
     val good = post.groupBy("fp").agg(count(lit(1)).as("__df"))
@@ -1275,6 +1283,7 @@ object Dedup {
   def winnowPairsAgainstIndex(batchFps: DataFrame, baseFps: DataFrame,
                               minShared: Long = 2L, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val bFps = batchFps.select("doc_id", "fp").distinct()
     val base = baseFps.select("doc_id", "fp").distinct()
     val good = base.groupBy("fp").agg(count(lit(1)).as("__df"))

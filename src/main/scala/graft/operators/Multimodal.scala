@@ -138,23 +138,30 @@ object Multimodal {
     * their bottom-up storage order, so the sampling is orientation-stable. */
   def resizeBmp(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
     require(dstW >= 1 && dstH >= 1, s"bad dst dims ${dstW}x$dstH")
+    val dstRowL = ((3L * dstW + 3) / 4) * 4
+    require(54L + dstRowL * dstH <= Int.MaxValue,
+      s"dst image too large to encode: ${dstW}x$dstH")
     val (fmt, w, _) = decodeHeader(payload)
     if (fmt != "bmp" || w < 1 || payload.length < 30) return None
     val h = leInt(payload, 22)
     val off = leInt(payload, 10)
     val bpp = leShort(payload, 28)
-    val srcRow = ((3 * w + 3) / 4) * 4
+    // row/bounds math in LONG: a crafted header width Int-overflows the
+    // 32-bit rowSize product, slipping a negative bound past the length
+    // check and crashing the copy loop — refuse instead (the None contract)
+    val srcRow = ((3L * w + 3) / 4) * 4
     if (h < 1 || bpp != 24 || off < 54 ||
-        payload.length.toLong < off.toLong + srcRow.toLong * h) return None
-    val dstRow = ((3 * dstW + 3) / 4) * 4
+        payload.length.toLong < off.toLong + srcRow * h) return None
+    val dstRow = dstRowL.toInt
     val out = new Array[Byte](54 + dstRow * dstH)
     writeBmpHeader(out, dstW, dstH)
     var y = 0
     while (y < dstH) {
-      val sy = y * h / dstH
+      val sy = y.toLong * h / dstH
       var x = 0
       while (x < dstW) {
-        val si = off + sy * srcRow + (x * w / dstW) * 3
+        // si < off + srcRow*h <= payload.length <= Int.MaxValue by the guard
+        val si = (off + sy * srcRow + (x.toLong * w / dstW) * 3).toInt
         val di = 54 + y * dstRow + x * 3
         out(di) = payload(si); out(di + 1) = payload(si + 1); out(di + 2) = payload(si + 2)
         x += 1

@@ -281,9 +281,7 @@ object StreamingViews {
                               k: Int = 5, w: Int = 4, md5Keys: Boolean = false,
                               watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
     import graft.functions.{TextFns, WinnowExpr}
-    val hash = (g: org.apache.spark.sql.Column) =>
-      if (md5Keys) conv(substring(md5(g), 1, 15), 16, 10).cast("long")
-      else xxhash64(g)
+    val hash = graft.operators.Dedup.winnowGramHash(md5Keys)
     val tagged = docs
       .withColumn("__toks", TextFns.tokens(col("text")))
       .withColumn("__grams", TextFns.shinglesFromTokens(col("__toks"), k))
