@@ -83,7 +83,7 @@ object Bench {
     // query by default; run 1 additionally absorbs per-query codegen/JIT, so
     // the stability spread is computed over runs 2..N only.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val maxExtraRuns = 2 // extra sweeps attempted when the spread gate trips
+    val maxExtraRuns = 3 // extra-sweep budget shared by outlier replacement + spread retries
     // Optional args = bench only the named queries (iteration aid); the
     // driver's no-arg invocation always sweeps everything.
     val selected =
@@ -96,28 +96,49 @@ object Bench {
     // same factor between rounds, the host slowed down, not the plans
     // (rounds 4→5 and 7→8 both showed uniform ~1.2–1.5× swings that had to
     // be re-adjudicated as noise; this field makes that check arithmetic).
-    val nullTimes = scala.collection.mutable.ArrayBuffer[Double]()
     def nullProbe(): Double = {
       val t0 = System.nanoTime()
       spark.range(1L << 26).selectExpr("sum(id * 3 + 1) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def sweep(): Seq[Double] = {
-      nullTimes += nullProbe()
-      selected.map { name =>
+    // Each sweep is paired with ITS null probe so a sweep timed while the
+    // host was transiently loaded is identifiable after the fact.
+    case class SweepRun(nullT: Double, times: Seq[Double])
+    def sweep(): SweepRun = {
+      val nt = nullProbe()
+      SweepRun(nt, selected.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
-      }
+      })
     }
-    // matrix(r)(q): run-major; grows until the min-reproducibility gate passes
-    // or the retry budget is spent.
-    var matrix = Vector.fill(runs)(sweep())
-    // Gate input: runs 2..N when we have >2 runs (run 1 absorbs per-query
-    // codegen/JIT and would otherwise leak into best/second-best); with only
-    // 2 runs there is nothing to drop. Reported per-query minima still use
-    // ALL runs — the gate decides stability, the min decides the number.
+    // allRuns grows until the min-reproducibility gate passes or the retry
+    // budget is spent. Outlier rejection (round-11 verdict, fix #2): a run
+    // whose null probe exceeds 1.5× the session's minimum was timed on a
+    // transiently loaded host (r11's driver record shipped one 1164.8 s sweep
+    // with a 3× probe floor and earned an `_unstable` artifact) — such runs
+    // are EXCLUDED from the spread gate and the per-query minima and replaced
+    // by a fresh sweep while budget lasts, so host spikes stop forcing
+    // adjudication of the bench record. All probes are still reported.
+    val OutlierFactor = 1.5
+    var allRuns = Vector.fill(runs)(sweep())
+    def accepted = {
+      val floor = allRuns.map(_.nullT).min
+      allRuns.filter(_.nullT <= OutlierFactor * floor)
+    }
+    var extra = 0
+    while (args.isEmpty && accepted.size < runs && extra < maxExtraRuns) {
+      System.err.println(f"[bench] ${allRuns.size - accepted.size} outlier sweep(s) rejected (null probe > ${OutlierFactor}%.1f× floor) — replacement sweep")
+      allRuns = allRuns :+ sweep(); extra += 1
+    }
+    def matrix = accepted.map(_.times)
+    def nullTimes = allRuns.map(_.nullT) // ALL probes: the noise evidence
+    // Gate input: accepted runs 2..N when we have >2 (the earliest accepted
+    // run absorbs per-query codegen/JIT and would otherwise leak into
+    // best/second-best); with only 2 runs there is nothing to drop. Reported
+    // per-query minima still use ALL accepted runs — the gate decides
+    // stability, the min decides the number.
     def gateMatrix = if (matrix.size > 2) matrix.drop(1) else matrix
     def bestSum = selected.indices.map(i => gateMatrix.map(_(i)).min).sum
     def secondSum = selected.indices.map { i =>
@@ -125,10 +146,9 @@ object Bench {
       if (t.size >= 2) t(1) else t(0)
     }.sum
     def spread = if (gateMatrix.size < 2) 0.0 else secondSum / bestSum - 1.0
-    var extra = 0
     while (args.isEmpty && spread > SpreadGate && extra < maxExtraRuns) {
       System.err.println(f"[bench] min spread ${spread * 100}%.1f%% > ${SpreadGate * 100}%.0f%% — extra sweep")
-      matrix = matrix :+ sweep(); extra += 1
+      allRuns = allRuns :+ sweep(); extra += 1
     }
     val results = selected.zipWithIndex.map { case (name, i) => name -> matrix.map(_(i)).min }
     // Locale.ROOT: a comma-decimal default locale would emit `1,234` → invalid JSON.
@@ -142,7 +162,7 @@ object Bench {
       // same factor as every query, so this ratio is host-speed-invariant
       // (verdict r9 task 6; replaces a paragraph of noise adjudication).
       val normed = rs.map(_._2).sum / nullTimes.min
-      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"queries":$qs,"sf":"$sfDir","runs":${matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
+      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"queries":$qs,"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
     }
     val byName = results.toMap
     if (args.isEmpty) {

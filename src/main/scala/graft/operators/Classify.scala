@@ -196,12 +196,17 @@ object Classify {
     * mining them is a corpus-scale join problem — this engine's job.
     * Returns (query_id, vec_id, cosine, rank), rank 1 = hardest.
     *
-    * Exact all-pairs form (anchor side broadcasts — the `bruteForceTopK`
+    * Exact all-pairs form (anchor side BROADCASTS — the `bruteForceTopK`
     * contract): the recall oracle for [[hardNegativesIvf]], the 100 TB path.
-    * `queries` restricts which anchors are mined (negatives still come from
-    * the full labeled corpus). */
+    * `queries` is deliberately non-defaulted (advisor finding, round 11): the
+    * anchor side is broadcast, so it must be a BOUNDED set the caller chose —
+    * a `queries = None` default would let a corpus-sized `embeddings` table
+    * silently become the broadcast side. Passing `None` mines every vector as
+    * an anchor (the small-fixture / oracle-twin use) and remains an explicit
+    * decision at the call site. Negatives always come from the full labeled
+    * corpus. */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
-                    queries: Option[DataFrame] = None): DataFrame = {
+                    queries: Option[DataFrame]): DataFrame = {
     import graft.functions.VectorFns
     val q = queries.getOrElse(embeddings)
       .select(col("vec_id").as("query_id"), col("label").as("__q_label"),

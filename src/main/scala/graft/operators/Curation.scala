@@ -879,9 +879,15 @@ object Curation {
     docs
       // null-safe tokenization: with ANSI off, size(null) = -1 — a null-text
       // crawl row would emit (-1, -1, -1.0) and silently drag aggregated OOV
-      // rates negative; null text monitors as the empty document instead
+      // rates negative; null text monitors as the empty document instead.
+      // Zero-length tokens are dropped BEFORE sizing: split("", " ") yields
+      // [""], which would report an empty/null doc as n_tokens=1, n_oov=1,
+      // oov_rate=1.0 and silently inflate corpus OOV rates on blank rows —
+      // and would diverge from the TextFns.tokens path frequentTokenVocab
+      // builds the vocab from. Empty docs monitor as (0, 0, 0.0).
       .select(col("doc_id"),
-        split(TextFns.normalizeNonNull(col("text")), " ").as("__toks"))
+        filter(split(TextFns.normalizeNonNull(col("text")), " "),
+          t => length(t) > lit(0)).as("__toks"))
       .select(col("doc_id"), size(col("__toks")).cast("long").as("n_tokens"),
         size(filter(col("__toks"), t =>
           !graft.functions.LongSetContainsExpr.longSetContains(xxhash64(t), vocab)))

@@ -1280,6 +1280,22 @@ object Dedup {
     * table (`(doc_id, fp)` rows, e.g. a persisted [[winnowFingerprints]]
     * snapshot) — the form a production refresh runs so the base corpus is
     * never re-fingerprinted. */
+  /** Persist a [[winnowFingerprints]] snapshot as the on-disk index
+    * [[winnowPairsAgainstIndex]] probes — bucketed on `fp`
+    * ([[graft.sources.Lake.writeBucketed]]), completing the lifecycle
+    * symmetry with the IVF index family (build here; probe below; append =
+    * a second bucketed write of the delta snapshot, since fingerprints are
+    * immutable per doc). Because the stored layout is hash-clustered on the
+    * probe key, every downstream step that needs fp-clustering — the
+    * DISTINCT, the df-bound aggregation, and the semi/equi joins in
+    * [[winnowPairsAgainstIndex]] — reads co-located buckets with NO exchange
+    * on the base side (PlanSpec pins this): at 100 TB the base corpus's
+    * fingerprint table never re-shuffles, only batch-sized data moves. */
+  def writeWinnowIndex(fps: DataFrame, path: String, table: String,
+                       buckets: Int = 8): Unit =
+    graft.sources.Lake.writeBucketed(
+      fps.select("doc_id", "fp").distinct(), path, table, "fp", buckets)
+
   def winnowPairsAgainstIndex(batchFps: DataFrame, baseFps: DataFrame,
                               minShared: Long = 2L, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

@@ -148,9 +148,14 @@ object Multimodal {
     val bpp = leShort(payload, 28)
     // row/bounds math in LONG: a crafted header width Int-overflows the
     // 32-bit rowSize product, slipping a negative bound past the length
-    // check and crashing the copy loop — refuse instead (the None contract)
+    // check and crashing the copy loop — refuse instead (the None contract).
+    // srcRow * h can itself overflow LONG when a crafted header claims w and
+    // h both near 2^31 (~6.4e9 × ~2.1e9 > Long.MaxValue), wrapping the bound
+    // negative and passing the length check — reject the multiplication
+    // overflow FIRST (srcRow >= 4 here since w >= 1, so the division is safe)
     val srcRow = ((3L * w + 3) / 4) * 4
     if (h < 1 || bpp != 24 || off < 54 ||
+        h.toLong > (Long.MaxValue - off) / srcRow ||
         payload.length.toLong < off.toLong + srcRow * h) return None
     val dstRow = dstRowL.toInt
     val out = new Array[Byte](54 + dstRow * dstH)
@@ -204,16 +209,18 @@ object Multimodal {
   }
 
   /** Resize pass over a media table — the brief's resize step with REAL pixel
-    * work ([[resizeBmp]]): typed mapPartitions (the same per-partition-init
-    * shape as [[extractFeatures]] — a JNI/FFI image library would initialize
-    * here once), non-BMP rows pass through unchanged so mixed-modality tables
-    * survive the pass. Map-only: payloads never shuffle. */
+    * work ([[resizeBmp]] for 24-bit BMPs, [[resizePng]] for 8-bit truecolor
+    * PNGs): typed mapPartitions (the same per-partition-init shape as
+    * [[extractFeatures]] — a JNI/FFI image library would initialize here
+    * once), rows in neither format pass through unchanged so mixed-modality
+    * tables survive the pass. Map-only: payloads never shuffle. */
   def resizeImages(spark: SparkSession, media: DataFrame,
                    dstW: Int, dstH: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.map { r =>
-        resizeBmp(r.payload, dstW, dstH) match {
+        resizeBmp(r.payload, dstW, dstH)
+          .orElse(resizePng(r.payload, dstW, dstH)) match {
           case Some(p) => MediaRecord(r.media_id, r.media_type, p)
           case None => r
         }
@@ -222,11 +229,451 @@ object Multimodal {
   }
 
   /** Frame/sample extraction: emit the byte at each requested offset (stand-in for
-    * video frame sampling / audio windowing). Pure generator — posexplode, no state. */
+    * video frame sampling / audio windowing). Pure generator — posexplode, no state.
+    * The format-AWARE forms are [[gifFrames]] (GIF image-descriptor walk) and
+    * [[wavWindows]] (RIFF chunk walk + PCM windowing). */
   def sampleOffsets(media: DataFrame, offsets: Seq[Int]): DataFrame =
     media
       .withColumn("pos", explode(array(offsets.map(lit): _*)))
       .filter(col("pos") <= octet_length(col("payload")))
       .select(col("media_id"), col("pos"),
         hex(expr("substring(payload, pos, 1)")).as("sample_hex"))
+
+  // ------------------------------------------------------------------
+  // PNG: real pixel-level decode (zlib inflate + scanline unfilter),
+  // encode, and nearest-neighbor resize — pure JVM (java.util.zip)
+  // ------------------------------------------------------------------
+
+  /** Refuse-pixel-bomb bound: a crafted IHDR claiming huge dimensions would
+    * otherwise allocate before the (cheap) inflate fails. 64 MiB of raw
+    * pixels is far above any fixture and far below executor memory. */
+  private val MaxPngRawBytes = 1L << 26
+
+  /** Decode a non-interlaced 8-bit truecolor PNG (color type 2 = RGB, 6 =
+    * RGBA) to `(width, height, channels, pixels)` with `pixels` the raw
+    * row-major samples (length w·h·channels). REAL decode per the public
+    * PNG spec: chunk walk → concatenated IDAT zlib-inflate
+    * (`java.util.zip.Inflater`) → per-scanline unfilter (None/Sub/Up/
+    * Average/Paeth). None for anything else — other color types/bit depths,
+    * interlaced images, truncated or oversized payloads (never throw on
+    * untrusted bytes — the [[resizeBmp]] contract). */
+  def decodePngPixels(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val b = payload
+    if (decodeHeader(b)._1 != "png" || b.length < 33) return None
+    val w = beInt(b, 16); val h = beInt(b, 20)
+    val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+    val compression = b(26) & 0xff; val filterMethod = b(27) & 0xff
+    val interlace = b(28) & 0xff
+    val bpp = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+    if (bitDepth != 8 || compression != 0 || filterMethod != 0 || interlace != 0 ||
+        w < 1 || h < 1) return None
+    val stride = 1L + w.toLong * bpp
+    val rawLen = stride * h
+    if (rawLen > MaxPngRawBytes) return None
+    // chunk walk: [len:4 BE][type:4][data][crc:4], IDAT data concatenates
+    val idat = new java.io.ByteArrayOutputStream()
+    var i = 8
+    var end = false
+    while (!end && i + 8 <= b.length) {
+      val len = beInt(b, i)
+      if (len < 0 || i + 12L + len > b.length) return None // truncated chunk
+      val isType = (s: String) => s.indices.forall(j => (b(i + 4 + j) & 0xff) == s.charAt(j))
+      if (isType("IDAT")) idat.write(b, i + 8, len)
+      else if (isType("IEND")) end = true
+      i += 12 + len
+    }
+    if (idat.size == 0) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // stream shorter than IHDR claims
+        got += n
+      }
+      if (got < raw.length) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place into the output pixel array
+    val px = new Array[Byte](w * h * bpp)
+    val rowBytes = w * bpp
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride.toInt) & 0xff
+      val src = y * stride.toInt + 1
+      val dst = y * rowBytes
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(src + x) & 0xff
+        val left = if (x >= bpp) px(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) px(dst - rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) px(dst - rowBytes + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => // Paeth predictor
+            val pa = math.abs(up - ul); val pb = math.abs(left - ul)
+            val pc = math.abs(left + up - 2 * ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None // invalid filter type
+        }
+        px(dst + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bpp, px))
+  }
+
+  /** Encode raw row-major 8-bit samples as a valid non-interlaced truecolor
+    * PNG (filter type 0 on every scanline, one zlib-deflated IDAT,
+    * CRC32-checksummed chunks) — the genuine inverse of
+    * [[decodePngPixels]]. */
+  def encodePng(width: Int, height: Int, channels: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(channels == 3 || channels == 4, s"channels must be 3 or 4, got $channels")
+    require(pixels.length == width * height * channels,
+      s"pixels length ${pixels.length} != $width*$height*$channels")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def beBytes(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(beBytes(data.length), 0, 4)
+      out.write(t, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t); crc.update(data)
+      out.write(beBytes(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (width >>> 24).toByte; ihdr(1) = (width >>> 16).toByte
+    ihdr(2) = (width >>> 8).toByte; ihdr(3) = width.toByte
+    ihdr(4) = (height >>> 24).toByte; ihdr(5) = (height >>> 16).toByte
+    ihdr(6) = (height >>> 8).toByte; ihdr(7) = height.toByte
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (channels == 3) 2 else 6).toByte // color type
+    chunk("IHDR", ihdr)
+    val rowBytes = width * channels
+    val raw = new Array[Byte]((1 + rowBytes) * height)
+    var y = 0
+    while (y < height) { // filter byte 0 + literal row
+      System.arraycopy(pixels, y * rowBytes, raw, y * (1 + rowBytes) + 1, rowBytes)
+      y += 1
+    }
+    val def_ = new java.util.zip.Deflater()
+    val buf = new Array[Byte](8192)
+    val z = new java.io.ByteArrayOutputStream()
+    try {
+      def_.setInput(raw); def_.finish()
+      while (!def_.finished()) z.write(buf, 0, def_.deflate(buf))
+    } finally def_.end()
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real pixel-level nearest-neighbor resize of a decodable PNG
+    * ([[decodePngPixels]] → sample (⌊x·srcW/dstW⌋, ⌊y·srcH/dstH⌋) →
+    * [[encodePng]]) — the PNG sibling of [[resizeBmp]], same None contract
+    * for undecodable payloads. Alpha channels survive (RGBA stays RGBA). */
+  def resizePng(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW >= 1 && dstH >= 1, s"bad dst dims ${dstW}x$dstH")
+    decodePngPixels(payload).map { case (w, h, bpp, px) =>
+      val outPx = new Array[Byte](dstW * dstH * bpp)
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * h / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * w / dstW).toInt
+          var c = 0
+          while (c < bpp) {
+            outPx((y * dstW + x) * bpp + c) = px((sy * w + sx) * bpp + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodePng(dstW, dstH, bpp, outPx)
+    }
+  }
+
+  /** Real-encoded synthetic PNG table: dims a pure function of doc_id
+    * (the [[syntheticImagesFromDocuments]] arithmetic), even ids RGB / odd
+    * ids RGBA, LCG pixel samples — so resize oracles recompute format and
+    * dimensions while this side round-trips actual deflated scanlines. */
+  def syntheticPngsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 16).toInt + 1; val h = (id % 12).toInt + 1
+        val bpp = if (id % 2 == 0) 3 else 4
+        val px = new Array[Byte](w * h * bpp)
+        var p = id
+        var i = 0
+        while (i < px.length) {
+          p = p * 6364136223846793005L + 1442695040888963407L
+          px(i) = ((p >>> 32) & 0xff).toByte
+          i += 1
+        }
+        MediaRecord(id, "image/png", encodePng(w, h, bpp, px))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // GIF: real frame walk over the block structure (GIF89a spec)
+  // ------------------------------------------------------------------
+
+  /** One animation frame's placement, from the image descriptor. */
+  case class GifFrame(media_id: Long, frame_idx: Int, frame_left: Int,
+                      frame_top: Int, frame_w: Int, frame_h: Int)
+
+  /** Walk a GIF's block structure and return every image descriptor's
+    * `(left, top, w, h)` — the REAL frame enumeration per the public GIF89a
+    * spec: after the 13-byte header + logical screen descriptor (and the
+    * global color table when its flag is set), the stream is a sequence of
+    *  - `0x2C` image descriptors (9 bytes: left/top/w/h LE uint16 + packed;
+    *    optional local color table; 1 byte LZW min code size; data
+    *    sub-blocks `[len][len bytes]…0`),
+    *  - `0x21` extension blocks (label byte + sub-blocks), and
+    *  - the `0x3B` trailer.
+    * No pixel decompression — frame geometry lives entirely in the
+    * descriptors. Truncated or desynced payloads return the frames parsed so
+    * far (never throw on untrusted bytes — the [[resizeBmp]] contract). */
+  def gifFrameWalk(payload: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
+    val b = payload
+    if (decodeHeader(b)._1 != "gif") return Nil
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]()
+    def colorTableLen(packed: Int): Int =
+      if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
+    var i = 13 + colorTableLen(b(10) & 0xff) // header + LSD + GCT
+    // skip [len][bytes] sub-blocks through the 0 terminator; -1 = truncated
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < b.length && (b(j) & 0xff) != 0) j += 1 + (b(j) & 0xff)
+      if (j < b.length) j + 1 else -1
+    }
+    var done = false
+    while (!done && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2c if i + 9 < b.length =>
+          frames += ((leShort(b, i + 1), leShort(b, i + 3),
+            leShort(b, i + 5), leShort(b, i + 7)))
+          val j = i + 10 + colorTableLen(b(i + 9) & 0xff) + 1 // + LZW min code size
+          i = if (j <= b.length) skipSubBlocks(j) else -1
+        case 0x21 => i = skipSubBlocks(i + 2) // introducer + label, then sub-blocks
+        case 0x3b => done = true
+        case _ => done = true // truncated descriptor or desynced — stop
+      }
+      if (i < 0) done = true
+    }
+    frames.toSeq
+  }
+
+  /** Build a genuine GIF89a file: header, logical screen descriptor with a
+    * 128-entry global color table, and per frame a graphic-control extension
+    * + image descriptor + VALID LZW image data. The LZW stream uses min code
+    * size 7 with a clear code before every pixel code — each code is then
+    * exactly 8 bits and byte-aligned, the dictionary never grows, and any
+    * conforming decoder reproduces the LCG pixel bytes (the standard
+    * "uncompressed GIF" encoding trick) — so fixtures are decodable files,
+    * not placeholder blobs ([[encodeBmp]] precedent). */
+  def encodeGif(screenW: Int, screenH: Int,
+                frames: Seq[(Int, Int, Int, Int)], seed: Long = 0L): Array[Byte] = {
+    require(screenW >= 1 && screenH >= 1, s"bad screen ${screenW}x$screenH")
+    require(frames.nonEmpty, "a GIF needs at least one frame")
+    frames.foreach { case (l, t, w, h) =>
+      require(l >= 0 && t >= 0 && w >= 1 && h >= 1 && l + w <= screenW && t + h <= screenH,
+        s"frame ($l,$t,${w}x$h) outside ${screenW}x$screenH screen")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def putLeShort(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    putLeShort(screenW); putLeShort(screenH)
+    out.write(0x80 | 0x70 | 0x06) // GCT present, 8-bit color res, 2^7 entries
+    out.write(0); out.write(0)    // background index, aspect
+    var p = seed
+    def lcg(): Int = { p = p * 6364136223846793005L + 1442695040888963407L; ((p >>> 32) & 0xff).toInt }
+    for (_ <- 0 until 3 * 128) out.write(lcg()) // global color table
+    frames.foreach { case (l, t, w, h) =>
+      // graphic control extension (fixed 4-byte block: no transparency, 4cs delay)
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0); putLeShort(4); out.write(0); out.write(0)
+      out.write(0x2c) // image descriptor
+      putLeShort(l); putLeShort(t); putLeShort(w); putLeShort(h)
+      out.write(0) // no local color table
+      out.write(7) // LZW min code size -> 8-bit codes, clear=0x80, EOI=0x81
+      val codes = new Array[Byte](2 * w * h + 1)
+      var i = 0
+      while (i < w * h) {
+        codes(2 * i) = 0x80.toByte // clear: keep every code 8 bits
+        codes(2 * i + 1) = (lcg() & 0x7f).toByte
+        i += 1
+      }
+      codes(2 * w * h) = 0x81.toByte // end of information
+      var off = 0
+      while (off < codes.length) { // <=255-byte data sub-blocks
+        val n = math.min(255, codes.length - off)
+        out.write(n); out.write(codes, off, n); off += n
+      }
+      out.write(0) // block terminator
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** Real-encoded synthetic animated-GIF table: doc_id % 3 + 1 frames, frame
+    * `i` at (2i, i) sized (doc_id%16 + 1 + i) x (doc_id%12 + 1 + i) on a
+    * 24x16 screen — pure doc_id arithmetic, so an oracle recomputes the walk's
+    * output while THIS side round-trips it through actual GIF bytes. */
+  def syntheticGifsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val frames = (0 to (id % 3).toInt).map { i =>
+          (2 * i, i, (id % 16).toInt + 1 + i, (id % 12).toInt + 1 + i)
+        }
+        MediaRecord(id, "image/gif", encodeGif(24, 16, frames, seed = id))
+      }
+    }
+  }
+
+  /** Format-aware frame extraction: one row per GIF image descriptor —
+    * typed flatMap in the [[extractFeatures]] per-partition-init shape,
+    * map-only (payloads never shuffle); non-GIF rows emit nothing. */
+  def gifFrames(spark: SparkSession, media: DataFrame): Dataset[GifFrame] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        gifFrameWalk(r.payload).zipWithIndex.map { case ((l, t, w, h), i) =>
+          GifFrame(r.media_id, i, l, t, w, h)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // WAV: RIFF chunk walk + PCM16 audio windowing
+  // ------------------------------------------------------------------
+
+  /** One audio analysis window over a PCM WAV's sample frames. */
+  case class WavWindow(media_id: Long, window_idx: Int, start_sample: Long,
+                       n_samples: Long, peak_abs: Long)
+
+  /** Build a genuine PCM16 mono WAV (RIFF + fmt + data chunks per the public
+    * RIFF/WAVE spec); sample `i` is the pure function
+    * `(seed·31 + i·7) mod 4096 − 2048`, so window statistics are
+    * oracle-recomputable while this side round-trips them through actual
+    * RIFF bytes. */
+  def encodeWavPcm16(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1, s"bad wav params $nSamples@$sampleRate")
+    val out = new Array[Byte](44 + 2 * nSamples)
+    def putLe(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte
+      out(i + 2) = ((v >> 16) & 0xff).toByte; out(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def putTag(i: Int, s: String): Unit = s.getBytes("US-ASCII").copyToArray(out, i)
+    putTag(0, "RIFF"); putLe(4, 36 + 2 * nSamples); putTag(8, "WAVE")
+    putTag(12, "fmt "); putLe(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    putLe(24, sampleRate); putLe(28, sampleRate * 2)
+    out(32) = 2  // block align
+    out(34) = 16 // bits per sample
+    putTag(36, "data"); putLe(40, 2 * nSamples)
+    var i = 0
+    while (i < nSamples) {
+      val v = ((seed * 31 + i * 7) % 4096 - 2048).toInt
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Parse a WAV's RIFF chunk list and return
+    * `(channels, dataOffset, dataLen)` for PCM16 payloads —
+    * the chunk walk per the public spec (chunks are `[id:4][size:4 LE][data]`
+    * padded to even length; `fmt ` must precede use of `data`). None for
+    * non-WAV / non-PCM16 / truncated payloads (never throw on untrusted
+    * bytes). */
+  def wavPcm16Layout(payload: Array[Byte]): Option[(Int, Int, Int)] = {
+    val b = payload
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(j => (b(i + j) & 0xff) == s.charAt(j))
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var channels = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val size = leInt(b, i + 4)
+      if (size < 0 || i + 8 + size > b.length) return None
+      if (tag(i, "fmt ") && size >= 16) {
+        val audioFormat = leShort(b, i + 8)
+        val bits = leShort(b, i + 22)
+        if (audioFormat != 1 || bits != 16) return None // PCM16 only
+        channels = leShort(b, i + 10)
+        if (channels < 1) return None
+      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
+      i += 8 + size + (size & 1) // chunks pad to even length
+    }
+    if (channels < 1 || dataOff < 0) None else Some((channels, dataOff, dataLen))
+  }
+
+  /** Format-aware audio windowing: fixed-size windows of `windowSamples`
+    * sample FRAMES every `hopSamples` over each WAV's PCM16 data chunk,
+    * emitting per window the peak absolute amplitude across all channels —
+    * the feature-extraction shape a speech pipeline runs before VAD/ASR.
+    * The last partial window is kept (its true length is reported). Typed
+    * flatMap in the [[extractFeatures]] per-partition-init shape, map-only;
+    * non-WAV rows emit nothing. */
+  def wavWindows(spark: SparkSession, media: DataFrame,
+                 windowSamples: Int = 32, hopSamples: Int = 16): Dataset[WavWindow] = {
+    require(windowSamples >= 1 && hopSamples >= 1,
+      s"bad window params $windowSamples/$hopSamples")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavPcm16Layout(r.payload) match {
+          case None => Iterator.empty
+          case Some((channels, dataOff, dataLen)) =>
+            val b = r.payload
+            val frameBytes = 2 * channels
+            val nFrames = dataLen / frameBytes
+            Iterator.range(0, nFrames, hopSamples).zipWithIndex.map { case (start, k) =>
+              val len = math.min(windowSamples, nFrames - start)
+              var peak = 0L
+              var i = dataOff + start * frameBytes
+              val end = i + len * frameBytes
+              while (i < end) {
+                val v = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toInt
+                if (math.abs(v) > peak) peak = math.abs(v)
+                i += 2
+              }
+              WavWindow(r.media_id, k, start.toLong, len.toLong, peak)
+            }
+        }
+      }
+    }
+  }
+
+  /** Real-encoded synthetic WAV table: `64 + doc_id % 37` mono samples at
+    * 8 kHz, sample values the doc_id-arithmetic function [[encodeWavPcm16]]
+    * documents — so the windowing oracle is exact SQL. */
+  def syntheticWavsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        MediaRecord(id, "audio/wav",
+          encodeWavPcm16(64 + (id % 37).toInt, 8000, seed = id))
+      }
+    }
+  }
 }

@@ -197,6 +197,28 @@ object StreamingViews {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Shared settle step of the stream-static match family: collapse a row's
+    * multiple matching tags/fingerprints to ONE emission per `key`. With
+    * `watermarkCol` empty this is plain streaming `dropDuplicates(key)` —
+    * UNBOUNDED per-key state for the lifetime of the query — which is only
+    * safe for bounded test streams and short-lived backfills, so that form
+    * now requires the explicit `unboundedStateOk = true` opt-in instead of
+    * being the silent default a production caller could drift into (advisor
+    * finding, round 11). Streams that carry event time pass `watermarkCol`
+    * and get watermark-bounded dedup state. */
+  private def settleOncePerKey(matched: DataFrame, key: String,
+                               watermarkCol: String, watermark: String,
+                               unboundedStateOk: Boolean): DataFrame =
+    if (watermarkCol.isEmpty) {
+      require(unboundedStateOk,
+        s"watermarkCol is empty: streaming dropDuplicates($key) keeps unbounded " +
+          "per-key state for the query's lifetime. Pass an event-time " +
+          "watermarkCol to bound it, or set unboundedStateOk = true for " +
+          "bounded test/backfill streams.")
+      matched.dropDuplicates(key)
+    } else matched.withWatermark(watermarkCol, watermark)
+      .dropDuplicatesWithinWatermark(key)
+
   /** Streaming incremental dedup — the intake gate of a continuously-crawled
     * corpus: new documents stream in, drop in-stream repeats, then drop
     * anything already in the STATIC base corpus via a stream-static LEFT ANTI
@@ -212,12 +234,10 @@ object StreamingViews {
     * `watermarkCol`/`watermark` when the stream carries event time to bound it
     * to the horizon instead. */
   def streamIncrementalDedup(docs: DataFrame, baseFps: DataFrame,
-                             watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+                             watermarkCol: String = "", watermark: String = "1 day",
+                             unboundedStateOk: Boolean = false): DataFrame = {
     val fp = docs.withColumn("fp", graft.functions.TextFns.fastFingerprint(col("text")))
-    val deduped =
-      if (watermarkCol.isEmpty) fp.dropDuplicates("fp")
-      else fp.withWatermark(watermarkCol, watermark)
-        .dropDuplicatesWithinWatermark("fp")
+    val deduped = settleOncePerKey(fp, "fp", watermarkCol, watermark, unboundedStateOk)
     deduped.join(baseFps.select(col("fp")), Seq("fp"), "left_anti")
   }
 
@@ -241,7 +261,8 @@ object StreamingViews {
     * event time). */
   def streamMinhashBaseMatches(docs: DataFrame, baseBuckets: DataFrame,
                                shingleSize: Int = 3, bands: Int = 16, rows: Int = 4,
-                               watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+                               watermarkCol: String = "", watermark: String = "1 day",
+                               unboundedStateOk: Boolean = false): DataFrame = {
     val sigs = docs
       .withColumn("__toks", graft.functions.TextFns.tokens(col("text")))
       .withColumn("__hs", transform(
@@ -257,9 +278,7 @@ object StreamingViews {
     val matched = tagged
       .join(baseBuckets.select(col("band"), col("bucket")), Seq("band", "bucket"), "left_semi")
       .drop("band", "bucket")
-    if (watermarkCol.isEmpty) matched.dropDuplicates("doc_id")
-    else matched.withWatermark(watermarkCol, watermark)
-      .dropDuplicatesWithinWatermark("doc_id")
+    settleOncePerKey(matched, "doc_id", watermarkCol, watermark, unboundedStateOk)
   }
 
   /** Streaming near-dup suspect stream, WINNOWING edition: emits each
@@ -279,7 +298,8 @@ object StreamingViews {
     * `md5Keys` must match how the base table was built. */
   def streamWinnowBaseMatches(docs: DataFrame, baseFps: DataFrame,
                               k: Int = 5, w: Int = 4, md5Keys: Boolean = false,
-                              watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+                              watermarkCol: String = "", watermark: String = "1 day",
+                              unboundedStateOk: Boolean = false): DataFrame = {
     import graft.functions.{TextFns, WinnowExpr}
     val hash = graft.operators.Dedup.winnowGramHash(md5Keys)
     val tagged = docs
@@ -291,9 +311,7 @@ object StreamingViews {
     val matched = tagged
       .join(baseFps.select(col("fp")), Seq("fp"), "left_semi")
       .drop("fp")
-    if (watermarkCol.isEmpty) matched.dropDuplicates("doc_id")
-    else matched.withWatermark(watermarkCol, watermark)
-      .dropDuplicatesWithinWatermark("doc_id")
+    settleOncePerKey(matched, "doc_id", watermarkCol, watermark, unboundedStateOk)
   }
 
   /** Streaming near-dup suspect stream, EMBEDDING edition: emits each streamed
@@ -308,7 +326,8 @@ object StreamingViews {
     * the exact cosine re-check runs in batch quarantine. */
   def streamCosineBaseMatches(vecs: DataFrame, baseTags: DataFrame, dim: Int,
                               nbits: Int = 8, tables: Int = 4,
-                              watermarkCol: String = "", watermark: String = "1 day"): DataFrame = {
+                              watermarkCol: String = "", watermark: String = "1 day",
+                              unboundedStateOk: Boolean = false): DataFrame = {
     import graft.functions.VectorFns
     val tagged = vecs
       .withColumn("__emb", VectorFns.toDoubleArray(col("embedding")))
@@ -321,9 +340,7 @@ object StreamingViews {
     val matched = tagged
       .join(baseTags.select(col("tbl"), col("bucket")), Seq("tbl", "bucket"), "left_semi")
       .drop("tbl", "bucket")
-    if (watermarkCol.isEmpty) matched.dropDuplicates("vec_id")
-    else matched.withWatermark(watermarkCol, watermark)
-      .dropDuplicatesWithinWatermark("vec_id")
+    settleOncePerKey(matched, "vec_id", watermarkCol, watermark, unboundedStateOk)
   }
 
   /** Live approximate distinct-user counter per hour: HLL++ partial

@@ -128,15 +128,234 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeBmp(coordBmp(4, 4).take(60), 2, 2).isEmpty)
   }
 
-  test("resizeImages: BMPs resize, non-BMP rows pass through unchanged") {
+  test("resizeBmp: crafted header claiming ~2^31 x 2^31 refuses (no Long overflow)") {
+    // srcRow(~6.4e9) * h(~2.1e9) overflows Long; the wrapped-negative bound
+    // would pass the length check and crash the copy loop — must be None
+    val evil = new Array[Byte](128)
+    evil(0) = 'B'; evil(1) = 'M'
+    def putLe(i: Int, v: Int): Unit = {
+      evil(i) = (v & 0xff).toByte; evil(i + 1) = ((v >> 8) & 0xff).toByte
+      evil(i + 2) = ((v >> 16) & 0xff).toByte; evil(i + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe(10, 54); putLe(14, 40)
+    putLe(18, Int.MaxValue); putLe(22, Int.MaxValue)
+    evil(26) = 1; evil(28) = 24
+    assert(Multimodal.resizeBmp(evil, 2, 2).isEmpty)
+    // same shape with a merely-huge (non-overflowing) claim: still refused by
+    // the ordinary length check
+    putLe(18, 1 << 20); putLe(22, 1 << 20)
+    assert(Multimodal.resizeBmp(evil, 2, 2).isEmpty)
+  }
+
+  test("resizeImages: BMPs and PNGs resize, other rows pass through unchanged") {
     import spark.implicits._
+    val pngPx = Array.tabulate(5 * 3 * 3)(i => (i * 11).toByte)
     val mixed = Seq(
       Multimodal.MediaRecord(1L, "image/bmp", Multimodal.encodeBmp(5, 3, seed = 7L)),
-      Multimodal.MediaRecord(2L, "text/plain", "just text".getBytes)
+      Multimodal.MediaRecord(2L, "text/plain", "just text".getBytes),
+      Multimodal.MediaRecord(3L, "image/png", Multimodal.encodePng(5, 3, 3, pngPx))
     ).toDS().toDF()
     val out = Multimodal.resizeImages(spark, mixed, 8, 8).collect()
       .map(r => r.media_id -> r).toMap
     assert(Multimodal.decodeHeader(out(1L).payload) === ("bmp", 8, 8))
     assert(out(2L).payload.toSeq === "just text".getBytes.toSeq)
+    assert(Multimodal.decodeHeader(out(3L).payload) === ("png", 8, 8))
+  }
+
+  // ---------------- PNG pixel codec ----------------
+
+  /** Coordinate-tagged RGB PNG: pixel (x, y) = (x, y, 0xAA). */
+  private def coordPng(w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      px(i) = x.toByte; px(i + 1) = y.toByte; px(i + 2) = 0xAA.toByte
+    }
+    Multimodal.encodePng(w, h, 3, px)
+  }
+
+  /** Raw-scanline PNG builder for exercising decode paths encodePng never
+    * emits (filters 1-4): `raw` is the pre-deflate stream of
+    * [filter byte + scanline] rows. */
+  private def rawPng(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      val t = typ.getBytes("US-ASCII")
+      out.write(be(data.length), 0, 4); out.write(t, 0, 4); out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32(); crc.update(t); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    def putBe(i: Int, v: Int): Unit = {
+      ihdr(i) = (v >>> 24).toByte; ihdr(i + 1) = (v >>> 16).toByte
+      ihdr(i + 2) = (v >>> 8).toByte; ihdr(i + 3) = v.toByte
+    }
+    putBe(0, w); putBe(4, h); ihdr(8) = 8; ihdr(9) = colorType.toByte
+    chunk("IHDR", ihdr)
+    val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
+    val z = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
+    while (!d.finished()) z.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", z.toByteArray); chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  test("PNG: encode→decode round-trips pixels exactly (RGB and RGBA)") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7 + 1).toByte)
+    val Some((w, h, bpp, px)) =
+      Multimodal.decodePngPixels(Multimodal.encodePng(4, 3, 3, rgb)): @unchecked
+    assert((w, h, bpp) === ((4, 3, 3)))
+    assert(px.toSeq === rgb.toSeq)
+    val rgba = Array.tabulate(2 * 5 * 4)(i => (i * 3 + 9).toByte)
+    val Some((w2, h2, bpp2, px2)) =
+      Multimodal.decodePngPixels(Multimodal.encodePng(2, 5, 4, rgba)): @unchecked
+    assert((w2, h2, bpp2) === ((2, 5, 4)))
+    assert(px2.toSeq === rgba.toSeq)
+  }
+
+  test("PNG decode: scanline filters Sub/Up/Average/Paeth unfilter to hand-computed pixels") {
+    // image A: row0 Sub, row1 Up (2x2 RGB)
+    val a = rawPng(2, 2, 2, Array[Byte](
+      1, 10, 20, 30, 5, 5, 5,
+      2, 1, 1, 1, 2, 2, 2))
+    val Some((_, _, _, pa)) = Multimodal.decodePngPixels(a): @unchecked
+    assert(pa.map(_ & 0xff).toSeq === Seq(10, 20, 30, 15, 25, 35, 11, 21, 31, 17, 27, 37))
+    // image B: row0 None, row1 Average, row2 Paeth (2x3 RGB)
+    val b = rawPng(2, 3, 2, Array[Byte](
+      0, 8, 16, 24, 32, 40, 48,
+      3, 4, 4, 4, 4, 4, 4,
+      4, 2, 2, 2, 2, 2, 2))
+    val Some((_, _, _, pb)) = Multimodal.decodePngPixels(b): @unchecked
+    assert(pb.map(_ & 0xff).toSeq === Seq(
+      8, 16, 24, 32, 40, 48,
+      8, 12, 16, 24, 30, 36,
+      10, 14, 18, 26, 32, 38))
+  }
+
+  test("PNG decode refuses what it cannot faithfully decode") {
+    val good = coordPng(3, 2)
+    // interlaced flag
+    val interlaced = good.clone(); interlaced(28) = 1
+    assert(Multimodal.decodePngPixels(interlaced).isEmpty)
+    // 16-bit depth
+    val deep = good.clone(); deep(24) = 16
+    assert(Multimodal.decodePngPixels(deep).isEmpty)
+    // grayscale color type
+    val gray = good.clone(); gray(25) = 0
+    assert(Multimodal.decodePngPixels(gray).isEmpty)
+    // truncated IDAT (cut mid-chunk)
+    assert(Multimodal.decodePngPixels(good.take(good.length - 15)).isEmpty)
+    // crafted IHDR claiming a pixel bomb: refuse before allocating
+    val bomb = good.clone()
+    bomb(16) = 0x7f.toByte; bomb(17) = 0xff.toByte // width ~2^31
+    assert(Multimodal.decodePngPixels(bomb).isEmpty)
+  }
+
+  test("resizePng: nearest-neighbor sampling exact on coordinate-tagged pixels") {
+    def pngPixel(p: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+      val Some((dw, _, bpp, px)) = Multimodal.decodePngPixels(p): @unchecked
+      assert(dw === w && bpp === 3)
+      val i = (y * w + x) * 3
+      ((px(i) & 0xff), (px(i + 1) & 0xff), (px(i + 2) & 0xff))
+    }
+    val up = Multimodal.resizePng(coordPng(2, 2), 4, 4).get
+    assert(Multimodal.decodeHeader(up) === ("png", 4, 4))
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert(pngPixel(up, 4, x, y) === (x / 2, y / 2, 0xAA), s"up($x,$y)")
+    val down = Multimodal.resizePng(coordPng(4, 4), 2, 2).get
+    for (y <- 0 until 2; x <- 0 until 2)
+      assert(pngPixel(down, 2, x, y) === (2 * x, 2 * y, 0xAA), s"down($x,$y)")
+    // RGBA alpha survives the resize
+    val rgba = Array.tabulate(2 * 2 * 4)(i => (i * 13 + 3).toByte)
+    val r2 = Multimodal.resizePng(Multimodal.encodePng(2, 2, 4, rgba), 1, 1).get
+    assert(Multimodal.decodePngPixels(r2).get._3 === 4)
+    // non-PNG refuses
+    assert(Multimodal.resizePng("not a png".getBytes, 2, 2).isEmpty)
+  }
+
+  // ---------------- GIF frame walk ----------------
+
+  test("gifFrameWalk: hand-built and encoded GIFs enumerate exact frame geometry") {
+    val frames = Seq((0, 0, 10, 8), (2, 1, 4, 3), (5, 5, 1, 1))
+    val gif = Multimodal.encodeGif(10, 8, frames, seed = 5L)
+    assert(Multimodal.decodeHeader(gif) === ("gif", 10, 8))
+    assert(Multimodal.gifFrameWalk(gif) === frames)
+    // hand-assembled GIF87a: no GCT, one descriptor WITH a local color table
+    val hand = Array[Byte](
+      'G', 'I', 'F', '8', '7', 'a',
+      3, 0, 2, 0, // 3x2 screen
+      0, 0, 0, // packed (no GCT), bg, aspect
+      0x2c, 1, 0, 0, 0, 2, 0, 2, 0, // descriptor: left=1, top=0, 2x2
+      0x80.toByte, // packed: LCT present, size 0 -> 2 entries = 6 bytes
+      1, 2, 3, 4, 5, 6, // local color table
+      2, // LZW min code size
+      1, 0x00, // one data sub-block
+      0, // terminator
+      0x3b)
+    assert(Multimodal.gifFrameWalk(hand) === Seq((1, 0, 2, 2)))
+    // truncation never throws: frames parsed so far come back
+    assert(Multimodal.gifFrameWalk(gif.take(40)).size <= frames.size)
+    assert(Multimodal.gifFrameWalk("GIF89a".getBytes) === Nil)
+    assert(Multimodal.gifFrameWalk("not a gif at all".getBytes) === Nil)
+  }
+
+  test("gifFrames: per-frame rows from real encoded files, non-GIF rows emit nothing") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/gif",
+        Multimodal.encodeGif(8, 8, Seq((0, 0, 8, 8), (1, 2, 3, 4)), seed = 1L)),
+      Multimodal.MediaRecord(2L, "text/plain", "words".getBytes)
+    ).toDS().toDF()
+    val rows = Multimodal.gifFrames(spark, media).collect().sortBy(_.frame_idx)
+    assert(rows.toSeq === Seq(
+      Multimodal.GifFrame(1L, 0, 0, 0, 8, 8),
+      Multimodal.GifFrame(1L, 1, 1, 2, 3, 4)))
+  }
+
+  // ---------------- WAV windowing ----------------
+
+  test("wavWindows: hand-computed peaks, partial last window, chunk-walk robustness") {
+    import spark.implicits._
+    // seed 3: samples (3*31 + 7i) % 4096 - 2048 = -1955, -1948, -1941, -1934, -1927
+    val mono = Multimodal.encodeWavPcm16(5, 8000, seed = 3L)
+    assert(Multimodal.wavPcm16Layout(mono) === Some((1, 44, 10)))
+    val w = Multimodal.wavWindows(spark,
+        Seq(Multimodal.MediaRecord(1L, "audio/wav", mono)).toDS().toDF(),
+        windowSamples = 2, hopSamples = 2)
+      .collect().sortBy(_.window_idx)
+    assert(w.toSeq === Seq(
+      Multimodal.WavWindow(1L, 0, 0L, 2L, 1955L),
+      Multimodal.WavWindow(1L, 1, 2L, 2L, 1941L),
+      Multimodal.WavWindow(1L, 2, 4L, 1L, 1927L)))
+    // hand-built STEREO wav with an odd-length junk chunk before fmt: the
+    // walk must pad to even and window FRAMES (peak across both channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def tag(s: String) = s.getBytes("US-ASCII")
+    val samples = Array[Short](100, -700, 300, 50) // 2 frames x 2 channels
+    bos.write(tag("RIFF")); bos.write(le32(4 + 8 + 3 + 1 + 8 + 16 + 8 + 8))
+    bos.write(tag("WAVE"))
+    bos.write(tag("junk")); bos.write(le32(3)); bos.write(Array[Byte](9, 9, 9, 0)) // odd size, padded
+    bos.write(tag("fmt ")); bos.write(le32(16))
+    bos.write(Array[Byte](1, 0, 2, 0)) // PCM, stereo
+    bos.write(le32(8000)); bos.write(le32(32000))
+    bos.write(Array[Byte](4, 0, 16, 0))
+    bos.write(tag("data")); bos.write(le32(8))
+    samples.foreach(s => { bos.write(s & 0xff); bos.write((s >> 8) & 0xff) })
+    val stereo = bos.toByteArray
+    val sw = Multimodal.wavWindows(spark,
+        Seq(Multimodal.MediaRecord(2L, "audio/wav", stereo)).toDS().toDF(),
+        windowSamples = 1, hopSamples = 1)
+      .collect().sortBy(_.window_idx)
+    assert(sw.toSeq === Seq(
+      Multimodal.WavWindow(2L, 0, 0L, 1L, 700L),
+      Multimodal.WavWindow(2L, 1, 1L, 1L, 300L)))
+    // refusals: non-wav, 8-bit, truncated
+    assert(Multimodal.wavPcm16Layout("RIFFxxxxWAVE".getBytes).isEmpty)
+    val eightBit = mono.clone(); eightBit(34) = 8
+    assert(Multimodal.wavPcm16Layout(eightBit).isEmpty)
+    assert(Multimodal.wavPcm16Layout(mono.take(50)).isEmpty)
   }
 }

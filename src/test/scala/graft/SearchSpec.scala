@@ -806,6 +806,12 @@ class SearchSpec extends SparkSpec {
     // empty vocab: everything is OOV
     val all = rowSet(graft.operators.Curation.vocabCoverage(target, Array.empty[Long]))
     assert(all.forall(row => row(1) == row(2)), s"empty vocab must flag all: $all")
+    // blank rows monitor as the empty document — split("", " ") yields [""],
+    // which must NOT count as one OOV token (advisor finding, round 11)
+    val blanks = Seq((20L, ""), (21L, null.asInstanceOf[String]), (22L, "   "))
+      .toDF("doc_id", "text")
+    assert(rowSet(graft.operators.Curation.vocabCoverage(blanks, vocab)) === Set(
+      Seq(20L, 0L, 0L, 0.0), Seq(21L, 0L, 0L, 0.0), Seq(22L, 0L, 0L, 0.0)))
   }
 
   test("qualityQuantileFilter keeps each language's docs at or above its own median") {

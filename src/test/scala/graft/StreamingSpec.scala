@@ -631,7 +631,7 @@ class StreamingSpec extends SparkSpec {
       graft.functions.TextFns.fastFingerprint(col("text")).as("fp"))
     val stream = MemoryStream[(Long, String)]
     val q = StreamingViews.streamIncrementalDedup(
-        stream.toDF().toDF("doc_id", "text"), baseFps)
+        stream.toDF().toDF("doc_id", "text"), baseFps, unboundedStateOk = true)
       .writeStream.outputMode("append").format("memory")
       .queryName("t_inc_dedup").start()
     try {
@@ -658,7 +658,7 @@ class StreamingSpec extends SparkSpec {
     val baseBuckets = graft.operators.Dedup.minhashBucketTable(base)
     val stream = MemoryStream[(Long, String)]
     val q = StreamingViews.streamMinhashBaseMatches(
-        stream.toDF().toDF("doc_id", "text"), baseBuckets)
+        stream.toDF().toDF("doc_id", "text"), baseBuckets, unboundedStateOk = true)
       .select("doc_id")
       .writeStream.outputMode("append").format("memory")
       .queryName("t_minhash_matches").start()
@@ -689,7 +689,8 @@ class StreamingSpec extends SparkSpec {
       .localCheckpoint(true)
     val stream = MemoryStream[(Long, String)]
     val q = StreamingViews.streamWinnowBaseMatches(
-        stream.toDF().toDF("doc_id", "text"), baseFps, k = 5, w = 4)
+        stream.toDF().toDF("doc_id", "text"), baseFps, k = 5, w = 4,
+        unboundedStateOk = true)
       .select("doc_id")
       .writeStream.outputMode("append").format("memory")
       .queryName("t_winnow_matches").start()
@@ -709,6 +710,29 @@ class StreamingSpec extends SparkSpec {
       s"exactly the quoting docs must flag, once each: $flagged")
   }
 
+  test("stream-static match family refuses silent unbounded dedup state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseFps = graft.operators.Dedup.winnowFingerprints(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      k = 5, w = 4)
+    val stream = MemoryStream[(Long, String)]
+    // no watermarkCol and no explicit opt-in: the unbounded per-doc
+    // dropDuplicates state must be refused at plan-build time, not discovered
+    // in production (advisor finding, round 11)
+    val ex = intercept[IllegalArgumentException] {
+      StreamingViews.streamWinnowBaseMatches(
+        stream.toDF().toDF("doc_id", "text"), baseFps, k = 5, w = 4)
+    }
+    assert(ex.getMessage.contains("unbounded"), ex.getMessage)
+    // a watermark-bounded form needs no opt-in
+    val wm = StreamingViews.streamWinnowBaseMatches(
+      stream.toDF().toDF("doc_id", "text")
+        .withColumn("ts", org.apache.spark.sql.functions.current_timestamp()),
+      baseFps, k = 5, w = 4, watermarkCol = "ts", watermark = "10 minutes")
+    assert(wm.isStreaming)
+  }
+
   test("streaming cosine near-dup: base-neighborhood vectors flag once, novel pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -718,7 +742,7 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[(Long, Array[Float])]
     val q = StreamingViews.streamCosineBaseMatches(
         stream.toDF().toDF("vec_id", "embedding"), baseTags,
-        dim = 4, nbits = 4, tables = 2)
+        dim = 4, nbits = 4, tables = 2, unboundedStateOk = true)
       .select("vec_id")
       .writeStream.outputMode("append").format("memory")
       .queryName("t_cos_matches").start()
