@@ -299,7 +299,27 @@ object PlanDump {
          "aggregation (`topkbyscoreagg`) keyed on cluster_id — a single " +
          "exchange carrying at most perCluster rows per cluster per map " +
          "task, and NO window sort (a row_number quota would sort a " +
-         "power-law hot cluster in one task at 100 TB).")
+         "power-law hot cluster in one task at 100 TB)."),
+      ("multimodal_gif_frames",
+       "Format-aware frame extraction: the GIF89a block walk (image " +
+         "descriptors, extension sub-blocks, color-table skips) runs as a " +
+         "typed flatMap over the payload scan — map-only, NO exchange (the " +
+         "pin is 0); payloads never shuffle."),
+      ("multimodal_wav_windows",
+       "Audio windowing: RIFF chunk walk (fmt → data) + window/hop framing " +
+         "over the PCM16 samples, emitted by a typed flatMap generator — " +
+         "map-only, NO exchange (the pin is 0)."),
+      ("multimodal_resize_png",
+       "PNG resize: zlib inflate → scanline unfilter (Sub/Up/Average/Paeth) " +
+         "→ nearest-neighbor sample → re-deflate, all inside one typed " +
+         "mapPartitions chain — map-only, NO exchange (the pin is 0); the " +
+         "pixel bytes round-trip without ever leaving the task."),
+      ("dedup_winnow_persisted",
+       "Persisted winnow index probe: the base corpus's fingerprint table is " +
+         "stored BUCKETED on fp, so its distinct, df-bound aggregation, and " +
+         "both joins read co-located buckets with ZERO base-side exchanges " +
+         "(DedupSpec proves bucketed < plain); only the batch side's " +
+         "distinct + fp join shuffle + pair aggregation move data (pin 3).")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

@@ -566,6 +566,30 @@ object ScaleSmoke {
       require(r.getLong(1) == 0L, s"${r.getLong(1)} non-planted pairs surfaced")
       r.getLong(0)
     }
+    // the persisted-index lifecycle for winnow fingerprints: build once
+    // (fp-bucketed), probe the new-crawl tenth against it — every planted
+    // replay doc (id % 10 = 0, text of id-1) finds its base twin, and the
+    // probe must cost a fraction of re-fingerprinting + self-joining 1M docs
+    locally {
+      val baseW = wdocs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batchW = wdocs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      time("writeWinnowIndex 900k docs (fp-bucketed)", within(4000000L, 16000000L)) {
+        graft.operators.Dedup.writeWinnowIndex(
+          graft.operators.Dedup.winnowFingerprints(baseW, k = 5, w = 4),
+          s"$wdocsDir/idx", "graft_scale_winnow_idx", buckets = 32)
+        spark.table("graft_scale_winnow_idx").count()
+      }
+      time("winnowPairsAgainstIndex 100k batch vs persisted 900k", exactly(99999)) {
+        val r = graft.operators.Dedup.winnowPairsAgainstIndex(
+          graft.operators.Dedup.winnowFingerprints(batchW, k = 5, w = 4),
+          spark.table("graft_scale_winnow_idx"), minShared = 3L)
+          .agg(count(lit(1)),
+            sum(when(col("batch_id") - col("base_id") =!= 1L, 1L).otherwise(0L))).head()
+        require(r.getLong(1) == 0L, s"${r.getLong(1)} non-planted matches surfaced")
+        r.getLong(0)
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_scale_winnow_idx")
+    }
     time("bm25TopK 3 terms over 1M docs", exactly(100)) {
       graft.operators.Search.bm25TopK(docs,
         Seq("vector", "stream", "scale"), k = 100).count()
@@ -750,6 +774,37 @@ object ScaleSmoke {
         .agg(count(lit(1)), sum(col("n_oov_bigrams")), sum(col("kn_score"))).head()
       require(r.getLong(1) == 0L, s"unexpected OOV bigrams: ${r.getLong(1)}")
       require(r.getDouble(2) < 0, "mean log-probs must be negative (P < 1)")
+      r.getLong(0)
+    }
+    // curriculum ordering: one KN pass + percentile-threshold bucketing + a
+    // map-only packed key; the invariant is the bucket-major CONTRACT itself —
+    // every bucket-b key strictly below every bucket-(b+1) key, so a consumer
+    // range-partitioning the global sort never interleaves buckets
+    time("curriculumOrder 1M docs (bucket-major key)", exactly(nDocs)) {
+      val b = graft.operators.Curation.curriculumOrder(docs, nBuckets = 3)
+        .groupBy("ppl_bucket")
+        .agg(min(col("order_key")).as("lo"), max(col("order_key")).as("hi"),
+          count(lit(1)).as("n"))
+        .orderBy("ppl_bucket").collect()
+      require(b.nonEmpty && b.length <= 3, s"bucket count off: ${b.length}")
+      b.sliding(2).foreach {
+        case Array(p, q) => require(p.getLong(2) < q.getLong(1),
+          s"bucket-major violated: hi(${p.get(0)})=${p.getLong(2)} >= lo(${q.get(0)})=${q.getLong(1)}")
+        case _ => ()
+      }
+      b.map(_.getLong(3)).sum
+    }
+    // vocab-coverage OOV monitor: frozen 9-of-10-word vocab makes exactly one
+    // fixture token OOV everywhere it appears — tokens total is exact, the
+    // planted OOV mass must be present but partial
+    time("vocabCoverage 1M docs (map-only OOV monitor)", exactly(nDocs)) {
+      val vocab = graft.operators.Curation.frequentTokenVocab(
+        docs.filter(col("doc_id") < 100000), topN = 9)
+      val r = graft.operators.Curation.vocabCoverage(docs, vocab)
+        .agg(count(lit(1)), sum(col("n_tokens")), sum(col("n_oov"))).head()
+      require(r.getLong(1) == 24L * nDocs, s"token total off: ${r.getLong(1)}")
+      require(r.getLong(2) > 0L && r.getLong(2) < 24L * nDocs,
+        s"planted OOV mass off: ${r.getLong(2)}")
       r.getLong(0)
     }
     time("resolveClustersCanonical 1M docs", within(985000, 995000)) {
@@ -1075,6 +1130,47 @@ object ScaleSmoke {
         graft.operators.Multimodal.sampleOffsets(media,
           Seq(1, 128, 256, 384, 512, 640, 768, 1024)).count()
       }
+      // format-aware codecs at volume — all four are map-only typed
+      // mapPartitions chains; payloads never shuffle, wall-time must be
+      // linear in media count
+      val imgDocs = spark.range(200000).select(col("id").as("doc_id"))
+      time("resizeImages 200k real BMPs -> 8x8", exactly(200000)) {
+        val r = graft.operators.Multimodal.extractFeatures(spark,
+          graft.operators.Multimodal.resizeImages(spark,
+            graft.operators.Multimodal.syntheticImagesFromDocuments(spark, imgDocs).toDF(),
+            8, 8).toDF()).toDF()
+          .agg(count(lit(1)), sum(when(col("byte_len") === 246 &&
+            col("width") === 8 && col("height") === 8, 0L).otherwise(1L))).head()
+        require(r.getLong(1) == 0L,
+          s"${r.getLong(1)} rows not exactly 8x8 / 246 B after the BMP resize")
+        r.getLong(0)
+      }
+      time("resizeImages 100k real PNGs -> 8x8 (inflate+unfilter+deflate)", exactly(100000)) {
+        val r = graft.operators.Multimodal.extractFeatures(spark,
+          graft.operators.Multimodal.resizeImages(spark,
+            graft.operators.Multimodal.syntheticPngsFromDocuments(spark,
+              spark.range(100000).select(col("id").as("doc_id"))).toDF(),
+            8, 8).toDF()).toDF()
+          .agg(count(lit(1)), sum(when(col("format") === "png" &&
+            col("width") === 8 && col("height") === 8, 0L).otherwise(1L))).head()
+        require(r.getLong(1) == 0L,
+          s"${r.getLong(1)} rows not exactly png/8x8 after the PNG resize")
+        r.getLong(0)
+      }
+      // frames per GIF = doc_id % 3 + 1 -> 200000 + sum(id % 3) = 399999
+      time("gifFrames 200k real GIFs (block walk)", exactly(399999)) {
+        graft.operators.Multimodal.gifFrames(spark,
+          graft.operators.Multimodal.syntheticGifsFromDocuments(spark, imgDocs).toDF()).count()
+      }
+      locally { // windows per WAV = (63 + id % 37) div 16 + 1, summed exactly
+        val expected = spark.range(200000)
+          .select(sum(expr("(63 + id % 37) div 16 + 1"))).head().getLong(0)
+        time("wavWindows 200k real WAVs (RIFF walk)", exactly(expected)) {
+          graft.operators.Multimodal.wavWindows(spark,
+            graft.operators.Multimodal.syntheticWavsFromDocuments(spark, imgDocs).toDF(),
+            windowSamples = 32, hopSamples = 16).count()
+        }
+      }
     }
 
     // ---- streaming: 1M events through a REAL Structured Streaming query
@@ -1096,6 +1192,54 @@ object ScaleSmoke {
       // streaming result must agree with the batch hourCounts row count
       require(n == hourRows, s"streaming hourCounts rows $n != batch $hourRows")
       emit(f"SCALE ${"streaming hourCounts 1M events"}%-52s $secs%8.2f s  rows=$n  ok(== $hourRows) (${(1000000 / secs / 1000).toLong}k ev/s)")
+    }
+
+    // ---- stateful streaming at volume (r11 verdict ask #8): the event-time
+    // funnel with idle eviction over 1M events fed as SEVERAL micro-batches
+    // in rough time order (range-partitioned files + maxFilesPerTrigger), so
+    // the watermark genuinely advances mid-query and evicts idle states. The
+    // invariants: every user settles (eviction re-emits are idempotent), and
+    // at least one eviction actually fired — a (user, n_updates) pair can
+    // only repeat in the sink when a timed-out state re-emitted or was
+    // recreated after eviction.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_funnel").toString
+      events.limit(1000000).repartitionByRange(16, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      // the file source feeds files in MODIFICATION-TIME order, not name
+      // order — stamp the range-partitioned files (part-00000.. ascending in
+      // ts) with increasing mtimes so micro-batches arrive in event-time
+      // order; without this, out-of-order batches make ~1% of users wholly
+      // late-dropped by the watermark (measured 98929/99965 on the first run)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000L) }
+      val sch = spark.read.parquet(dir).schema
+      val expectedUsers = spark.read.parquet(dir).select("user_id").distinct().count()
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      try {
+        val src = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "4").parquet(dir)
+        val q = graft.streaming.StreamingViews.streamFunnel(src,
+            Seq("signup", "view", "purchase"), maxSpanHours = 168,
+            eventIdleTimeout = 3600L * 1000L) // evict 1h (event time) after last activity
+          .writeStream.outputMode("update").format("memory")
+          .queryName("smoke_funnel").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val out = spark.table("smoke_funnel")
+      val users = out.select("user_id").distinct().count()
+      val total = out.count()
+      val uniq = out.distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // time-ordered batches leave at most boundary residue below the
+      // watermark (the documented W2 late-drop divergence) — 99.9% floor
+      require(users <= expectedUsers && users * 1000L >= expectedUsers * 999L,
+        s"settled users $users below 99.9% of expected $expectedUsers")
+      require(total > uniq, "no idle eviction fired: the watermark never evicted a state")
+      emit(f"SCALE ${"streamFunnel 1M events, event-time eviction"}%-52s $secs%8.2f s  rows=$users  ok(in [99.9%%, 100%%] of $expectedUsers users; ${total - uniq} eviction re-emits)")
     }
 
     time("int8 quantize full corpus", exactly(nVec)) {
@@ -1132,9 +1276,10 @@ object ScaleSmoke {
       s"constant factor at this volume (it pays an extra pass or level to\n" +
       s"bound every per-task sort) and is the form to run when a single key\n" +
       s"or gram outgrows one task; at this volume the hot key still fits, so\n" +
-      s"the one-level forms win on wall-time. The persisted IVF/IVFADC rows\n" +
-      s"are build-once/probe-many evidence: the probe's pruned read must cost\n" +
-      s"a small fraction of the full-corpus build pass. The containment A/B\n" +
+      s"the one-level forms win on wall-time. The persisted IVF/IVFADC and\n" +
+      s"fp-bucketed winnow-index rows are build-once/probe-many evidence: the\n" +
+      s"probe's pruned/co-located read must cost a small fraction of the\n" +
+      s"full-corpus build pass. The containment A/B\n" +
       s"covers three regimes: the hot-gram worst case on a 100k slice (df\n" +
       s"pre-filter drops every bucket — exactly 0 pairs by design; the\n" +
       s"invariant is df >> maxDf, which a slice proves at a tenth of the\n" +

@@ -511,6 +511,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("persisted winnow index: disk probe equals in-memory form; bucketed base joins shuffle-free") {
+    val shared = "zq alpha beta gamma delta epsilon zeta eta theta iota"
+    val base = Seq(
+      (1L, "frozen snapshot document carrying " + shared + " inside it"),
+      (2L, "another base document with no overlap to anything else here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "new crawl text then " + shared + " then a fresh long tail"),
+      (11L, "novel content entirely about columnar storage layouts today")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_idx").toString
+    try {
+      Dedup.writeWinnowIndex(Dedup.winnowFingerprints(base, k = 5, w = 4),
+        s"$dir/idx", "graft_t_winnow_idx", buckets = 4)
+      val batchFps = Dedup.winnowFingerprints(batch, k = 5, w = 4)
+      val persisted = Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_idx"), minShared = 1L)
+      val memory = Dedup.incrementalWinnowPairs(batch, base, k = 5, w = 4, minShared = 1L)
+      assert(rowSet(persisted) === rowSet(memory))
+      assert(persisted.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((10L, 1L)))
+      // the bucketed layout is the point: the SAME probe against a plain
+      // (unbucketed) parquet copy of the index must need MORE exchanges —
+      // the fp-clustered base side (distinct, df-bound agg, both joins)
+      // reads co-located buckets instead of reshuffling
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.collect()
+        "Exchange hashpartitioning".r.findAllIn(
+          df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head).size
+      }
+      val plain = spark.read.parquet(s"$dir/idx")
+      val nBucketed = exchanges(Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_idx"), minShared = 1L))
+      val nPlain = exchanges(Dedup.winnowPairsAgainstIndex(batchFps, plain, minShared = 1L))
+      assert(nBucketed < nPlain,
+        s"bucketed probe must save base-side exchanges: bucketed=$nBucketed plain=$nPlain")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_winnow_idx")
+  }
+
   test("winnow density on the fixture corpus is within the structural bounds") {
     import org.apache.spark.sql.functions._
     val k = 5; val w = 4

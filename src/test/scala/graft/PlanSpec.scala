@@ -474,7 +474,13 @@ class PlanSpec extends SparkSpec {
       "sim_hard_negatives_ivf" -> 4, // GATE FORM: exact twin + cell-keyed probe join + heap-topk + recall aggs
       "pipeline_curriculum_order" -> 8, // the perplexity-buckets subtree (pinned 8 above) + a map-only key projection
       "pipeline_vocab_coverage" -> 0, // frozen-vocab map-only probe, the OOV monitor runs at scan speed
-      "multimodal_resize" -> 0) // typed mapPartitions chain (encode -> resize -> parse): payloads never shuffle
+      "multimodal_resize" -> 0, // typed mapPartitions chain (encode -> resize -> parse): payloads never shuffle
+      // round-12 additions: format-aware multimodal + the persisted winnow index
+      "multimodal_gif_frames" -> 0, // GIF block walk is a typed flatMap: map-only, payloads never shuffle
+      "multimodal_wav_windows" -> 0, // RIFF chunk walk + PCM windowing: map-only generator
+      "multimodal_resize_png" -> 0, // inflate -> unfilter -> sample -> re-deflate all inside one mapPartitions chain
+      "multimodal_resize_png_pixels" -> 0, // the pixel-equality gate runs the same map-only chain twice per row
+      "dedup_winnow_persisted" -> 3) // batch-side distinct + fp join shuffle + pair agg; the BUCKETED base side contributes ZERO exchanges (DedupSpec proves bucketed < plain)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
