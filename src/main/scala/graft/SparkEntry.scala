@@ -2382,6 +2382,40 @@ object SparkEntry {
               FROM batchf JOIN basef USING (fp) JOIN good USING (fp)
               GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    Q("dedup_winnow_persisted_append", // the winnow index lifecycle's APPEND
+      // half (the sim_ivf_persisted_append_topk contract): build the bucketed
+      // table on HALF the base snapshot, append the other half — one
+      // bucketing shuffle for the delta, no existing bucket file rewritten,
+      // same bucket spec enforced by Spark — then probe the union. Output
+      // must equal probing a from-scratch index (dedup_winnow_persisted) and
+      // the in-memory form (dedup_winnow_incremental): all three share this
+      // oracle, so the driver hash-match IS the append≡rebuild equality.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") % 20 =!= 0)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_winnow_idx_app_${math.abs(d.hashCode)}"
+        Dedup.writeWinnowIndex(
+          Dedup.winnowFingerprints(base.filter(col("doc_id") % 2 === 0),
+            k = 5, w = 4, md5Keys = true),
+          path, "graft_winnow_idx_app", buckets = 4)
+        Dedup.appendWinnowIndex(
+          Dedup.winnowFingerprints(base.filter(col("doc_id") % 2 === 1),
+            k = 5, w = 4, md5Keys = true),
+          path, "graft_winnow_idx_app", buckets = 4)
+        Dedup.winnowPairsAgainstIndex(
+          Dedup.winnowFingerprints(docs.filter(col("doc_id") % 20 === 0),
+            k = 5, w = 4, md5Keys = true),
+          s.table("graft_winnow_idx_app"), minShared = 3L, maxDf = 1000)
+      },
+      Some(winnowSelCtes + """,
+              basef AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 <> 0),
+              batchf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 = 0),
+              good AS (SELECT fp FROM basef GROUP BY fp HAVING count(*) <= 1000)
+              SELECT batchf.doc_id AS batch_id, basef.doc_id AS base_id,
+                CAST(count(*) AS BIGINT) AS shared_fps
+              FROM batchf JOIN basef USING (fp) JOIN good USING (fp)
+              GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     Q("dedup_minhash_lsh", // DRIVER-VISIBLE recall gate (was rows-only):
       // MinHash-LSH candidate pairs (16 bands x 4 rows, est-Jaccard >= 0.5)
       // vs the EXACT prefix-blocked 3-gram Jaccard truth at the same 0.5
@@ -3970,6 +4004,26 @@ object SparkEntry {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_new_docs, TRUE AS stream_equals_batch
               FROM documents WHERE doc_id % 5 = 0""")),
+
+    Q("w_stream_gif_frames", // the format-aware multimodal path on a LIVE
+      // stream: encode -> GIF block walk is a stateless typed mapPartitions
+      // chain, so it runs unchanged in append mode with ZERO streaming state
+      // — the stream-vs-batch multiset equality plus the arithmetic frame
+      // total make the parity driver-visible (the ingest shape for media
+      // arriving on a landing directory).
+      (s, d) => {
+        def frames(src: DataFrame): DataFrame =
+          Multimodal.gifFrames(s,
+            Multimodal.syntheticGifsFromDocuments(s, src).toDF()).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wgif_sink", frames, outputMode = "append")
+        val batch = frames(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_frames"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_frames"), col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_frames,
+              TRUE AS stream_equals_batch FROM documents""")),
 
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass

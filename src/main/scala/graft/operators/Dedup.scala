@@ -1296,6 +1296,19 @@ object Dedup {
     graft.sources.Lake.writeBucketed(
       fps.select("doc_id", "fp").distinct(), path, table, "fp", buckets)
 
+  /** APPEND a new snapshot's fingerprints to a persisted [[writeWinnowIndex]]
+    * table — the build-once / append-often lifecycle (the
+    * `Similarity.appendIvfIndex` contract): the delta pays one bucketing
+    * shuffle at write, no existing bucket file is rewritten, and
+    * [[winnowPairsAgainstIndex]] sees the union through the identical
+    * co-located plan. The distinct is WITHIN-delta — appended docs must be
+    * new doc_ids (re-appending an already-indexed doc would double its
+    * per-fingerprint df), which is the crawler's contract anyway. */
+  def appendWinnowIndex(fps: DataFrame, path: String, table: String,
+                        buckets: Int = 8): Unit =
+    graft.sources.Lake.appendBucketed(
+      fps.select("doc_id", "fp").distinct(), path, table, "fp", buckets)
+
   def winnowPairsAgainstIndex(batchFps: DataFrame, baseFps: DataFrame,
                               minShared: Long = 2L, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

@@ -44,6 +44,22 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** APPEND a delta to an existing bucketed table — the build-once /
+    * append-often half of the bucketed-layout lifecycle: the delta pays its
+    * bucketing shuffle once at write (new bucket files land beside the old
+    * ones; nothing is rewritten), and every co-located read keeps working
+    * because the bucket spec (column + count) must match the existing
+    * table's — Spark refuses a mismatched append, which is exactly the
+    * layout-drift guard a persisted index needs. */
+  def appendBucketed(df: DataFrame, path: String, table: String,
+                     bucketCol: String, buckets: Int): Unit =
+    df.write.mode("append")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Z-order (Morton) interleave key over numeric columns: each column
     * quantizes to `bits` bits against its [min, max] range, then the bits
     * interleave (column j contributes bit i at position i·ncols + j, so all

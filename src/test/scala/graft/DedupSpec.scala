@@ -549,6 +549,34 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t_winnow_idx")
   }
 
+  test("appendWinnowIndex: probe of build+append equals probe of a full rebuild") {
+    val shared = "zq alpha beta gamma delta epsilon zeta eta theta iota"
+    val half1 = Seq((1L, "first half snapshot carrying " + shared + " inside it")).toDF("doc_id", "text")
+    val half2 = Seq((2L, "second half snapshot also quoting " + shared + " verbatim"),
+      (3L, "second half noise document with nothing shared at all here")).toDF("doc_id", "text")
+    val batch = Seq((10L, "new crawl text then " + shared + " then a fresh tail")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_app").toString
+    try {
+      Dedup.writeWinnowIndex(Dedup.winnowFingerprints(half1, k = 5, w = 4),
+        s"$dir/app", "graft_t_winnow_app", buckets = 4)
+      Dedup.appendWinnowIndex(Dedup.winnowFingerprints(half2, k = 5, w = 4),
+        s"$dir/app", "graft_t_winnow_app", buckets = 4)
+      Dedup.writeWinnowIndex(Dedup.winnowFingerprints(half1.unionAll(half2), k = 5, w = 4),
+        s"$dir/full", "graft_t_winnow_full", buckets = 4)
+      val batchFps = Dedup.winnowFingerprints(batch, k = 5, w = 4)
+      val viaAppend = rowSet(Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_app"), minShared = 1L))
+      val viaRebuild = rowSet(Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_full"), minShared = 1L))
+      assert(viaAppend === viaRebuild)
+      assert(viaAppend.map(r => (r(0), r(1))) === Set((10L, 1L), (10L, 2L)),
+        s"both quoting base docs must match: $viaAppend")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_t_winnow_app")
+      spark.sql("DROP TABLE IF EXISTS graft_t_winnow_full")
+    }
+  }
+
   test("winnow density on the fixture corpus is within the structural bounds") {
     import org.apache.spark.sql.functions._
     val k = 5; val w = 4

@@ -480,7 +480,8 @@ class PlanSpec extends SparkSpec {
       "multimodal_wav_windows" -> 0, // RIFF chunk walk + PCM windowing: map-only generator
       "multimodal_resize_png" -> 0, // inflate -> unfilter -> sample -> re-deflate all inside one mapPartitions chain
       "multimodal_resize_png_pixels" -> 0, // the pixel-equality gate runs the same map-only chain twice per row
-      "dedup_winnow_persisted" -> 3) // batch-side distinct + fp join shuffle + pair agg; the BUCKETED base side contributes ZERO exchanges (DedupSpec proves bucketed < plain)
+      "dedup_winnow_persisted" -> 3, // batch-side distinct + fp join shuffle + pair agg; the BUCKETED base side contributes ZERO exchanges (DedupSpec proves bucketed < plain)
+      "dedup_winnow_persisted_append" -> 3) // identical probe plan over the build+append union (appended bucket files join co-located like the originals)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
