@@ -1276,10 +1276,6 @@ object Dedup {
       winnowFingerprints(batch, k, w, md5Keys),
       winnowFingerprints(base, k, w, md5Keys), minShared, maxDf)
 
-  /** [[incrementalWinnowPairs]] against a PRE-MATERIALIZED base fingerprint
-    * table (`(doc_id, fp)` rows, e.g. a persisted [[winnowFingerprints]]
-    * snapshot) — the form a production refresh runs so the base corpus is
-    * never re-fingerprinted. */
   /** Persist a [[winnowFingerprints]] snapshot as the on-disk index
     * [[winnowPairsAgainstIndex]] probes — bucketed on `fp`
     * ([[graft.sources.Lake.writeBucketed]]), completing the lifecycle
@@ -1309,6 +1305,10 @@ object Dedup {
     graft.sources.Lake.appendBucketed(
       fps.select("doc_id", "fp").distinct(), path, table, "fp", buckets)
 
+  /** [[incrementalWinnowPairs]] against a PRE-MATERIALIZED base fingerprint
+    * table (`(doc_id, fp)` rows, e.g. a persisted [[winnowFingerprints]]
+    * snapshot written by [[writeWinnowIndex]]) — the form a production
+    * refresh runs so the base corpus is never re-fingerprinted. */
   def winnowPairsAgainstIndex(batchFps: DataFrame, baseFps: DataFrame,
                               minShared: Long = 2L, maxDf: Int = 1000): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")

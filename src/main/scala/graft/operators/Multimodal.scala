@@ -290,7 +290,10 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // stream shorter than IHDR claims
+        // needsInput: stream shorter than IHDR claims; needsDictionary: a
+        // crafted FDICT zlib header would otherwise return 0 forever — both
+        // are refusals, never a hang on untrusted bytes
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
         got += n
       }
       if (got < raw.length) return None
@@ -448,7 +451,10 @@ object Multimodal {
     * far (never throw on untrusted bytes — the [[resizeBmp]] contract). */
   def gifFrameWalk(payload: Array[Byte]): Seq[(Int, Int, Int, Int)] = {
     val b = payload
-    if (decodeHeader(b)._1 != "gif") return Nil
+    // decodeHeader accepts >= 10 bytes (through the dimension fields); the
+    // walk needs the FULL 13-byte header + logical screen descriptor before
+    // reading the packed byte at 10 — a 10-12-byte truncation returns Nil
+    if (decodeHeader(b)._1 != "gif" || b.length < 13) return Nil
     val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int)]()
     def colorTableLen(packed: Int): Int =
       if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
@@ -614,7 +620,9 @@ object Multimodal {
     var dataLen = -1
     while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
       val size = leInt(b, i + 4)
-      if (size < 0 || i + 8 + size > b.length) return None
+      // bound in LONG: a crafted chunk size near Int.MaxValue wraps the Int
+      // sum negative and slips past the length check (the resizeBmp lesson)
+      if (size < 0 || i + 8L + size > b.length) return None
       if (tag(i, "fmt ") && size >= 16) {
         val audioFormat = leShort(b, i + 8)
         val bits = leShort(b, i + 22)

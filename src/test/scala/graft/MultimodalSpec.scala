@@ -174,10 +174,9 @@ class MultimodalSpec extends SparkSpec {
     Multimodal.encodePng(w, h, 3, px)
   }
 
-  /** Raw-scanline PNG builder for exercising decode paths encodePng never
-    * emits (filters 1-4): `raw` is the pre-deflate stream of
-    * [filter byte + scanline] rows. */
-  private def rawPng(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
+  /** PNG builder with a caller-supplied (already-"compressed") IDAT body —
+    * for exercising decode paths encodePng never emits. */
+  private def rawPngIdat(w: Int, h: Int, colorType: Int, idat: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
     def chunk(typ: String, data: Array[Byte]): Unit = {
@@ -194,12 +193,19 @@ class MultimodalSpec extends SparkSpec {
     }
     putBe(0, w); putBe(4, h); ihdr(8) = 8; ihdr(9) = colorType.toByte
     chunk("IHDR", ihdr)
+    chunk("IDAT", idat); chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Raw-scanline PNG builder for exercising decode paths encodePng never
+    * emits (filters 1-4): `raw` is the pre-deflate stream of
+    * [filter byte + scanline] rows. */
+  private def rawPng(w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater(); d.setInput(raw); d.finish()
     val z = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](4096)
     while (!d.finished()) z.write(buf, 0, d.deflate(buf))
     d.end()
-    chunk("IDAT", z.toByteArray); chunk("IEND", Array.emptyByteArray)
-    out.toByteArray
+    rawPngIdat(w, h, colorType, z.toByteArray)
   }
 
   test("PNG: encode→decode round-trips pixels exactly (RGB and RGBA)") {
@@ -251,6 +257,11 @@ class MultimodalSpec extends SparkSpec {
     val bomb = good.clone()
     bomb(16) = 0x7f.toByte; bomb(17) = 0xff.toByte // width ~2^31
     assert(Multimodal.decodePngPixels(bomb).isEmpty)
+    // crafted zlib header with FDICT set ((0x7820 % 31) == 0, so it parses):
+    // inflate() returns 0 with needsDictionary() — must refuse, not hang
+    val fdict = rawPngIdat(2, 2, 2,
+      Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8))
+    assert(Multimodal.decodePngPixels(fdict).isEmpty)
   }
 
   test("resizePng: nearest-neighbor sampling exact on coordinate-tagged pixels") {
@@ -299,6 +310,9 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.gifFrameWalk(gif.take(40)).size <= frames.size)
     assert(Multimodal.gifFrameWalk("GIF89a".getBytes) === Nil)
     assert(Multimodal.gifFrameWalk("not a gif at all".getBytes) === Nil)
+    // 10-12 bytes pass decodeHeader's "gif" check but lack the full
+    // header+LSD: must return Nil, never read past the array
+    for (n <- 10 to 12) assert(Multimodal.gifFrameWalk(gif.take(n)) === Nil, s"len $n")
   }
 
   test("gifFrames: per-frame rows from real encoded files, non-GIF rows emit nothing") {
@@ -357,5 +371,11 @@ class MultimodalSpec extends SparkSpec {
     val eightBit = mono.clone(); eightBit(34) = 8
     assert(Multimodal.wavPcm16Layout(eightBit).isEmpty)
     assert(Multimodal.wavPcm16Layout(mono.take(50)).isEmpty)
+    // crafted data-chunk size near Int.MaxValue: the Int sum would wrap
+    // negative and slip past the length check — must refuse, not crash
+    val evil = mono.clone()
+    evil(40) = 0xf0.toByte; evil(41) = 0xff.toByte
+    evil(42) = 0xff.toByte; evil(43) = 0x7f.toByte
+    assert(Multimodal.wavPcm16Layout(evil).isEmpty)
   }
 }
