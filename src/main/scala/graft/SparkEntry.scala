@@ -3580,21 +3580,31 @@ object SparkEntry {
       // becomes a real PCM16 mono RIFF/WAVE file (sample i = (doc_id·31 +
       // i·7) mod 4096 − 2048 — oracle-exact integers), the windows come from
       // the actual chunk walk (fmt → data) + window/hop framing with the
-      // partial last window kept, and peak_abs re-reads the encoded LE
-      // sample bytes — a hash match proves encode→chunk-walk→window→decode.
+      // partial last window kept, and peak_abs / sum_sq (exact-integer
+      // energy) / zero_crossings (the VAD pre-features) all re-read the
+      // encoded LE sample bytes — a hash match proves
+      // encode→chunk-walk→window→decode, feature by feature.
       (s, d) => Multimodal.wavWindows(s,
           Multimodal.syntheticWavsFromDocuments(s, Tables.documents(s, d)).toDF(),
           windowSamples = 32, hopSamples = 16).toDF(),
       Some("""WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
               w AS (SELECT doc_id, n,
-                unnest(generate_series(0, (n - 1) // 16)) AS k FROM d)
+                unnest(generate_series(0, (n - 1) // 16)) AS k FROM d),
+              wl AS (SELECT doc_id, k, 16 * k AS st,
+                least(32, n - 16 * k) AS len FROM w)
               SELECT doc_id AS media_id, CAST(k AS INT) AS window_idx,
-                CAST(16 * k AS BIGINT) AS start_sample,
-                CAST(least(32, n - 16 * k) AS BIGINT) AS n_samples,
-                CAST(list_max(list_transform(
-                  generate_series(16 * k, 16 * k + least(32, n - 16 * k) - 1),
-                  i -> abs(((doc_id * 31 + i * 7) % 4096) - 2048))) AS BIGINT) AS peak_abs
-              FROM w""")),
+                CAST(st AS BIGINT) AS start_sample,
+                CAST(len AS BIGINT) AS n_samples,
+                CAST(list_max(list_transform(generate_series(st, st + len - 1),
+                  i -> abs(((doc_id * 31 + i * 7) % 4096) - 2048))) AS BIGINT) AS peak_abs,
+                CAST(list_sum(list_transform(generate_series(st, st + len - 1),
+                  i -> CAST(((doc_id * 31 + i * 7) % 4096) - 2048 AS BIGINT)
+                       * (((doc_id * 31 + i * 7) % 4096) - 2048))) AS BIGINT) AS sum_sq,
+                CAST(len(list_filter(generate_series(st + 1, st + len - 1),
+                  i -> (((doc_id * 31 + i * 7) % 4096) - 2048 < 0)
+                       <> (((doc_id * 31 + (i - 1) * 7) % 4096) - 2048 < 0)))
+                  AS BIGINT) AS zero_crossings
+              FROM wl""")),
 
     Q("multimodal_resize_png", // the resize path's PNG half (r11 verdict ask
       // #3): synthetic PNGs (real deflated scanlines, even ids RGB / odd ids

@@ -568,9 +568,15 @@ object Multimodal {
   // WAV: RIFF chunk walk + PCM16 audio windowing
   // ------------------------------------------------------------------
 
-  /** One audio analysis window over a PCM WAV's sample frames. */
+  /** One audio analysis window over a PCM WAV's sample frames: peak absolute
+    * amplitude across ALL channels, total energy as the exact integer sum of
+    * squared samples (all channels — the rounding-free form an oracle can
+    * recompute; RMS is `sqrt(sum_sq / (n_samples·channels))` downstream),
+    * and the zero-crossing count of CHANNEL 0 (sign changes between
+    * consecutive frames within the window; the classic cheap VAD feature). */
   case class WavWindow(media_id: Long, window_idx: Int, start_sample: Long,
-                       n_samples: Long, peak_abs: Long)
+                       n_samples: Long, peak_abs: Long, sum_sq: Long,
+                       zero_crossings: Long)
 
   /** Build a genuine PCM16 mono WAV (RIFF + fmt + data chunks per the public
     * RIFF/WAVE spec); sample `i` is the pure function
@@ -658,14 +664,27 @@ object Multimodal {
             Iterator.range(0, nFrames, hopSamples).zipWithIndex.map { case (start, k) =>
               val len = math.min(windowSamples, nFrames - start)
               var peak = 0L
-              var i = dataOff + start * frameBytes
-              val end = i + len * frameBytes
-              while (i < end) {
-                val v = ((b(i) & 0xff) | (b(i + 1) << 8)).toShort.toInt
-                if (math.abs(v) > peak) peak = math.abs(v)
-                i += 2
+              var sumSq = 0L
+              var zc = 0L
+              var prevNeg = false
+              var f = 0
+              while (f < len) {
+                val base = dataOff + (start + f) * frameBytes
+                var c = 0
+                while (c < channels) {
+                  val v = ((b(base + 2 * c) & 0xff) | (b(base + 2 * c + 1) << 8)).toShort.toInt
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  sumSq += v.toLong * v
+                  if (c == 0) {
+                    val neg = v < 0
+                    if (f > 0 && neg != prevNeg) zc += 1
+                    prevNeg = neg
+                  }
+                  c += 1
+                }
+                f += 1
               }
-              WavWindow(r.media_id, k, start.toLong, len.toLong, peak)
+              WavWindow(r.media_id, k, start.toLong, len.toLong, peak, sumSq, zc)
             }
         }
       }

@@ -339,10 +339,12 @@ class MultimodalSpec extends SparkSpec {
         Seq(Multimodal.MediaRecord(1L, "audio/wav", mono)).toDS().toDF(),
         windowSamples = 2, hopSamples = 2)
       .collect().sortBy(_.window_idx)
+    // all five samples are negative -> zero crossings are 0 throughout;
+    // sum_sq is hand-computed from the squares of the sample pairs
     assert(w.toSeq === Seq(
-      Multimodal.WavWindow(1L, 0, 0L, 2L, 1955L),
-      Multimodal.WavWindow(1L, 1, 2L, 2L, 1941L),
-      Multimodal.WavWindow(1L, 2, 4L, 1L, 1927L)))
+      Multimodal.WavWindow(1L, 0, 0L, 2L, 1955L, 1955L * 1955 + 1948L * 1948, 0L),
+      Multimodal.WavWindow(1L, 1, 2L, 2L, 1941L, 1941L * 1941 + 1934L * 1934, 0L),
+      Multimodal.WavWindow(1L, 2, 4L, 1L, 1927L, 1927L * 1927, 0L)))
     // hand-built STEREO wav with an odd-length junk chunk before fmt: the
     // walk must pad to even and window FRAMES (peak across both channels)
     val bos = new java.io.ByteArrayOutputStream()
@@ -363,9 +365,27 @@ class MultimodalSpec extends SparkSpec {
         Seq(Multimodal.MediaRecord(2L, "audio/wav", stereo)).toDS().toDF(),
         windowSamples = 1, hopSamples = 1)
       .collect().sortBy(_.window_idx)
+    // peak and energy cover BOTH channels; zero crossings track channel 0,
+    // and a single-frame window has no consecutive pair -> 0
     assert(sw.toSeq === Seq(
-      Multimodal.WavWindow(2L, 0, 0L, 1L, 700L),
-      Multimodal.WavWindow(2L, 1, 1L, 1L, 300L)))
+      Multimodal.WavWindow(2L, 0, 0L, 1L, 700L, 100L * 100 + 700L * 700, 0L),
+      Multimodal.WavWindow(2L, 1, 1L, 1L, 300L, 300L * 300 + 50L * 50, 0L)))
+    // a window spanning both frames: channel 0 goes 100 -> 300 (no sign
+    // change, zc 0); widen the samples to flip signs and count one crossing
+    val sw2 = Multimodal.wavWindows(spark,
+        Seq(Multimodal.MediaRecord(3L, "audio/wav", stereo)).toDS().toDF(),
+        windowSamples = 2, hopSamples = 2)
+      .collect()
+    assert(sw2.toSeq === Seq(Multimodal.WavWindow(3L, 0, 0L, 2L, 700L,
+      100L * 100 + 700L * 700 + 300L * 300 + 50L * 50, 0L)))
+    // seed 1123: samples -3 then +4 (1123*31 % 4096 = 2045) -> exactly one
+    // sign change counted
+    val flip = Multimodal.wavWindows(spark,
+        Seq(Multimodal.MediaRecord(4L, "audio/wav",
+          Multimodal.encodeWavPcm16(2, 8000, seed = 1123L))).toDS().toDF(),
+        windowSamples = 2, hopSamples = 2)
+      .collect()
+    assert(flip.toSeq === Seq(Multimodal.WavWindow(4L, 0, 0L, 2L, 4L, 25L, 1L)))
     // refusals: non-wav, 8-bit, truncated
     assert(Multimodal.wavPcm16Layout("RIFFxxxxWAVE".getBytes).isEmpty)
     val eightBit = mono.clone(); eightBit(34) = 8
