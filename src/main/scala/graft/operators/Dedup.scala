@@ -1305,6 +1305,67 @@ object Dedup {
     graft.sources.Lake.appendBucketed(
       fps.select("doc_id", "fp").distinct(), path, table, "fp", buckets)
 
+  /** DELETE documents from a persisted [[writeWinnowIndex]] table — the
+    * lifecycle half a production dedup index cannot ship without (takedowns,
+    * opt-outs, license revocations), completing build / append / delete /
+    * probe symmetry with the IVF family
+    * ([[graft.operators.Similarity.deleteFromIvfIndex]]). Dataflow mirrors
+    * the IVF delete, translated to the FLAT bucketed layout (bucket id lives
+    * in the file NAME, not a directory): (1) the deleted docs' fingerprint
+    * buckets come from a column-pruned `(doc_id, fp)` scan against the
+    * broadcast delete set — `pmod(hash(fp), buckets)` is exactly Spark's
+    * bucket-id function, so the discovered ids name real files; (2) ONLY the
+    * affected buckets' files are read back (file-pruned — cost tracks the
+    * affected buckets, never the index) and their survivors re-cluster into
+    * a staged bucketed write under the same spec; (3) the staged files swap
+    * in via [[graft.sources.Lake.swapBucketFiles]]'s checked
+    * trash-then-rename — a failed step aborts loudly with trash + staging
+    * intact, nothing destructively deleted (DedupSpec drives the abort). A
+    * bucket emptied by the delete simply loses its files — co-located reads
+    * treat a missing bucket file as empty. SINGLE-WRITER maintenance op;
+    * serialize against appends and probes (or adopt a transactional table
+    * format) in deployments that write during reads. Untouched buckets keep
+    * their files byte-for-byte; [[winnowPairsAgainstIndex]] sees the
+    * remainder through the identical co-located plan (driver-gated: shares
+    * `dedup_winnow_persisted`'s rebuild oracle). Returns the number of
+    * affected buckets. */
+  def deleteFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, table: String, ids: Array[Long],
+                            buckets: Int = 8): Int = {
+    if (ids.isEmpty) return 0 // nothing revoked = no-op, the remove_ids contract
+    import spark.implicits._
+    // the delete set rides a BROADCAST through semi/anti joins — the
+    // deleteFromIvfIndex lesson: an isin(ids) literal list plans O(|ids|)
+    // driver-side, the join form plans O(1) and scales to millions of ids
+    val idDf = ids.toSeq.toDF("doc_id")
+    val bucketOf = pmod(hash(col("fp")), lit(buckets))
+    val affected = spark.table(table)
+      .select(col("doc_id"), col("fp"))
+      .join(broadcast(idDf), Seq("doc_id"), "left_semi")
+      .select(bucketOf.as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affectedSet = affected.toSet
+    val affectedFiles = graft.sources.Lake.bucketFiles(fs, path)
+      .filter { case (b, _) => affectedSet(b) }
+      .values.flatten.map(_.toString).toSeq
+    val survivors = spark.read.parquet(affectedFiles: _*)
+      .join(broadcast(idDf), Seq("doc_id"), "left_anti")
+      .repartition(buckets, col("fp"))
+    val stagingPath = path + ".delete_staging"
+    val stagingTable = table + "_delete_staging"
+    try {
+      graft.sources.Lake.writeBucketed(
+        survivors, stagingPath, stagingTable, "fp", buckets)
+      graft.sources.Lake.swapBucketFiles(spark, path, stagingPath, affected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshByPath(path)
+    affected.length
+  }
+
   /** [[incrementalWinnowPairs]] against a PRE-MATERIALIZED base fingerprint
     * table (`(doc_id, fp)` rows, e.g. a persisted [[winnowFingerprints]]
     * snapshot written by [[writeWinnowIndex]]) — the form a production

@@ -60,6 +60,99 @@ object Lake {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket id encoded in a bucketed-table data file's name. Spark writes
+    * `part-<task>-<uuid>_<bucketId>.c000.snappy.parquet` — the id is the
+    * digit run after the last underscore (the same pattern Spark's own
+    * reader uses to group files by bucket). None for non-bucketed names
+    * (`_SUCCESS`, hidden files, plain parquet parts). */
+  private val BucketedFileName = """.*_(\d+)(?:\..*)?$""".r
+  private[graft] def bucketIdOfFile(name: String): Option[Int] = name match {
+    case _ if name.startsWith("_") || name.startsWith(".") => None
+    case BucketedFileName(id) => Some(id.toInt)
+    case _ => None
+  }
+
+  /** A bucketed table's live data files grouped by bucket id. */
+  private[graft] def bucketFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String): Map[Int, Seq[org.apache.hadoop.fs.Path]] =
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isFile)
+      .flatMap(st => bucketIdOfFile(st.getPath.getName).map(_ -> st.getPath))
+      .groupBy(_._1).map { case (b, fs0) => b -> fs0.map(_._2).toSeq }
+
+  /** Swap the `affected` buckets' files of a FLAT bucketed layout: live files
+    * move aside into a trash dir (checked renames — never a destructive
+    * delete), staged replacements move in, and only after EVERY move
+    * succeeded do trash and staging drop. A failed step aborts loudly with
+    * trash + staging intact on disk, so recovery is a rename back — the
+    * file-level analog of [[graft.operators.Similarity.deleteFromIvfIndex]]'s
+    * per-cell directory swap (bucketed tables are flat: the bucket id lives
+    * in the FILE name, so the unit of swap is the file, not a directory).
+    * SINGLE-WRITER like every file-layout mutation without a table format:
+    * a probe listing the table mid-swap can see a partial bucket — serialize
+    * maintenance against reads, or adopt a transactional table format.
+    * Refuses to proceed (nothing touched) if the trash path cannot be
+    * created, which is also the abort the crash spec drives. */
+  private[graft] def swapBucketFiles(spark: SparkSession, livePath: String,
+                                     stagingPath: String, affected: Seq[Int]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(livePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val trash = new org.apache.hadoop.fs.Path(livePath + ".swap_trash")
+    if (fs.exists(trash) || !fs.mkdirs(trash))
+      sys.error(s"cannot create trash dir $trash — layout unchanged; " +
+        s"staging kept at $stagingPath")
+    val affectedSet = affected.toSet
+    val live = bucketFiles(fs, livePath).filter { case (b, _) => affectedSet(b) }
+    val staged = bucketFiles(fs, stagingPath).filter { case (b, _) => affectedSet(b) }
+    live.values.flatten.foreach { f =>
+      if (!fs.rename(f, new org.apache.hadoop.fs.Path(trash, f.getName)))
+        sys.error(s"swap aborted: cannot move live $f aside — moved files are " +
+          s"in $trash, staging kept at $stagingPath; recover by renaming back")
+    }
+    staged.values.flatten.foreach { f =>
+      if (!fs.rename(f, new org.apache.hadoop.fs.Path(livePath, f.getName)))
+        sys.error(s"swap aborted: cannot move staged $f into place — old files " +
+          s"are in $trash; recover by renaming them back into $livePath")
+    }
+    fs.delete(trash, true)
+    fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true)
+  }
+
+  /** COMPACT a bucketed table's fragmented buckets — the maintenance half of
+    * the build/append lifecycle: every [[appendBucketed]] lands a fresh file
+    * per bucket beside the old ones, so after N appends each co-located read
+    * opens N small files per bucket; at 100 TB the file-open + footer cost
+    * dominates the probe. Rewrites ONLY the buckets holding more than one
+    * file (cost tracks fragmentation, never table size): their rows are read
+    * file-pruned, re-clustered into exactly ONE file per bucket (the input is
+    * pre-partitioned by the bucket spec's own hash — `pmod(hash(col), n)`, so
+    * each write task holds exactly one bucket), staged fully, then swapped in
+    * via [[swapBucketFiles]]'s checked trash-then-rename. Rows, bucket spec,
+    * and within-file sort order are preserved exactly — every co-located
+    * probe answers identically (spec- and driver-gated). Returns the number
+    * of buckets compacted. One file per bucket is the right target because
+    * bucket count is already the layout's parallelism/file-size knob —
+    * re-bucket (rebuild) when buckets themselves outgrow the target size. */
+  def compactBucketed(spark: SparkSession, path: String, table: String,
+                      bucketCol: String, buckets: Int): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fragmented = bucketFiles(fs, path).filter(_._2.size > 1)
+    if (fragmented.isEmpty) return 0
+    val affected = fragmented.keys.toSeq.sorted
+    val rows = spark.read.parquet(fragmented.values.flatten.map(_.toString).toSeq: _*)
+      .repartition(buckets, col(bucketCol))
+    val stagingPath = path + ".compact_staging"
+    val stagingTable = table + "_compact_staging"
+    try {
+      writeBucketed(rows, stagingPath, stagingTable, bucketCol, buckets)
+      swapBucketFiles(spark, path, stagingPath, affected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshByPath(path)
+    affected.length
+  }
+
   /** Z-order (Morton) interleave key over numeric columns: each column
     * quantizes to `bits` bits against its [min, max] range, then the bits
     * interleave (column j contributes bit i at position i·ncols + j, so all

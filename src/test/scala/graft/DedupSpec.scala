@@ -577,6 +577,93 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("deleteFromWinnowIndex: probe ≡ rebuild over the remainder; no-op safe; bucket ids real") {
+    import org.apache.spark.sql.functions._
+    val shared = "zq alpha beta gamma delta epsilon zeta eta theta iota"
+    val base = Seq(
+      (1L, "frozen snapshot document carrying " + shared + " inside it"),
+      (2L, "another base document with no overlap to anything else here"),
+      (3L, "revoked takedown document also quoting " + shared + " verbatim")
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, "new crawl text then " + shared + " then a fresh tail"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_del").toString
+    try {
+      Dedup.writeWinnowIndex(Dedup.winnowFingerprints(base, k = 5, w = 4),
+        s"$dir/idx", "graft_t_winnow_del", buckets = 4)
+      // pin the layout assumption the delete's file pruning rests on: a bucket
+      // file holds exactly the rows whose pmod(hash(fp), buckets) names it
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.sources.Lake.bucketFiles(fs, s"$dir/idx").foreach { case (b, files) =>
+        val off = spark.read.parquet(files.map(_.toString): _*)
+          .filter(pmod(hash(col("fp")), lit(4)) =!= b).count()
+        assert(off === 0L, s"bucket $b holds $off rows hashed to other buckets")
+      }
+      val batchFps = Dedup.winnowFingerprints(batch, k = 5, w = 4)
+      def probe() = rowSet(Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_del"), minShared = 1L))
+      // doc 3 quotes the shared run, so it MUST surface before the delete
+      assert(probe().map(r => (r(0), r(1))) === Set((10L, 1L), (10L, 3L)))
+      val affected = Dedup.deleteFromWinnowIndex(spark, s"$dir/idx",
+        "graft_t_winnow_del", Array(3L), buckets = 4)
+      assert(affected >= 1)
+      // delete ≡ rebuild over the remainder, and the revoked doc is gone
+      Dedup.writeWinnowIndex(
+        Dedup.winnowFingerprints(base.filter($"doc_id" =!= 3L), k = 5, w = 4),
+        s"$dir/rebuilt", "graft_t_winnow_del_rb", buckets = 4)
+      assert(probe() === rowSet(Dedup.winnowPairsAgainstIndex(
+        batchFps, spark.table("graft_t_winnow_del_rb"), minShared = 1L)))
+      assert(probe().map(r => (r(0), r(1))) === Set((10L, 1L)))
+      assert(spark.table("graft_t_winnow_del").filter($"doc_id" === 3L).count() === 0L)
+      // absent ids and the empty set are no-ops, never a crash
+      val beforeRows = rowSet(spark.table("graft_t_winnow_del"))
+      assert(Dedup.deleteFromWinnowIndex(spark, s"$dir/idx", "graft_t_winnow_del",
+        Array(999999991L), buckets = 4) === 0)
+      assert(Dedup.deleteFromWinnowIndex(spark, s"$dir/idx", "graft_t_winnow_del",
+        Array.empty[Long], buckets = 4) === 0)
+      assert(rowSet(spark.table("graft_t_winnow_del")) === beforeRows)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_t_winnow_del")
+      spark.sql("DROP TABLE IF EXISTS graft_t_winnow_del_rb")
+    }
+  }
+
+  test("deleteFromWinnowIndex crash-abort: a failed swap start leaves the index byte-identical") {
+    val base = Seq(
+      (1L, "frozen snapshot document one with some words in it today"),
+      (2L, "revoked takedown document two with other words in it now")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_winnow_crash").toString
+    try {
+      Dedup.writeWinnowIndex(Dedup.winnowFingerprints(base, k = 5, w = 4),
+        s"$dir/idx", "graft_t_winnow_crash", buckets = 4)
+      val fs = new org.apache.hadoop.fs.Path(s"$dir/idx")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def layout() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/idx"))
+        .filter(_.isFile).map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSet
+      val before = layout()
+      // a FILE squatting on the trash path makes mkdirs fail — the swap must
+      // abort BEFORE any live file moves (trash-then-swap's first checked step)
+      val trash = new org.apache.hadoop.fs.Path(s"$dir/idx.swap_trash")
+      fs.create(trash, false).close()
+      val e = intercept[RuntimeException] {
+        Dedup.deleteFromWinnowIndex(spark, s"$dir/idx", "graft_t_winnow_crash",
+          Array(2L), buckets = 4)
+      }
+      assert(e.getMessage.contains("layout unchanged"))
+      assert(layout() === before, "aborted swap must not touch a single live file")
+      // and the table still answers: the revoked doc is (correctly) still there
+      assert(spark.table("graft_t_winnow_crash").filter($"doc_id" === 2L).count() > 0L)
+      fs.delete(trash, false)
+      // with the obstruction gone the same delete succeeds
+      assert(Dedup.deleteFromWinnowIndex(spark, s"$dir/idx", "graft_t_winnow_crash",
+        Array(2L), buckets = 4) >= 1)
+      assert(spark.table("graft_t_winnow_crash").filter($"doc_id" === 2L).count() === 0L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_winnow_crash")
+  }
+
   test("winnow density on the fixture corpus is within the structural bounds") {
     import org.apache.spark.sql.functions._
     val k = 5; val w = 4

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Lake
+
+/** Storage-layout maintenance: the bucketed-table compaction half of the
+  * build/append lifecycle ([[Lake.compactBucketed]]) and the file-level swap
+  * machinery it shares with `Dedup.deleteFromWinnowIndex`. */
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fsFor(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(path: String): Map[Int, Seq[String]] =
+    Lake.bucketFiles(fsFor(path), path)
+      .map { case (b, fs0) => b -> fs0.map(_.getName) }
+
+  test("bucketIdOfFile parses Spark bucket file names, skips non-data files") {
+    assert(Lake.bucketIdOfFile("part-00000-abc-123_00003.c000.snappy.parquet") === Some(3))
+    assert(Lake.bucketIdOfFile("part-00017-def_00000.c000.parquet") === Some(0))
+    assert(Lake.bucketIdOfFile("_SUCCESS") === None)
+    assert(Lake.bucketIdOfFile(".part-00000-abc_00003.c000.snappy.parquet.crc") === None)
+    assert(Lake.bucketIdOfFile("data.parquet") === None)
+  }
+
+  test("compactBucketed: fragmented buckets become one file each; rows and probe answers unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 50).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 400).toDF(), path, "graft_t_compact", "fp", 4)
+      Lake.appendBucketed(slice(400, 800).toDF(), path, "graft_t_compact", "fp", 4)
+      Lake.appendBucketed(slice(800, 1000).toDF(), path, "graft_t_compact", "fp", 4)
+      val before = dataFiles(path)
+      assert(before.values.exists(_.size > 1), "appends must fragment at least one bucket")
+      val rowsBefore = rowSet(spark.table("graft_t_compact"))
+      val compacted = Lake.compactBucketed(spark, path, "graft_t_compact", "fp", 4)
+      assert(compacted === before.count(_._2.size > 1),
+        "exactly the fragmented buckets compact")
+      val after = dataFiles(path)
+      assert(after.values.forall(_.size == 1), s"one file per bucket after compaction: $after")
+      assert(after.keySet === before.keySet, "no bucket may appear or vanish")
+      assert(rowSet(spark.table("graft_t_compact")) === rowsBefore,
+        "compaction must preserve rows exactly")
+      // single-file buckets are untouched: re-compaction is a no-op
+      assert(Lake.compactBucketed(spark, path, "graft_t_compact", "fp", 4) === 0)
+      assert(dataFiles(path) === after, "a no-op compaction must not rewrite any file")
+      // the compacted layout still answers a co-located aggregation correctly
+      assert(spark.table("graft_t_compact").groupBy("fp").count().count() === 50L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_compact")
+  }
+
+  test("compactBucketed keeps files hash-consistent: each output file holds only its bucket's rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_hash").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(concat(lit("k"), $"id" % 37).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 300).toDF(), path, "graft_t_compact_h", "fp", 4)
+      Lake.appendBucketed(slice(300, 600).toDF(), path, "graft_t_compact_h", "fp", 4)
+      assert(Lake.compactBucketed(spark, path, "graft_t_compact_h", "fp", 4) > 0)
+      Lake.bucketFiles(fsFor(path), path).foreach { case (b, files) =>
+        val off = spark.read.parquet(files.map(_.toString): _*)
+          .filter(pmod(hash(col("fp")), lit(4)) =!= b).count()
+        assert(off === 0L, s"bucket $b holds $off rows hashed elsewhere — " +
+          "a co-located join would silently drop matches")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_compact_h")
+  }
+
+  test("compactBucketed crash-abort: a failed swap start leaves the layout byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 20).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 200).toDF(), path, "graft_t_compact_c", "fp", 4)
+      Lake.appendBucketed(slice(200, 400).toDF(), path, "graft_t_compact_c", "fp", 4)
+      val fs = fsFor(path)
+      def layout() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isFile).map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSet
+      val before = layout()
+      val trash = new org.apache.hadoop.fs.Path(s"$path.swap_trash")
+      fs.create(trash, false).close() // a file squatting on the trash path
+      val e = intercept[RuntimeException] {
+        Lake.compactBucketed(spark, path, "graft_t_compact_c", "fp", 4)
+      }
+      assert(e.getMessage.contains("layout unchanged"))
+      assert(layout() === before, "aborted compaction must not touch a single live file")
+      fs.delete(trash, false)
+      assert(Lake.compactBucketed(spark, path, "graft_t_compact_c", "fp", 4) > 0)
+      assert(spark.table("graft_t_compact_c").count() === 400L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_compact_c")
+  }
+}
