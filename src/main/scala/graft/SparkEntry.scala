@@ -3655,6 +3655,37 @@ object SparkEntry {
               FROM (SELECT doc_id, unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
                     FROM documents) t""")),
 
+    Q("multimodal_gif_pixels", // the GIF walk's PIXEL half (r12 verdict ask
+      // #2, removing the last structure-not-pixels stand-in): each doc
+      // becomes a real GIF89a whose frame pixels are the oracle-arithmetic
+      // function (doc_id·31 + i·257 + j·7) mod 127, and the features come
+      // from genuinely LZW-DECODING the image data sub-blocks
+      // (Multimodal.gifLzwDecode — full variable-width algorithm; the
+      // dictionary-growth/KwKwK/deferred-clear paths are MultimodalSpec-
+      // round-tripped). pixel_sum + position-weighted pixel_poly + endpoint
+      // pins are recomputed per pixel by DuckDB, so a hash match proves
+      // encode→walk→LZW-decode reproduces every pixel value AND position.
+      (s, d) => Multimodal.gifFramePixels(s,
+          Multimodal.syntheticGifsExactFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH f AS (SELECT doc_id,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+                FROM documents),
+              g AS (SELECT doc_id, i,
+                CAST((doc_id % 16) + 1 + i AS INT) AS w,
+                CAST((doc_id % 12) + 1 + i AS INT) AS h
+                FROM f)
+              SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                w AS frame_w, h AS frame_h,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (doc_id * 31 + i * 257 + j * 7) % 127)) AS BIGINT) AS pixel_sum,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (j + 1) * ((doc_id * 31 + i * 257 + j * 7) % 127))) AS BIGINT) AS pixel_poly,
+                CAST((doc_id * 31 + i * 257) % 127 AS INT) AS pixel_first,
+                CAST((doc_id * 31 + i * 257 + (w * h - 1) * 7) % 127 AS INT) AS pixel_last
+              FROM g""")),
+
     Q("multimodal_wav_windows", // format-aware AUDIO windowing: each doc
       // becomes a real PCM16 mono RIFF/WAVE file (sample i = (doc_id·31 +
       // i·7) mod 4096 − 2048 — oracle-exact integers), the windows come from

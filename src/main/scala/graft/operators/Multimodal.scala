@@ -482,16 +482,206 @@ object Multimodal {
     frames.toSeq
   }
 
+  /** Decode a GIF LZW code stream (the concatenated image-data sub-blocks)
+    * into its pixel indices — the FULL variable-width algorithm per the
+    * public GIF89a spec appendix, not just the clear-code fixture subset:
+    * codes pack LSB-first; the dictionary starts at `2^minCodeSize` roots +
+    * clear + end-of-information, grows one entry per decoded code, widens
+    * the code size whenever the next code would not fit (up to the 12-bit
+    * cap, after which entries stop growing until a clear — the deferred-
+    * clear mode real encoders emit), handles the KwKwK forward-reference
+    * case, and resets on every clear code. Returns None — never throws, the
+    * [[resizeBmp]] untrusted-bytes contract — for malformed streams: an
+    * out-of-range code, output beyond `maxPixels`, or the stream ending
+    * before end-of-information. Dictionary entries expand via parent-chain
+    * arrays (prefix/suffix), O(output) total, no per-entry byte copies. */
+  def gifLzwDecode(minCodeSize: Int, data: Array[Byte],
+                   maxPixels: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8 || maxPixels < 0) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    val out = new java.io.ByteArrayOutputStream()
+    var dictSize = eoi + 1
+    var codeSize = minCodeSize + 1
+    var bitBuf = 0; var bitCnt = 0; var pos = 0
+    def readCode(): Int = {
+      while (bitCnt < codeSize) {
+        if (pos >= data.length) return -1
+        bitBuf |= (data(pos) & 0xff) << bitCnt
+        bitCnt += 8; pos += 1
+      }
+      val c = bitBuf & ((1 << codeSize) - 1)
+      bitBuf >>>= codeSize; bitCnt -= codeSize
+      c
+    }
+    // expand a code's byte sequence onto the stack (reversed parent chain);
+    // returns its FIRST byte, or -1 on a corrupt chain
+    def emit(code: Int): Int = {
+      var c = code; var sp = 0
+      while (c >= clear) { // dictionary entry: walk to its root
+        if (sp >= stack.length) return -1 // cycle — corrupt dictionary
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      val first = c
+      out.write(c)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      first
+    }
+    var prev = -1
+    var code = readCode()
+    while (code != eoi) {
+      if (code < 0) return None // bits ran out before end-of-information
+      if (code == clear) {
+        dictSize = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else {
+        if (code > dictSize || (code == dictSize && prev < 0)) return None
+        val first =
+          if (code == dictSize) { // KwKwK: the code being defined right now
+            val f = emit(prev)
+            if (f < 0) return None
+            out.write(f); f
+          } else emit(code)
+        if (first < 0) return None
+        if (out.size > maxPixels) return None
+        if (prev >= 0 && dictSize < 4096) {
+          prefix(dictSize) = prev; suffix(dictSize) = first.toByte
+          dictSize += 1
+          // widen when the NEXT code would not fit (12-bit cap per spec)
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = code
+      }
+      code = readCode()
+    }
+    Some(out.toByteArray)
+  }
+
+  /** One frame's geometry plus position-checksummed pixel features from the
+    * REAL LZW decode: `n_pixels` must equal w·h (decode-length gate),
+    * `pixel_sum` is the plain sum and `pixel_poly` the position-weighted sum
+    * `Σ (j+1)·px(j)` — the pair detects any value error AND any transposition
+    * (a plain sum alone is permutation-blind), with first/last pinning the
+    * endpoints. All exact integers an oracle recomputes from the fixture's
+    * pixel function. */
+  case class GifFramePixels(media_id: Long, frame_idx: Int, frame_w: Int,
+                            frame_h: Int, n_pixels: Long, pixel_sum: Long,
+                            pixel_poly: Long, pixel_first: Int, pixel_last: Int)
+
+  /** Walk a GIF like [[gifFrameWalk]] but also CONCATENATE each image's data
+    * sub-blocks and LZW-decode them ([[gifLzwDecode]]) — the last
+    * structure-not-pixels stand-in removed (r12 verdict ask #2): frame
+    * geometry comes from the descriptors, pixels from the genuine
+    * variable-width decode, and interlaced frames (packed bit 0x40)
+    * de-interlace into row order per the spec's four-pass layout. Frames
+    * whose stream is malformed or whose decode length ≠ w·h are dropped
+    * (refuse what cannot be faithfully decoded); the walk itself still never
+    * throws on truncated or desynced payloads. Kept separate from the
+    * geometry-only walk so that face stays allocation-free. */
+  def gifFrameWalkPixels(payload: Array[Byte]): Seq[(Int, Int, Int, Int, Array[Byte])] = {
+    val b = payload
+    if (decodeHeader(b)._1 != "gif" || b.length < 13) return Nil
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Array[Byte])]()
+    def colorTableLen(packed: Int): Int =
+      if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
+    var i = 13 + colorTableLen(b(10) & 0xff)
+    def skipSubBlocks(start: Int): Int = {
+      var j = start
+      while (j < b.length && (b(j) & 0xff) != 0) j += 1 + (b(j) & 0xff)
+      if (j < b.length) j + 1 else -1
+    }
+    // concatenate [len][bytes] sub-blocks; None = truncated mid-block
+    def collectSubBlocks(start: Int): Option[(Array[Byte], Int)] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var j = start
+      while (j < b.length && (b(j) & 0xff) != 0) {
+        val n = b(j) & 0xff
+        if (j + 1 + n > b.length) return None
+        out.write(b, j + 1, n)
+        j += 1 + n
+      }
+      if (j < b.length) Some((out.toByteArray, j + 1)) else None
+    }
+    // spec four-pass interlace: stored rows are (0,8,16..), (4,12..),
+    // (2,6,10..), (1,3,5..) — map back to display order
+    def deinterlace(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val outRows = new Array[Byte](px.length)
+      var src = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2)); y <- start until h by step) {
+        System.arraycopy(px, src * w, outRows, y * w, w)
+        src += 1
+      }
+      outRows
+    }
+    var done = false
+    while (!done && i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2c if i + 9 < b.length =>
+          val (l, t, w, h) = (leShort(b, i + 1), leShort(b, i + 3),
+            leShort(b, i + 5), leShort(b, i + 7))
+          val interlaced = (b(i + 9) & 0x40) != 0
+          val j = i + 10 + colorTableLen(b(i + 9) & 0xff)
+          if (j < b.length) {
+            val minCode = b(j) & 0xff
+            collectSubBlocks(j + 1) match {
+              case Some((data, next)) =>
+                gifLzwDecode(minCode, data, maxPixels = w * h).foreach { px =>
+                  if (px.length == w * h)
+                    frames += ((l, t, w, h, if (interlaced) deinterlace(px, w, h) else px))
+                }
+                i = next
+              case None => done = true
+            }
+          } else done = true
+        case 0x21 => i = skipSubBlocks(i + 2)
+        case 0x3b => done = true
+        case _ => done = true
+      }
+      if (i < 0) done = true
+    }
+    frames.toSeq
+  }
+
+  /** Format-aware PIXEL extraction: one row per decodable GIF frame with the
+    * [[GifFramePixels]] checksums over the LZW-decoded indices — typed
+    * flatMap in the [[extractFeatures]] per-partition-init shape, map-only
+    * (payloads never shuffle); non-GIF rows and undecodable frames emit
+    * nothing. */
+  def gifFramePixels(spark: SparkSession, media: DataFrame): Dataset[GifFramePixels] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        gifFrameWalkPixels(r.payload).zipWithIndex.map { case ((_, _, w, h, px), i) =>
+          var sum = 0L; var poly = 0L; var j = 0
+          while (j < px.length) {
+            val v = px(j) & 0xff
+            sum += v; poly += (j + 1).toLong * v; j += 1
+          }
+          GifFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly,
+            if (px.nonEmpty) px(0) & 0xff else -1,
+            if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+        }
+      }
+    }
+  }
+
   /** Build a genuine GIF89a file: header, logical screen descriptor with a
     * 128-entry global color table, and per frame a graphic-control extension
     * + image descriptor + VALID LZW image data. The LZW stream uses min code
     * size 7 with a clear code before every pixel code — each code is then
     * exactly 8 bits and byte-aligned, the dictionary never grows, and any
-    * conforming decoder reproduces the LCG pixel bytes (the standard
+    * conforming decoder reproduces the pixel bytes (the standard
     * "uncompressed GIF" encoding trick) — so fixtures are decodable files,
-    * not placeholder blobs ([[encodeBmp]] precedent). */
+    * not placeholder blobs ([[encodeBmp]] precedent). Pixels default to the
+    * header-continuing LCG stream; `pixelFn(frameIdx, pixelIdx)` overrides
+    * them with a caller-chosen (e.g. oracle-arithmetic) function — the
+    * color table always stays LCG, so default output is byte-identical to
+    * the pre-pixelFn encoder. */
   def encodeGif(screenW: Int, screenH: Int,
-                frames: Seq[(Int, Int, Int, Int)], seed: Long = 0L): Array[Byte] = {
+                frames: Seq[(Int, Int, Int, Int)], seed: Long = 0L,
+                pixelFn: Option[(Int, Int) => Int] = None): Array[Byte] = {
     require(screenW >= 1 && screenH >= 1, s"bad screen ${screenW}x$screenH")
     require(frames.nonEmpty, "a GIF needs at least one frame")
     frames.foreach { case (l, t, w, h) =>
@@ -507,7 +697,7 @@ object Multimodal {
     var p = seed
     def lcg(): Int = { p = p * 6364136223846793005L + 1442695040888963407L; ((p >>> 32) & 0xff).toInt }
     for (_ <- 0 until 3 * 128) out.write(lcg()) // global color table
-    frames.foreach { case (l, t, w, h) =>
+    frames.zipWithIndex.foreach { case ((l, t, w, h), fi) =>
       // graphic control extension (fixed 4-byte block: no transparency, 4cs delay)
       out.write(0x21); out.write(0xf9); out.write(4)
       out.write(0); putLeShort(4); out.write(0); out.write(0)
@@ -519,7 +709,7 @@ object Multimodal {
       var i = 0
       while (i < w * h) {
         codes(2 * i) = 0x80.toByte // clear: keep every code 8 bits
-        codes(2 * i + 1) = (lcg() & 0x7f).toByte
+        codes(2 * i + 1) = (pixelFn.fold(lcg())(f => f(fi, i)) & 0x7f).toByte
         i += 1
       }
       codes(2 * w * h) = 0x81.toByte // end of information
@@ -546,6 +736,25 @@ object Multimodal {
           (2 * i, i, (id % 16).toInt + 1 + i, (id % 12).toInt + 1 + i)
         }
         MediaRecord(id, "image/gif", encodeGif(24, 16, frames, seed = id))
+      }
+    }
+  }
+
+  /** [[syntheticGifsFromDocuments]]'s ORACLE-EXACT-pixel sibling: same
+    * doc_id-arithmetic frame geometry, but pixel `j` of frame `i` is
+    * `(doc_id·31 + i·257 + j·7) mod 127` — plain integer arithmetic a SQL
+    * oracle recomputes per pixel (the [[encodeWavPcm16]] precedent), where
+    * the default fixture's LCG stream cannot be followed in SQL. The encode
+    * is still the genuine GIF89a byte path; only the payload pixels differ. */
+  def syntheticGifsExactFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val frames = (0 to (id % 3).toInt).map { i =>
+          (2 * i, i, (id % 16).toInt + 1 + i, (id % 12).toInt + 1 + i)
+        }
+        MediaRecord(id, "image/gif", encodeGif(24, 16, frames, seed = id,
+          pixelFn = Some((i, j) => ((id * 31 + i * 257 + j * 7) % 127).toInt)))
       }
     }
   }
