@@ -88,7 +88,12 @@ object Bench {
     // query by default; run 1 additionally absorbs per-query codegen/JIT, so
     // the stability spread is computed over runs 2..N only.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val maxExtraRuns = 3 // extra-sweep budget shared by outlier replacement + spread retries
+    // SEPARATE extra-sweep budgets (advisor, round 12): a noisy session that
+    // spends a shared budget entirely on outlier replacement would leave the
+    // spread gate zero retries and land an avoidable `_unstable` artifact —
+    // the spread gate always keeps its own reserve.
+    val maxOutlierExtras = 3
+    val maxSpreadExtras = 2
     // Optional args = bench only the named queries (iteration aid); the
     // driver's no-arg invocation always sweeps everything.
     val selected =
@@ -96,15 +101,31 @@ object Bench {
       else { args.foreach(a => require(SparkEntry.queries.contains(a), s"unknown query: $a")); args.toSeq }
 
     // Host-speed probe: a fixed, data-independent, codegen-bound query (sum
-    // over a 67M-row range) timed once per sweep. Its cross-round trajectory
+    // over a 67M-row range) timed three times per sweep. Its cross-round trajectory
     // calibrates host noise — when every query AND the probe inflate by the
     // same factor between rounds, the host slowed down, not the plans
     // (rounds 4→5 and 7→8 both showed uniform ~1.2–1.5× swings that had to
     // be re-adjudicated as noise; this field makes that check arithmetic).
-    def nullProbe(): Double = {
+    def nullProbeOnce(): Double = {
       val t0 = System.nanoTime()
       spark.range(1L << 26).selectExpr("sum(id * 3 + 1) AS s").collect()
       (System.nanoTime() - t0) / 1e9
+    }
+    // Three probes per sweep, MEDIAN of the three as the sweep's probe: a
+    // single probe is one sample of a noisy host and its cross-round minimum
+    // swung 40% between r11 and r12, making the normalized headline read as a
+    // regression while raw times and plans improved. The median of three is
+    // stable against one transient spike in either direction; probes cost
+    // ~0.3 s each, noise in the statistic of record cost a full adjudication.
+    def nullProbe(): Double = {
+      val t = Seq(nullProbeOnce(), nullProbeOnce(), nullProbeOnce()).sorted
+      t(1)
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // Each sweep is paired with ITS null probe so a sweep timed while the
     // host was transiently loaded is identifiable after the fact.
@@ -146,10 +167,10 @@ object Bench {
       val totalFloor = byProbe.map(_.times.sum).min
       byProbe.filter(_.times.sum <= TotalOutlierFactor * totalFloor)
     }
-    var extra = 0
-    while (args.isEmpty && accepted.size < runs && extra < maxExtraRuns) {
+    var outlierExtras = 0
+    while (args.isEmpty && accepted.size < runs && outlierExtras < maxOutlierExtras) {
       System.err.println(f"[bench] ${allRuns.size - accepted.size} outlier sweep(s) rejected (probe > ${OutlierFactor}%.1f× probe floor or total > ${TotalOutlierFactor}%.1f× total floor) — replacement sweep")
-      allRuns = allRuns :+ sweep(); extra += 1
+      allRuns = allRuns :+ sweep(); outlierExtras += 1
     }
     def matrix = accepted.map(_.times)
     def nullTimes = allRuns.map(_.nullT) // ALL probes: the noise evidence
@@ -165,9 +186,10 @@ object Bench {
       if (t.size >= 2) t(1) else t(0)
     }.sum
     def spread = if (gateMatrix.size < 2) 0.0 else secondSum / bestSum - 1.0
-    while (args.isEmpty && spread > SpreadGate && extra < maxExtraRuns) {
+    var spreadExtras = 0
+    while (args.isEmpty && spread > SpreadGate && spreadExtras < maxSpreadExtras) {
       System.err.println(f"[bench] min spread ${spread * 100}%.1f%% > ${SpreadGate * 100}%.0f%% — extra sweep")
-      allRuns = allRuns :+ sweep(); extra += 1
+      allRuns = allRuns :+ sweep(); spreadExtras += 1
     }
     val results = selected.zipWithIndex.map { case (name, i) => name -> matrix.map(_(i)).min }
     // Locale.ROOT: a comma-decimal default locale would emit `1,234` → invalid JSON.
@@ -176,12 +198,19 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val runTotals = matrix.map(r => f(r.sum)).mkString("[", ",", "]")
       val nulls = nullTimes.map(f).mkString("[", ",", "]")
-      // value_normalized = value / null_query_min: cross-round comparison in
-      // one division — when the host slows down, the probe floor rises by the
-      // same factor as every query, so this ratio is host-speed-invariant
-      // (verdict r9 task 6; replaces a paragraph of noise adjudication).
-      val normed = rs.map(_._2).sum / nullTimes.min
-      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"queries":$qs,"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)}}"""
+      // value_normalized = value / median(accepted runs' probes): cross-round
+      // comparison in one division — when the host slows down, the probe
+      // rises by the same factor as every query, so the ratio is
+      // host-speed-invariant (verdict r9 task 6). ROBUST form (verdict r12
+      // task 6): the normalizer is the MEDIAN probe over ACCEPTED sweeps
+      // (each itself a median-of-3), not the session minimum — the min is an
+      // extreme order statistic and its 40% r11→r12 swing made the normalized
+      // headline read as a regression while raw times and plans improved.
+      // The "normalization" field documents the statistic inside the
+      // artifact so the round-over-round comparison is self-describing.
+      val probeMedian = median(accepted.map(_.nullT))
+      val normed = rs.map(_._2).sum / probeMedian
+      s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"normalization":"sum_of_per_query_minima / median(accepted-run null probes, each median-of-3)","queries":$qs,"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)},"null_query_median":${f(probeMedian)}}"""
     }
     val byName = results.toMap
     if (args.isEmpty) {

@@ -1213,7 +1213,13 @@ object ScaleSmoke {
       // late-dropped by the watermark (measured 98929/99965 on the first run)
       new java.io.File(dir).listFiles()
         .filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
-        .foreach { case (f, i) => f.setLastModified(1700000000000L + i * 1000L) }
+        .foreach { case (f, i) =>
+          // CHECKED (advisor r12): on a filesystem where the stamp silently
+          // fails, the mtime ordering degrades and the 99.9% settled-users
+          // gate below turns nondeterministically flaky — fail fast instead
+          require(f.setLastModified(1700000000000L + i * 1000L),
+            s"cannot stamp mtime on $f — event-time ordering unenforceable here")
+        }
       val sch = spark.read.parquet(dir).schema
       val expectedUsers = spark.read.parquet(dir).select("user_id").distinct().count()
       val prev = spark.conf.get("spark.sql.shuffle.partitions")

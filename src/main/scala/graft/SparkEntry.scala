@@ -4145,6 +4145,28 @@ object SparkEntry {
       Some("""SELECT CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_frames,
               TRUE AS stream_equals_batch FROM documents""")),
 
+    Q("w_stream_wav_windows", // the AUDIO half of the streaming multimodal
+      // parity (r12 verdict ask #3, the w_stream_gif_frames precedent):
+      // encode -> RIFF chunk walk -> PCM16 windowing is equally stateless, so
+      // the chain runs unchanged in append mode with ZERO streaming state;
+      // the stream-vs-batch multiset equality plus the arithmetic window
+      // total make the parity driver-visible (media landing on a directory,
+      // windowed features extracted as files arrive).
+      (s, d) => {
+        def windows(src: DataFrame): DataFrame =
+          Multimodal.wavWindows(s,
+            Multimodal.syntheticWavsFromDocuments(s, src).toDF(),
+            windowSamples = 32, hopSamples = 16).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wwav_sink", windows, outputMode = "append")
+        val batch = windows(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_windows"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_windows"), col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(sum((64 + doc_id % 37 - 1) // 16 + 1) AS BIGINT) AS n_windows,
+              TRUE AS stream_equals_batch FROM documents""")),
+
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass
       (s, d) => Curation.dataCard(Tables.documents(s, d)),

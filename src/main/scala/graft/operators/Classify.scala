@@ -202,12 +202,21 @@ object Classify {
     * anchor side is broadcast, so it must be a BOUNDED set the caller chose —
     * a `queries = None` default would let a corpus-sized `embeddings` table
     * silently become the broadcast side. Passing `None` mines every vector as
-    * an anchor (the small-fixture / oracle-twin use) and remains an explicit
-    * decision at the call site. Negatives always come from the full labeled
-    * corpus. */
+    * an anchor (the small-fixture / oracle-twin use) and additionally
+    * requires `exactOracleOk = true` (verdict, round 12 — closing the
+    * remaining hole where an explicit `None` on a corpus-sized table still
+    * silently broadcast the corpus): the flag is the caller's written
+    * acknowledgement that `embeddings` itself is small enough to broadcast.
+    * Negatives always come from the full labeled corpus. */
   def hardNegatives(embeddings: DataFrame, k: Int = 5,
-                    queries: Option[DataFrame]): DataFrame = {
+                    queries: Option[DataFrame],
+                    exactOracleOk: Boolean = false): DataFrame = {
     import graft.functions.VectorFns
+    require(queries.nonEmpty || exactOracleOk,
+      "hardNegatives(queries = None) broadcasts the ENTIRE embeddings table " +
+        "as the anchor side — pass a bounded anchor set, or opt in with " +
+        "exactOracleOk = true for a fixture-/oracle-scale corpus " +
+        "(the 100 TB path is hardNegativesIvf)")
     val q = queries.getOrElse(embeddings)
       .select(col("vec_id").as("query_id"), col("label").as("__q_label"),
         VectorFns.toDoubleArray(col("embedding")).as("q_emb"))

@@ -270,13 +270,19 @@ object Multimodal {
     val stride = 1L + w.toLong * bpp
     val rawLen = stride * h
     if (rawLen > MaxPngRawBytes) return None
-    // chunk walk: [len:4 BE][type:4][data][crc:4], IDAT data concatenates
+    // chunk walk: [len:4 BE][type:4][data][crc:4], IDAT data concatenates;
+    // every chunk's CRC32 (over type + data) is VERIFIED — a bit-flipped
+    // chunk is a refusal, matching the "refuse what it cannot faithfully
+    // decode" contract (advisor, round 12)
     val idat = new java.io.ByteArrayOutputStream()
     var i = 8
     var end = false
     while (!end && i + 8 <= b.length) {
       val len = beInt(b, i)
       if (len < 0 || i + 12L + len > b.length) return None // truncated chunk
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len)
+      if (crc.getValue.toInt != beInt(b, i + 8 + len)) return None // corrupt chunk
       val isType = (s: String) => s.indices.forall(j => (b(i + 4 + j) & 0xff) == s.charAt(j))
       if (isType("IDAT")) idat.write(b, i + 8, len)
       else if (isType("IEND")) end = true
@@ -297,6 +303,11 @@ object Multimodal {
         got += n
       }
       if (got < raw.length) return None
+      // refuse trailing compressed data (advisor, round 12): an IDAT stream
+      // carrying MORE scanlines than IHDR claims would otherwise decode
+      // silently as a valid image — probe one more byte and require the
+      // stream to be genuinely finished
+      if (inf.inflate(new Array[Byte](1)) > 0 || !inf.finished()) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
     // unfilter in place into the output pixel array
@@ -821,8 +832,11 @@ object Multimodal {
   /** Parse a WAV's RIFF chunk list and return
     * `(channels, dataOffset, dataLen)` for PCM16 payloads —
     * the chunk walk per the public spec (chunks are `[id:4][size:4 LE][data]`
-    * padded to even length; `fmt ` must precede use of `data`). None for
-    * non-WAV / non-PCM16 / truncated payloads (never throw on untrusted
+    * padded to even length). ENFORCED: `fmt ` must precede `data` (the spec's
+    * canonical order — sample bytes cannot be framed before the format is
+    * known), and a malformed `fmt ` (size < 16) is a refusal, not a skip
+    * (advisor, round 12: doc and untrusted-input behavior must agree). None
+    * for non-WAV / non-PCM16 / truncated payloads (never throw on untrusted
     * bytes). */
   def wavPcm16Layout(payload: Array[Byte]): Option[(Int, Int, Int)] = {
     val b = payload
@@ -838,13 +852,17 @@ object Multimodal {
       // bound in LONG: a crafted chunk size near Int.MaxValue wraps the Int
       // sum negative and slips past the length check (the resizeBmp lesson)
       if (size < 0 || i + 8L + size > b.length) return None
-      if (tag(i, "fmt ") && size >= 16) {
+      if (tag(i, "fmt ")) {
+        if (size < 16) return None // malformed fmt: refuse, never skip
         val audioFormat = leShort(b, i + 8)
         val bits = leShort(b, i + 22)
         if (audioFormat != 1 || bits != 16) return None // PCM16 only
         channels = leShort(b, i + 10)
         if (channels < 1) return None
-      } else if (tag(i, "data")) { dataOff = i + 8; dataLen = size }
+      } else if (tag(i, "data")) {
+        if (channels < 1) return None // data before fmt: unframeable bytes
+        dataOff = i + 8; dataLen = size
+      }
       i += 8 + size + (size & 1) // chunks pad to even length
     }
     if (channels < 1 || dataOff < 0) None else Some((channels, dataOff, dataLen))

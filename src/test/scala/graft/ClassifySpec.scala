@@ -200,7 +200,12 @@ class ClassifySpec extends SparkSpec {
       (5L, Array(0.0f, 1.0f, 0.0f, 0.0f), 1),
       (6L, Array(0.1f, 0.99f, 0.0f, 0.0f), 1)
     ).toDF("vec_id", "embedding", "label")
-    val rows = Classify.hardNegatives(emb, k = 2, queries = None).collect()
+    // corpus-as-anchors now needs the explicit opt-in (r12 verdict ask #8):
+    // an un-acknowledged None must fail loudly BEFORE any plan is built
+    intercept[IllegalArgumentException] {
+      Classify.hardNegatives(emb, k = 2, queries = None)
+    }
+    val rows = Classify.hardNegatives(emb, k = 2, queries = None, exactOracleOk = true).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
     val byAnchor = rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toList)
     for (a <- Seq(1L, 2L, 3L))
@@ -212,7 +217,8 @@ class ClassifySpec extends SparkSpec {
     assert(byAnchor(9L).toSet.subsetOf(Set(1L, 2L, 3L)))
     // the IVF twin keeps the driver-gated recall on the real fixture
     val fix = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val exact = Classify.hardNegatives(fix, k = 5, queries = None).select("query_id", "vec_id")
+    val exact = Classify.hardNegatives(fix, k = 5, queries = None, exactOracleOk = true)
+      .select("query_id", "vec_id")
     val ivf = Classify.hardNegativesIvf(fix, k = 5).select("query_id", "vec_id")
     val recall = ivf.join(exact, Seq("query_id", "vec_id"), "left_semi").count()
       .toDouble / exact.count()

@@ -262,6 +262,19 @@ class MultimodalSpec extends SparkSpec {
     val fdict = rawPngIdat(2, 2, 2,
       Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6, 7, 8))
     assert(Multimodal.decodePngPixels(fdict).isEmpty)
+    // bit-flipped IDAT payload: the chunk CRC no longer matches — refuse
+    // (advisor r12: corrupt chunks must not decode silently)
+    val flipped = good.clone()
+    flipped(flipped.length - 20) = (flipped(flipped.length - 20) ^ 0x40).toByte
+    assert(Multimodal.decodePngPixels(flipped).isEmpty,
+      "a bit-flipped chunk must fail its CRC, not decode")
+    // oversized IDAT: one EXTRA deflated scanline beyond what IHDR claims —
+    // trailing compressed data must refuse, not silently truncate
+    val extraRow = rawPng(2, 1, 2, Array[Byte](
+      0, 10, 20, 30, 40, 50, 60,
+      0, 1, 2, 3, 4, 5, 6)) // IHDR says 1 row, stream carries 2
+    assert(Multimodal.decodePngPixels(extraRow).isEmpty,
+      "an IDAT with more scanlines than IHDR claims must refuse")
   }
 
   test("resizePng: nearest-neighbor sampling exact on coordinate-tagged pixels") {
@@ -542,5 +555,28 @@ class MultimodalSpec extends SparkSpec {
     evil(40) = 0xf0.toByte; evil(41) = 0xff.toByte
     evil(42) = 0xff.toByte; evil(43) = 0x7f.toByte
     assert(Multimodal.wavPcm16Layout(evil).isEmpty)
+    // order enforcement (advisor r12): data BEFORE fmt is a refusal — the
+    // sample bytes cannot be framed before the format is known
+    val dbf = new java.io.ByteArrayOutputStream()
+    dbf.write(tag("RIFF")); dbf.write(le32(4 + 8 + 4 + 8 + 16))
+    dbf.write(tag("WAVE"))
+    dbf.write(tag("data")); dbf.write(le32(4)); dbf.write(Array[Byte](1, 2, 3, 4))
+    dbf.write(tag("fmt ")); dbf.write(le32(16))
+    dbf.write(Array[Byte](1, 0, 1, 0)); dbf.write(le32(8000)); dbf.write(le32(16000))
+    dbf.write(Array[Byte](2, 0, 16, 0))
+    assert(Multimodal.wavPcm16Layout(dbf.toByteArray).isEmpty,
+      "data chunk before fmt must refuse")
+    // a malformed fmt (size < 16) is a refusal, not a silent skip
+    val shortFmt = new java.io.ByteArrayOutputStream()
+    shortFmt.write(tag("RIFF")); shortFmt.write(le32(4 + 8 + 8 + 8 + 16 + 8 + 4))
+    shortFmt.write(tag("WAVE"))
+    shortFmt.write(tag("fmt ")); shortFmt.write(le32(8))
+    shortFmt.write(Array[Byte](1, 0, 1, 0, 0x40, 0x1f, 0, 0)) // truncated fields
+    shortFmt.write(tag("fmt ")); shortFmt.write(le32(16))
+    shortFmt.write(Array[Byte](1, 0, 1, 0)); shortFmt.write(le32(8000)); shortFmt.write(le32(16000))
+    shortFmt.write(Array[Byte](2, 0, 16, 0))
+    shortFmt.write(tag("data")); shortFmt.write(le32(4)); shortFmt.write(Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.wavPcm16Layout(shortFmt.toByteArray).isEmpty,
+      "fmt with size < 16 must refuse, never skip to a later fmt")
   }
 }
