@@ -573,12 +573,20 @@ object ScaleSmoke {
     locally {
       val baseW = wdocs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val batchW = wdocs.filter(pmod(col("doc_id"), lit(10)) === 0)
+      val tb = System.nanoTime()
       time("writeWinnowIndex 900k docs (fp-bucketed)", within(4000000L, 16000000L)) {
         graft.operators.Dedup.writeWinnowIndex(
           graft.operators.Dedup.winnowFingerprints(baseW, k = 5, w = 4),
           s"$wdocsDir/idx", "graft_scale_winnow_idx", buckets = 32)
         spark.table("graft_scale_winnow_idx").count()
       }
+      val buildSecs = (System.nanoTime() - tb) / 1e9
+      def probePairs(): Set[(Long, Long)] = graft.operators.Dedup
+        .winnowPairsAgainstIndex(
+          graft.operators.Dedup.winnowFingerprints(batchW, k = 5, w = 4),
+          spark.table("graft_scale_winnow_idx"), minShared = 3L)
+        .select(col("batch_id"), col("base_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
       time("winnowPairsAgainstIndex 100k batch vs persisted 900k", exactly(99999)) {
         val r = graft.operators.Dedup.winnowPairsAgainstIndex(
           graft.operators.Dedup.winnowFingerprints(batchW, k = 5, w = 4),
@@ -588,6 +596,55 @@ object ScaleSmoke {
         require(r.getLong(1) == 0L, s"${r.getLong(1)} non-planted matches surfaced")
         r.getLong(0)
       }
+      val preAppend = probePairs()
+      // APPEND half (verdict r12 ask #7): 100k DECOY docs — the batch's own
+      // texts re-keyed past nDocs, so every decoy becomes probe-visible —
+      // one bucketing shuffle for the delta, no base file rewritten; cost
+      // must be a fraction of the build like the IVF append row
+      val decoys = batchW.select((col("doc_id") + lit(nDocs)).as("doc_id"), col("text"))
+      val ta = System.nanoTime()
+      graft.operators.Dedup.appendWinnowIndex(
+        graft.operators.Dedup.winnowFingerprints(decoys, k = 5, w = 4),
+        s"$wdocsDir/idx", "graft_scale_winnow_idx", buckets = 32)
+      val appendSecs = (System.nanoTime() - ta) / 1e9
+      require(appendSecs < buildSecs,
+        f"append of a 100k delta ($appendSecs%.2f s) must undercut the 900k build ($buildSecs%.2f s)")
+      val postAppend = probePairs()
+      require(postAppend.size == 199999 &&
+          postAppend.count(_._2 >= nDocs) == 100000,
+        s"decoys not probe-visible after append: ${postAppend.size} pairs, " +
+          s"${postAppend.count(_._2 >= nDocs)} decoy matches")
+      emit(f"SCALE ${"appendWinnowIndex 100k delta into 900k index"}%-52s $appendSecs%8.2f s  rows=100000  ok(append << build: ${appendSecs / buildSecs * 100}%.0f%% of build; decoys probe-visible)")
+      // COMPACTION (verdict r12 ask #4): the append fragmented every bucket
+      // (build files + delta files); compact to ONE file per bucket and the
+      // probe must answer identically pair-for-pair
+      val idxFs = new org.apache.hadoop.fs.Path(s"$wdocsDir/idx")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val filesBefore = graft.sources.Lake.bucketFiles(idxFs, s"$wdocsDir/idx")
+        .values.map(_.size).sum
+      val tc = System.nanoTime()
+      val nCompacted = graft.sources.Lake.compactBucketed(spark, s"$wdocsDir/idx",
+        "graft_scale_winnow_idx", "fp", buckets = 32)
+      val compactSecs = (System.nanoTime() - tc) / 1e9
+      val filesAfter = graft.sources.Lake.bucketFiles(idxFs, s"$wdocsDir/idx")
+        .values.map(_.size).sum
+      require(nCompacted >= 1 && filesAfter == 32 && filesAfter < filesBefore,
+        s"compaction must land one file per bucket: $filesBefore -> $filesAfter ($nCompacted buckets)")
+      require(probePairs() == postAppend,
+        "compaction changed a probe answer — rows were lost or moved buckets")
+      emit(f"SCALE ${"compactBucketed 32-bucket winnow index"}%-52s $compactSecs%8.2f s  rows=$filesAfter  ok(files $filesBefore -> $filesAfter; probe identical)")
+      // DELETE half (verdict r12 ask #1): revoke the 100k decoys — affected
+      // fp buckets rewritten via the staged swap, and the probe must
+      // ROUND-TRIP pair-for-pair to the pre-append result
+      val delIds = (nDocs until 2 * nDocs by 10L).toArray
+      val td = System.nanoTime()
+      val nBuckets = graft.operators.Dedup.deleteFromWinnowIndex(spark,
+        s"$wdocsDir/idx", "graft_scale_winnow_idx", delIds, buckets = 32)
+      val deleteSecs = (System.nanoTime() - td) / 1e9
+      require(nBuckets >= 1 && nBuckets <= 32, s"affected buckets $nBuckets out of range")
+      require(probePairs() == preAppend,
+        "append-then-delete failed to round-trip to the pre-append probe")
+      emit(f"SCALE ${"deleteFromWinnowIndex 100k decoys (round-trip)"}%-52s $deleteSecs%8.2f s  rows=${delIds.length}  ok(probe == pre-append; $nBuckets buckets rewritten)")
       spark.sql("DROP TABLE IF EXISTS graft_scale_winnow_idx")
     }
     time("bm25TopK 3 terms over 1M docs", exactly(100)) {
@@ -1161,6 +1218,25 @@ object ScaleSmoke {
       time("gifFrames 200k real GIFs (block walk)", exactly(399999)) {
         graft.operators.Multimodal.gifFrames(spark,
           graft.operators.Multimodal.syntheticGifsFromDocuments(spark, imgDocs).toDF()).count()
+      }
+      // full LZW pixel decode per frame (verdict r12 ask #2) — still map-only;
+      // count == 399999 already proves EVERY frame's stream decoded to exactly
+      // w*h pixels (short/failed decodes are dropped rows), and the pixel
+      // totals must equal the arithmetic recompute of the fixture function
+      locally {
+        val expectedPx = spark.range(200000)
+          .select(sum(expr("aggregate(sequence(0, CAST(id % 3 AS INT)), 0L, " +
+            "(acc, i) -> acc + ((id % 16) + 1 + i) * ((id % 12) + 1 + i))")))
+          .head().getLong(0)
+        time("gifFramePixels 200k GIFs (full LZW decode)", exactly(399999)) {
+          val r = graft.operators.Multimodal.gifFramePixels(spark,
+            graft.operators.Multimodal.syntheticGifsExactFromDocuments(spark, imgDocs).toDF())
+            .agg(count(lit(1)), sum(col("n_pixels")), sum(col("pixel_sum"))).head()
+          require(r.getLong(1) == expectedPx,
+            s"decoded pixel total ${r.getLong(1)} != arithmetic $expectedPx")
+          require(r.getLong(2) > 0L, "pixel checksum total vacuous")
+          r.getLong(0)
+        }
       }
       locally { // windows per WAV = (63 + id % 37) div 16 + 1, summed exactly
         val expected = spark.range(200000)

@@ -481,7 +481,11 @@ class PlanSpec extends SparkSpec {
       "multimodal_resize_png" -> 0, // inflate -> unfilter -> sample -> re-deflate all inside one mapPartitions chain
       "multimodal_resize_png_pixels" -> 0, // the pixel-equality gate runs the same map-only chain twice per row
       "dedup_winnow_persisted" -> 3, // batch-side distinct + fp join shuffle + pair agg; the BUCKETED base side contributes ZERO exchanges (DedupSpec proves bucketed < plain)
-      "dedup_winnow_persisted_append" -> 3) // identical probe plan over the build+append union (appended bucket files join co-located like the originals)
+      "dedup_winnow_persisted_append" -> 3, // identical probe plan over the build+append union (appended bucket files join co-located like the originals)
+      // round-13 additions: winnow index delete/compact halves + GIF pixels
+      "dedup_winnow_persisted_delete" -> 3, // probe plan unchanged after the staged bucket-file delete — survivors still read co-located
+      "dedup_winnow_persisted_compact" -> 3, // probe plan unchanged after compaction — one file per bucket, zero base-side exchanges
+      "multimodal_gif_pixels" -> 0) // full LZW decode is still a typed flatMap: map-only, payloads never shuffle
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
