@@ -48,7 +48,11 @@ object Bench {
     // walk, RIFF/PCM windowing), pixel-level PNG resize, and the on-disk
     // fp-bucketed winnow fingerprint index
     "multimodal_gif_frames", "multimodal_wav_windows",
-    "multimodal_resize_png_pixels", "dedup_winnow_persisted")
+    "multimodal_resize_png_pixels", "dedup_winnow_persisted",
+    // round-13 capabilities: full GIF LZW pixel decode and the winnow index's
+    // delete/compact lifecycle halves
+    "multimodal_gif_pixels", "dedup_winnow_persisted_delete",
+    "dedup_winnow_persisted_compact")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

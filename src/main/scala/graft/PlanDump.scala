@@ -319,7 +319,23 @@ object PlanDump {
          "stored BUCKETED on fp, so its distinct, df-bound aggregation, and " +
          "both joins read co-located buckets with ZERO base-side exchanges " +
          "(DedupSpec proves bucketed < plain); only the batch side's " +
-         "distinct + fp join shuffle + pair aggregation move data (pin 3).")
+         "distinct + fp join shuffle + pair aggregation move data (pin 3)."),
+      ("multimodal_gif_pixels",
+       "GIF pixel decode: the full variable-width LZW decode (width bumps, " +
+         "KwKwK, deferred clear, de-interlacing) runs inside the same typed " +
+         "flatMap as the block walk — map-only, NO exchange (the pin is 0); " +
+         "checksums leave the task, pixel bytes never do."),
+      ("dedup_winnow_persisted_delete",
+       "Winnow index DELETE: the probe plan is IDENTICAL to " +
+         "dedup_winnow_persisted (pin 3, zero base-side exchanges) — the " +
+         "delete rewrites only the affected buckets' files through a staged " +
+         "checked swap, so survivors still read co-located; revocation cost " +
+         "tracks the affected buckets, probe cost is unchanged."),
+      ("dedup_winnow_persisted_compact",
+       "Bucketed compaction: multi-file buckets rewrite into ONE file each " +
+         "(input pre-partitioned by the bucket spec's own pmod(hash(fp), n)), " +
+         "and the probe keeps the identical 3-exchange co-located plan — " +
+         "compaction changes file COUNT, never the layout contract.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section
