@@ -115,22 +115,19 @@ object Bench {
       spark.range(1L << 26).selectExpr("sum(id * 3 + 1) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
-    // Three probes per sweep, MEDIAN of the three as the sweep's probe: a
-    // single probe is one sample of a noisy host and its cross-round minimum
-    // swung 40% between r11 and r12, making the normalized headline read as a
-    // regression while raw times and plans improved. The median of three is
-    // stable against one transient spike in either direction; probes cost
-    // ~0.3 s each, noise in the statistic of record cost a full adjudication.
-    def nullProbe(): Double = {
-      val t = Seq(nullProbeOnce(), nullProbeOnce(), nullProbeOnce()).sorted
-      t(1)
-    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.isEmpty) Double.NaN
       else if (s.size % 2 == 1) s(s.size / 2)
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
+    // Three probes per sweep, MEDIAN of the three as the sweep's probe: a
+    // single probe is one sample of a noisy host and its cross-round minimum
+    // swung 40% between r11 and r12, making the normalized headline read as a
+    // regression while raw times and plans improved. The median of three is
+    // stable against one transient spike in either direction; probes cost
+    // ~0.3 s each, noise in the statistic of record cost a full adjudication.
+    def nullProbe(): Double = median(Seq.fill(3)(nullProbeOnce()))
     // Each sweep is paired with ITS null probe so a sweep timed while the
     // host was transiently loaded is identifiable after the fact.
     case class SweepRun(nullT: Double, times: Seq[Double])

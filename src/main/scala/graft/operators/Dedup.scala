@@ -1353,16 +1353,8 @@ object Dedup {
       .values.flatten.map(_.toString).toSeq
     val survivors = spark.read.parquet(affectedFiles: _*)
       .join(broadcast(idDf), Seq("doc_id"), "left_anti")
-      .repartition(buckets, col("fp"))
-    val stagingPath = path + ".delete_staging"
-    val stagingTable = table + "_delete_staging"
-    try {
-      graft.sources.Lake.writeBucketed(
-        survivors, stagingPath, stagingTable, "fp", buckets)
-      graft.sources.Lake.swapBucketFiles(spark, path, stagingPath, affected)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-    spark.catalog.refreshTable(table)
-    spark.catalog.refreshByPath(path)
+    graft.sources.Lake.rewriteBuckets(spark, path, table, "fp", buckets,
+      affected.toSeq, survivors, ".delete_staging")
     affected.length
   }
 

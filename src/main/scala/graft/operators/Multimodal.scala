@@ -581,20 +581,33 @@ object Multimodal {
                             frame_h: Int, n_pixels: Long, pixel_sum: Long,
                             pixel_poly: Long, pixel_first: Int, pixel_last: Int)
 
+  /** Pixel-bomb bound for the GIF pixel walk — the [[MaxPngRawBytes]] analog:
+    * a crafted descriptor claiming (w, h) near 65535² would otherwise force a
+    * multi-GB allocation from a few-hundred-KB LZW stream (full-dictionary
+    * chains expand ~4 KB per 12 input bits). Frames above the cap are
+    * dropped, never decoded. */
+  private val MaxGifFramePixels = 1L << 26
+
   /** Walk a GIF like [[gifFrameWalk]] but also CONCATENATE each image's data
     * sub-blocks and LZW-decode them ([[gifLzwDecode]]) — the last
     * structure-not-pixels stand-in removed (r12 verdict ask #2): frame
     * geometry comes from the descriptors, pixels from the genuine
     * variable-width decode, and interlaced frames (packed bit 0x40)
-    * de-interlace into row order per the spec's four-pass layout. Frames
-    * whose stream is malformed or whose decode length ≠ w·h are dropped
-    * (refuse what cannot be faithfully decoded); the walk itself still never
-    * throws on truncated or desynced payloads. Kept separate from the
-    * geometry-only walk so that face stays allocation-free. */
-  def gifFrameWalkPixels(payload: Array[Byte]): Seq[(Int, Int, Int, Int, Array[Byte])] = {
+    * de-interlace into row order per the spec's four-pass layout. Returns
+    * `(descriptor_idx, left, top, w, h, pixels)` — the index counts IMAGE
+    * DESCRIPTORS (the [[gifFrames]] numbering), so a dropped earlier frame
+    * never shifts a later frame's identity. Frames whose stream is
+    * malformed, whose decode length ≠ w·h, or whose w·h exceeds
+    * [[MaxGifFramePixels]] are dropped (refuse what cannot be faithfully
+    * decoded; the bound is checked in LONG, so 65535² cannot wrap); the walk
+    * itself still never throws on truncated or desynced payloads. Kept
+    * separate from the geometry-only walk so that face stays
+    * allocation-free. */
+  def gifFrameWalkPixels(payload: Array[Byte]): Seq[(Int, Int, Int, Int, Int, Array[Byte])] = {
     val b = payload
     if (decodeHeader(b)._1 != "gif" || b.length < 13) return Nil
-    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Array[Byte])]()
+    val frames = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Int, Int, Array[Byte])]()
+    var descIdx = -1
     def colorTableLen(packed: Int): Int =
       if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
     var i = 13 + colorTableLen(b(10) & 0xff)
@@ -630,6 +643,7 @@ object Multimodal {
     while (!done && i < b.length) {
       (b(i) & 0xff) match {
         case 0x2c if i + 9 < b.length =>
+          descIdx += 1
           val (l, t, w, h) = (leShort(b, i + 1), leShort(b, i + 3),
             leShort(b, i + 5), leShort(b, i + 7))
           val interlaced = (b(i + 9) & 0x40) != 0
@@ -638,10 +652,13 @@ object Multimodal {
             val minCode = b(j) & 0xff
             collectSubBlocks(j + 1) match {
               case Some((data, next)) =>
-                gifLzwDecode(minCode, data, maxPixels = w * h).foreach { px =>
-                  if (px.length == w * h)
-                    frames += ((l, t, w, h, if (interlaced) deinterlace(px, w, h) else px))
-                }
+                val nPx = w.toLong * h // LONG: 65535 x 65535 would wrap an Int
+                if (nPx > 0 && nPx <= MaxGifFramePixels)
+                  gifLzwDecode(minCode, data, maxPixels = nPx.toInt).foreach { px =>
+                    if (px.length == nPx)
+                      frames += ((descIdx, l, t, w, h,
+                        if (interlaced) deinterlace(px, w, h) else px))
+                  }
                 i = next
               case None => done = true
             }
@@ -659,12 +676,15 @@ object Multimodal {
     * [[GifFramePixels]] checksums over the LZW-decoded indices — typed
     * flatMap in the [[extractFeatures]] per-partition-init shape, map-only
     * (payloads never shuffle); non-GIF rows and undecodable frames emit
-    * nothing. */
+    * nothing. `frame_idx` is the DESCRIPTOR index (the [[gifFrames]]
+    * numbering): a dropped undecodable earlier frame leaves later frames'
+    * identities intact, so joining pixel features against [[gifFrames]]
+    * geometry on (media_id, frame_idx) is always sound. */
   def gifFramePixels(spark: SparkSession, media: DataFrame): Dataset[GifFramePixels] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
-        gifFrameWalkPixels(r.payload).zipWithIndex.map { case ((_, _, w, h, px), i) =>
+        gifFrameWalkPixels(r.payload).map { case (i, _, _, w, h, px) =>
           var sum = 0L; var poly = 0L; var j = 0
           while (j < px.length) {
             val v = px(j) & 0xff

@@ -118,6 +118,32 @@ object Lake {
     fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true)
   }
 
+  /** The ONE staged bucket-rewrite protocol every bucketed-layout mutation
+    * shares (compaction below, `Dedup.deleteFromWinnowIndex`): re-cluster the
+    * replacement rows by the bucket spec's own hash (`pmod(hash(col), n)`, so
+    * each write task holds exactly one bucket → one file), stage them as a
+    * bucketed table beside the live one, swap the affected buckets' files via
+    * [[swapBucketFiles]]'s checked trash-then-rename, drop the staging table
+    * even on abort (its files stay for recovery — the swap deletes them only
+    * on success), and refresh the catalog/path caches so open sessions see
+    * the new file list. Two call sites, one protocol — a fix here fixes
+    * both. */
+  private[graft] def rewriteBuckets(spark: SparkSession, path: String,
+                                    table: String, bucketCol: String,
+                                    buckets: Int, affected: Seq[Int],
+                                    replacement: DataFrame,
+                                    stagingSuffix: String): Unit = {
+    val stagingPath = path + stagingSuffix
+    val stagingTable = table + stagingSuffix.replace('.', '_')
+    try {
+      writeBucketed(replacement.repartition(buckets, col(bucketCol)),
+        stagingPath, stagingTable, bucketCol, buckets)
+      swapBucketFiles(spark, path, stagingPath, affected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** COMPACT a bucketed table's fragmented buckets — the maintenance half of
     * the build/append lifecycle: every [[appendBucketed]] lands a fresh file
     * per bucket beside the old ones, so after N appends each co-located read
@@ -141,15 +167,8 @@ object Lake {
     if (fragmented.isEmpty) return 0
     val affected = fragmented.keys.toSeq.sorted
     val rows = spark.read.parquet(fragmented.values.flatten.map(_.toString).toSeq: _*)
-      .repartition(buckets, col(bucketCol))
-    val stagingPath = path + ".compact_staging"
-    val stagingTable = table + "_compact_staging"
-    try {
-      writeBucketed(rows, stagingPath, stagingTable, bucketCol, buckets)
-      swapBucketFiles(spark, path, stagingPath, affected)
-    } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
-    spark.catalog.refreshTable(table)
-    spark.catalog.refreshByPath(path)
+    rewriteBuckets(spark, path, table, bucketCol, buckets, affected, rows,
+      ".compact_staging")
     affected.length
   }
 

@@ -440,12 +440,13 @@ class MultimodalSpec extends SparkSpec {
     for (_ <- 0 until 3 * 128) lcg()
     val expected = frames.map { case (_, _, w, h) => Array.fill(w * h)((lcg() & 0x7f).toByte) }
     val got = Multimodal.gifFrameWalkPixels(gif)
-    assert(got.map(f => (f._1, f._2, f._3, f._4)) === frames)
-    assert(got.map(_._5.toSeq) === expected.map(_.toSeq))
+    assert(got.map(_._1) === frames.indices)
+    assert(got.map(f => (f._2, f._3, f._4, f._5)) === frames)
+    assert(got.map(_._6.toSeq) === expected.map(_.toSeq))
     // pixelFn override: values are the arithmetic function, not the LCG
     val exact = Multimodal.encodeGif(10, 8, Seq((0, 0, 4, 3)), seed = 7L,
       pixelFn = Some((i, j) => 5 * i + 3 * j))
-    assert(Multimodal.gifFrameWalkPixels(exact).head._5.toSeq ===
+    assert(Multimodal.gifFrameWalkPixels(exact).head._6.toSeq ===
       (0 until 12).map(j => ((3 * j) % 128).toByte))
     // interlace: encode rows whose value = row index (w=4), set the descriptor's
     // interlace bit, and the decoded rows must come back in DISPLAY order
@@ -455,12 +456,30 @@ class MultimodalSpec extends SparkSpec {
     val di = il.indexWhere(_ == 0x2c.toByte, 13 + 384)
     il(di + 9) = (il(di + 9) | 0x40).toByte
     val storedOrder = Seq(0, 4, 2, 6, 1, 3, 5, 7)
-    val deint = Multimodal.gifFrameWalkPixels(il).head._5
+    val deint = Multimodal.gifFrameWalkPixels(il).head._6
     for (y <- 0 until 8; x <- 0 until 4)
       assert((deint(y * 4 + x) & 0xff) === storedOrder.indexOf(y), s"row $y")
     // truncated payload: frames parsed so far, never a throw
     assert(Multimodal.gifFrameWalkPixels(gif.take(420)).size <= frames.size)
     assert(Multimodal.gifFrameWalkPixels("not a gif".getBytes) === Nil)
+    // a corrupt FIRST frame must not shift the second frame's identity:
+    // frame_idx is the DESCRIPTOR index, so joining pixel features against
+    // gifFrames geometry on (media_id, frame_idx) stays sound
+    val two = Multimodal.encodeGif(10, 8, Seq((0, 0, 3, 2), (1, 1, 2, 2)), seed = 9L,
+      pixelFn = Some((i, j) => 11 * i + j))
+    val d0 = two.indexWhere(_ == 0x2c.toByte, 13 + 384)
+    two(d0 + 12) = 0xff.toByte // first LZW code byte: 255 > initial dictSize -> decode refuses
+    val survived = Multimodal.gifFrameWalkPixels(two)
+    assert(survived.map(_._1) === Seq(1), "only descriptor #1 decodes")
+    assert(survived.head._4 === 2 && survived.head._5 === 2,
+      "the surviving frame must carry ITS OWN geometry")
+    // pixel-bomb descriptor (w=65535, h=32767 ~ 2.1e9 px): dropped without
+    // attempting the multi-GB allocation — the MaxGifFramePixels bound
+    val bomb = Multimodal.encodeGif(10, 8, Seq((0, 0, 3, 2)), seed = 9L)
+    val db = bomb.indexWhere(_ == 0x2c.toByte, 13 + 384)
+    bomb(db + 5) = 0xff.toByte; bomb(db + 6) = 0xff.toByte // w = 65535
+    bomb(db + 7) = 0xff.toByte; bomb(db + 8) = 0x7f.toByte // h = 32767
+    assert(Multimodal.gifFrameWalkPixels(bomb) === Nil)
   }
 
   test("gifFramePixels: hand-computed checksums per frame, undecodable rows emit nothing") {
