@@ -52,7 +52,7 @@ object Bench {
     // round-13 capabilities: full GIF LZW pixel decode and the winnow index's
     // delete/compact lifecycle halves
     "multimodal_gif_pixels", "dedup_winnow_persisted_delete",
-    "dedup_winnow_persisted_compact")
+    "dedup_winnow_persisted_compact", "sim_ivf_persisted_compact_topk")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -301,6 +301,30 @@ object ScaleSmoke {
         require(rs3.map(r => (r.getLong(0), r.getLong(1))).toSet == preAppend,
           "append-then-delete failed to round-trip to the pre-append probe")
         emit(f"SCALE ${"deleteFromIvfIndex 100k clones (round-trip)"}%-52s $deleteSecs%8.2f s  rows=100000  ok(probe == pre-append; $nCells cells rewritten)")
+        // COMPACTION (verdict-r12 ask #4's cell-partitioned sibling): re-append
+        // the clones so cells fragment again (survivor files + fresh append
+        // files), compact to ONE file per cell, and the probe must answer
+        // identically to the post-append state
+        sim.appendIvfIndex(newVecs, cents, s"$idxDir/ivf")
+        val postAppend2 = probeIvf().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val idxFs = new org.apache.hadoop.fs.Path(s"$idxDir/ivf")
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def cellFileCount(): Int = idxFs.listStatus(
+            new org.apache.hadoop.fs.Path(s"$idxDir/ivf"))
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+          .map(d => idxFs.listStatus(d.getPath).count(st => st.isFile &&
+            !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")))
+          .sum
+        val filesBefore2 = cellFileCount()
+        val tc2 = System.nanoTime()
+        val nCompacted2 = sim.compactIvfIndex(spark, s"$idxDir/ivf")
+        val compactSecs2 = (System.nanoTime() - tc2) / 1e9
+        val filesAfter2 = cellFileCount()
+        require(nCompacted2 >= 1 && filesAfter2 == 64 && filesAfter2 < filesBefore2,
+          s"cell compaction must land one file per cell: $filesBefore2 -> $filesAfter2 ($nCompacted2 cells)")
+        require(probeIvf().map(r => (r.getLong(0), r.getLong(1))).toSet == postAppend2,
+          "cell compaction changed a probe answer")
+        emit(f"SCALE ${"compactIvfIndex 64-cell 1.1M index"}%-52s $compactSecs2%8.2f s  rows=$filesAfter2  ok(files $filesBefore2 -> $filesAfter2; probe identical)")
       }
       // IVFADC sibling: residual-PQ codes cell-partitioned, ADC probe + rerank
       val (pcents, pbooks) = sim.trainIvfPq(vecs, nlist = 64, m = 8, ksub = 32, iters = 2)

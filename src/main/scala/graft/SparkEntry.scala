@@ -2965,6 +2965,36 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
               FROM embeddings WHERE vec_id < 20""")),
 
+    Q("sim_ivf_persisted_compact_topk", // cell-directory COMPACTION — the
+      // maintenance half the append lifecycle needs (every append lands new
+      // files per cell; after N appends each probe opens N files per probed
+      // cell): build on the base, append the batch (cells now fragmented),
+      // compact (Similarity.compactIvfIndex — only multi-file cells rewritten
+      // into one file each, staged + checked trash-then-rename), then probe
+      // partition-pruned and require it MULTISET-EXACT against the in-memory
+      // probe over the full corpus — compaction must change file COUNT and
+      // nothing else. Completes build / append / delete / compact / probe
+      // symmetry with the bucketed winnow index family.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val q = emb.filter(col("vec_id") < 20)
+        val cents = Similarity.trainCentroidsSampled(base, 8, 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_compact_${math.abs(d.hashCode)}"
+        Similarity.writeIvfIndex(base, cents, path)
+        Similarity.appendIvfIndex(batch, cents, path)
+        val compacted = Similarity.compactIvfIndex(s, path)
+        require(compacted > 0, "append left no fragmented cell — fixture broken")
+        persistedEqualityGate(
+          Similarity.ivfProbePersisted(s, path, cents, q, 10, nprobe = 5),
+          Similarity.ivfProbeAssigned(
+            Similarity.ivfAssignments(emb, cents), cents, q, 10, nprobe = 5))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
+
     Q("sim_ivf_persisted_delete_topk", // the lifecycle's DELETE half (FAISS
       // remove_ids), completing build / append / delete / probe: build on the
       // full corpus, delete the vec_id % 7 == 3 slice (cell-pruned staged

@@ -470,16 +470,31 @@ object Similarity {
       .join(broadcast(idDf), Seq("vec_id"), "left_anti")
     val staging = path + ".delete_staging"
     kept.write.mode("overwrite").partitionBy("cell").parquet(staging)
-    // trash-then-swap, every FS verdict CHECKED: live cells move aside (an
-    // atomic directory rename, never a destructive delete), staged survivors
-    // move in, and only after EVERY swap succeeded does the trash drop. A
-    // failed rename aborts loudly with both the trash and staging directories
-    // intact on disk — nothing is lost, recovery is a rename back.
+    swapCellDirs(spark, path, staging, affectedCells.toSeq, ".delete_trash")
+    affectedCells.length
+  }
+
+  /** The ONE staged cell-directory swap every cell-partitioned-layout
+    * mutation shares ([[deleteFromIvfIndex]], [[compactIvfIndex]]) — the
+    * directory-level sibling of `Lake.swapBucketFiles`: trash-then-swap,
+    * every FS verdict CHECKED — live cell dirs move aside (an atomic
+    * directory rename, never a destructive delete), staged replacements move
+    * in, and only after EVERY swap succeeded do trash and staging drop. A
+    * failed step aborts loudly with both the trash and staging directories
+    * intact on disk — nothing is lost, recovery is a rename back; an
+    * already-existing trash path (a crashed prior run mid-recovery) refuses
+    * BEFORE any live dir moves. A cell with no staged dir simply vanishes
+    * (emptied by a delete). Refreshes the path's file-listing cache so open
+    * sessions see the new layout. */
+  private def swapCellDirs(spark: SparkSession, path: String, staging: String,
+                           cells: Seq[Int], trashSuffix: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val trash = new org.apache.hadoop.fs.Path(path + ".delete_trash")
-    if (!fs.mkdirs(trash)) sys.error(s"cannot create trash dir $trash")
-    affectedCells.foreach { c =>
+    val trash = new org.apache.hadoop.fs.Path(path + trashSuffix)
+    if (fs.exists(trash) || !fs.mkdirs(trash))
+      sys.error(s"cannot create trash dir $trash — layout unchanged; " +
+        s"staging kept at $staging")
+    cells.foreach { c =>
       val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
       val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
       if (!fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
@@ -491,7 +506,45 @@ object Similarity {
     }
     fs.delete(trash, true)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    affectedCells.length
+    spark.catalog.refreshByPath(path)
+  }
+
+  /** COMPACT a cell-partitioned index's fragmented cells — the maintenance
+    * half of the build/append lifecycle, completing the same symmetry
+    * `Lake.compactBucketed` gives the flat bucketed layout: every
+    * [[appendIvfIndex]] / `appendIvfPqIndex` lands new files per cell beside
+    * the old ones, so after N appends each probe opens N small files per
+    * probed cell — at 100 TB the file-open + footer cost dominates the
+    * pruned read the layout exists for. Rewrites ONLY cells holding more
+    * than one data file (cost tracks fragmentation, never index size): their
+    * rows are read partition-pruned, re-clustered one-cell-per-task (so one
+    * file per cell), staged fully, then swapped via [[swapCellDirs]]'s
+    * checked trash-then-rename. Layout-agnostic like the delete — plain IVF
+    * assignments and IVFADC code tables alike (rows rewrite whole). SINGLE-
+    * WRITER maintenance op; serialize against appends/deletes/probes (or
+    * adopt a transactional table format). Probe answers are bit-identical
+    * before and after (spec- and driver-gated). Returns the number of cells
+    * compacted. */
+  def compactIvfIndex(spark: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path) = fs.listStatus(p).filter(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+    val fragmented = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .filter(d => dataFiles(d.getPath).length > 1)
+    if (fragmented.isEmpty) return 0
+    val cells = fragmented.map(_.getPath.getName.stripPrefix("cell=").toInt).sorted
+    val staging = path + ".compact_staging"
+    // basePath keeps the cell partition column; repartition on cell puts each
+    // cell wholly in one task, so dynamic partitioning writes ONE file per cell
+    spark.read.option("basePath", path)
+      .parquet(fragmented.map(_.getPath.toString).toSeq: _*)
+      .repartition(cells.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    swapCellDirs(spark, path, staging, cells.toSeq, ".compact_trash")
+    cells.length
   }
 
   /** Probe a [[writeIvfIndex]] layout: the probe-cell set is computed

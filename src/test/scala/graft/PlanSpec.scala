@@ -485,7 +485,8 @@ class PlanSpec extends SparkSpec {
       // round-13 additions: winnow index delete/compact halves + GIF pixels
       "dedup_winnow_persisted_delete" -> 3, // probe plan unchanged after the staged bucket-file delete — survivors still read co-located
       "dedup_winnow_persisted_compact" -> 3, // probe plan unchanged after compaction — one file per bucket, zero base-side exchanges
-      "multimodal_gif_pixels" -> 0) // full LZW decode is still a typed flatMap: map-only, payloads never shuffle
+      "multimodal_gif_pixels" -> 0, // full LZW decode is still a typed flatMap: map-only, payloads never shuffle
+      "sim_ivf_persisted_compact_topk" -> 5) // GATE FORM: compacted-index pruned probe + in-memory twin + equality aggs (the append/delete shape)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

@@ -205,6 +205,48 @@ class SimilaritySpec extends SparkSpec {
     assert(rowSet(spark.read.parquet(path).select($"vec_id", $"cell")) === beforeRows)
   }
 
+  test("compactIvfIndex: fragmented cells become one file each; probe bit-identical; no-op and abort safe") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val batch = emb.filter($"vec_id" % 5 === 0)
+    val cents = Similarity.trainCentroidsSampled(base, 8, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString + "/index"
+    Similarity.writeIvfIndex(base, cents, path)
+    Similarity.appendIvfIndex(batch, cents, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellFiles(): Map[String, Int] = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(d => d.getPath.getName -> fs.listStatus(d.getPath).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))).toMap
+    val before = cellFiles()
+    assert(before.values.exists(_ > 1), "append must fragment at least one cell")
+    val queries = emb.filter($"vec_id" < 10)
+    def probe() = rowSet(
+      Similarity.ivfProbePersisted(spark, path, cents, queries, 10, nprobe = 5))
+    val preCompact = probe()
+    val rowsBefore = rowSet(spark.read.parquet(path).select($"vec_id", $"cell"))
+    // crash-abort FIRST: a file squatting on the trash path must refuse
+    // before a single live cell dir moves
+    val trash = new org.apache.hadoop.fs.Path(s"$path.compact_trash")
+    fs.create(trash, false).close()
+    val e = intercept[RuntimeException] { Similarity.compactIvfIndex(spark, path) }
+    assert(e.getMessage.contains("layout unchanged"))
+    assert(cellFiles() === before, "aborted compaction must not touch any cell")
+    fs.delete(trash, false)
+    val n = Similarity.compactIvfIndex(spark, path)
+    assert(n === before.count(_._2 > 1), "exactly the fragmented cells compact")
+    val after = cellFiles()
+    assert(after.keySet === before.keySet, "no cell may appear or vanish")
+    assert(after.values.forall(_ == 1), s"one file per cell after compaction: $after")
+    assert(rowSet(spark.read.parquet(path).select($"vec_id", $"cell")) === rowsBefore,
+      "compaction must preserve rows exactly")
+    assert(probe() === preCompact, "compaction changed a probe answer")
+    // single-file cells untouched: re-compaction is a no-op
+    assert(Similarity.compactIvfIndex(spark, path) === 0)
+  }
+
   test("appendIvfPqIndex: append to base index ≡ full rebuild under frozen models") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val base = emb.filter($"vec_id" % 5 =!= 0)
