@@ -3051,6 +3051,35 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
               FROM embeddings WHERE vec_id < 20 AND vec_id % 7 <> 3""")),
 
+    Q("sim_ivfpq_persisted_compact_topk", // the IVFADC COMPACTION twin —
+      // compactIvfIndex is layout-agnostic (cells rewrite whole, whatever
+      // their columns), so the SAME primitive defragments the coded index.
+      // Gate: build on half, append the rest (cells fragmented), compact,
+      // then the ADC probe must be MULTISET-EXACT against probing a fresh
+      // one-shot rebuild under the same frozen (centroids, codebooks).
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val base = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        val batch = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+        val q = emb.filter(col("vec_id") < 20)
+        val (cents, books) = Similarity.trainIvfPq(base, nlist = 8, m = 16,
+          ksub = 32, iters = 3)
+        val tmp = System.getProperty("java.io.tmpdir")
+        val pathA = s"$tmp/graft_ivfpq_compact_${math.abs(d.hashCode)}"
+        val pathB = s"$tmp/graft_ivfpq_compact_rb_${math.abs(d.hashCode)}"
+        Similarity.writeIvfPqIndex(base, cents, books, pathA)
+        Similarity.appendIvfPqIndex(batch, cents, books, pathA)
+        val compacted = Similarity.compactIvfIndex(s, pathA)
+        require(compacted > 0, "append left no fragmented cell — fixture broken")
+        Similarity.writeIvfPqIndex(emb, cents, books, pathB)
+        def probe(p: String) = Similarity.ivfPqProbePersisted(s, p, cents, books,
+          q, emb, 10, nprobe = 6, rerankFactor = 8)
+        persistedEqualityGate(probe(pathA), probe(pathB))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
+
     Q("sim_pq_topk", // DRIVER-VISIBLE recall gate: product-quantization ANN
       // (ADC scan + exact rerank; m=16, ksub=32, rerank 8k) vs brute force —
       // measured recall@10 0.97 at sf0.01 / 0.895 at sf0.1 (rerank 4k fell

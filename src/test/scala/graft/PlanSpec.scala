@@ -486,7 +486,8 @@ class PlanSpec extends SparkSpec {
       "dedup_winnow_persisted_delete" -> 3, // probe plan unchanged after the staged bucket-file delete — survivors still read co-located
       "dedup_winnow_persisted_compact" -> 3, // probe plan unchanged after compaction — one file per bucket, zero base-side exchanges
       "multimodal_gif_pixels" -> 0, // full LZW decode is still a typed flatMap: map-only, payloads never shuffle
-      "sim_ivf_persisted_compact_topk" -> 5) // GATE FORM: compacted-index pruned probe + in-memory twin + equality aggs (the append/delete shape)
+      "sim_ivf_persisted_compact_topk" -> 5, // GATE FORM: compacted-index pruned probe + in-memory twin + equality aggs (the append/delete shape)
+      "sim_ivfpq_persisted_compact_topk" -> 5) // GATE FORM: two pruned ADC probes (compacted + one-shot rebuild) + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
