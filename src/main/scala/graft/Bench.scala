@@ -49,10 +49,13 @@ object Bench {
     // fp-bucketed winnow fingerprint index
     "multimodal_gif_frames", "multimodal_wav_windows",
     "multimodal_resize_png_pixels", "dedup_winnow_persisted",
-    // round-13 capabilities: full GIF LZW pixel decode and the winnow index's
-    // delete/compact lifecycle halves
+    // round-13 capabilities: full GIF LZW pixel decode, the winnow index's
+    // delete/compact lifecycle halves, baseline JPEG decode and MJPEG-in-AVI
+    // video frame extraction
     "multimodal_gif_pixels", "dedup_winnow_persisted_delete",
-    "dedup_winnow_persisted_compact", "sim_ivf_persisted_compact_topk")
+    "dedup_winnow_persisted_compact", "sim_ivf_persisted_compact_topk",
+    "multimodal_jpeg_pixels", "multimodal_avi_frames",
+    "sim_pca_topk", "pipeline_embedding_whiten")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

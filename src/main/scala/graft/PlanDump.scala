@@ -335,7 +335,30 @@ object PlanDump {
        "Bucketed compaction: multi-file buckets rewrite into ONE file each " +
          "(input pre-partitioned by the bucket spec's own pmod(hash(fp), n)), " +
          "and the probe keeps the identical 3-exchange co-located plan — " +
-         "compaction changes file COUNT, never the layout contract.")
+         "compaction changes file COUNT, never the layout contract."),
+      ("multimodal_jpeg_pixels",
+       "Baseline JPEG decode: the full T.81 pipeline (marker walk, canonical " +
+         "Huffman from the file's DHT, byte-unstuffing, RST resync, dequant, " +
+         "separable IDCT) runs inside one typed flatMap over the payload " +
+         "scan — map-only, NO exchange (the pin is 0); entropy-coded bytes " +
+         "and decoded pixels never leave the task, only the checksums do."),
+      ("multimodal_avi_frames",
+       "MJPEG video frames: the RIFF list walk (hdrl → movi → '##dc' " +
+         "chunks) plus a per-frame baseline-JPEG decode, all one typed " +
+         "flatMap — map-only, NO exchange (the pin is 0); at 100 TB the " +
+         "video corpus streams through scan tasks, frame payloads never " +
+         "shuffle."),
+      ("pipeline_embedding_whiten",
+       "PCA whitening: ONE distributed moments pass (each partition emits " +
+         "d + d(d+1)/2 doubles — never vectors), a driver Jacobi eigensolve " +
+         "on the d×d covariance (kilobytes), a map-only projection, and a " +
+         "second moments pass over the projections; the returned diagnostics " +
+         "are a driver-built model-scale result (pin 0)."),
+      ("sim_pca_topk",
+       "PCA-trained ANN gate: the sim_rp_topk architecture with a TRAINED " +
+         "compressor — 16-dim variance-optimal shortlist scan + exact " +
+         "rerank; the gate form adds the brute-force twin and recall aggs " +
+         "(pin 4). Training cost is one moments pass; the model broadcasts.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

@@ -733,6 +733,23 @@ object ScaleSmoke {
       graft.operators.Similarity.rpTopK(vecs,
         vecs.filter(col("vec_id") < 20), 10, dim = dim, outDim = 16).count()
     }
+    // PCA: ONE distributed moments pass (each partition emits 32 + 528
+    // doubles, never vectors) + driver Jacobi + map-only projection; the
+    // whitening diagnostics re-run the moments pass over the projections and
+    // must come back EXACTLY (0, 1, 0) per dim at 1M rows — the same
+    // constant-oracle gate the driver hashes at sf0.01
+    time("pcaWhitenDiagnostics 1M vectors 32->16", exactly(16)) {
+      val rows = graft.operators.Similarity.pcaWhitenDiagnostics(
+        vecs, dim = dim, outDim = 16).collect()
+      require(rows.forall(r => r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0 &&
+        r.getDouble(3) == 0.0),
+        s"whitening diagnostics drifted at 1M rows: ${rows.mkString("; ")}")
+      rows.length.toLong
+    }
+    time("pcaTopK 20 queries, rerank 100", exactly(200)) {
+      graft.operators.Similarity.pcaTopK(vecs,
+        vecs.filter(col("vec_id") < 20), 10, dim = dim, outDim = 16).count()
+    }
     // outlier gate: one dim-keyed centroid agg + a map-only scoring pass
     time("centroidOutliers 1M vectors", within(1, 999999)) {
       graft.operators.Similarity.centroidOutliers(vecs, threshold = -0.15)
@@ -1269,6 +1286,36 @@ object ScaleSmoke {
           graft.operators.Multimodal.wavWindows(spark,
             graft.operators.Multimodal.syntheticWavsFromDocuments(spark, imgDocs).toDF(),
             windowSamples = 32, hopSamples = 16).count()
+        }
+      }
+      // baseline JPEG: encode (FDCT+Huffman) + full decode (marker walk,
+      // Huffman, dequant, IDCT) per image — count == 100000 proves every
+      // image decoded (undecodable rows are dropped), and the pixel total
+      // must equal the arithmetic recompute of the fixture dims
+      locally {
+        val jdocs = spark.range(100000).select(col("id").as("doc_id"))
+        val expectedPx = spark.range(100000)
+          .select(sum(expr("((id % 23) + 4) * ((id % 17) + 4)"))).head().getLong(0)
+        time("jpegPixels 100k real JPEGs (Huffman+IDCT decode)", exactly(100000)) {
+          val r = graft.operators.Multimodal.jpegPixels(spark,
+            graft.operators.Multimodal.syntheticJpegsFromDocuments(spark, jdocs).toDF())
+            .agg(count(lit(1)), sum(col("n_pixels")), sum(col("pixel_sum"))).head()
+          require(r.getLong(1) == expectedPx,
+            s"decoded pixel total ${r.getLong(1)} != arithmetic $expectedPx")
+          require(r.getLong(2) > 0L, "pixel checksum total vacuous")
+          r.getLong(0)
+        }
+        // MJPEG-in-AVI: RIFF list walk + per-frame baseline-JPEG decode;
+        // frames per AVI = doc_id % 3 + 1, summed exactly
+        val expectedFrames = spark.range(100000)
+          .select(sum(expr("id % 3 + 1"))).head().getLong(0)
+        time("aviFramePixels 100k real AVIs (RIFF walk + MJPEG decode)",
+            exactly(expectedFrames)) {
+          val r = graft.operators.Multimodal.aviFramePixels(spark,
+            graft.operators.Multimodal.syntheticAvisFromDocuments(spark, jdocs).toDF())
+            .agg(count(lit(1)), sum(col("pixel_sum"))).head()
+          require(r.getLong(1) > 0L, "pixel checksum total vacuous")
+          r.getLong(0)
         }
       }
     }

@@ -3235,6 +3235,42 @@ object SparkEntry {
                 ORDER BY cosine DESC, vec_id) AS rank FROM ex)
               SELECT query_id, vec_id, cosine, rank FROM rk WHERE rank <= 10""")),
 
+    Q("sim_pca_topk", // PCA-trained ANN (the TRAINED linear compressor next
+      // to RP's oblivious one): one distributed covariance pass + driver
+      // Jacobi eigensolve (64x64, kilobytes), 16-dim variance-optimal
+      // shortlist scan + exact full-dim rerank of the top 100. Training is
+      // data-dependent (eigenvectors), so this is recall-GATED like ivfTopK
+      // rather than value-oracled like RP: measured recall@10 0.86 (sf0.001)
+      // / 0.835 (sf0.01) vs brute force — vs 0.55 for the oblivious RP at
+      // the same shortlist depth — gated at the 0.7 floor; counts
+      // hash-oracled, boolean TRUE.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.pcaTopK(emb, q, 10, dim = 64, outDim = 16, rerankFactor = 10),
+          k = 10, floor = 0.7)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
+
+    Q("pipeline_embedding_whiten", // WHITENING correctness surfaced as
+      // arithmetic the driver can hash: fit a whitened PCA (one distributed
+      // moments pass -> population covariance -> Jacobi), project the corpus
+      // map-only, re-run the SAME moments pass over the projections, and
+      // emit per projected dim (mean, variance, max |cov| vs any other dim)
+      // rounded to 6 decimals. A correct fit yields EXACTLY (0, 1, 0) per
+      // dim — float ulps sit ~6 orders below the rounding — so the constant
+      // oracle is a real gate on the whole fit→eigensolve→project chain
+      // (the preprocessing step embedding pipelines run before PQ/OPQ).
+      (s, d) => Similarity.pcaWhitenDiagnostics(Tables.embeddings(s, d),
+        dim = 64, outDim = 16),
+      Some("""SELECT CAST(i AS INT) AS dim_idx, 0.0 AS mean_r, 1.0 AS variance_r,
+              0.0 AS max_abs_cov_r
+              FROM (SELECT unnest(generate_series(0, 15)) AS i) t""")),
+
     Q("sim_mrl_topk", // Matryoshka-prefix ANN: shortlist on the first 16 dims
       // (zero-arithmetic slice — an MRL encoder's prefix is a valid coarse
       // embedding), exact full-dim rerank of the top 100; deterministic
@@ -3819,7 +3855,107 @@ object SparkEntry {
             }
           }.toDF("media_id", "pixels_exact")
       },
-      Some("""SELECT doc_id AS media_id, TRUE AS pixels_exact FROM documents""")))
+      Some("""SELECT doc_id AS media_id, TRUE AS pixels_exact FROM documents""")),
+
+    Q("multimodal_jpeg_pixels", // BASELINE JPEG (ITU-T T.81), the dominant
+      // web-scrape image format: each doc becomes a real SOF0 file — Annex K
+      // Huffman tables in DHT, DQT, byte-stuffed entropy data, every 5th doc
+      // with DRI + RST0-7 resync markers — whose pixels are the flat-per-
+      // block function (doc_id·31 + (y/8)·37 + (x/8)·11) mod 251. With the
+      // all-ones quant table a flat block is LOSSLESS (DC = the exact
+      // integer 8·(v−128), every AC rounds to 0), so the full marker-walk →
+      // Huffman → dequant → IDCT decode reproduces every pixel bit-exactly
+      // and DuckDB recomputes the per-pixel checksums arithmetically. The
+      // general (non-flat) path is MultimodalSpec-pinned.
+      (s, d) => Multimodal.jpegPixels(s,
+          Multimodal.syntheticJpegsFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 23) + 4 AS w, (doc_id % 17) + 4 AS h
+                FROM documents)
+              SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251))
+                  AS BIGINT) AS pixel_sum,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (j + 1) * ((doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
+                  AS BIGINT) AS pixel_poly,
+                CAST((doc_id * 31) % 251 AS INT) AS pixel_first,
+                CAST((doc_id * 31 + ((h - 1) // 8) * 37 + ((w - 1) // 8) * 11) % 251 AS INT) AS pixel_last
+              FROM d""")),
+
+    Q("multimodal_resize_jpeg", // the resize path's JPEG half: synthetic
+      // baseline JPEGs resize to 8x8 through actual decode → nearest-neighbor
+      // sample → re-ENCODE (full FDCT + quantize + Huffman — the general
+      // encoder path, not the flat shortcut), then features come from
+      // re-parsing the re-encoded bytes. byte_len is codec-internal (entropy
+      // coded), deliberately not emitted — the decodePngPixels precedent;
+      // sample-level chain exactness is the _pixels gate below.
+      (s, d) => Multimodal.extractFeatures(s,
+          Multimodal.resizeImages(s,
+            Multimodal.syntheticJpegsFromDocuments(s, Tables.documents(s, d)).toDF(),
+            dstW = 8, dstH = 8).toDF())
+        .toDF()
+        .select(col("media_id"), col("format"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height")),
+      Some("""SELECT doc_id AS media_id, 'jpeg' AS format,
+              CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height
+              FROM documents""")),
+
+    Q("multimodal_resize_jpeg_pixels", // DRIVER-VISIBLE sample-equality gate
+      // for the JPEG chain: on the FLAT single-block fixture every stage of
+      // decode → resize → re-encode → re-decode is exact (nearest-neighbor
+      // of a flat image is flat; a flat block is lossless under all-ones
+      // quant), so decode(resize(encode)) must equal the nearest-neighbor
+      // sample of the original decode — the multimodal_resize_png_pixels
+      // precedent, surfaced as a boolean the oracle CAN check.
+      (s, d) => {
+        import s.implicits._
+        Multimodal.syntheticFlatJpegsFromDocuments(s, Tables.documents(s, d))
+          .mapPartitions { rows =>
+            rows.map { r =>
+              val ok = (for {
+                (w, h, c, px) <- Multimodal.decodeJpegPixels(r.payload)
+                resized <- Multimodal.resizeJpeg(r.payload, 8, 8)
+                (rw, rh, rc, rpx) <- Multimodal.decodeJpegPixels(resized)
+              } yield rw == 8 && rh == 8 && rc == c &&
+                (0 until 8 * 8 * c).forall { j =>
+                  val ch = j % c; val xi = (j / c) % 8; val yi = j / (8 * c)
+                  rpx(j) == px(((yi * h / 8) * w + (xi * w / 8)) * c + ch)
+                }).getOrElse(false)
+              (r.media_id, ok)
+            }
+          }.toDF("media_id", "pixels_exact")
+      },
+      Some("""SELECT doc_id AS media_id, TRUE AS pixels_exact FROM documents""")),
+
+    Q("multimodal_avi_frames", // format-aware VIDEO: each doc becomes a real
+      // RIFF/AVI MJPEG container (LIST hdrl with avih/strh/strf, LIST movi
+      // with word-aligned 00dc chunks, idx1 keyframe index) holding
+      // doc_id%3+1 baseline-JPEG frames whose pixels are oracle arithmetic —
+      // the frames come from genuinely walking the RIFF lists AND
+      // baseline-decoding each frame payload, so a hash match proves
+      // container walk + codec decode end to end (the gifFramePixels
+      // precedent, lifted to the video container a crawl actually yields).
+      (s, d) => Multimodal.aviFramePixels(s,
+          Multimodal.syntheticAvisFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH f AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+                FROM documents)
+              SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251))
+                  AS BIGINT) AS pixel_sum,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (j + 1) * ((doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
+                  AS BIGINT) AS pixel_poly,
+                CAST((doc_id * 31 + i * 257) % 251 AS INT) AS pixel_first,
+                CAST((doc_id * 31 + i * 257 + ((h - 1) // 8) * 37 + ((w - 1) // 8) * 11) % 251 AS INT) AS pixel_last
+              FROM f""")))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,
@@ -4225,6 +4361,34 @@ object SparkEntry {
       },
       Some("""SELECT CAST(sum((64 + doc_id % 37 - 1) // 16 + 1) AS BIGINT) AS n_windows,
               TRUE AS stream_equals_batch FROM documents""")),
+
+    Q("w_stream_avi_frames", // the VIDEO half of the streaming multimodal
+      // parity: encode -> RIFF/AVI list walk -> per-frame baseline-JPEG
+      // decode is stateless end to end (the w_stream_gif_frames shape with a
+      // real video container + real entropy-coded codec inside), so it runs
+      // unchanged in append mode with ZERO streaming state; stream-vs-batch
+      // multiset equality plus the arithmetic frame total make the parity
+      // driver-visible.
+      (s, d) => {
+        def frames(src: DataFrame): DataFrame =
+          Multimodal.aviFramePixels(s,
+            Multimodal.syntheticAvisFromDocuments(s, src).toDF()).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wavi_sink", frames, outputMode = "append")
+        val batch = frames(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_frames"), sum(col("pixel_sum")).as("total_pixel_sum"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_frames"), col("total_pixel_sum"),
+            col("__eq").as("stream_equals_batch"))
+      },
+      Some("""WITH f AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+                FROM documents)
+              SELECT CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
+                  AS BIGINT) AS total_pixel_sum,
+                TRUE AS stream_equals_batch FROM f""")),
 
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass

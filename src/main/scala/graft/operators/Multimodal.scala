@@ -210,17 +210,19 @@ object Multimodal {
 
   /** Resize pass over a media table — the brief's resize step with REAL pixel
     * work ([[resizeBmp]] for 24-bit BMPs, [[resizePng]] for 8-bit truecolor
-    * PNGs): typed mapPartitions (the same per-partition-init shape as
-    * [[extractFeatures]] — a JNI/FFI image library would initialize here
-    * once), rows in neither format pass through unchanged so mixed-modality
-    * tables survive the pass. Map-only: payloads never shuffle. */
+    * PNGs, [[resizeJpeg]] for baseline JPEGs): typed mapPartitions (the same
+    * per-partition-init shape as [[extractFeatures]] — a JNI/FFI image
+    * library would initialize here once), rows in none of the formats pass
+    * through unchanged so mixed-modality tables survive the pass. Map-only:
+    * payloads never shuffle. */
   def resizeImages(spark: SparkSession, media: DataFrame,
                    dstW: Int, dstH: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.map { r =>
         resizeBmp(r.payload, dstW, dstH)
-          .orElse(resizePng(r.payload, dstW, dstH)) match {
+          .orElse(resizePng(r.payload, dstW, dstH))
+          .orElse(resizeJpeg(r.payload, dstW, dstH)) match {
           case Some(p) => MediaRecord(r.media_id, r.media_type, p)
           case None => r
         }
@@ -947,6 +949,782 @@ object Multimodal {
       ids.map { id =>
         MediaRecord(id, "audio/wav",
           encodeWavPcm16(64 + (id % 37).toInt, 8000, seed = id))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // JPEG: baseline (ITU-T T.81 / SOF0) encode + decode — DQT/DHT/DRI/SOS
+  // marker walk, canonical Huffman entropy coding with byte stuffing and
+  // restart markers, separable FDCT/IDCT — pure JVM, no codec libraries
+  // ------------------------------------------------------------------
+
+  /** Zigzag scan order: zigzag position → natural (row-major) position. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** T.81 Annex K "typical" luminance Huffman tables (BITS + HUFFVAL). The
+    * encoder EMBEDS them in DHT segments and the decoder rebuilds its tables
+    * from the file's DHT, so the two sides share no hidden state — a third-
+    * party baseline decoder reads our files and vice versa. */
+  private val JpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Byte] = (0 to 11).map(_.toByte).toArray
+  private val JpegAcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125)
+  private val JpegAcVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
+  private val JpegCosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((u, x) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val JpegC: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+
+  /** Separable 2-D forward DCT with T.81 scaling — input/output natural
+    * (row-major) order; input is level-shifted samples. */
+  private def jpegFdct(f: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64); val out = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0; var x = 0
+        while (x < 8) { s += f(y * 8 + x) * JpegCosT(u)(x); x += 1 }
+        tmp(y * 8 + u) = s * JpegC(u) / 2; u += 1
+      }
+      y += 1
+    }
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 8) { s += tmp(yy * 8 + u) * JpegCosT(v)(yy); yy += 1 }
+        out(v * 8 + u) = s * JpegC(v) / 2; v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Separable 2-D inverse DCT — input dequantized coefficients in natural
+    * order, output level-shifted samples in natural order. A DC-only block
+    * reconstructs EXACTLY flat (DC/8 in every cell up to float ulps), which
+    * is what makes the flat-block fixtures oracle-exact end to end. */
+  private def jpegIdct(coef: Array[Double]): Array[Double] = {
+    val tmp = new Array[Double](64); val out = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += JpegC(u) * coef(v * 8 + u) * JpegCosT(u)(x); u += 1 }
+        tmp(v * 8 + x) = s / 2; x += 1
+      }
+      v += 1
+    }
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var vv = 0
+        while (vv < 8) { s += JpegC(vv) * tmp(vv * 8 + x) * JpegCosT(vv)(y); vv += 1 }
+        out(y * 8 + x) = s / 2; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Canonical Huffman ENCODE table from (BITS, HUFFVAL): value → packed
+    * (len << 16) | code. */
+  private def jpegHuffEncodeTable(bits: Array[Int], vals: Array[Byte]): Array[Int] = {
+    val table = Array.fill(256)(-1)
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        table(vals(k) & 0xff) = (len << 16) | code
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1; len += 1
+    }
+    table
+  }
+
+  /** Canonical Huffman DECODE table (T.81 F.2.2.3 mincode/maxcode/valptr).
+    * Returns None for an infeasible code-length spectrum (more codes at a
+    * length than the prefix space allows) — a crafted DHT refuses instead of
+    * desyncing the entropy decode. */
+  private def jpegHuffDecodeTable(bits: Array[Int], vals: Array[Byte])
+      : Option[(Array[Int], Array[Int], Array[Int], Array[Byte])] = {
+    val mincode = new Array[Int](17); val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    var code = 0; var k = 0; var len = 1
+    while (len <= 16) {
+      if (bits(len - 1) > 0) {
+        valptr(len) = k; mincode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        if (code > (1 << len)) return None // over-subscribed prefix space
+        maxcode(len) = code - 1
+      }
+      code <<= 1; len += 1
+    }
+    if (k != vals.length) return None
+    Some((mincode, maxcode, valptr, vals))
+  }
+
+  /** Bit-magnitude category of a coefficient (T.81 SSSS). */
+  private def jpegMagSize(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode a baseline JPEG (SOF0): 1 plane = grayscale, 3 planes = YCbCr
+    * 4:4:4. Planes are w·h unsigned bytes each, row-major; `quant` is the
+    * luminance quantization table in NATURAL order (all components share it;
+    * the all-ones default is lossless for flat blocks — DC 8·(v−128) is an
+    * exact integer and every AC rounds to 0). `restartInterval` > 0 emits a
+    * DRI segment and RST0–7 markers every that many MCUs with DC-predictor
+    * resets, the T.81 resync protocol. Edge blocks pad by edge replication.
+    * The entropy coder byte-stuffs 0xFF→0xFF 0x00 and pads the final byte
+    * with 1-bits per the spec. */
+  def encodeJpeg(width: Int, height: Int, planes: Array[Array[Byte]],
+                 quant: Array[Int] = Array.fill(64)(1),
+                 restartInterval: Int = 0): Array[Byte] = {
+    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    require(planes.length == 1 || planes.length == 3, s"${planes.length} planes")
+    require(planes.forall(_.length == width * height), "plane size != w*h")
+    require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255), "bad quant")
+    require(restartInterval >= 0, s"bad restart interval $restartInterval")
+    val n = planes.length
+    val out = new java.io.ByteArrayOutputStream()
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0 / JFIF 1.1, no density, no thumbnail
+    out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    marker(0xdb); be16(2 + 1 + 64); out.write(0) // DQT: Pq=0 (8-bit), Tq=0
+    var zz = 0
+    while (zz < 64) { out.write(quant(JpegZigzag(zz)) & 0xff); zz += 1 }
+    marker(0xc0); be16(8 + 3 * n); out.write(8); be16(height); be16(width); out.write(n)
+    var c = 0
+    while (c < n) { out.write(c + 1); out.write(0x11); out.write(0); c += 1 }
+    marker(0xc4) // DHT: DC class 0 id 0 + AC class 1 id 0 in one segment
+    be16(2 + (1 + 16 + JpegDcVals.length) + (1 + 16 + JpegAcVals.length))
+    out.write(0x00); JpegDcBits.foreach(out.write); out.write(JpegDcVals)
+    out.write(0x10); JpegAcBits.foreach(out.write); out.write(JpegAcVals)
+    if (restartInterval > 0) { marker(0xdd); be16(4); be16(restartInterval) }
+    marker(0xda); be16(6 + 2 * n); out.write(n)
+    c = 0
+    while (c < n) { out.write(c + 1); out.write(0x00); c += 1 }
+    out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl — full baseline scan
+
+    val dcTab = jpegHuffEncodeTable(JpegDcBits, JpegDcVals)
+    val acTab = jpegHuffEncodeTable(JpegAcBits, JpegAcVals)
+    var bitAcc = 0; var bitCnt = 0
+    def putBits(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        bitAcc = (bitAcc << 1) | ((code >>> i) & 1); bitCnt += 1
+        if (bitCnt == 8) {
+          out.write(bitAcc); if (bitAcc == 0xff) out.write(0)
+          bitAcc = 0; bitCnt = 0
+        }
+        i -= 1
+      }
+    }
+    def alignOnes(): Unit = while (bitCnt != 0) putBits(1, 1)
+    def putCoded(tab: Array[Int], sym: Int): Unit = {
+      val packed = tab(sym)
+      putBits(packed & 0xffff, packed >>> 16)
+    }
+    def putMagnitude(v: Int): Unit = {
+      val s = jpegMagSize(v)
+      if (s > 0) putBits(if (v < 0) v + (1 << s) - 1 else v, s)
+    }
+    val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+    val pred = new Array[Int](n)
+    val block = new Array[Double](64)
+    var mcu = 0; var rst = 0
+    var by = 0
+    while (by < mcusY) {
+      var bx = 0
+      while (bx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          alignOnes(); marker(0xd0 + (rst % 8)); rst += 1
+          java.util.Arrays.fill(pred, 0)
+        }
+        c = 0
+        while (c < n) {
+          val plane = planes(c)
+          var y = 0
+          while (y < 8) {
+            val sy = math.min(by * 8 + y, height - 1)
+            var x = 0
+            while (x < 8) {
+              val sx = math.min(bx * 8 + x, width - 1)
+              block(y * 8 + x) = (plane(sy * width + sx) & 0xff) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          val freq = jpegFdct(block)
+          val q0 = Math.round(freq(0) / quant(0)).toInt
+          putCoded(dcTab, jpegMagSize(q0 - pred(c))); putMagnitude(q0 - pred(c))
+          pred(c) = q0
+          var run = 0; var k = 1
+          while (k < 64) {
+            val nat = JpegZigzag(k)
+            val qv = Math.round(freq(nat) / quant(nat)).toInt
+            if (qv == 0) run += 1
+            else {
+              while (run > 15) { putCoded(acTab, 0xf0); run -= 16 } // ZRL
+              putCoded(acTab, (run << 4) | jpegMagSize(qv)); putMagnitude(qv)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) putCoded(acTab, 0x00) // EOB
+          c += 1
+        }
+        mcu += 1; bx += 1
+      }
+      by += 1
+    }
+    alignOnes()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale convenience wrapper: pixel (x, y) from `pixelAt`. */
+  def encodeJpegGray(width: Int, height: Int, pixelAt: (Int, Int) => Int,
+                     quant: Array[Int] = Array.fill(64)(1),
+                     restartInterval: Int = 0): Array[Byte] = {
+    val plane = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { plane(y * width + x) = (pixelAt(x, y) & 0xff).toByte; x += 1 }
+      y += 1
+    }
+    encodeJpeg(width, height, Array(plane), quant, restartInterval)
+  }
+
+  /** Refuse-pixel-bomb bound for JPEG decode, the [[MaxPngRawBytes]] twin: a
+    * crafted SOF0 claiming 65535×65535×3 would otherwise allocate ~12 GiB
+    * before the (cheap) entropy decode fails. */
+  private val MaxJpegRawBytes = 1L << 26
+
+  /** Decode a baseline JPEG: returns (width, height, channels, samples) with
+    * samples row-major, interleaved for 3-channel (YCbCr→RGB per the JFIF
+    * matrix). Refuses — returns None, never throws — on anything it cannot
+    * FAITHFULLY decode: progressive/arithmetic/lossless frames (SOF2+),
+    * 12-bit precision, subsampled components (sampling factors ≠ 1×1),
+    * over-subscribed Huffman tables, coefficient indices past 63, truncated
+    * or desynced entropy data, missing restart markers, dimension bombs past
+    * [[MaxJpegRawBytes]], and trailing bytes after EOI (the decodePngPixels
+    * trailing-IDAT lesson: refuse what cannot be verified). */
+  def decodeJpegPixels(payload: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] = {
+    val b = payload
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var p = 2
+    def u8(i: Int): Int = b(i) & 0xff
+    def u16(i: Int): Int = ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+    // tables indexed by id 0-3; quant in NATURAL order
+    val qt = new Array[Array[Int]](4)
+    val dcT = new Array[(Array[Int], Array[Int], Array[Int], Array[Byte])](4)
+    val acT = new Array[(Array[Int], Array[Int], Array[Int], Array[Byte])](4)
+    var width = 0; var height = 0; var nComp = 0
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var sawSof = false
+    while (p + 4 <= b.length) {
+      if (u8(p) != 0xff) return None
+      var m = u8(p + 1)
+      while (m == 0xff && p + 2 < b.length) { p += 1; m = u8(p + 1) } // fill bytes
+      p += 2
+      m match {
+        case 0xd9 => return None // EOI before any scan
+        case mk if mk >= 0xd0 && mk <= 0xd7 => return None // RST outside a scan
+        case 0x01 => () // TEM, standalone
+        case mk if (mk >= 0xe0 && mk <= 0xef) || mk == 0xfe => // APPn / COM
+          if (p + 2 > b.length) return None
+          val len = u16(p); if (len < 2 || p + len > b.length) return None
+          p += len
+        case 0xdb => // DQT
+          if (p + 2 > b.length) return None
+          val len = u16(p); if (len < 2 || p + len > b.length) return None
+          var q = p + 2
+          while (q < p + len) {
+            val pq = u8(q) >> 4; val tq = u8(q) & 0x0f
+            if (pq > 1 || tq > 3) return None
+            val entryBytes = if (pq == 0) 1 else 2
+            if (q + 1 + 64 * entryBytes > p + len) return None
+            val tab = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              val v = if (pq == 0) u8(q + 1 + k) else u16(q + 1 + 2 * k)
+              if (v < 1) return None
+              tab(JpegZigzag(k)) = v; k += 1
+            }
+            qt(tq) = tab
+            q += 1 + 64 * entryBytes
+          }
+          if (q != p + len) return None
+          p += len
+        case 0xc4 => // DHT
+          if (p + 2 > b.length) return None
+          val len = u16(p); if (len < 2 || p + len > b.length) return None
+          var q = p + 2
+          while (q < p + len) {
+            val tc = u8(q) >> 4; val th = u8(q) & 0x0f
+            if (tc > 1 || th > 3 || q + 17 > p + len) return None
+            val bits = Array.tabulate(16)(i => u8(q + 1 + i))
+            val nv = bits.sum
+            if (nv > 256 || q + 17 + nv > p + len) return None
+            val vals = java.util.Arrays.copyOfRange(b, q + 17, q + 17 + nv)
+            jpegHuffDecodeTable(bits, vals) match {
+              case Some(t) => if (tc == 0) dcT(th) = t else acT(th) = t
+              case None => return None
+            }
+            q += 17 + nv
+          }
+          if (q != p + len) return None
+          p += len
+        case 0xdd => // DRI
+          if (p + 4 > b.length || u16(p) != 4) return None
+          restartInterval = u16(p + 2)
+          p += 4
+        case 0xc0 | 0xc1 => // SOF0 baseline (SOF1 extended-sequential decodes identically)
+          if (sawSof || p + 2 > b.length) return None
+          val len = u16(p); if (len < 8 || p + len > b.length) return None
+          if (u8(p + 2) != 8) return None // 12-bit precision: refuse
+          height = u16(p + 3); width = u16(p + 5); nComp = u8(p + 7)
+          if (width < 1 || height < 1) return None
+          if (nComp != 1 && nComp != 3) return None
+          if (len != 8 + 3 * nComp) return None
+          if (width.toLong * height * nComp > MaxJpegRawBytes) return None
+          compQ = new Array[Int](nComp)
+          var ci = 0
+          while (ci < nComp) {
+            if (u8(p + 8 + 3 * ci) != ci + 1) return None // ids 1..n in order
+            if (u8(p + 9 + 3 * ci) != 0x11) return None   // subsampling: refuse
+            compQ(ci) = u8(p + 10 + 3 * ci)
+            if (compQ(ci) > 3) return None
+            ci += 1
+          }
+          sawSof = true
+          p += len
+        case mk if (mk >= 0xc2 && mk <= 0xcf) && mk != 0xc8 && mk != 0xcc =>
+          return None // progressive / arithmetic / lossless / hierarchical
+        case 0xda => // SOS → entropy-coded data
+          if (!sawSof || p + 2 > b.length) return None
+          val len = u16(p); if (len != 6 + 2 * nComp || p + len > b.length) return None
+          if (u8(p + 2) != nComp) return None // single interleaved scan only
+          val compDc = new Array[(Array[Int], Array[Int], Array[Int], Array[Byte])](nComp)
+          val compAc = new Array[(Array[Int], Array[Int], Array[Int], Array[Byte])](nComp)
+          var ci = 0
+          while (ci < nComp) {
+            if (u8(p + 3 + 2 * ci) != ci + 1) return None // frame order only
+            val td = u8(p + 4 + 2 * ci) >> 4; val ta = u8(p + 4 + 2 * ci) & 0x0f
+            if (td > 3 || ta > 3 || dcT(td) == null || acT(ta) == null) return None
+            if (qt(compQ(ci)) == null) return None
+            compDc(ci) = dcT(td); compAc(ci) = acT(ta)
+            ci += 1
+          }
+          if (u8(p + 3 + 2 * nComp) != 0 || u8(p + 4 + 2 * nComp) != 63 ||
+              u8(p + 5 + 2 * nComp) != 0) return None // baseline spectral params
+          p += len
+          // ---- entropy decode ----
+          var bitBuf = 0; var bitCnt = 0; var fail = false
+          def nextBit(): Int = {
+            if (bitCnt == 0) {
+              if (p >= b.length) { fail = true; return 0 }
+              var byte = u8(p); p += 1
+              if (byte == 0xff) {
+                if (p >= b.length || u8(p) != 0x00) { fail = true; return 0 }
+                p += 1 // stuffed 0xFF data byte
+              }
+              bitBuf = byte; bitCnt = 8
+            }
+            bitCnt -= 1
+            (bitBuf >>> bitCnt) & 1
+          }
+          def decodeHuff(t: (Array[Int], Array[Int], Array[Int], Array[Byte])): Int = {
+            val (mincode, maxcode, valptr, vals) = t
+            var code = 0; var l = 1
+            while (l <= 16 && !fail) {
+              code = (code << 1) | nextBit()
+              if (maxcode(l) >= 0 && code >= mincode(l) && code <= maxcode(l))
+                return vals(valptr(l) + code - mincode(l)) & 0xff
+              l += 1
+            }
+            fail = true; 0
+          }
+          def receiveExtend(s: Int): Int = {
+            if (s == 0) return 0
+            var v = 0; var i = 0
+            while (i < s && !fail) { v = (v << 1) | nextBit(); i += 1 }
+            if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+          }
+          val mcusX = (width + 7) / 8; val mcusY = (height + 7) / 8
+          val padW = mcusX * 8
+          val planes = Array.fill(nComp)(new Array[Byte](padW * mcusY * 8))
+          val pred = new Array[Int](nComp)
+          val coef = new Array[Double](64)
+          var mcu = 0; var rst = 0
+          val totalMcus = mcusX * mcusY
+          while (mcu < totalMcus && !fail) {
+            if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+              bitCnt = 0 // discard padding bits, expect the RST marker
+              if (p + 2 > b.length || u8(p) != 0xff || u8(p + 1) != 0xd0 + (rst % 8))
+                fail = true
+              else { p += 2; rst += 1; java.util.Arrays.fill(pred, 0) }
+            }
+            var cc = 0
+            while (cc < nComp && !fail) {
+              java.util.Arrays.fill(coef, 0.0)
+              val q = qt(compQ(cc))
+              val s = decodeHuff(compDc(cc))
+              if (s > 15) fail = true
+              if (!fail) {
+                pred(cc) += receiveExtend(s)
+                coef(0) = pred(cc).toDouble * q(0)
+                var k = 1
+                while (k < 64 && !fail) {
+                  val rs = decodeHuff(compAc(cc))
+                  val r = rs >> 4; val sz = rs & 0x0f
+                  if (sz == 0) { if (r == 15) k += 16 else k = 64 } // ZRL / EOB
+                  else {
+                    k += r
+                    if (k > 63) fail = true
+                    else {
+                      val nat = JpegZigzag(k)
+                      coef(nat) = receiveExtend(sz).toDouble * q(nat)
+                      k += 1
+                    }
+                  }
+                }
+              }
+              if (!fail) {
+                val px = jpegIdct(coef)
+                val plane = planes(cc)
+                val bx = mcu % mcusX; val byy = mcu / mcusX
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) {
+                    val v = Math.round(px(y * 8 + x) + 128.0).toInt
+                    plane((byy * 8 + y) * padW + bx * 8 + x) =
+                      math.max(0, math.min(255, v)).toByte
+                    x += 1
+                  }
+                  y += 1
+                }
+              }
+              cc += 1
+            }
+            mcu += 1
+          }
+          if (fail) return None
+          bitCnt = 0 // final padding bits
+          while (p + 1 < b.length && u8(p) == 0xff && u8(p + 1) == 0xff) p += 1
+          if (p + 2 > b.length || u8(p) != 0xff || u8(p + 1) != 0xd9) return None
+          if (p + 2 != b.length) return None // trailing bytes: refuse
+          val outPx = new Array[Byte](width * height * nComp)
+          if (nComp == 1) {
+            var y = 0
+            while (y < height) {
+              System.arraycopy(planes(0), y * padW, outPx, y * width, width)
+              y += 1
+            }
+          } else {
+            var y = 0
+            while (y < height) {
+              var x = 0
+              while (x < width) {
+                val yv = planes(0)(y * padW + x) & 0xff
+                val cb = (planes(1)(y * padW + x) & 0xff) - 128
+                val cr = (planes(2)(y * padW + x) & 0xff) - 128
+                def clamp(d: Double): Byte =
+                  math.max(0, math.min(255, Math.round(d).toInt)).toByte
+                val o = (y * width + x) * 3
+                outPx(o) = clamp(yv + 1.402 * cr)
+                outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+                outPx(o + 2) = clamp(yv + 1.772 * cb)
+                x += 1
+              }
+              y += 1
+            }
+          }
+          return Some((width, height, nComp, outPx))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Nearest-neighbor JPEG resize: full decode → sample → re-encode (all-ones
+    * quant, grayscale stays grayscale, color re-converts RGB→YCbCr 4:4:4).
+    * None for non-JPEG / undecodable payloads — [[resizeImages]] passes those
+    * rows through so mixed-modality tables survive the pass. */
+  def resizeJpeg(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    require(dstW >= 1 && dstH >= 1, s"bad resize target ${dstW}x$dstH")
+    decodeJpegPixels(payload).map { case (w, h, nc, px) =>
+      val planes = Array.fill(nc)(new Array[Byte](dstW * dstH))
+      var y = 0
+      while (y < dstH) {
+        val sy = y.toLong * h / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x.toLong * w / dstW
+          if (nc == 1) planes(0)(y * dstW + x) = px((sy * w + sx).toInt)
+          else {
+            val o = ((sy * w + sx) * 3).toInt
+            val r = px(o) & 0xff; val g = px(o + 1) & 0xff; val bl = px(o + 2) & 0xff
+            def clamp(d: Double): Byte =
+              math.max(0, math.min(255, Math.round(d).toInt)).toByte
+            planes(0)(y * dstW + x) = clamp(0.299 * r + 0.587 * g + 0.114 * bl)
+            planes(1)(y * dstW + x) = clamp(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl)
+            planes(2)(y * dstW + x) = clamp(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl)
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encodeJpeg(dstW, dstH, planes)
+    }
+  }
+
+  /** Per-image pixel checksums from a REAL baseline-JPEG decode — the
+    * [[GifFramePixels]] shape for still images: typed mapPartitions, map-only
+    * (payloads never shuffle); non-JPEG/undecodable rows emit nothing. The
+    * checksums run over the decoded sample stream (gray: one per pixel). */
+  case class JpegPixels(media_id: Long, width: Int, height: Int, n_pixels: Long,
+                        pixel_sum: Long, pixel_poly: Long,
+                        pixel_first: Int, pixel_last: Int)
+
+  def jpegPixels(spark: SparkSession, media: DataFrame): Dataset[JpegPixels] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeJpegPixels(r.payload).iterator.map { case (w, h, _, px) =>
+          var sum = 0L; var poly = 0L; var j = 0
+          while (j < px.length) {
+            val v = px(j) & 0xff
+            sum += v; poly += (j + 1).toLong * v; j += 1
+          }
+          JpegPixels(r.media_id, w, h, px.length.toLong, sum, poly,
+            if (px.nonEmpty) px(0) & 0xff else -1,
+            if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+        }
+      }
+    }
+  }
+
+  /** Real-encoded synthetic JPEG table, ORACLE-EXACT: dims
+    * `((doc_id%23)+4) × ((doc_id%17)+4)` (up to 4×3 MCUs), pixel (x, y) is
+    * the FLAT-PER-BLOCK function `(doc_id·31 + (y/8)·37 + (x/8)·11) mod 251`
+    * — with the all-ones quant table a flat block's DC is the exact integer
+    * 8·(v−128) and every AC quantizes to 0, so the decode reproduces every
+    * pixel bit-exactly and plain SQL recomputes it. Every 5th doc encodes
+    * with restartInterval=2, so RST resync is under the same hash gate. */
+  def syntheticJpegsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 23).toInt + 4; val h = (id % 17).toInt + 4
+        MediaRecord(id, "image/jpeg",
+          encodeJpegGray(w, h,
+            (x, y) => ((id * 31 + (y / 8) * 37 + (x / 8) * 11) % 251).toInt,
+            restartInterval = if (id % 5 == 0) 2 else 0))
+      }
+    }
+  }
+
+  /** Single-block FLAT sibling (dims ≤ 8×8, every pixel `(doc_id·31) mod
+    * 251`): nearest-neighbor resampling of a flat image is flat, so the
+    * whole decode→resize→re-encode→re-decode chain is exact — the fixture
+    * behind the driver-visible sample-equality gate
+    * (`multimodal_resize_jpeg_pixels`). */
+  def syntheticFlatJpegsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 8).toInt + 1; val h = (id % 6).toInt + 1
+        val v = ((id * 31) % 251).toInt
+        MediaRecord(id, "image/jpeg", encodeJpegGray(w, h, (_, _) => v))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // AVI: RIFF container walk for MJPEG video — LIST hdrl/movi structure,
+  // '##dc' frame chunks, per-frame baseline-JPEG decode
+  // ------------------------------------------------------------------
+
+  /** Build a genuine AVI (RIFF 'AVI ') MJPEG file: LIST hdrl with avih +
+    * strl (strh 'vids'/'MJPG' + strf BITMAPINFOHEADER), LIST movi with one
+    * word-aligned '00dc' chunk per frame, and an idx1 index (offsets
+    * relative to the 'movi' fourcc, AVIIF_KEYFRAME on every frame — MJPEG
+    * is all-keyframe). Frames are complete baseline JPEG payloads. */
+  def encodeAviMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
+                     fps: Int = 10): Array[Byte] = {
+    require(width >= 1 && height >= 1 && fps >= 1, s"bad avi params ${width}x$height@$fps")
+    require(frames.nonEmpty, "an AVI needs at least one frame")
+    def leBytes(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = data.length & 1
+      fourcc(id) ++ leBytes(data.length) ++ data ++ Array.fill[Byte](pad)(0)
+    }
+    def list(typ: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ parts.flatten)
+    val maxFrame = frames.map(_.length).max
+    val avih = leBytes(1000000 / fps) ++ leBytes(0) ++ leBytes(0) ++
+      leBytes(0x10) ++ leBytes(frames.length) ++ leBytes(0) ++ leBytes(1) ++
+      leBytes(maxFrame) ++ leBytes(width) ++ leBytes(height) ++
+      Array.fill[Byte](16)(0)
+    val strh = fourcc("vids") ++ fourcc("MJPG") ++ leBytes(0) ++ leBytes(0) ++
+      leBytes(0) ++ leBytes(1) ++ leBytes(fps) ++ leBytes(0) ++
+      leBytes(frames.length) ++ leBytes(maxFrame) ++ leBytes(-1) ++ leBytes(0) ++
+      Array[Byte](0, 0, 0, 0) ++
+      Array((width & 0xff).toByte, ((width >> 8) & 0xff).toByte,
+        (height & 0xff).toByte, ((height >> 8) & 0xff).toByte)
+    val strf = leBytes(40) ++ leBytes(width) ++ leBytes(height) ++
+      Array[Byte](1, 0, 24, 0) ++ fourcc("MJPG") ++ leBytes(width * height * 3) ++
+      leBytes(0) ++ leBytes(0) ++ leBytes(0) ++ leBytes(0)
+    val hdrl = list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh),
+      chunk("strf", strf)))
+    val moviChunks = frames.map(f => chunk("00dc", f))
+    val movi = list("movi", moviChunks: _*)
+    var off = 4 // first chunk sits right after the 'movi' fourcc
+    val idxEntries = frames.zip(moviChunks).map { case (f, ck) =>
+      val e = fourcc("00dc") ++ leBytes(0x10) ++ leBytes(off) ++ leBytes(f.length)
+      off += ck.length
+      e
+    }
+    val idx1 = chunk("idx1", idxEntries.toArray.flatten)
+    chunk("RIFF", fourcc("AVI ") ++ hdrl ++ movi ++ idx1)
+  }
+
+  /** Walk an AVI's RIFF structure and return the video frame payloads from
+    * the movi list's '##dc'/'##db' chunks, in stream order. Robust to
+    * truncated or desynced payloads — stops and returns the frames walked so
+    * far (the [[gifFrameWalk]] contract), never throws. Chunk bounds are
+    * checked in LONG so a crafted size near Int.MaxValue cannot wrap. */
+  def aviFrameWalk(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val b = payload
+    def tag(i: Int, s: String): Boolean =
+      i + 4 <= b.length && s.indices.forall(j => (b(i + j) & 0xff) == s.charAt(j))
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "AVI ")) return Nil
+    val riffEnd = math.min(b.length.toLong, 8L + leInt(b, 4))
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    var i = 12L
+    var done = false
+    while (!done && i + 8 <= riffEnd) {
+      val size = leInt(b, i.toInt + 4)
+      if (size < 0 || i + 8 + size > riffEnd) done = true
+      else {
+        if (tag(i.toInt, "LIST") && i + 12 <= riffEnd && tag(i.toInt + 8, "movi")) {
+          var j = i + 12
+          val end = i + 8 + size
+          var inner = true
+          while (inner && j + 8 <= end) {
+            val ji = j.toInt
+            val csz = leInt(b, ji + 4)
+            if (csz < 0 || j + 8 + csz > end) inner = false
+            else {
+              val isDigit0 = b(ji) >= '0' && b(ji) <= '9'
+              val isDigit1 = b(ji + 1) >= '0' && b(ji + 1) <= '9'
+              if (isDigit0 && isDigit1 && b(ji + 2) == 'd' &&
+                  (b(ji + 3) == 'c' || b(ji + 3) == 'b'))
+                frames += java.util.Arrays.copyOfRange(b, ji + 8, ji + 8 + csz)
+              j += 8 + csz + (csz & 1)
+            }
+          }
+        }
+        i += 8 + size + (size & 1)
+      }
+    }
+    frames.toSeq
+  }
+
+  /** One decoded MJPEG video frame's pixel checksums — the video-modality
+    * twin of [[gifFramePixels]]: AVI RIFF walk → per-frame baseline-JPEG
+    * decode, typed flatMap, map-only. `frame_idx` is the movi-chunk order;
+    * undecodable frames are dropped (refuse what cannot be faithfully
+    * decoded) without shifting later frames' indices. */
+  case class AviFramePixels(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                            n_pixels: Long, pixel_sum: Long, pixel_poly: Long,
+                            pixel_first: Int, pixel_last: Int)
+
+  def aviFramePixels(spark: SparkSession, media: DataFrame): Dataset[AviFramePixels] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
+          decodeJpegPixels(f).map { case (w, h, _, px) =>
+            var sum = 0L; var poly = 0L; var j = 0
+            while (j < px.length) {
+              val v = px(j) & 0xff
+              sum += v; poly += (j + 1).toLong * v; j += 1
+            }
+            AviFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly,
+              if (px.nonEmpty) px(0) & 0xff else -1,
+              if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+          }
+        }
+      }
+    }
+  }
+
+  /** Real-encoded synthetic MJPEG-AVI table, ORACLE-EXACT: `doc_id % 3 + 1`
+    * frames of `((doc_id%13)+4) × ((doc_id%11)+4)`, frame `i`'s pixel (x, y)
+    * the flat-per-block function
+    * `(doc_id·31 + i·257 + (y/8)·37 + (x/8)·11) mod 251` — the
+    * [[syntheticJpegsFromDocuments]] exactness argument per frame, wrapped
+    * in a genuine RIFF/AVI container. */
+  def syntheticAvisFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 13).toInt + 4; val h = (id % 11).toInt + 4
+        val frames = (0 to (id % 3).toInt).map { i =>
+          encodeJpegGray(w, h,
+            (x, y) => ((id * 31 + i * 257 + (y / 8) * 37 + (x / 8) * 11) % 251).toInt)
+        }
+        MediaRecord(id, "video/avi", encodeAviMjpeg(w, h, frames))
       }
     }
   }

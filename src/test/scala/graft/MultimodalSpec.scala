@@ -598,4 +598,215 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavPcm16Layout(shortFmt.toByteArray).isEmpty,
       "fmt with size < 16 must refuse, never skip to a later fmt")
   }
+
+  // ---------------- JPEG baseline encode/decode ----------------
+
+  test("JPEG: flat-block images round-trip pixel-exactly, with and without restarts") {
+    // 20x11 = 3x2 MCUs; pixel (x,y) = flat-per-block value
+    val w = 20; val h = 11
+    def px(x: Int, y: Int): Int = (7 * 31 + (y / 8) * 37 + (x / 8) * 11) % 251
+    val plain = Multimodal.encodeJpegGray(w, h, px)
+    val Some((dw, dh, dc, dpx)) = Multimodal.decodeJpegPixels(plain)
+    assert((dw, dh, dc) === ((w, h, 1)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((dpx(y * w + x) & 0xff) === px(x, y), s"pixel ($x,$y)")
+    // restart markers: different bytes, identical pixels; DC preds reset
+    val rst = Multimodal.encodeJpegGray(w, h, px, restartInterval = 2)
+    assert(!java.util.Arrays.equals(plain, rst))
+    assert(rst.containsSlice(Array(0xff.toByte, 0xd0.toByte)), "a RST0 marker")
+    val Some((_, _, _, rpx)) = Multimodal.decodeJpegPixels(rst)
+    assert(java.util.Arrays.equals(rpx, dpx))
+    // header parse agrees with the full decode
+    assert(Multimodal.decodeHeader(plain) === (("jpeg", w, h)))
+  }
+
+  test("JPEG: general content round-trips within the all-ones-quant error bound") {
+    // deterministic LCG pixels — NOT flat, every AC path exercised (magnitude
+    // bits, ZRL runs, EOB) plus the DC DPCM chain across 6 MCUs
+    var p = 42L
+    def lcg(): Int = { p = p * 6364136223846793005L + 1442695040888963407L; ((p >>> 32) & 0xff).toInt }
+    val w = 24; val h = 16
+    val img = Array.fill(w * h)(lcg())
+    val enc = Multimodal.encodeJpegGray(w, h, (x, y) => img(y * w + x))
+    val Some((dw, dh, _, dpx)) = Multimodal.decodeJpegPixels(enc)
+    assert((dw, dh) === ((w, h)))
+    val maxErr = (0 until w * h).map(i => math.abs((dpx(i) & 0xff) - img(i))).max
+    // all-ones quant: coefficient rounding ±0.5 propagated through the IDCT;
+    // deterministic fixture, observed max error 1
+    assert(maxErr <= 2, s"max error $maxErr")
+  }
+
+  test("JPEG: 4:4:4 color decodes through the JFIF YCbCr->RGB matrix") {
+    // flat 8x8 single block per plane: YCbCr reconstruct exactly, so RGB is
+    // the independent matrix recompute here
+    val (yv, cb, cr) = (120, 90, 170)
+    val planes = Array(Array.fill(64)(yv.toByte), Array.fill(64)(cb.toByte),
+      Array.fill(64)(cr.toByte))
+    val enc = Multimodal.encodeJpeg(8, 8, planes)
+    val Some((dw, dh, dc, dpx)) = Multimodal.decodeJpegPixels(enc)
+    assert((dw, dh, dc) === ((8, 8, 3)))
+    def clamp(d: Double): Int = math.max(0, math.min(255, Math.round(d).toInt))
+    val expR = clamp(yv + 1.402 * (cr - 128))
+    val expG = clamp(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+    val expB = clamp(yv + 1.772 * (cb - 128))
+    for (i <- 0 until 64) {
+      assert((dpx(3 * i) & 0xff) === expR)
+      assert((dpx(3 * i + 1) & 0xff) === expG)
+      assert((dpx(3 * i + 2) & 0xff) === expB)
+    }
+  }
+
+  test("JPEG decode refuses what it cannot faithfully decode") {
+    val good = Multimodal.encodeJpegGray(20, 11, (x, y) => (x * 7 + y * 13) % 251)
+    assert(Multimodal.decodeJpegPixels(good).isDefined)
+    // every truncation refuses (or decodes nothing) and never throws
+    for (n <- 0 until good.length)
+      assert(Multimodal.decodeJpegPixels(good.take(n)).isEmpty, s"truncated at $n")
+    // trailing bytes after EOI: refuse (the trailing-IDAT lesson)
+    assert(Multimodal.decodeJpegPixels(good :+ 0x00.toByte).isEmpty)
+    // progressive (SOF2): refuse
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.decodeJpegPixels(prog).isEmpty)
+    // 12-bit precision: refuse
+    val deep = good.clone(); deep(sofAt + 4) = 12
+    assert(Multimodal.decodeJpegPixels(deep).isEmpty)
+    // subsampled component (2x2 sampling factors): refuse
+    val sub = good.clone(); sub(sofAt + 10) = 0x22.toByte
+    assert(Multimodal.decodeJpegPixels(sub).isEmpty)
+    // dimension bomb: 65535x65535 would be ~4 GiB of samples — refuse
+    val bomb = good.clone()
+    bomb(sofAt + 5) = 0xff.toByte; bomb(sofAt + 6) = 0xff.toByte
+    bomb(sofAt + 7) = 0xff.toByte; bomb(sofAt + 8) = 0xff.toByte
+    assert(Multimodal.decodeJpegPixels(bomb).isEmpty)
+    // a missing restart marker desyncs the resync protocol: refuse
+    val rst = Multimodal.encodeJpegGray(20, 11, (x, y) => (x + y) % 251, restartInterval = 2)
+    val rstAt = (0 until rst.length - 1).find(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0).get
+    val broken = rst.clone(); broken(rstAt + 1) = 0xd7.toByte // wrong RST index
+    assert(Multimodal.decodeJpegPixels(broken).isEmpty)
+    // over-subscribed Huffman spectrum (3 codes of length 1): refuse
+    val dht = good.clone()
+    val dhtAt = (0 until dht.length - 1).find(i =>
+      (dht(i) & 0xff) == 0xff && (dht(i + 1) & 0xff) == 0xc4).get
+    dht(dhtAt + 5) = 3 // BITS[1] = 3 > 2^1
+    assert(Multimodal.decodeJpegPixels(dht).isEmpty)
+    // a zero quant entry would reconstruct garbage deterministically: refuse
+    val dqt = good.clone()
+    val dqtAt = (0 until dqt.length - 1).find(i =>
+      (dqt(i) & 0xff) == 0xff && (dqt(i + 1) & 0xff) == 0xdb).get
+    dqt(dqtAt + 5) = 0
+    assert(Multimodal.decodeJpegPixels(dqt).isEmpty)
+    assert(Multimodal.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.decodeJpegPixels(Array[Byte]()).isEmpty)
+  }
+
+  test("resizeJpeg: nearest-neighbor sampling exact on flat images, formats dispatch") {
+    // flat image: every stage of decode->resize->re-encode->re-decode is exact
+    val flat = Multimodal.encodeJpegGray(5, 3, (_, _) => 177)
+    val Some(resized) = Multimodal.resizeJpeg(flat, 8, 8)
+    val Some((rw, rh, rc, rpx)) = Multimodal.decodeJpegPixels(resized)
+    assert((rw, rh, rc) === ((8, 8, 1)))
+    assert(rpx.forall(b => (b & 0xff) == 177))
+    // non-JPEG payloads refuse so resizeImages can fall through
+    assert(Multimodal.resizeJpeg(Multimodal.encodeBmp(4, 4, 1L), 8, 8).isEmpty)
+    assert(Multimodal.resizeJpeg("text".getBytes, 8, 8).isEmpty)
+  }
+
+  test("jpegPixels: hand-computed checksums, non-JPEG rows emit nothing") {
+    import spark.implicits._
+    // 2x1 flat image, value 100: sum 200, poly 1*100 + 2*100 = 300
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/jpeg",
+        Multimodal.encodeJpegGray(2, 1, (_, _) => 100)),
+      Multimodal.MediaRecord(2L, "text/plain", "words".getBytes)
+    ).toDS().toDF()
+    val rows = Multimodal.jpegPixels(spark, media).collect()
+    assert(rows.toSeq === Seq(
+      Multimodal.JpegPixels(1L, 2, 1, 2L, 200L, 300L, 100, 100)))
+  }
+
+  // ---------------- AVI MJPEG container ----------------
+
+  test("AVI: encode->walk returns the exact frame payloads; robustness") {
+    val f0 = Multimodal.encodeJpegGray(6, 4, (x, y) => (x + y * 6) % 251)
+    val f1 = Multimodal.encodeJpegGray(6, 4, (_, _) => 9)
+    val avi = Multimodal.encodeAviMjpeg(6, 4, Seq(f0, f1), fps = 25)
+    val walked = Multimodal.aviFrameWalk(avi)
+    assert(walked.size === 2)
+    assert(java.util.Arrays.equals(walked(0), f0))
+    assert(java.util.Arrays.equals(walked(1), f1))
+    // container structure: RIFF/AVI magic, an idx1 with one entry per frame
+    assert(new String(avi.take(4), "US-ASCII") === "RIFF")
+    assert(new String(avi.slice(8, 12), "US-ASCII") === "AVI ")
+    val idxAt = (0 until avi.length - 4).find(i =>
+      new String(avi.slice(i, i + 4), "US-ASCII") == "idx1").get
+    def le32(i: Int) = (avi(i) & 0xff) | ((avi(i + 1) & 0xff) << 8) |
+      ((avi(i + 2) & 0xff) << 16) | ((avi(i + 3) & 0xff) << 24)
+    assert(le32(idxAt + 4) === 2 * 16, "two 16-byte index entries")
+    // odd-length frames pad to even: a 1-byte-longer frame still walks back
+    val fOdd = f0 :+ 0x37.toByte // not a decodable jpeg — the WALK must still return it
+    val avi2 = Multimodal.encodeAviMjpeg(6, 4, Seq(fOdd, f1))
+    val walked2 = Multimodal.aviFrameWalk(avi2)
+    assert(walked2.size === 2 && java.util.Arrays.equals(walked2(0), fOdd))
+    // truncation never throws; frames walked so far come back
+    for (n <- 0 until avi.length by 7)
+      assert(Multimodal.aviFrameWalk(avi.take(n)).size <= 2, s"truncated at $n")
+    assert(Multimodal.aviFrameWalk("RIFFxxxxWAVE".getBytes) === Nil)
+    assert(Multimodal.aviFrameWalk("not an avi".getBytes) === Nil)
+    // crafted inner chunk size near Int.MaxValue must not wrap the bound
+    val evil = avi.clone()
+    val moviAt = (0 until evil.length - 4).find(i =>
+      new String(evil.slice(i, i + 4), "US-ASCII") == "movi").get
+    evil(moviAt + 8) = 0xff.toByte; evil(moviAt + 9) = 0xff.toByte
+    evil(moviAt + 10) = 0xff.toByte; evil(moviAt + 11) = 0x7f.toByte
+    assert(Multimodal.aviFrameWalk(evil) === Nil)
+  }
+
+  test("aviFramePixels: hand-computed per-frame checksums; undecodable frames drop") {
+    import spark.implicits._
+    val f0 = Multimodal.encodeJpegGray(2, 1, (_, _) => 100) // sum 200, poly 300
+    val f1 = Multimodal.encodeJpegGray(1, 1, (_, _) => 50)  // sum 50, poly 50
+    val badFrame = "not a jpeg frame".getBytes
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video/avi",
+        Multimodal.encodeAviMjpeg(2, 1, Seq(f0, badFrame, f1))),
+      Multimodal.MediaRecord(2L, "text/plain", "words".getBytes)
+    ).toDS().toDF()
+    val rows = Multimodal.aviFramePixels(spark, media).collect().sortBy(_.frame_idx)
+    // the undecodable middle frame drops WITHOUT shifting frame 2's identity
+    assert(rows.toSeq === Seq(
+      Multimodal.AviFramePixels(1L, 0, 2, 1, 2L, 200L, 300L, 100, 100),
+      Multimodal.AviFramePixels(1L, 2, 1, 1, 1L, 50L, 50L, 50, 50)))
+  }
+
+  test("synthetic JPEG/AVI fixtures decode to their oracle arithmetic") {
+    import spark.implicits._
+    val docs = Seq((5L, "x"), (12L, "y"), (35L, "z")).toDF("doc_id", "text")
+    // JPEG stills: dims (id%23+4) x (id%17+4), flat-per-block pixel fn
+    val jp = Multimodal.jpegPixels(spark,
+      Multimodal.syntheticJpegsFromDocuments(spark, docs).toDF()).collect()
+      .map(r => r.media_id -> r).toMap
+    for (id <- Seq(5L, 12L, 35L)) {
+      val w = (id % 23).toInt + 4; val h = (id % 17).toInt + 4
+      var sum = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        sum += (id * 31 + (y / 8) * 37 + (x / 8) * 11) % 251
+      assert(jp(id).width === w && jp(id).height === h, s"doc $id dims")
+      assert(jp(id).pixel_sum === sum, s"doc $id sum (restart=${id % 5 == 0})")
+    }
+    // AVI: id=5 -> 3 frames of (5%13+4)x(5%11+4) = 9x9
+    val av = Multimodal.aviFramePixels(spark,
+      Multimodal.syntheticAvisFromDocuments(spark, docs.filter($"doc_id" === 5L)).toDF())
+      .collect().sortBy(_.frame_idx)
+    assert(av.length === 3)
+    for (i <- 0 until 3) {
+      var sum = 0L
+      for (y <- 0 until 9; x <- 0 until 9)
+        sum += (5L * 31 + i * 257 + (y / 8) * 37 + (x / 8) * 11) % 251
+      assert(av(i).pixel_sum === sum, s"frame $i")
+    }
+  }
 }

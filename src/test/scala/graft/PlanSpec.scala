@@ -487,7 +487,14 @@ class PlanSpec extends SparkSpec {
       "dedup_winnow_persisted_compact" -> 3, // probe plan unchanged after compaction — one file per bucket, zero base-side exchanges
       "multimodal_gif_pixels" -> 0, // full LZW decode is still a typed flatMap: map-only, payloads never shuffle
       "sim_ivf_persisted_compact_topk" -> 5, // GATE FORM: compacted-index pruned probe + in-memory twin + equality aggs (the append/delete shape)
-      "sim_ivfpq_persisted_compact_topk" -> 5) // GATE FORM: two pruned ADC probes (compacted + one-shot rebuild) + equality aggs
+      "sim_ivfpq_persisted_compact_topk" -> 5, // GATE FORM: two pruned ADC probes (compacted + one-shot rebuild) + equality aggs
+      // round-13 session 2: baseline JPEG + AVI/MJPEG
+      "multimodal_jpeg_pixels" -> 0, // marker walk + Huffman + IDCT all inside one typed flatMap: map-only, payloads never shuffle
+      "multimodal_resize_jpeg" -> 0, // decode -> sample -> re-encode -> re-parse, one mapPartitions chain
+      "multimodal_resize_jpeg_pixels" -> 0, // the sample-equality gate runs the same map-only chain twice per row
+      "multimodal_avi_frames" -> 0, // RIFF list walk + per-frame JPEG decode: map-only
+      "pipeline_embedding_whiten" -> 0, // diagnostics are a driver-built model-scale result; both moments passes are separate map-only collect jobs
+      "sim_pca_topk" -> 4) // GATE FORM: brute-force twin heap + PCA shortlist heap + rerank/semi aggs (the sim_rp_topk single-exchange core inside)
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

@@ -712,4 +712,87 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(hard === Set((3L, 0, 1L), (2L, 0, 2L), (13L, 1, 1L), (12L, 1, 2L)), s"got $hard")
   }
+
+  // ---------------- PCA / whitening ----------------
+
+  test("jacobiEigen: eigen-decomposition reconstructs the covariance matrix") {
+    import spark.implicits._
+    // deterministic LCG vectors in dim 6
+    var p = 7L
+    def lcg(): Double = {
+      p = p * 6364136223846793005L + 1442695040888963407L
+      ((p >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val data = Array.fill(200)(Array.fill(6)(lcg()))
+    val mean = (0 until 6).map(i => data.map(_(i)).sum / data.length)
+    val cov = Array.tabulate(6, 6)((i, j) =>
+      data.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / data.length)
+    val (vals, vecs) = Similarity.jacobiEigen(cov)
+    // descending order, orthonormal vectors, C = sum_j lambda_j v_j v_j^T
+    assert(vals.sliding(2).forall(w => w(0) >= w(1) - 1e-12))
+    for (a <- 0 until 6; b <- 0 until 6) {
+      val dot = (0 until 6).map(i => vecs(a)(i) * vecs(b)(i)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-9, s"v$a . v$b = $dot")
+      val rec = (0 until 6).map(j => vals(j) * vecs(j)(a) * vecs(j)(b)).sum
+      assert(math.abs(rec - cov(a)(b)) < 1e-9, s"C($a,$b) reconstruct")
+    }
+  }
+
+  test("fitPca recovers planted anisotropic axes; whitening gives identity covariance") {
+    import spark.implicits._
+    // planted: x = a*u + b*w in dim 4, sd(a)=3, sd(b)=1, u/w orthonormal
+    val u = Array(0.6, 0.8, 0.0, 0.0); val w = Array(0.0, 0.0, 1.0, 0.0)
+    var p = 13L
+    def lcg(): Double = {
+      p = p * 6364136223846793005L + 1442695040888963407L
+      ((p >>> 33).toDouble / (1L << 31).toDouble) - 0.5
+    }
+    val rows = (0L until 400L).map { id =>
+      val a = 3.0 * (lcg() + lcg() + lcg()); val b = lcg() + lcg() + lcg()
+      (id, (0 until 4).map(i => (a * u(i) + b * w(i)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val model = Similarity.fitPca(df, dim = 4, outDim = 2)
+    // first component aligns with u (sign-normalized), second with w
+    val align0 = (0 until 4).map(i => model.components(0)(i) * u(i)).sum
+    val align1 = (0 until 4).map(i => model.components(1)(i) * w(i)).sum
+    assert(math.abs(align0) > 0.999, s"c0.u = $align0")
+    assert(math.abs(align1) > 0.999, s"c1.w = $align1")
+    assert(model.eigenvalues(0) > model.eigenvalues(1) * 2,
+      "planted variance ratio must surface in the eigenvalues")
+    // whitening diagnostics: exactly (0, 1, 0) after 6-decimal rounding
+    val diag = Similarity.pcaWhitenDiagnostics(df, dim = 4, outDim = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(diag.toSet === Set((0, 0.0, 1.0, 0.0), (1, 0.0, 1.0, 0.0)), diag.mkString(";"))
+  }
+
+  test("pcaTopK: planted near-duplicates (cosine ~0.97) recovered at production params") {
+    import spark.implicits._
+    // the lshTopK planted regime: 100 seeded unit vectors, each with a
+    // jittered twin at cosine ~0.97; the 16-dim PCA shortlist + exact rerank
+    // must put the twin first for >= 80% of queries (on isotropic data PCA
+    // degrades to an RP-quality sketch — the worst case; anisotropy only helps)
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val rows = (0 until 100).flatMap { i =>
+      val base = unit(); val noise = unit()
+      val jit = base.zip(noise).map { case (b, u) => b + 0.25 * u }
+      val n = math.sqrt(jit.map(x => x * x).sum)
+      Seq((i.toLong, base.map(_.toFloat)),
+        (i.toLong + 1000L, jit.map(x => (x / n).toFloat)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val top1 = Similarity.pcaTopK(emb, emb.filter($"vec_id" >= 1000L), 1,
+        dim = 64, outDim = 16, rerankFactor = 10)
+      .filter($"rank" === 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recall = (0 until 100).count(i => top1.get(i + 1000L).contains(i.toLong)) / 100.0
+    info(f"planted top-1 recall (PCA 64->16) = $recall%.3f")
+    assert(recall >= 0.8, f"planted top-1 recall $recall%.3f below 0.8")
+  }
 }
