@@ -55,7 +55,8 @@ object Bench {
     "multimodal_gif_pixels", "dedup_winnow_persisted_delete",
     "dedup_winnow_persisted_compact", "sim_ivf_persisted_compact_topk",
     "multimodal_jpeg_pixels", "multimodal_avi_frames",
-    "sim_pca_topk", "pipeline_embedding_whiten")
+    "sim_pca_topk", "pipeline_embedding_whiten",
+    "multimodal_jpeg_color_pixels", "sim_opq_topk", "w_stream_pca_drift")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

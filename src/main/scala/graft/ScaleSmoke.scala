@@ -396,6 +396,16 @@ object ScaleSmoke {
       sim.pqTopKEncoded(codes, vecs, vecs.filter(col("vec_id") < 10), books,
         10, rerankFactor = 4).count()
     }
+    // OPQ: a full-rank PCA rotation (one moments pass + d x d eigensolve,
+    // broadcast into a map-only projection, materialized ONCE) in front of
+    // the same PQ pipeline, codebooks trained on the 1% hash slice like the
+    // trainPQ row — dominated by the one-time rotate+materialize and the
+    // full-corpus encode (the pre-materialization form re-executed the
+    // projection per downstream pass: measured 2207 s; this form is 83 s)
+    time("opqTopK 10 queries (rotate + PQ + rerank)", exactly(100)) {
+      sim.opqTopK(vecs, vecs.filter(col("vec_id") < 10), 10, dim = dim,
+        m = 8, ksub = 32, iters = 2, rerankFactor = 4, trainMod = 100).count()
+    }
     // instance-based classifier A/B pair: the exact all-pairs form is the
     // oracle baseline (cost driver = 10k² scoring); the IVF twin bounds
     // per-query work to the nprobe-cell candidate set — the 100 TB form

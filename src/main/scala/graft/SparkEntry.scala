@@ -3099,6 +3099,28 @@ object SparkEntry {
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
               FROM embeddings WHERE vec_id < 20""")),
 
+    Q("sim_opq_topk", // DRIVER-VISIBLE recall gate: OPQ-style decorrelated PQ
+      // (FAISS OPQMatrix preprocessing, PCA-rotation form of Ge et al. 2013)
+      // — full-rank PCA rotation in front of the sim_pq_topk ADC pipeline,
+      // same m=16/ksub=32/rerank-8k params. The rotation is orthogonal, so
+      // the gate proves the rotate->encode->ADC->rerank COMPOSITION loses
+      // nothing: measured recall@10 0.945 (sf0.001) / 0.92 (sf0.01) vs brute
+      // force, gated at the family's 0.8 floor; on anisotropic real
+      // embeddings the decorrelation is what keeps per-block PQ distortion
+      // balanced.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 20)
+        topkRecallGate(
+          Similarity.bruteForceTopK(emb, q, 10),
+          Similarity.opqTopK(emb, q, 10, dim = 64, m = 16, ksub = 32,
+            iters = 3, rerankFactor = 8),
+          k = 10, floor = 0.8)
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS recall_ok
+              FROM embeddings WHERE vec_id < 20""")),
+
     Q("sim_ivfpq_topk", // DRIVER-VISIBLE recall gate: IVFADC (FAISS IVFx,PQy
       // architecture — coarse cells + PQ-coded residuals, nprobe-cell ADC
       // scan + exact rerank) vs brute force; measured recall@10 0.895 at
@@ -3884,6 +3906,39 @@ object SparkEntry {
                 CAST((doc_id * 31 + ((h - 1) // 8) * 37 + ((w - 1) // 8) * 11) % 251 AS INT) AS pixel_last
               FROM d""")),
 
+    Q("multimodal_jpeg_color_pixels", // the COLOR half of the JPEG gate:
+      // 4:4:4 YCbCr files whose three planes are each flat-per-block (so the
+      // planes decode bit-exactly — the grayscale losslessness argument per
+      // plane), leaving the JFIF YCbCr->RGB matrix as the only arithmetic —
+      // which the oracle replays term by term in DOUBLE (e0 literals keep
+      // DuckDB out of DECIMAL arithmetic), round + clamp per channel. The
+      // checksums run over the interleaved RGB sample stream (n_pixels
+      // counts SAMPLES = 3wh), so a hash match proves the interleaved MCU
+      // decode AND the color conversion, value and position.
+      (s, d) => Multimodal.jpegPixels(s,
+          Multimodal.syntheticColorJpegsFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 9) + 4 AS h
+                FROM documents),
+              px AS (SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS j FROM d),
+              c AS (SELECT doc_id, w, h, j,
+                (doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251 AS yv,
+                ((doc_id * 17 + ((j // w) // 8) * 23 + ((j % w) // 8) * 7) % 251) - 128 AS cb,
+                ((doc_id * 29 + ((j // w) // 8) * 19 + ((j % w) // 8) * 13) % 251) - 128 AS cr
+                FROM px),
+              rgb AS (SELECT doc_id, w, h, j,
+                LEAST(255, GREATEST(0, CAST(round(yv + 1.402e0 * cr) AS BIGINT))) AS r,
+                LEAST(255, GREATEST(0, CAST(round(yv - 0.344136e0 * cb - 0.714136e0 * cr) AS BIGINT))) AS g,
+                LEAST(255, GREATEST(0, CAST(round(yv + 1.772e0 * cb) AS BIGINT))) AS b
+                FROM c)
+              SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(3 * w * h AS BIGINT) AS n_pixels,
+                CAST(sum(r + g + b) AS BIGINT) AS pixel_sum,
+                CAST(sum((3 * j + 1) * r + (3 * j + 2) * g + (3 * j + 3) * b) AS BIGINT) AS pixel_poly,
+                CAST(min(CASE WHEN j = 0 THEN r END) AS INT) AS pixel_first,
+                CAST(min(CASE WHEN j = w * h - 1 THEN b END) AS INT) AS pixel_last
+              FROM rgb GROUP BY doc_id, w, h""")),
+
     Q("multimodal_resize_jpeg", // the resize path's JPEG half: synthetic
       // baseline JPEGs resize to 8x8 through actual decode → nearest-neighbor
       // sample → re-ENCODE (full FDCT + quantize + Huffman — the general
@@ -4389,6 +4444,36 @@ object SparkEntry {
                   j -> (doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
                   AS BIGINT) AS total_pixel_sum,
                 TRUE AS stream_equals_batch FROM f""")),
+
+    Q("w_stream_pca_drift", // EMBEDDING-DRIFT monitor on a live stream — the
+      // pipeline_token_drift idea for the vector channel: freeze a WHITENED
+      // PCA model (fit in batch), project each arriving vector map-only
+      // under the broadcast model, and maintain per-dimension running
+      // moments in complete mode (count/sum/sum-of-squares — the same
+      // mergeable statistics the batch diagnostics use). At settle over the
+      // training corpus the moments must reproduce EXACTLY (mean 0,
+      // variance 1) per dimension — the pipeline_embedding_whiten constant
+      // gate, now proven through a real Structured Streaming aggregation;
+      // in production the same query over NEW data reads drift directly as
+      // (variance − 1) per principal axis.
+      (s, d) => {
+        val model = Similarity.fitPca(Tables.embeddings(s, d),
+          dim = 64, outDim = 16, whiten = true)
+        def drift(src: DataFrame): DataFrame =
+          Similarity.pcaProject(src, model)
+            .select(posexplode(col("pca")).as(Seq("dim_idx", "v")))
+            .groupBy("dim_idx")
+            .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+              sum(col("v") * col("v")).as("ss"))
+        val settled = StreamingViews.runToMemory(s, s"$d/embeddings.parquet",
+          "graft_wpca_sink", drift, outputMode = "complete")
+        settled.select(col("dim_idx"),
+          round(col("s") / col("n"), 6).as("mean_r"),
+          round(col("ss") / col("n") - (col("s") / col("n")) * (col("s") / col("n")), 6)
+            .as("variance_r"))
+      },
+      Some("""SELECT CAST(i AS INT) AS dim_idx, 0.0 AS mean_r, 1.0 AS variance_r
+              FROM (SELECT unnest(generate_series(0, 15)) AS i) t""")),
 
     Q("pipeline_data_card", // the per-(domain, lang) release summary: volumes,
       // length distribution, exact-dup rate — one keyed aggregation pass

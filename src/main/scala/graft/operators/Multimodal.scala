@@ -1570,6 +1570,37 @@ object Multimodal {
     }
   }
 
+  /** 4:4:4 COLOR sibling of [[syntheticJpegsFromDocuments]]: three flat-per-
+    * block planes (Y/Cb/Cr each its own doc_id-arithmetic function), so the
+    * YCbCr planes decode bit-exactly (the flat-block losslessness argument
+    * per plane) and the ONLY arithmetic left is the JFIF YCbCr→RGB matrix —
+    * which is plain `round`/clamp double arithmetic a SQL oracle replays
+    * term by term. Dims `((doc_id%13)+4) × ((doc_id%9)+4)` (up to 2×2
+    * MCUs). */
+  def syntheticColorJpegsFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 13).toInt + 4; val h = (id % 9).toInt + 4
+        def plane(a: Long, b: Long, c: Long): Array[Byte] = {
+          val p = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              p(y * w + x) = (((id * a + (y / 8) * b + (x / 8) * c) % 251) & 0xff).toByte
+              x += 1
+            }
+            y += 1
+          }
+          p
+        }
+        MediaRecord(id, "image/jpeg",
+          encodeJpeg(w, h, Array(plane(31, 37, 11), plane(17, 23, 7), plane(29, 19, 13))))
+      }
+    }
+  }
+
   /** Single-block FLAT sibling (dims ≤ 8×8, every pixel `(doc_id·31) mod
     * 251`): nearest-neighbor resampling of a flat image is flat, so the
     * whole decode→resize→re-encode→re-decode chain is exact — the fixture

@@ -1275,6 +1275,43 @@ object Similarity {
     else exactRerank(heapTopK(scored, rerankFactor * k), corpus, queries, k)
   }
 
+  /** OPQ-style decorrelated PQ — the FAISS OPQMatrix preprocessing in its
+    * PCA-rotation simplification (Ge et al. 2013 learn the rotation
+    * iteratively; the PCA basis is its standard initialization and the form
+    * FAISS ships as `PCAMatrix` + PQ): rotate corpus AND queries by the
+    * FULL-rank PCA basis — orthogonal, so inner products and neighbor ranks
+    * are preserved exactly up to the 6-decimal projection rounding — then
+    * run the standard PQ ADC pipeline in the decorrelated space. The
+    * rotation aligns subquantizer blocks with the principal axes, which
+    * lowers PQ distortion on anisotropic real embeddings and balances
+    * per-block variance; on an isotropic fixture it is recall-neutral by
+    * construction, so the gate proves the composition LOSES nothing.
+    * Training adds one moments pass + a d×d eigensolve; the rotation
+    * broadcasts into a map-only projection in front of the PQ encode.
+    *
+    * The rotated corpus MATERIALIZES once (`localCheckpoint`, the PageRank
+    * discipline): every downstream pass — each PQ training round, the
+    * encode, the ADC scan, the rerank join — would otherwise re-execute the
+    * d×d projection expression per pass (measured 2207 s vs 83 s at the
+    * 1M×32 stress, 26 s vs 2.6 s in the sf0.1 sweep). `trainMod` > 1 trains the
+    * codebooks on the deterministic `xxhash64(vec_id) % trainMod = 0` slice
+    * — the [[trainPQ]] 100 TB note's sampling contract, applied here so the
+    * training rounds never scan the full rotated corpus at scale (encode
+    * still does, once — that's the persisted-codes pass). */
+  def opqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              m: Int = 8, ksub: Int = 16, iters: Int = 2,
+              rerankFactor: Int = 4, trainMod: Int = 1): DataFrame = {
+    require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
+    val model = fitPca(corpus, dim, dim)
+    def rot(df: DataFrame): DataFrame =
+      pcaProject(df, model).select(col("vec_id"), col("pca").as("embedding"))
+    val rc = rot(corpus).localCheckpoint()
+    val train = if (trainMod == 1) rc
+      else rc.filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0L)
+    val books = trainPQ(train, m, ksub, iters)
+    pqTopKEncoded(pqEncode(rc, books), rc, rot(queries), books, k, rerankFactor)
+  }
+
   /** Whitening correctness surfaced as ARITHMETIC: fit a whitened PCA, project
     * the corpus, run the same moments pass over the projections, and emit per
     * projected dimension its mean, variance, and the largest |covariance|

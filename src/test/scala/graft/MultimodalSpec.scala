@@ -808,5 +808,28 @@ class MultimodalSpec extends SparkSpec {
         sum += (5L * 31 + i * 257 + (y / 8) * 37 + (x / 8) * 11) % 251
       assert(av(i).pixel_sum === sum, s"frame $i")
     }
+    // 4:4:4 color fixture: flat YCbCr planes reconstruct exactly, so RGB is
+    // the independent matrix recompute over the per-block plane functions
+    val cp = Multimodal.jpegPixels(spark,
+      Multimodal.syntheticColorJpegsFromDocuments(spark, docs.filter($"doc_id" === 12L)).toDF())
+      .collect()
+    assert(cp.length === 1)
+    val (w, h) = ((12L % 13).toInt + 4, (12L % 9).toInt + 4)
+    def clamp(v: Double): Long = math.max(0, math.min(255, Math.round(v)))
+    var (sum, poly) = (0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val j = y * w + x
+      val yv = (12L * 31 + (y / 8) * 37 + (x / 8) * 11) % 251
+      val cb = (12L * 17 + (y / 8) * 23 + (x / 8) * 7) % 251 - 128
+      val cr = (12L * 29 + (y / 8) * 19 + (x / 8) * 13) % 251 - 128
+      val r = clamp(yv + 1.402 * cr)
+      val g = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+      val b = clamp(yv + 1.772 * cb)
+      sum += r + g + b
+      poly += (3L * j + 1) * r + (3L * j + 2) * g + (3L * j + 3) * b
+    }
+    assert(cp(0).n_pixels === 3L * w * h)
+    assert(cp(0).pixel_sum === sum, "color pixel_sum")
+    assert(cp(0).pixel_poly === poly, "color pixel_poly")
   }
 }

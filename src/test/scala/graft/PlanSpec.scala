@@ -118,6 +118,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("(event_date"), p)
   }
 
+  test("dynamic partition pruning: a dim-filtered join prunes event-date partitions at runtime") {
+    // the runtime sibling of the static prune above — when the partition
+    // filter only EXISTS as a join against a selective dimension, Catalyst
+    // must inject a dynamicpruning subquery into the fact scan so only the
+    // matching date directories are read (the plan shape that keeps a 100 TB
+    // date-partitioned fact table from full-scanning under dim filters)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Lake.writeEventsPartitioned(Tables.events(spark, d), dir)
+    val facts = graft.sources.Lake.readEvents(spark, dir)
+    val dim = Tables.events(spark, d)
+      .filter(col("event_type") === "signup")
+      .select(to_date(col("ts")).as("event_date")).distinct().limit(1)
+    val p = formatted(facts.join(dim, Seq("event_date")).select("event_id"))
+    assert(p.contains("dynamicpruning"), p)
+  }
+
   test("CSV and JSONL round-trip preserves rows (explicit schema, no infer pass)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fmt").toString
     val src = Tables.nation(spark, d)
@@ -490,6 +506,7 @@ class PlanSpec extends SparkSpec {
       "sim_ivfpq_persisted_compact_topk" -> 5, // GATE FORM: two pruned ADC probes (compacted + one-shot rebuild) + equality aggs
       // round-13 session 2: baseline JPEG + AVI/MJPEG
       "multimodal_jpeg_pixels" -> 0, // marker walk + Huffman + IDCT all inside one typed flatMap: map-only, payloads never shuffle
+      "multimodal_jpeg_color_pixels" -> 0, // interleaved 3-component MCU decode + YCbCr->RGB, same map-only chain
       "multimodal_resize_jpeg" -> 0, // decode -> sample -> re-encode -> re-parse, one mapPartitions chain
       "multimodal_resize_jpeg_pixels" -> 0, // the sample-equality gate runs the same map-only chain twice per row
       "multimodal_avi_frames" -> 0, // RIFF list walk + per-frame JPEG decode: map-only

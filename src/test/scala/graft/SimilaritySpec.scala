@@ -794,5 +794,15 @@ class SimilaritySpec extends SparkSpec {
     val recall = (0 until 100).count(i => top1.get(i + 1000L).contains(i.toLong)) / 100.0
     info(f"planted top-1 recall (PCA 64->16) = $recall%.3f")
     assert(recall >= 0.8, f"planted top-1 recall $recall%.3f below 0.8")
+    // OPQ (full-rank PCA rotation + PQ): the rotation is orthogonal, so the
+    // planted twins must survive the rotate->encode->ADC->rerank composition
+    val opq1 = Similarity.opqTopK(emb, emb.filter($"vec_id" >= 1000L), 1,
+        dim = 64, m = 16, ksub = 32, iters = 3, rerankFactor = 8)
+      .filter($"rank" === 1)
+      .select("query_id", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val opqRecall = (0 until 100).count(i => opq1.get(i + 1000L).contains(i.toLong)) / 100.0
+    info(f"planted top-1 recall (OPQ m=16) = $opqRecall%.3f")
+    assert(opqRecall >= 0.8, f"OPQ planted top-1 recall $opqRecall%.3f below 0.8")
   }
 }
