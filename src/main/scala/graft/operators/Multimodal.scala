@@ -687,14 +687,8 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
         gifFrameWalkPixels(r.payload).map { case (i, _, _, w, h, px) =>
-          var sum = 0L; var poly = 0L; var j = 0
-          while (j < px.length) {
-            val v = px(j) & 0xff
-            sum += v; poly += (j + 1).toLong * v; j += 1
-          }
-          GifFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly,
-            if (px.nonEmpty) px(0) & 0xff else -1,
-            if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+          val (sum, poly, first, last) = sampleChecksums(px)
+          GifFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly, first, last)
         }
       }
     }
@@ -1118,11 +1112,15 @@ object Multimodal {
   def encodeJpeg(width: Int, height: Int, planes: Array[Array[Byte]],
                  quant: Array[Int] = Array.fill(64)(1),
                  restartInterval: Int = 0): Array[Byte] = {
-    require(width >= 1 && height >= 1, s"bad dims ${width}x$height")
+    // SOF0/DRI carry these as uint16: values past 65535 would silently
+    // truncate into a corrupt-but-well-formed file — refuse at encode time
+    require(width >= 1 && height >= 1 && width <= 65535 && height <= 65535,
+      s"bad dims ${width}x$height (JPEG dimensions are uint16)")
     require(planes.length == 1 || planes.length == 3, s"${planes.length} planes")
     require(planes.forall(_.length == width * height), "plane size != w*h")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255), "bad quant")
-    require(restartInterval >= 0, s"bad restart interval $restartInterval")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      s"bad restart interval $restartInterval (DRI carries uint16)")
     val n = planes.length
     val out = new java.io.ByteArrayOutputStream()
     def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
@@ -1242,6 +1240,29 @@ object Multimodal {
     * crafted SOF0 claiming 65535×65535×3 would otherwise allocate ~12 GiB
     * before the (cheap) entropy decode fails. */
   private val MaxJpegRawBytes = 1L << 26
+
+  /** JFIF YCbCr↔RGB rounding: round half-up, clamp to a byte — ONE
+    * definition shared by decode and re-encode so the two directions can
+    * never drift (and the SQL oracles track a single formula). */
+  private def jpegClampByte(d: Double): Byte =
+    math.max(0, math.min(255, Math.round(d).toInt)).toByte
+
+  /** The per-sample checksum quartet every pixel-emitting face shares —
+    * (sum, position-weighted poly, first, last) over an unsigned byte
+    * stream. One definition serves [[gifFramePixels]], [[jpegPixels]], and
+    * [[aviFramePixels]]: the oracles recompute this exact formula, so a
+    * drift in one copy would surface as a baffling single-family hash
+    * mismatch — keep it impossible. */
+  private def sampleChecksums(px: Array[Byte]): (Long, Long, Int, Int) = {
+    var sum = 0L; var poly = 0L; var j = 0
+    while (j < px.length) {
+      val v = px(j) & 0xff
+      sum += v; poly += (j + 1).toLong * v; j += 1
+    }
+    (sum, poly,
+      if (px.nonEmpty) px(0) & 0xff else -1,
+      if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+  }
 
   /** Decode a baseline JPEG: returns (width, height, channels, samples) with
     * samples row-major, interleaved for 3-channel (YCbCr→RGB per the JFIF
@@ -1474,12 +1495,10 @@ object Multimodal {
                 val yv = planes(0)(y * padW + x) & 0xff
                 val cb = (planes(1)(y * padW + x) & 0xff) - 128
                 val cr = (planes(2)(y * padW + x) & 0xff) - 128
-                def clamp(d: Double): Byte =
-                  math.max(0, math.min(255, Math.round(d).toInt)).toByte
                 val o = (y * width + x) * 3
-                outPx(o) = clamp(yv + 1.402 * cr)
-                outPx(o + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
-                outPx(o + 2) = clamp(yv + 1.772 * cb)
+                outPx(o) = jpegClampByte(yv + 1.402 * cr)
+                outPx(o + 1) = jpegClampByte(yv - 0.344136 * cb - 0.714136 * cr)
+                outPx(o + 2) = jpegClampByte(yv + 1.772 * cb)
                 x += 1
               }
               y += 1
@@ -1510,11 +1529,11 @@ object Multimodal {
           else {
             val o = ((sy * w + sx) * 3).toInt
             val r = px(o) & 0xff; val g = px(o + 1) & 0xff; val bl = px(o + 2) & 0xff
-            def clamp(d: Double): Byte =
-              math.max(0, math.min(255, Math.round(d).toInt)).toByte
-            planes(0)(y * dstW + x) = clamp(0.299 * r + 0.587 * g + 0.114 * bl)
-            planes(1)(y * dstW + x) = clamp(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl)
-            planes(2)(y * dstW + x) = clamp(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl)
+            planes(0)(y * dstW + x) = jpegClampByte(0.299 * r + 0.587 * g + 0.114 * bl)
+            planes(1)(y * dstW + x) =
+              jpegClampByte(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * bl)
+            planes(2)(y * dstW + x) =
+              jpegClampByte(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * bl)
           }
           x += 1
         }
@@ -1537,14 +1556,8 @@ object Multimodal {
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
         decodeJpegPixels(r.payload).iterator.map { case (w, h, _, px) =>
-          var sum = 0L; var poly = 0L; var j = 0
-          while (j < px.length) {
-            val v = px(j) & 0xff
-            sum += v; poly += (j + 1).toLong * v; j += 1
-          }
-          JpegPixels(r.media_id, w, h, px.length.toLong, sum, poly,
-            if (px.nonEmpty) px(0) & 0xff else -1,
-            if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+          val (sum, poly, first, last) = sampleChecksums(px)
+          JpegPixels(r.media_id, w, h, px.length.toLong, sum, poly, first, last)
         }
       }
     }
@@ -1628,7 +1641,7 @@ object Multimodal {
     * relative to the 'movi' fourcc, AVIIF_KEYFRAME on every frame — MJPEG
     * is all-keyframe). Frames are complete baseline JPEG payloads. */
   def encodeAviMjpeg(width: Int, height: Int, frames: Seq[Array[Byte]],
-                     fps: Int = 10): Array[Byte] = {
+                     fps: Int = 10, recGroups: Boolean = false): Array[Byte] = {
     require(width >= 1 && height >= 1 && fps >= 1, s"bad avi params ${width}x$height@$fps")
     require(frames.nonEmpty, "an AVI needs at least one frame")
     def leBytes(v: Int): Array[Byte] =
@@ -1657,11 +1670,18 @@ object Multimodal {
       leBytes(0) ++ leBytes(0) ++ leBytes(0) ++ leBytes(0)
     val hdrl = list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh),
       chunk("strf", strf)))
-    val moviChunks = frames.map(f => chunk("00dc", f))
+    // recGroups: the AVI 1.0 interleaving convention — each frame's chunk
+    // wrapped in a LIST 'rec ' group (what several muxers emit; the walker
+    // must descend into these, not just flat movi chunks)
+    val moviChunks = frames.map { f =>
+      val ck = chunk("00dc", f)
+      if (recGroups) list("rec ", ck) else ck
+    }
     val movi = list("movi", moviChunks: _*)
     var off = 4 // first chunk sits right after the 'movi' fourcc
     val idxEntries = frames.zip(moviChunks).map { case (f, ck) =>
-      val e = fourcc("00dc") ++ leBytes(0x10) ++ leBytes(off) ++ leBytes(f.length)
+      val e = fourcc("00dc") ++ leBytes(0x10) ++
+        leBytes(if (recGroups) off + 12 else off) ++ leBytes(f.length)
       off += ck.length
       e
     }
@@ -1688,22 +1708,29 @@ object Multimodal {
       if (size < 0 || i + 8 + size > riffEnd) done = true
       else {
         if (tag(i.toInt, "LIST") && i + 12 <= riffEnd && tag(i.toInt + 8, "movi")) {
-          var j = i + 12
-          val end = i + 8 + size
-          var inner = true
-          while (inner && j + 8 <= end) {
-            val ji = j.toInt
-            val csz = leInt(b, ji + 4)
-            if (csz < 0 || j + 8 + csz > end) inner = false
-            else {
-              val isDigit0 = b(ji) >= '0' && b(ji) <= '9'
-              val isDigit1 = b(ji + 1) >= '0' && b(ji + 1) <= '9'
-              if (isDigit0 && isDigit1 && b(ji + 2) == 'd' &&
-                  (b(ji + 3) == 'c' || b(ji + 3) == 'b'))
-                frames += java.util.Arrays.copyOfRange(b, ji + 8, ji + 8 + csz)
-              j += 8 + csz + (csz & 1)
+          // walk chunks in [start, end); descend ONE level into LIST 'rec '
+          // groups (the AVI 1.0 interleaving convention — skipping them
+          // wholesale would silently drop every frame of a rec-muxed file)
+          def walkChunks(start: Long, end: Long, depth: Int): Unit = {
+            var j = start
+            var inner = true
+            while (inner && j + 8 <= end) {
+              val ji = j.toInt
+              val csz = leInt(b, ji + 4)
+              if (csz < 0 || j + 8 + csz > end) inner = false
+              else {
+                val isDigit0 = b(ji) >= '0' && b(ji) <= '9'
+                val isDigit1 = b(ji + 1) >= '0' && b(ji + 1) <= '9'
+                if (isDigit0 && isDigit1 && b(ji + 2) == 'd' &&
+                    (b(ji + 3) == 'c' || b(ji + 3) == 'b'))
+                  frames += java.util.Arrays.copyOfRange(b, ji + 8, ji + 8 + csz)
+                else if (depth == 0 && csz >= 4 && tag(ji, "LIST") && tag(ji + 8, "rec "))
+                  walkChunks(j + 12, j + 8 + csz, depth + 1)
+                j += 8 + csz + (csz & 1)
+              }
             }
           }
+          walkChunks(i + 12, i + 8 + size, depth = 0)
         }
         i += 8 + size + (size & 1)
       }
@@ -1726,14 +1753,8 @@ object Multimodal {
       rows.flatMap { r =>
         aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
           decodeJpegPixels(f).map { case (w, h, _, px) =>
-            var sum = 0L; var poly = 0L; var j = 0
-            while (j < px.length) {
-              val v = px(j) & 0xff
-              sum += v; poly += (j + 1).toLong * v; j += 1
-            }
-            AviFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly,
-              if (px.nonEmpty) px(0) & 0xff else -1,
-              if (px.nonEmpty) px(px.length - 1) & 0xff else -1)
+            val (sum, poly, first, last) = sampleChecksums(px)
+            AviFramePixels(r.media_id, i, w, h, px.length.toLong, sum, poly, first, last)
           }
         }
       }

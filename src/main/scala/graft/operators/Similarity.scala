@@ -1102,28 +1102,41 @@ object Similarity {
                       components: Array[Array[Double]],
                       eigenvalues: Array[Double], whitened: Boolean)
 
-  /** One distributed pass collecting (n, Σx, packed upper Σxxᵀ): each
-    * PARTITION emits d + d(d+1)/2 doubles — model-scale rows, never the
-    * vectors — so the fit reads the corpus once however large it is. */
+  /** One distributed pass collecting SHIFTED moments (n, Σ(x−p), packed
+    * upper Σ(x−p)(x−p)ᵀ, pivot p): each PARTITION emits d + d(d+1)/2
+    * doubles — model-scale rows, never the vectors — so the fit reads the
+    * corpus once however large it is. The pivot (an arbitrary data row) is
+    * the cancellation guard: covariance from RAW moments is
+    * E[xxᵀ] − µµᵀ, which catastrophically cancels when |µ| dwarfs the
+    * spread (coordinates ~1e6 with spread ~1 lose every significant digit
+    * of the subtraction); covariance is translation-invariant, so shifted
+    * moments keep both terms at spread scale and the subtraction exact.
+    * The true mean is `sums/n + pivot`. */
   private def momentsPass(vecs: DataFrame, col0: String, dim: Int)
-      : (Long, Array[Double], Array[Double]) = {
+      : (Long, Array[Double], Array[Double], Array[Double]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val parts = vecs
+    val src = vecs
       .filter(col(col0).isNotNull)
       .select(VectorFns.toDoubleArray(col(col0)).as("v"))
       .as[Array[Double]]
+    val pivot = src.take(1).headOption.getOrElse(new Array[Double](dim))
+    require(pivot.length == dim, s"vector dim ${pivot.length} != declared $dim")
+    val parts = src
       .mapPartitions { it =>
         val sums = new Array[Double](dim)
         val gram = new Array[Double](dim * (dim + 1) / 2)
+        val shifted = new Array[Double](dim)
         var n = 0L
         it.foreach { v =>
           require(v.length == dim, s"vector dim ${v.length} != declared $dim")
-          var i = 0; var t = 0
+          var i = 0
+          while (i < dim) { shifted(i) = v(i) - pivot(i); i += 1 }
+          i = 0; var t = 0
           while (i < dim) {
-            sums(i) += v(i)
+            sums(i) += shifted(i)
             var j = i
-            while (j < dim) { gram(t) += v(i) * v(j); j += 1; t += 1 }
+            while (j < dim) { gram(t) += shifted(i) * shifted(j); j += 1; t += 1 }
             i += 1
           }
           n += 1
@@ -1139,7 +1152,7 @@ object Similarity {
       i = 0
       while (i < gram.length) { gram(i) += g(i); i += 1 }
     }
-    (n, sums, gram)
+    (n, sums, gram, pivot)
   }
 
   /** Cyclic Jacobi eigensolver for a symmetric matrix (driver-side, the
@@ -1208,15 +1221,18 @@ object Similarity {
              whiten: Boolean = false): PcaModel = {
     require(dim >= 1 && outDim >= 1 && outDim <= dim,
       s"bad pca dims $dim -> $outDim")
-    val (n, sums, gram) = momentsPass(corpus, "embedding", dim)
+    val (n, sums, gram, pivot) = momentsPass(corpus, "embedding", dim)
     require(n > 1, s"need >= 2 vectors to fit PCA, got $n")
-    val mean = sums.map(_ / n)
+    // shifted mean; covariance is translation-invariant so the pivot only
+    // re-enters for the true mean below
+    val meanShift = sums.map(_ / n)
+    val mean = Array.tabulate(dim)(i => meanShift(i) + pivot(i))
     val cov = Array.ofDim[Double](dim, dim)
     var i = 0; var t = 0
     while (i < dim) {
       var j = i
       while (j < dim) {
-        val c = gram(t) / n - mean(i) * mean(j)
+        val c = gram(t) / n - meanShift(i) * meanShift(j)
         cov(i)(j) = c; cov(j)(i) = c
         j += 1; t += 1
       }
@@ -1238,10 +1254,25 @@ object Similarity {
     PcaModel(dim, outDim, mean, comps, eigVals.take(outDim), whiten)
   }
 
-  /** Map-only projection under a fitted [[PcaModel]]: coordinate j is
-    * `⟨x, c_j⟩ − ⟨mean, c_j⟩` (the mean offset folds into a constant, so
+  /** Map-only pure ROTATION under a fitted model — [[pcaProject]] WITHOUT
+    * the mean offset: coordinate j is `⟨x, c_j⟩` alone, rounded to 6
+    * decimals. Translation does NOT preserve dot products, so dot/cosine
+    * pipelines (the PCA/OPQ shortlists and ADC scans) must rotate, never
+    * center — a centered projection adds a per-candidate `−⟨µ, x⟩` bias
+    * that reorders neighbors on any corpus with a non-trivial mean (e.g.
+    * non-negative ReLU embeddings). Centering ([[pcaProject]]) is for
+    * VARIANCE work: whitening, drift monitoring, diagnostics. */
+  def pcaRotate(df: DataFrame, model: PcaModel, outCol: String = "pca"): DataFrame =
+    df.select(col("vec_id"),
+      array(model.components.map(row =>
+        round(VectorFns.dot(col("embedding"), typedLit(row.toSeq)), 6))
+        .toIndexedSeq: _*).as(outCol))
+
+  /** Map-only CENTERED projection under a fitted [[PcaModel]]: coordinate j
+    * is `⟨x, c_j⟩ − ⟨mean, c_j⟩` (the mean offset folds into a constant, so
     * the row-side work is `outDim` codegen'd dot products), rounded to 6
-    * decimals — float-noise-proof like [[randomProject]]. */
+    * decimals — float-noise-proof like [[randomProject]]. Use for variance
+    * analytics; similarity shortlists use [[pcaRotate]]. */
   def pcaProject(df: DataFrame, model: PcaModel, outCol: String = "pca"): DataFrame = {
     val offsets = model.components.map { row =>
       var s = 0.0; var i = 0
@@ -1265,8 +1296,8 @@ object Similarity {
   def pcaTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               outDim: Int = 16, rerankFactor: Int = 10): DataFrame = {
     val model = fitPca(corpus, dim, outDim)
-    val pC = pcaProject(corpus, model)
-    val pQ = pcaProject(queries, model)
+    val pC = pcaRotate(corpus, model)
+    val pQ = pcaRotate(queries, model)
       .select(col("vec_id").as("query_id"), col("pca").as("q_pca"))
     val scored = broadcast(pQ).join(pC, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -1304,10 +1335,13 @@ object Similarity {
     require(trainMod >= 1, s"trainMod must be >= 1, got $trainMod")
     val model = fitPca(corpus, dim, dim)
     def rot(df: DataFrame): DataFrame =
-      pcaProject(df, model).select(col("vec_id"), col("pca").as("embedding"))
+      pcaRotate(df, model).select(col("vec_id"), col("pca").as("embedding"))
     val rc = rot(corpus).localCheckpoint()
     val train = if (trainMod == 1) rc
       else rc.filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0L)
+    if (trainMod > 1) require(!train.isEmpty,
+      s"trainMod=$trainMod selected zero training rows from this corpus — " +
+        "lower it (or pass 1 to train on every row)")
     val books = trainPQ(train, m, ksub, iters)
     pqTopKEncoded(pqEncode(rc, books), rc, rot(queries), books, k, rerankFactor)
   }
@@ -1326,14 +1360,15 @@ object Similarity {
   def pcaWhitenDiagnostics(corpus: DataFrame, dim: Int, outDim: Int): DataFrame = {
     val spark = corpus.sparkSession
     val model = fitPca(corpus, dim, outDim, whiten = true)
-    val (n, sums, gram) = momentsPass(pcaProject(corpus, model), "pca", outDim)
-    val mean = sums.map(_ / n)
+    val (n, sums, gram, pivot) = momentsPass(pcaProject(corpus, model), "pca", outDim)
+    val meanShift = sums.map(_ / n)
     def covAt(i: Int, j: Int): Double = {
       val (lo, hi) = (math.min(i, j), math.max(i, j))
       // packed upper-triangular offset: row lo starts after lo rows of
-      // decreasing length (outDim, outDim-1, ...)
+      // decreasing length (outDim, outDim-1, ...); shifted moments, so the
+      // subtraction never cancels (the momentsPass pivot contract)
       val base = lo * outDim - lo * (lo - 1) / 2
-      gram(base + (hi - lo)) / n - mean(i) * mean(j)
+      gram(base + (hi - lo)) / n - meanShift(i) * meanShift(j)
     }
     def r6(x: Double): Double = {
       val y = math.rint(x * 1e6) / 1e6
@@ -1342,7 +1377,7 @@ object Similarity {
     val rows = (0 until outDim).map { j =>
       val maxOff = (0 until outDim).filter(_ != j)
         .map(i => math.abs(covAt(i, j))).max
-      (j, r6(mean(j)), r6(covAt(j, j)), r6(maxOff))
+      (j, r6(meanShift(j) + pivot(j)), r6(covAt(j, j)), r6(maxOff))
     }
     import spark.implicits._
     rows.toDF("dim_idx", "mean_r", "variance_r", "max_abs_cov_r")

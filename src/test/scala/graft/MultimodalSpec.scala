@@ -763,6 +763,22 @@ class MultimodalSpec extends SparkSpec {
     evil(moviAt + 8) = 0xff.toByte; evil(moviAt + 9) = 0xff.toByte
     evil(moviAt + 10) = 0xff.toByte; evil(moviAt + 11) = 0x7f.toByte
     assert(Multimodal.aviFrameWalk(evil) === Nil)
+    // AVI 1.0 rec-grouped interleave: frames wrapped in LIST 'rec ' groups
+    // must still walk back byte-exactly (skipping the LIST wholesale would
+    // silently drop every frame)
+    val rec = Multimodal.encodeAviMjpeg(6, 4, Seq(f0, f1), recGroups = true)
+    val recWalked = Multimodal.aviFrameWalk(rec)
+    assert(recWalked.size === 2)
+    assert(java.util.Arrays.equals(recWalked(0), f0))
+    assert(java.util.Arrays.equals(recWalked(1), f1))
+    // uint16 encode bounds: dims/restart past 65535 would silently truncate
+    // in SOF0/DRI — must refuse at encode time
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeJpegGray(70000, 8, (_, _) => 0)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.encodeJpegGray(8, 8, (_, _) => 0, restartInterval = 70000)
+    }
   }
 
   test("aviFramePixels: hand-computed per-frame checksums; undecodable frames drop") {

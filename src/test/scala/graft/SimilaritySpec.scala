@@ -764,6 +764,29 @@ class SimilaritySpec extends SparkSpec {
     val diag = Similarity.pcaWhitenDiagnostics(df, dim = 4, outDim = 2)
       .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
     assert(diag.toSet === Set((0, 0.0, 1.0, 0.0), (1, 0.0, 1.0, 0.0)), diag.mkString(";"))
+    // cancellation guard: the same structure shifted to coordinates ~1e6 —
+    // raw-moments covariance (E[xx^T] − µµ^T) loses every significant digit
+    // of the subtraction there; the shifted moments pass must keep the
+    // whitening gate EXACT (mean_r reflects the 1e6 offset, so check
+    // variance and off-diagonals, the translation-invariant halves)
+    val shifted = rows.map { case (id, emb) => (id, emb.map(_ + 1e6f)) }
+      .toDF("vec_id", "embedding")
+    val sdiag = Similarity.pcaWhitenDiagnostics(shifted, dim = 4, outDim = 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(sdiag.toSet === Set((0, 1.0, 0.0), (1, 1.0, 0.0)),
+      s"large-mean whitening drifted: ${sdiag.mkString(";")}")
+  }
+
+  test("opqTopK: trainMod that selects zero rows refuses with a clear message") {
+    import spark.implicits._
+    val tiny = (0L until 40L)
+      .map(id => (id, Array.fill(8)((id % 7).toFloat / 7).toSeq))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.opqTopK(tiny, tiny.filter($"vec_id" === 0L), 1, dim = 8,
+        m = 4, ksub = 4, trainMod = 1000000)
+    }
+    assert(e.getMessage.contains("trainMod"), e.getMessage)
   }
 
   test("pcaTopK: planted near-duplicates (cosine ~0.97) recovered at production params") {
