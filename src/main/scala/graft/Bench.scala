@@ -56,7 +56,13 @@ object Bench {
     "dedup_winnow_persisted_compact", "sim_ivf_persisted_compact_topk",
     "multimodal_jpeg_pixels", "multimodal_avi_frames",
     "sim_pca_topk", "pipeline_embedding_whiten",
-    "multimodal_jpeg_color_pixels", "sim_opq_topk", "w_stream_pca_drift")
+    "multimodal_jpeg_color_pixels", "sim_opq_topk", "w_stream_pca_drift",
+    // round-14 capabilities: scene-cut/keyframe detection over MJPEG AVI,
+    // fixed-bin WAV spectra, streaming heavy hitters, and the re-bucket /
+    // re-split layout rebuilds
+    "multimodal_scene_cuts", "multimodal_wav_spectrum",
+    "w_stream_heavy_hitters", "dedup_winnow_persisted_rebucket",
+    "sim_ivf_persisted_resplit_topk")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",
@@ -218,6 +224,17 @@ object Bench {
       s"""{"metric":"total","value":${f(rs.map(_._2).sum)},"unit":"sec","value_normalized":${f(normed)},"normalization":"sum_of_per_query_minima / median(accepted-run null probes, each median-of-3)","queries":$qs,"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"run_totals":$runTotals,"spread":${f(spread)},"null_query":$nulls,"null_query_min":${f(nullTimes.min)},"null_query_median":${f(probeMedian)}}"""
     }
     val byName = results.toMap
+    // Compact summary line (NO per-query map, < 500 bytes): the driver's
+    // bounded stdout-tail capture truncated the 55-entry headline line
+    // mid-object in round 13 (`BENCH_r13.json parsed: null`), so the LAST
+    // line printed is always this small record that fits any tail window;
+    // per-query numbers live in bench_full.json (and the headline line above
+    // it, when the tail happens to be long enough).
+    def summaryLine(rs: Seq[(String, Double)]): String = {
+      val probeMedian = median(accepted.map(_.nullT))
+      val total = rs.map(_._2).sum
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_normalized":${f(total / probeMedian)},"normalization":"sum_of_per_query_minima / median(accepted-run null probes, each median-of-3)","n_queries":${rs.size},"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"spread":${f(spread)},"null_query_min":${f(nullTimes.min)},"null_query_median":${f(probeMedian)},"queries_in":"bench_full.json"}"""
+    }
     if (args.isEmpty) {
       // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
       // An unstable sweep refuses the snapshot: it lands in a sibling file so a
@@ -229,6 +246,7 @@ object Bench {
         java.nio.file.Paths.get(if (stable) "bench_full.json" else "bench_full_unstable.json"),
         (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(jsonLine(headline.map(n => n -> byName(n))))
+      println(summaryLine(results))
     } else println(jsonLine(results))
     spark.stop()
   }

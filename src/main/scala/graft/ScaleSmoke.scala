@@ -325,6 +325,30 @@ object ScaleSmoke {
         require(probeIvf().map(r => (r.getLong(0), r.getLong(1))).toSet == postAppend2,
           "cell compaction changed a probe answer")
         emit(f"SCALE ${"compactIvfIndex 64-cell 1.1M index"}%-52s $compactSecs2%8.2f s  rows=$filesAfter2  ok(files $filesBefore2 -> $filesAfter2; probe identical)")
+        // RE-SPLIT (verdict r13 ask #5's cell-directory half): 64 -> 128
+        // cells under a fresh centroid set, re-assigned from the INDEX's own
+        // stored 1.1M vectors — no corpus rescan — and the probe under the
+        // NEW centroids must equal the in-memory assignment probe over the
+        // same rows
+        val cents128 = sim.trainCentroidsSampled(vecs, 128, 2)
+        val trs = System.nanoTime()
+        val nNewCells = sim.resplitIvfIndex(spark, s"$idxDir/ivf", cents128)
+        val resplitSecs = (System.nanoTime() - trs) / 1e9
+        val filesResplit = cellFileCount()
+        require(nNewCells > 64 && filesResplit == nNewCells,
+          s"re-split must land one file per new cell: $nNewCells cells, $filesResplit files")
+        val qset = vecs.filter(col("vec_id") < 10)
+        val tps = System.nanoTime()
+        val rsResplit = sim.ivfProbePersisted(spark, s"$idxDir/ivf", cents128,
+          qset, 10, nprobe = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val probeSecsResplit = (System.nanoTime() - tps) / 1e9
+        val memResplit = sim.ivfProbeAssigned(
+            sim.ivfAssignments(vecs.unionByName(newVecs), cents128), cents128,
+            qset, 10, nprobe = 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        require(rsResplit == memResplit,
+          "re-split probe diverged from the in-memory probe under the new centroids")
+        emit(f"SCALE ${"resplitIvfIndex 64 -> 128 cells (1.1M rows)"}%-52s $resplitSecs%8.2f s  rows=$nNewCells  ok(probe == in-memory under new centroids, $probeSecsResplit%.2f s)")
       }
       // IVFADC sibling: residual-PQ codes cell-partitioned, ADC probe + rerank
       val (pcents, pbooks) = sim.trainIvfPq(vecs, nlist = 64, m = 8, ksub = 32, iters = 2)
@@ -679,6 +703,25 @@ object ScaleSmoke {
       require(probePairs() == preAppend,
         "append-then-delete failed to round-trip to the pre-append probe")
       emit(f"SCALE ${"deleteFromWinnowIndex 100k decoys (round-trip)"}%-52s $deleteSecs%8.2f s  rows=${delIds.length}  ok(probe == pre-append; $nBuckets buckets rewritten)")
+      // RE-BUCKET (verdict r13 ask #5): the rebuild compaction defers to —
+      // n -> 2n buckets through the shared staged protocol, catalog spec
+      // recreated to follow; the probe must answer identically pair-for-pair
+      // at a comparable cost against the new layout
+      val tp0 = System.nanoTime()
+      val probePre = probePairs()
+      val probeSecsPre = (System.nanoTime() - tp0) / 1e9
+      val tr = System.nanoTime()
+      graft.sources.Lake.rebucketBucketed(spark, s"$wdocsDir/idx",
+        "graft_scale_winnow_idx", "fp", oldBuckets = 32, newBuckets = 64)
+      val rebucketSecs = (System.nanoTime() - tr) / 1e9
+      val filesReb = graft.sources.Lake.bucketFiles(idxFs, s"$wdocsDir/idx")
+        .values.map(_.size).sum
+      require(filesReb == 64, s"re-bucket must land one file per n'=64 bucket, got $filesReb")
+      val tp1 = System.nanoTime()
+      require(probePairs() == probePre,
+        "re-bucketing changed a probe answer — rows were lost or re-hashed wrong")
+      val probeSecsPost = (System.nanoTime() - tp1) / 1e9
+      emit(f"SCALE ${"rebucketBucketed winnow index 32 -> 64"}%-52s $rebucketSecs%8.2f s  rows=$filesReb  ok(files 32 -> $filesReb; probe identical, $probeSecsPre%.2f s -> $probeSecsPost%.2f s)")
       spark.sql("DROP TABLE IF EXISTS graft_scale_winnow_idx")
     }
     time("bm25TopK 3 terms over 1M docs", exactly(100)) {
@@ -1309,7 +1352,7 @@ object ScaleSmoke {
         time("jpegPixels 100k real JPEGs (Huffman+IDCT decode)", exactly(100000)) {
           val r = graft.operators.Multimodal.jpegPixels(spark,
             graft.operators.Multimodal.syntheticJpegsFromDocuments(spark, jdocs).toDF())
-            .agg(count(lit(1)), sum(col("n_pixels")), sum(col("pixel_sum"))).head()
+            .agg(count(lit(1)), sum(col("n_samples")), sum(col("pixel_sum"))).head()
           require(r.getLong(1) == expectedPx,
             s"decoded pixel total ${r.getLong(1)} != arithmetic $expectedPx")
           require(r.getLong(2) > 0L, "pixel checksum total vacuous")
@@ -1325,6 +1368,37 @@ object ScaleSmoke {
             graft.operators.Multimodal.syntheticAvisFromDocuments(spark, jdocs).toDF())
             .agg(count(lit(1)), sum(col("pixel_sum"))).head()
           require(r.getLong(1) > 0L, "pixel checksum total vacuous")
+          r.getLong(0)
+        }
+        // scene cuts over the same payloads: per-frame deltas + per-video
+        // keyframe rank inside the zero-exchange walk; Σ key_rank per video
+        // = m(m+1)/2 over its m decoded frames is an exact structural check
+        // that every video was ranked completely with no ties lost
+        val expectedRankSum = spark.range(100000)
+          .select(sum(expr("((id % 3 + 1) * (id % 3 + 2)) div 2"))).head().getLong(0)
+        time("sceneCuts 100k real AVIs (deltas + keyframe rank)",
+            exactly(expectedFrames)) {
+          val r = graft.operators.Multimodal.sceneCuts(spark,
+            graft.operators.Multimodal.syntheticAvisFromDocuments(spark, jdocs).toDF())
+            .agg(count(lit(1)), sum(col("key_rank")), max(col("delta_sum"))).head()
+          require(r.getLong(1) == expectedRankSum,
+            s"key_rank total ${r.getLong(1)} != arithmetic $expectedRankSum")
+          require(r.getLong(2) > 0L, "delta totals vacuous")
+          r.getLong(0)
+        }
+        // fixed-bin spectra: 4 bins per wavWindows window, fixed-point DFT,
+        // map-only; count proves every window of every WAV produced all 4
+        // bins, and centroid_den >= each of its bin powers by construction
+        val expectedSpec = 4L * spark.range(100000)
+          .select(sum(expr("(63 + id % 37) div 16 + 1"))).head().getLong(0)
+        time("wavSpectrum 100k WAVs (4-bin fixed-point DFT)", exactly(expectedSpec)) {
+          val r = graft.operators.Multimodal.wavSpectrum(spark,
+            graft.operators.Multimodal.syntheticWavsFromDocuments(spark, jdocs).toDF())
+            .agg(count(lit(1)), max(col("power")),
+              sum(when(col("centroid_den") < col("power"), 1L).otherwise(0L))).head()
+          require(r.getLong(1) > 0L, "spectral power total vacuous")
+          require(r.getLong(2) == 0L,
+            "a window's centroid_den undercut one of its own bin powers")
           r.getLong(0)
         }
       }

@@ -80,6 +80,20 @@ object SparkEntry {
        SELECT cg.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS matched_grams
        FROM cg JOIN bench b USING (gram) GROUP BY 1, 2"""
 
+  /** `multimodal_wav_spectrum`'s fixed-point twiddle tables, shared between
+    * the operator call and its oracle SQL: the DuckDB side gets the SAME
+    * integers as `(bin, cos-list, sin-list)` VALUES literals, so both sides
+    * multiply identical table entries by construction — never trusting two
+    * libm `cos` implementations to round alike. */
+  private val wavSpecBins = Seq(1, 2, 4, 8)
+  private val wavSpecValuesSql: String = {
+    val (ct, sn) = Multimodal.goertzelTables(32, wavSpecBins, 12)
+    wavSpecBins.indices.map { i =>
+      s"(${wavSpecBins(i)}, ${ct(i).mkString("[", ", ", "]")}, " +
+        s"${sn(i).mkString("[", ", ", "]")})"
+    }.mkString(", ")
+  }
+
   /** Segment CTEs shared by the three boilerplate-removal oracles: the planted
     * fixture (every doc gains one corpus-wide banner sentence + its doc_id%3
     * group either shares a second sentence or gets a unique tail), segmented
@@ -2495,6 +2509,44 @@ object SparkEntry {
               FROM batchf JOIN basef USING (fp) JOIN good USING (fp)
               GROUP BY 1, 2 HAVING count(*) >= 3""")),
 
+    Q("dedup_winnow_persisted_rebucket", // bucket-count REBUILD (r13 verdict
+      // ask #5, the mutation compaction defers to): build on half the base
+      // at 4 buckets, append the other half, then RE-BUCKET to 8
+      // (Lake.rebucketBucketed — whole-table staged rewrite through the
+      // shared rewriteBuckets protocol, then the catalog entry recreated
+      // with the n′ spec), and probe the re-bucketed table. Shares the
+      // build/append/compact oracle, so the hash-match IS the
+      // rebucket-preserves-every-probe-answer proof; the layout change
+      // itself (file count, zero-exchange probe plan at n′) is asserted in
+      // LakeSpec and at stress in SCALE.md.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") % 20 =!= 0)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_winnow_idx_reb_${math.abs(d.hashCode)}"
+        Dedup.writeWinnowIndex(
+          Dedup.winnowFingerprints(base.filter(col("doc_id") % 2 === 0),
+            k = 5, w = 4, md5Keys = true),
+          path, "graft_winnow_idx_reb", buckets = 4)
+        Dedup.appendWinnowIndex(
+          Dedup.winnowFingerprints(base.filter(col("doc_id") % 2 === 1),
+            k = 5, w = 4, md5Keys = true),
+          path, "graft_winnow_idx_reb", buckets = 4)
+        graft.sources.Lake.rebucketBucketed(s, path, "graft_winnow_idx_reb",
+          "fp", oldBuckets = 4, newBuckets = 8)
+        Dedup.winnowPairsAgainstIndex(
+          Dedup.winnowFingerprints(docs.filter(col("doc_id") % 20 === 0),
+            k = 5, w = 4, md5Keys = true),
+          s.table("graft_winnow_idx_reb"), minShared = 3L, maxDf = 1000)
+      },
+      Some(winnowSelCtes + """,
+              basef AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 <> 0),
+              batchf AS (SELECT DISTINCT doc_id, fp FROM fps WHERE doc_id % 20 = 0),
+              good AS (SELECT fp FROM basef GROUP BY fp HAVING count(*) <= 1000)
+              SELECT batchf.doc_id AS batch_id, basef.doc_id AS base_id,
+                CAST(count(*) AS BIGINT) AS shared_fps
+              FROM batchf JOIN basef USING (fp) JOIN good USING (fp)
+              GROUP BY 1, 2 HAVING count(*) >= 3""")),
+
     Q("dedup_minhash_lsh", // DRIVER-VISIBLE recall gate (was rows-only):
       // MinHash-LSH candidate pairs (16 bands x 4 rows, est-Jaccard >= 0.5)
       // vs the EXACT prefix-blocked 3-gram Jaccard truth at the same 0.5
@@ -2990,6 +3042,35 @@ object SparkEntry {
           Similarity.ivfProbePersisted(s, path, cents, q, 10, nprobe = 5),
           Similarity.ivfProbeAssigned(
             Similarity.ivfAssignments(emb, cents), cents, q, 10, nprobe = 5))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
+              FROM embeddings WHERE vec_id < 20""")),
+
+    Q("sim_ivf_persisted_resplit_topk", // cell-count REBUILD from the index
+      // itself (r13 verdict ask #5's cell-directory half): build the
+      // persisted index under nlist=8 centroids, then RE-SPLIT it to a
+      // fresh nlist=16 set (Similarity.resplitIvfIndex — the index stores
+      // the vectors, so re-assignment is one map-only argmax pass over the
+      // INDEX, never a corpus rescan; staged cell-partitioned write, swap
+      // over the union of old and new cell ids), and probe under the NEW
+      // centroids. Gate: MULTISET-EXACT against the in-memory probe over
+      // the corpus with the same new centroids — a dropped row, a stale old
+      // cell, or an assignment drift between split and probe all fail the
+      // driver's hash compare.
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q = emb.filter(col("vec_id") < 20)
+        val cents8 = Similarity.trainCentroidsSampled(emb, 8, 3)
+        val cents16 = Similarity.trainCentroidsSampled(emb, 16, 3)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_resplit_${math.abs(d.hashCode)}"
+        Similarity.writeIvfIndex(emb, cents8, path)
+        val newCells = Similarity.resplitIvfIndex(s, path, cents16)
+        require(newCells > 0, s"re-split landed $newCells cells — fixture broken")
+        persistedEqualityGate(
+          Similarity.ivfProbePersisted(s, path, cents16, q, 10, nprobe = 5),
+          Similarity.ivfProbeAssigned(
+            Similarity.ivfAssignments(emb, cents16), cents16, q, 10, nprobe = 5))
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
               CAST(10 * count(*) AS BIGINT) AS n_results, TRUE AS persisted_equals_memory
@@ -3895,7 +3976,8 @@ object SparkEntry {
       Some("""WITH d AS (SELECT doc_id, (doc_id % 23) + 4 AS w, (doc_id % 17) + 4 AS h
                 FROM documents)
               SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                CAST(w * h AS BIGINT) AS n_pixels,
+                CAST(1 AS INT) AS channels,
+                CAST(w * h AS BIGINT) AS n_samples,
                 CAST(list_sum(list_transform(generate_series(0, w * h - 1),
                   j -> (doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251))
                   AS BIGINT) AS pixel_sum,
@@ -3912,8 +3994,8 @@ object SparkEntry {
       // plane), leaving the JFIF YCbCr->RGB matrix as the only arithmetic —
       // which the oracle replays term by term in DOUBLE (e0 literals keep
       // DuckDB out of DECIMAL arithmetic), round + clamp per channel. The
-      // checksums run over the interleaved RGB sample stream (n_pixels
-      // counts SAMPLES = 3wh), so a hash match proves the interleaved MCU
+      // checksums run over the interleaved RGB sample stream (n_samples =
+      // 3wh, channels = 3), so a hash match proves the interleaved MCU
       // decode AND the color conversion, value and position.
       (s, d) => Multimodal.jpegPixels(s,
           Multimodal.syntheticColorJpegsFromDocuments(s, Tables.documents(s, d)).toDF())
@@ -3932,7 +4014,8 @@ object SparkEntry {
                 LEAST(255, GREATEST(0, CAST(round(yv + 1.772e0 * cb) AS BIGINT))) AS b
                 FROM c)
               SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                CAST(3 * w * h AS BIGINT) AS n_pixels,
+                CAST(3 AS INT) AS channels,
+                CAST(3 * w * h AS BIGINT) AS n_samples,
                 CAST(sum(r + g + b) AS BIGINT) AS pixel_sum,
                 CAST(sum((3 * j + 1) * r + (3 * j + 2) * g + (3 * j + 3) * b) AS BIGINT) AS pixel_poly,
                 CAST(min(CASE WHEN j = 0 THEN r END) AS INT) AS pixel_first,
@@ -4010,7 +4093,78 @@ object SparkEntry {
                   AS BIGINT) AS pixel_poly,
                 CAST((doc_id * 31 + i * 257) % 251 AS INT) AS pixel_first,
                 CAST((doc_id * 31 + i * 257 + ((h - 1) // 8) * 37 + ((w - 1) // 8) * 11) % 251 AS INT) AS pixel_last
-              FROM f""")))
+              FROM f""")),
+
+    Q("multimodal_scene_cuts", // scene-cut / keyframe detection over MJPEG
+      // AVI — the VLM-training sampling op after frame extraction (r13
+      // verdict ask #2): per decoded frame, the exact integer Σ|sample −
+      // previous frame's sample| (frame 0 deltas against black — its own
+      // sample sum), is_cut at mean-change > 30/sample, and the per-video
+      // keyframe rank (delta desc, frame asc). All frames of one video sit
+      // in one payload, so deltas AND the rank stay inside the same
+      // zero-exchange flatMap aviFramePixels uses; the oracle recomputes
+      // every delta from the fixture's per-frame pixel arithmetic, so a
+      // hash match proves container walk + codec decode + delta + ranking.
+      (s, d) => Multimodal.sceneCuts(s,
+          Multimodal.syntheticAvisFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH f AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+                FROM documents),
+              d AS (SELECT doc_id, w, h, i,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1), j ->
+                  CASE WHEN i = 0
+                  THEN (doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251
+                  ELSE abs((doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251
+                         - (doc_id * 31 + (i - 1) * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)
+                  END)) AS BIGINT) AS delta_sum
+                FROM f)
+              SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(w * h AS BIGINT) AS n_samples, delta_sum,
+                delta_sum > 30 * w * h AS is_cut,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY delta_sum DESC, i) AS INT) AS key_rank
+              FROM d""")),
+
+    Q("multimodal_wav_spectrum", // windowed SPECTRAL features (r13 verdict
+      // ask #4): per wavWindows-shaped window, the DFT power at fixed bins
+      // {1,2,4,8} of W=32 plus the spectral centroid — real/imag are exact
+      // integer inner products against fixed-point twiddle tables
+      // (round(cos·2^12), round(sin·2^12)) whose INTEGERS are embedded into
+      // this very SQL from the same goertzelTables() call the operator uses,
+      // so the two sides agree by construction (never by libm rounding
+      // luck); centroid is the rounding-free rational (Σ bin·power,
+      // Σ power) — the sum_sq discipline. The Goertzel recurrence computes
+      // the same bin power in O(1) state; the spec asserts the fixed-point
+      // form tracks a double Goertzel.
+      (s, d) => Multimodal.wavSpectrum(s,
+          Multimodal.syntheticWavsFromDocuments(s, Tables.documents(s, d)).toDF(),
+          windowSamples = 32, hopSamples = 16, bins = wavSpecBins,
+          scaleBits = 12).toDF(),
+      Some(s"""WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
+              w AS (SELECT doc_id, n,
+                unnest(generate_series(0, (n - 1) // 16)) AS k FROM d),
+              wl AS (SELECT doc_id, k, 16 * k AS st,
+                least(32, n - 16 * k) AS len FROM w),
+              bins(bin, ct, sn) AS (VALUES $wavSpecValuesSql),
+              r AS (SELECT doc_id, k, st, len, bin,
+                CAST(list_sum(list_transform(generate_series(0, len - 1),
+                  m -> (((doc_id * 31 + (st + m) * 7) % 4096) - 2048) * ct[m + 1]))
+                  AS BIGINT) AS real_fp,
+                CAST(list_sum(list_transform(generate_series(0, len - 1),
+                  m -> (((doc_id * 31 + (st + m) * 7) % 4096) - 2048) * sn[m + 1]))
+                  AS BIGINT) AS imag_fp
+                FROM wl CROSS JOIN bins),
+              p AS (SELECT *, real_fp * real_fp + imag_fp * imag_fp AS pw FROM r),
+              c AS (SELECT doc_id, k, CAST(sum(bin * pw) AS BIGINT) AS centroid_num,
+                CAST(sum(pw) AS BIGINT) AS centroid_den FROM p GROUP BY 1, 2)
+              SELECT p.doc_id AS media_id, CAST(p.k AS INT) AS window_idx,
+                CAST(p.st AS BIGINT) AS start_sample,
+                CAST(p.len AS BIGINT) AS n_samples,
+                CAST(p.bin AS INT) AS bin, p.real_fp, p.imag_fp,
+                CAST(p.pw AS BIGINT) AS power, c.centroid_num, c.centroid_den
+              FROM p JOIN c ON p.doc_id = c.doc_id AND p.k = c.k""")))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,
@@ -5541,6 +5695,30 @@ object SparkEntry {
             col("cnt"))),
       Some("""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
               count(*) AS cnt FROM events GROUP BY 1""")),
+
+    Q("w_stream_heavy_hitters", // streaming HEAVY HITTERS (r13 verdict ask
+      // #3, the update-mode twin of q_heavy_hitters): the STREAM side is the
+      // stateful windowed (hour, item) count — the w1 shape keyed by item —
+      // and the per-window top-3 ranks the SETTLED aggregate (windows×items
+      // rows, never raw events; rank = cnt desc, item asc — the library's
+      // standard tie-break). Settled output ≡ the batch windowed top-k, so
+      // the DuckDB twin is a real hash gate.
+      (s, d) => {
+        val settled = StreamingViews.runToMemory(s, s"$d/events.parquet",
+          "graft_whh_sink", src => StreamingViews.streamHeavyHitterCounts(
+            Tables.normalizeEventTs(src).withColumn("ts", col("ts").cast("timestamp")),
+            itemCol = "event_type"))
+        StreamingViews.topKPerWindow(settled, "hour_bucket", "event_type",
+          "cnt", k = 3)
+      },
+      Some("""SELECT hour_bucket, event_type, cnt, rank FROM (
+                SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+                  event_type, count(*) AS cnt,
+                  row_number() OVER (
+                    PARTITION BY strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H')
+                    ORDER BY count(*) DESC, event_type) AS rank
+                FROM events GROUP BY 1, 2)
+              WHERE rank <= 3""")),
 
     Q("w_stream_anomalies", // streaming counter anomalies: live hourly counts
       // per type flagged against a frozen batch-fit baseline (stream-static

@@ -934,6 +934,108 @@ object Multimodal {
     }
   }
 
+  /** Fixed-point DFT twiddle tables for [[wavSpectrum]]: for each requested
+    * bin `b`, `C(b)(n) = round(cos(2πbn/W)·2^scaleBits)` and
+    * `S(b)(n) = round(sin(2πbn/W)·2^scaleBits)`, n = 0..W−1. PUBLIC so the
+    * oracle SQL embeds the very same integers as literals — the two sides
+    * agree by construction, not by hoping two libm `cos` implementations
+    * round identically. */
+  def goertzelTables(windowSamples: Int, bins: Seq[Int], scaleBits: Int)
+      : (Array[Array[Long]], Array[Array[Long]]) = {
+    val c = bins.map { b =>
+      Array.tabulate(windowSamples) { n =>
+        math.round(math.cos(2.0 * math.Pi * b * n / windowSamples) * (1L << scaleBits))
+      }
+    }.toArray
+    val s = bins.map { b =>
+      Array.tabulate(windowSamples) { n =>
+        math.round(math.sin(2.0 * math.Pi * b * n / windowSamples) * (1L << scaleBits))
+      }
+    }.toArray
+    (c, s)
+  }
+
+  /** One (window, bin) spectral row: `real_fp`/`imag_fp` are the exact
+    * integer inner products of channel-0 samples against the fixed-point
+    * twiddle tables ([[goertzelTables]]), `power` = real² + imag² (the DFT
+    * bin power at scale 2^(2·scaleBits)), and `centroid_num`/`centroid_den`
+    * carry the window's spectral centroid as a rounding-free rational
+    * (Σ bin·power / Σ power — the [[WavWindow]] sum_sq discipline: emit the
+    * exact integers, divide downstream). */
+  case class WavSpectrumBin(media_id: Long, window_idx: Int, start_sample: Long,
+                            n_samples: Long, bin: Int, real_fp: Long,
+                            imag_fp: Long, power: Long, centroid_num: Long,
+                            centroid_den: Long)
+
+  /** Windowed fixed-bin spectral features over PCM16 WAVs — the feature step
+    * after [[wavWindows]]'s energy/ZCR: per analysis window, the DFT power
+    * at a small FIXED set of bins plus the spectral centroid over those
+    * bins. The Goertzel recurrence (`s_n = x_n + 2cos(ω)s_{n−1} − s_{n−2}`)
+    * computes exactly this bin power with O(1) state per bin — the
+    * fixed-point inner product below is the same quantity in EXACT integer
+    * arithmetic (spec-asserted against a double Goertzel), which is what
+    * lets a SQL oracle replay it term by term: both sides multiply the same
+    * integer samples by the same integer twiddle literals. Spectral work
+    * runs on CHANNEL 0 (the [[WavWindow]] zero-crossing convention). Typed
+    * flatMap, map-only — payloads never shuffle; per-window bin powers and
+    * the centroid are computed locally, so the operator adds zero exchanges
+    * at any scale. Overflow headroom: |real| ≤ W·2048·2^scaleBits, so the
+    * defaults (W=32, scaleBits=12) keep power ≤ 1.5e17 and the centroid
+    * numerator ≤ 15·power — far inside Long. */
+  def wavSpectrum(spark: SparkSession, media: DataFrame,
+                  windowSamples: Int = 32, hopSamples: Int = 16,
+                  bins: Seq[Int] = Seq(1, 2, 4, 8),
+                  scaleBits: Int = 12): Dataset[WavSpectrumBin] = {
+    require(windowSamples >= 1 && hopSamples >= 1,
+      s"bad window params $windowSamples/$hopSamples")
+    require(bins.nonEmpty && bins.forall(b => b >= 0 && b <= windowSamples / 2),
+      s"bins must lie in [0, W/2], got $bins")
+    require(scaleBits >= 1 && scaleBits <= 20, s"bad scaleBits $scaleBits")
+    val (ct, st) = goertzelTables(windowSamples, bins, scaleBits)
+    val binArr = bins.toArray
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavPcm16Layout(r.payload) match {
+          case None => Iterator.empty
+          case Some((channels, dataOff, dataLen)) =>
+            val b = r.payload
+            val frameBytes = 2 * channels
+            val nFrames = dataLen / frameBytes
+            Iterator.range(0, nFrames, hopSamples).zipWithIndex.flatMap { case (start, k) =>
+              val len = math.min(windowSamples, nFrames - start)
+              val reals = new Array[Long](binArr.length)
+              val imags = new Array[Long](binArr.length)
+              var m = 0
+              while (m < len) {
+                val base = dataOff + (start + m) * frameBytes
+                val x = ((b(base) & 0xff) | (b(base + 1) << 8)).toShort.toLong
+                var bi = 0
+                while (bi < binArr.length) {
+                  reals(bi) += x * ct(bi)(m)
+                  imags(bi) += x * st(bi)(m)
+                  bi += 1
+                }
+                m += 1
+              }
+              var num = 0L; var den = 0L
+              var bi = 0
+              while (bi < binArr.length) {
+                val p = reals(bi) * reals(bi) + imags(bi) * imags(bi)
+                num += binArr(bi) * p; den += p
+                bi += 1
+              }
+              binArr.indices.map { i =>
+                WavSpectrumBin(r.media_id, k, start.toLong, len.toLong, binArr(i),
+                  reals(i), imags(i),
+                  reals(i) * reals(i) + imags(i) * imags(i), num, den)
+              }
+            }
+        }
+      }
+    }
+  }
+
   /** Real-encoded synthetic WAV table: `64 + doc_id % 37` mono samples at
     * 8 kHz, sample values the doc_id-arithmetic function [[encodeWavPcm16]]
     * documents — so the windowing oracle is exact SQL. */
@@ -1306,18 +1408,22 @@ object Multimodal {
           var q = p + 2
           while (q < p + len) {
             val pq = u8(q) >> 4; val tq = u8(q) & 0x0f
-            if (pq > 1 || tq > 3) return None
-            val entryBytes = if (pq == 0) 1 else 2
-            if (q + 1 + 64 * entryBytes > p + len) return None
+            // Pq=1 (16-bit quant entries) is ILLEGAL in the baseline process
+            // (T.81 §B.2.4.1: 8-bit sample precision requires Pq=0), and this
+            // decoder is SOF0-only — refuse like every other cannot-decode-
+            // faithfully case (subsampling, SOF2+), instead of leniently
+            // widening the contract (advisor, r13).
+            if (pq != 0 || tq > 3) return None
+            if (q + 1 + 64 > p + len) return None
             val tab = new Array[Int](64)
             var k = 0
             while (k < 64) {
-              val v = if (pq == 0) u8(q + 1 + k) else u16(q + 1 + 2 * k)
+              val v = u8(q + 1 + k)
               if (v < 1) return None
               tab(JpegZigzag(k)) = v; k += 1
             }
             qt(tq) = tab
-            q += 1 + 64 * entryBytes
+            q += 1 + 64
           }
           if (q != p + len) return None
           p += len
@@ -1546,18 +1652,22 @@ object Multimodal {
   /** Per-image pixel checksums from a REAL baseline-JPEG decode — the
     * [[GifFramePixels]] shape for still images: typed mapPartitions, map-only
     * (payloads never shuffle); non-JPEG/undecodable rows emit nothing. The
-    * checksums run over the decoded sample stream (gray: one per pixel). */
-  case class JpegPixels(media_id: Long, width: Int, height: Int, n_pixels: Long,
-                        pixel_sum: Long, pixel_poly: Long,
+    * checksums run over the decoded sample STREAM: `n_samples` is
+    * `channels · width · height` (gray: one sample per pixel; 4:4:4 color:
+    * three interleaved RGB samples per pixel) — named for what it counts,
+    * with `channels` alongside, so the 3× relation to `width·height` is
+    * self-describing for API consumers (advisor, r13). */
+  case class JpegPixels(media_id: Long, width: Int, height: Int, channels: Int,
+                        n_samples: Long, pixel_sum: Long, pixel_poly: Long,
                         pixel_first: Int, pixel_last: Int)
 
   def jpegPixels(spark: SparkSession, media: DataFrame): Dataset[JpegPixels] = {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeJpegPixels(r.payload).iterator.map { case (w, h, _, px) =>
+        decodeJpegPixels(r.payload).iterator.map { case (w, h, c, px) =>
           val (sum, poly, first, last) = sampleChecksums(px)
-          JpegPixels(r.media_id, w, h, px.length.toLong, sum, poly, first, last)
+          JpegPixels(r.media_id, w, h, c, px.length.toLong, sum, poly, first, last)
         }
       }
     }
@@ -1777,6 +1887,66 @@ object Multimodal {
             (x, y) => ((id * 31 + i * 257 + (y / 8) * 37 + (x / 8) * 11) % 251).toInt)
         }
         MediaRecord(id, "video/avi", encodeAviMjpeg(w, h, frames))
+      }
+    }
+  }
+
+  /** One video frame's scene-change signal: `delta_sum` is the exact integer
+    * Σ|sample − previous frame's sample| over the decoded sample stream
+    * (`n_samples` = channels·w·h terms), `is_cut` flags
+    * `delta_sum > threshold · n_samples` (mean absolute change per sample
+    * above the threshold), and `key_rank` orders the video's decoded frames
+    * by delta DESCENDING (ties: earlier frame first, rank 1 = the frame a
+    * keyframe sampler takes first). The first decoded frame — and any frame
+    * whose (w, h, channels) differ from the previous decoded frame's —
+    * deltas against an implicit all-zero (black) previous frame, the
+    * "cut from black" convention, so its delta is its own sample sum and a
+    * scene start scores like the scene change it is. */
+  case class SceneCut(media_id: Long, frame_idx: Int, width: Int, height: Int,
+                      n_samples: Long, delta_sum: Long, is_cut: Boolean,
+                      key_rank: Int)
+
+  /** Scene-cut / keyframe detection over MJPEG-in-AVI — the sampling step a
+    * VLM training pipeline runs before frame extraction (take only frames
+    * where the scene changed, not every near-duplicate of a static shot).
+    * All frames of one video sit in ONE payload, so the per-frame deltas
+    * against the previous decoded frame AND the per-video keyframe ranking
+    * happen inside the same zero-exchange typed flatMap that
+    * [[aviFramePixels]] uses — payloads never shuffle, only the per-frame
+    * metadata rows leave the task, and peak memory per video is two decoded
+    * frames (current + previous) plus the metadata tuples. Undecodable
+    * frames drop without shifting later indices (the [[aviFramePixels]]
+    * contract); the next frame then deltas against the last DECODED frame —
+    * change-since-last-usable-frame, which is what a sampler acts on. */
+  def sceneCuts(spark: SparkSession, media: DataFrame,
+                cutThresholdPerSample: Int = 30): Dataset[SceneCut] = {
+    require(cutThresholdPerSample >= 0, s"bad cut threshold $cutThresholdPerSample")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        var prev: Array[Byte] = null
+        var prevW = 0; var prevH = 0; var prevC = 0
+        val metas = aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
+          decodeJpegPixels(f).map { case (w, h, c, px) =>
+            var delta = 0L
+            var j = 0
+            if (prev != null && w == prevW && h == prevH && c == prevC) {
+              while (j < px.length) {
+                delta += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
+              }
+            } else {
+              while (j < px.length) { delta += (px(j) & 0xff); j += 1 }
+            }
+            prev = px; prevW = w; prevH = h; prevC = c
+            (i, w, h, px.length.toLong, delta)
+          }
+        }
+        val rankOf = metas.sortBy { case (i, _, _, _, d) => (-d, i) }
+          .zipWithIndex.map { case (m, rk) => m._1 -> (rk + 1) }.toMap
+        metas.map { case (i, w, h, n, d) =>
+          SceneCut(r.media_id, i, w, h, n, d,
+            d > cutThresholdPerSample.toLong * n, rankOf(i))
+        }
       }
     }
   }

@@ -497,7 +497,11 @@ object Similarity {
     cells.foreach { c =>
       val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
       val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      if (!fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
+      // no live dir = a cell NEW in staging (a resplit to more cells) — only
+      // an existing dir must move aside, and a failed rename of one that
+      // exists still aborts loudly
+      if (fs.exists(live) &&
+          !fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
         sys.error(s"swap aborted: cannot move live $live aside — " +
           s"index unchanged for this and later cells; staging kept at $staging")
       if (fs.exists(staged) && !fs.rename(staged, live)) // absent = cell emptied
@@ -545,6 +549,45 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
     swapCellDirs(spark, path, staging, cells.toSeq, ".compact_trash")
     cells.length
+  }
+
+  /** RE-SPLIT a persisted PLAIN-IVF index to a NEW centroid set — the
+    * cell-directory sibling of `Lake.rebucketBucketed`, and the scheduled
+    * rebuild both append paths defer to: when steady appends push every cell
+    * past the efficient scan size (or centroid drift erodes recall), the fix
+    * is a new `nlist`, not more compaction. The index stores the raw vectors
+    * (`emb`), so the re-assignment reads the INDEX, never the corpus — one
+    * map-only argmax pass over the new centroid literals, staged fully as a
+    * cell-partitioned layout (one file per new cell), then swapped via
+    * [[swapCellDirs]]'s checked trash-then-rename over the union of old and
+    * new cell ids (an old cell with no rows under the new split vanishes; a
+    * brand-new cell id moves straight in). Rows are preserved exactly;
+    * probes under the NEW centroids answer identically to a fresh build
+    * (spec- and driver-gated). Plain-IVF only: an IVFADC code table stores
+    * quantized codes whose codebooks were trained per split — re-splitting
+    * the coded index is a rebuild from the corpus by design. SINGLE-WRITER
+    * like every layout mutation here; callers must probe with the new
+    * centroids afterwards (they define the layout). Returns the new cell
+    * count on disk. */
+  def resplitIvfIndex(spark: SparkSession, path: String,
+                      newCentroids: Centroids): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cellIds(p: String): Seq[Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+        .map(_.getPath.getName.stripPrefix("cell=").toInt).toSeq
+    val oldCells = cellIds(path)
+    val reassigned = ivfAssignments(
+      spark.read.parquet(path).select(col("vec_id"), col("emb").as("embedding")),
+      newCentroids)
+    val staging = path + ".resplit_staging"
+    reassigned.repartition(newCentroids.length, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staging)
+    val stagedCells = cellIds(staging)
+    swapCellDirs(spark, path, staging,
+      (oldCells ++ stagedCells).distinct.sorted, ".resplit_trash")
+    stagedCells.length
   }
 
   /** Probe a [[writeIvfIndex]] layout: the probe-cell set is computed
@@ -1120,37 +1163,66 @@ object Similarity {
       .filter(col(col0).isNotNull)
       .select(VectorFns.toDoubleArray(col(col0)).as("v"))
       .as[Array[Double]]
-    val pivot = src.take(1).headOption.getOrElse(new Array[Double](dim))
-    require(pivot.length == dim, s"vector dim ${pivot.length} != declared $dim")
+    // SINGLE corpus-touching job (advisor, r13 — the pivot used to cost a
+    // separate take(1) job and depended on partition order): each partition
+    // shifts by ITS OWN first row (a local, typical-magnitude pivot — the
+    // same cancellation guard), and the driver recombines the per-partition
+    // shifted moments onto the first non-empty partition's pivot with the
+    // EXACT translation identities
+    //   Σ(x−P)      = Σ(x−p) + n·(p−P)
+    //   Σ(x−P)(x−P)ᵀ = Σ(x−p)(x−p)ᵀ + dᵀΣ(x−p) + Σ(x−p)ᵀd + n·ddᵀ, d = p−P.
+    // d is a difference of two data rows (spread-scale), so the correction
+    // terms never reintroduce the |µ|²-scale cancellation the pivot exists
+    // to avoid. `collect` preserves partition order, so P is deterministic
+    // for a deterministic source — same contract as the old take(1).
     val parts = src
       .mapPartitions { it =>
-        val sums = new Array[Double](dim)
-        val gram = new Array[Double](dim * (dim + 1) / 2)
-        val shifted = new Array[Double](dim)
-        var n = 0L
-        it.foreach { v =>
-          require(v.length == dim, s"vector dim ${v.length} != declared $dim")
-          var i = 0
-          while (i < dim) { shifted(i) = v(i) - pivot(i); i += 1 }
-          i = 0; var t = 0
-          while (i < dim) {
-            sums(i) += shifted(i)
-            var j = i
-            while (j < dim) { gram(t) += shifted(i) * shifted(j); j += 1; t += 1 }
-            i += 1
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          require(first.length == dim, s"vector dim ${first.length} != declared $dim")
+          val pivot = first.clone()
+          val sums = new Array[Double](dim)
+          val gram = new Array[Double](dim * (dim + 1) / 2)
+          val shifted = new Array[Double](dim)
+          var n = 0L
+          (Iterator.single(first) ++ it).foreach { v =>
+            require(v.length == dim, s"vector dim ${v.length} != declared $dim")
+            var i = 0
+            while (i < dim) { shifted(i) = v(i) - pivot(i); i += 1 }
+            i = 0; var t = 0
+            while (i < dim) {
+              sums(i) += shifted(i)
+              var j = i
+              while (j < dim) { gram(t) += shifted(i) * shifted(j); j += 1; t += 1 }
+              i += 1
+            }
+            n += 1
           }
-          n += 1
+          Iterator.single((n, pivot, sums, gram))
         }
-        if (n == 0) Iterator.empty else Iterator.single((n, sums, gram))
       }.collect()
+    if (parts.isEmpty)
+      return (0L, new Array[Double](dim), new Array[Double](dim * (dim + 1) / 2),
+        new Array[Double](dim))
+    val pivot = parts.head._2
     val n = parts.map(_._1).sum
     val sums = new Array[Double](dim)
     val gram = new Array[Double](dim * (dim + 1) / 2)
-    parts.foreach { case (_, s, g) =>
+    val d = new Array[Double](dim)
+    parts.foreach { case (np, pp, s, g) =>
       var i = 0
-      while (i < dim) { sums(i) += s(i); i += 1 }
-      i = 0
-      while (i < gram.length) { gram(i) += g(i); i += 1 }
+      while (i < dim) { d(i) = pp(i) - pivot(i); i += 1 }
+      i = 0; var t = 0
+      while (i < dim) {
+        sums(i) += s(i) + np * d(i)
+        var j = i
+        while (j < dim) {
+          gram(t) += g(t) + d(i) * s(j) + d(j) * s(i) + np * d(i) * d(j)
+          j += 1; t += 1
+        }
+        i += 1
+      }
     }
     (n, sums, gram, pivot)
   }
@@ -1343,7 +1415,16 @@ object Similarity {
       s"trainMod=$trainMod selected zero training rows from this corpus — " +
         "lower it (or pass 1 to train on every row)")
     val books = trainPQ(train, m, ksub, iters)
-    pqTopKEncoded(pqEncode(rc, books), rc, rot(queries), books, k, rerankFactor)
+    // Materialize the RESULT (|queries|·k rows — model-scale) and release the
+    // checkpointed rotated corpus before returning: without the unpersist,
+    // every invocation leaves a corpus-sized block set in executor storage
+    // until the ContextCleaner happens to GC the RDD — bench sweeps invoke
+    // this many times per session and would accumulate them (advisor, r13).
+    // The eager checkpoint of the small result severs its lineage from `rc`,
+    // so the unpersist is safe before the caller ever consumes the plan.
+    try pqTopKEncoded(pqEncode(rc, books), rc, rot(queries), books, k,
+      rerankFactor).localCheckpoint()
+    finally rc.unpersist()
   }
 
   /** Whitening correctness surfaced as ARITHMETIC: fit a whitened PCA, project

@@ -172,6 +172,45 @@ object Lake {
     affected.length
   }
 
+  /** RE-BUCKET a bucketed table to a new bucket count — the one layout
+    * mutation [[compactBucketed]] explicitly defers to ("re-bucket (rebuild)
+    * when buckets themselves outgrow the target size"): bucket count is the
+    * layout's parallelism/file-size knob, and once steady appends push every
+    * bucket past the efficient scan size the fix is n → n′ buckets, not more
+    * compaction. Full staged rewrite through the ONE shared
+    * [[rewriteBuckets]] protocol (every row re-clusters by
+    * `pmod(hash(col), n′)`, staged fully, then swapped via
+    * [[swapBucketFiles]]'s checked trash-then-rename — a crash leaves trash
+    * + staging on disk for rename-back recovery), then the catalog entry is
+    * recreated with the n′ bucket spec so co-located reads keep planning
+    * zero-exchange against the new layout. Rows and per-bucket sort order
+    * are preserved exactly — every probe answers identically (spec- and
+    * driver-gated on the winnow index). SINGLE-WRITER like every file-layout
+    * mutation here, with one extra wrinkle: the catalog swap (drop +
+    * recreate) is the non-atomic tail, so a session reading BETWEEN the file
+    * swap and the recreate could plan with the stale bucket spec — serialize
+    * maintenance against reads, or adopt a transactional table format.
+    * Unlike compaction this rewrites the WHOLE table (cost tracks table
+    * size) — it is the rare scheduled rebuild, not routine maintenance. */
+  def rebucketBucketed(spark: SparkSession, path: String, table: String,
+                       bucketCol: String, oldBuckets: Int, newBuckets: Int): Unit = {
+    require(oldBuckets >= 1 && newBuckets >= 1 && newBuckets != oldBuckets,
+      s"re-bucket needs a different positive bucket count, got $oldBuckets -> $newBuckets")
+    val rows = spark.read.parquet(path)
+    val schemaDdl = rows.schema.toDDL
+    rewriteBuckets(spark, path, table, bucketCol, newBuckets,
+      affected = 0 until math.max(oldBuckets, newBuckets), rows,
+      ".rebucket_staging")
+    // the files now carry the n′ layout; make the catalog's bucket spec
+    // follow them (EXTERNAL table: drop touches metadata only, never files)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+      s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+      s"INTO $newBuckets BUCKETS LOCATION '$path'")
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshByPath(path)
+  }
+
   /** Z-order (Morton) interleave key over numeric columns: each column
     * quantizes to `bits` bits against its [min, max] range, then the bits
     * interleave (column j contributes bit i at position i·ncols + j, so all

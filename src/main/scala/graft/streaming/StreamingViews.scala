@@ -54,6 +54,36 @@ object StreamingViews {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming HEAVY HITTERS — the update-mode twin of the batch
+    * `q_heavy_hitters(_by_key)` family: the STREAM side is the windowed
+    * (window, item) count — exactly [[hourCounts]]'s stateful shape, state
+    * bounded by watermark horizon × item cardinality — and the top-k
+    * selection runs over the SETTLED aggregate via [[topKPerWindow]]
+    * read-side. Splitting it this way keeps the streaming state a plain
+    * count (update-mode incremental, no re-sorting per micro-batch); the
+    * rank only ever sees (windows × items) aggregate rows, never raw
+    * events. For item domains too wide to count exactly (URLs, raw tokens),
+    * the bounded-memory batch form is `Ops.approxHeavyHittersByKey` over
+    * the landed window — a Misra-Gries sketch per window key. */
+  def streamHeavyHitterCounts(events: DataFrame, itemCol: String = "event_type",
+                              watermark: String = "1 day"): DataFrame =
+    hourCounts(events, itemCol, watermark)
+
+  /** Per-window top-k over a settled (windowCol, itemCol, cntCol) aggregate:
+    * rank = `row_number` by (cnt DESC, item ASC) — the library's standard
+    * deterministic tie-break — filtered to k. Input is already aggregated
+    * (one row per window×item), so the window sort is over counts, not
+    * events. */
+  def topKPerWindow(settledCounts: DataFrame, windowCol: String,
+                    itemCol: String, cntCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(windowCol)).orderBy(col(cntCol).desc, col(itemCol).asc)
+    settledCounts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** [[bucketCounts]], bounded-state form: ONE granularity per query, grouped on a
     * real `window(ts, …)` so the watermark actually evicts closed buckets and
     * drops beyond-horizon late rows. A deployment runs three of these (5min /

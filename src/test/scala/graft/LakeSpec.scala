@@ -70,6 +70,41 @@ class LakeSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t_compact_h")
   }
 
+  test("rebucketBucketed: n -> n' rewrite; rows, hash layout, and catalog spec all follow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebucket").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 50).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 400).toDF(), path, "graft_t_reb", "fp", 4)
+      Lake.appendBucketed(slice(400, 800).toDF(), path, "graft_t_reb", "fp", 4)
+      val rowsBefore = rowSet(spark.table("graft_t_reb"))
+      Lake.rebucketBucketed(spark, path, "graft_t_reb", "fp", 4, 8)
+      val after = dataFiles(path)
+      assert(after.keySet.forall(_ < 8), s"bucket ids must lie under n'=8: $after")
+      assert(after.values.forall(_.size == 1), s"one file per bucket after re-bucket: $after")
+      assert(rowSet(spark.table("graft_t_reb")) === rowsBefore,
+        "re-bucketing must preserve rows exactly")
+      // every file holds ONLY rows hashing to its n'=8 bucket — the invariant
+      // a zero-exchange co-located join relies on
+      Lake.bucketFiles(fsFor(path), path).foreach { case (b, files) =>
+        val off = spark.read.parquet(files.map(_.toString): _*)
+          .filter(pmod(hash(col("fp")), lit(8)) =!= b).count()
+        assert(off === 0L, s"bucket $b holds $off rows hashed elsewhere under n'=8")
+      }
+      // the catalog entry followed the files to the n' spec
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED graft_t_reb").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(desc.get("Num Buckets").exists(_.trim == "8"),
+        s"catalog bucket spec must be 8, got ${desc.get("Num Buckets")}")
+      // and the mutation is symmetric: re-bucket back down re-clusters again
+      Lake.rebucketBucketed(spark, path, "graft_t_reb", "fp", 8, 4)
+      assert(dataFiles(path).keySet.forall(_ < 4))
+      assert(rowSet(spark.table("graft_t_reb")) === rowsBefore)
+      assert(spark.table("graft_t_reb").groupBy("fp").count().count() === 50L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_reb")
+  }
+
   test("compactBucketed crash-abort: a failed swap start leaves the layout byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     val path = s"$dir/t"

@@ -699,6 +699,10 @@ class MultimodalSpec extends SparkSpec {
       (dqt(i) & 0xff) == 0xff && (dqt(i + 1) & 0xff) == 0xdb).get
     dqt(dqtAt + 5) = 0
     assert(Multimodal.decodeJpegPixels(dqt).isEmpty)
+    // Pq=1 (16-bit quant entries) is illegal in baseline SOF0: refuse
+    val dqt16 = good.clone()
+    dqt16(dqtAt + 4) = 0x10.toByte // Pq=1, Tq=0
+    assert(Multimodal.decodeJpegPixels(dqt16).isEmpty)
     assert(Multimodal.decodeJpegPixels("not a jpeg".getBytes).isEmpty)
     assert(Multimodal.decodeJpegPixels(Array[Byte]()).isEmpty)
   }
@@ -725,7 +729,7 @@ class MultimodalSpec extends SparkSpec {
     ).toDS().toDF()
     val rows = Multimodal.jpegPixels(spark, media).collect()
     assert(rows.toSeq === Seq(
-      Multimodal.JpegPixels(1L, 2, 1, 2L, 200L, 300L, 100, 100)))
+      Multimodal.JpegPixels(1L, 2, 1, 1, 2L, 200L, 300L, 100, 100)))
   }
 
   // ---------------- AVI MJPEG container ----------------
@@ -844,8 +848,81 @@ class MultimodalSpec extends SparkSpec {
       sum += r + g + b
       poly += (3L * j + 1) * r + (3L * j + 2) * g + (3L * j + 3) * b
     }
-    assert(cp(0).n_pixels === 3L * w * h)
+    assert(cp(0).channels === 3 && cp(0).n_samples === 3L * w * h)
     assert(cp(0).pixel_sum === sum, "color pixel_sum")
     assert(cp(0).pixel_poly === poly, "color pixel_poly")
+  }
+
+  test("sceneCuts: hand-computed deltas, cut-from-black, dims-change reset, keyframe rank") {
+    import spark.implicits._
+    val f0 = Multimodal.encodeJpegGray(2, 1, (_, _) => 100)
+    val f1 = Multimodal.encodeJpegGray(2, 1, (_, _) => 106)
+    val f2 = Multimodal.encodeJpegGray(2, 1, (_, _) => 10)
+    val bad = "not a jpeg".getBytes
+    val fDim = Multimodal.encodeJpegGray(1, 1, (_, _) => 5) // dims change mid-video
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video/avi",
+        Multimodal.encodeAviMjpeg(2, 1, Seq(f0, f1, bad, f2, fDim))),
+      Multimodal.MediaRecord(2L, "text/plain", "x".getBytes)).toDS().toDF()
+    val rows = Multimodal.sceneCuts(spark, media).collect().sortBy(_.frame_idx)
+    // frame 0 deltas vs black: 2·100 = 200, mean 100 > 30 → cut
+    // frame 1: 2·|106−100| = 12, mean 6 → no cut
+    // frame 2 (undecodable) drops without shifting indices
+    // frame 3 deltas vs the LAST DECODED frame (f1): 2·|10−106| = 192 → cut
+    // frame 4: 1×1 dims differ from previous → vs black: 5, mean 5 → no cut
+    assert(rows.map(r => (r.frame_idx, r.n_samples, r.delta_sum, r.is_cut)).toSeq ===
+      Seq((0, 2L, 200L, true), (1, 2L, 12L, false),
+          (3, 2L, 192L, true), (4, 1L, 5L, false)))
+    // keyframe rank: delta desc, frame asc → 200, 192, 12, 5
+    assert(rows.map(r => r.frame_idx -> r.key_rank).toMap ===
+      Map(0 -> 1, 3 -> 2, 1 -> 3, 4 -> 4))
+    assert(rows.forall(_.media_id == 1L), "non-video rows must emit nothing")
+  }
+
+  test("wavSpectrum: fixed-point bins match the table inner product AND track a double Goertzel; centroid exact") {
+    import spark.implicits._
+    val bins = Seq(1, 2, 4, 8)
+    val media = Seq(Multimodal.MediaRecord(7L, "audio/wav",
+      Multimodal.encodeWavPcm16(80, 8000, seed = 7L))).toDS().toDF()
+    val rows = Multimodal.wavSpectrum(spark, media).collect()
+    assert(rows.map(_.window_idx).distinct.sorted.toSeq === Seq(0, 1, 2, 3, 4))
+    assert(rows.count(_.n_samples == 16L) === bins.size, "partial last window kept")
+    val (ct, sn) = Multimodal.goertzelTables(32, bins, 12)
+    def sample(i: Int): Long = (7L * 31 + i * 7) % 4096 - 2048
+    for (r <- rows) {
+      val bi = bins.indexOf(r.bin)
+      var re = 0L; var im = 0L
+      for (m <- 0 until r.n_samples.toInt) {
+        re += sample(r.start_sample.toInt + m) * ct(bi)(m)
+        im += sample(r.start_sample.toInt + m) * sn(bi)(m)
+      }
+      assert(r.real_fp === re && r.imag_fp === im, s"bin ${r.bin} win ${r.window_idx}")
+      assert(r.power === re * re + im * im)
+      // the claimed Goertzel equivalence: the O(1)-state recurrence over the
+      // same samples yields the same bin power (up to the fixed-point
+      // table's quantization, scale 2^24)
+      val w0 = 2.0 * math.Pi * r.bin / 32
+      val coeff = 2.0 * math.cos(w0)
+      var s1 = 0.0; var s2 = 0.0
+      for (m <- 0 until r.n_samples.toInt) {
+        val s0 = sample(r.start_sample.toInt + m) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+      }
+      val powG = (s1 * s1 + s2 * s2 - coeff * s1 * s2) * 4096.0 * 4096.0
+      if (powG > 1e8)
+        assert(math.abs(r.power - powG) / powG < 0.05,
+          s"fixed-point power drifted from Goertzel: bin ${r.bin} win ${r.window_idx}")
+    }
+    // centroid: the exact rational (Σ bin·power, Σ power) per window,
+    // replicated on each of its bin rows
+    rows.groupBy(_.window_idx).foreach { case (_, ws) =>
+      val num = ws.map(w1 => w1.bin.toLong * w1.power).sum
+      val den = ws.map(_.power).sum
+      assert(ws.forall(w1 => w1.centroid_num == num && w1.centroid_den == den))
+    }
+    // non-WAV rows emit nothing
+    val none = Multimodal.wavSpectrum(spark,
+      Seq(Multimodal.MediaRecord(9L, "text/plain", "nope".getBytes)).toDS().toDF())
+    assert(none.isEmpty)
   }
 }

@@ -511,7 +511,12 @@ class PlanSpec extends SparkSpec {
       "multimodal_resize_jpeg_pixels" -> 0, // the sample-equality gate runs the same map-only chain twice per row
       "multimodal_avi_frames" -> 0, // RIFF list walk + per-frame JPEG decode: map-only
       "pipeline_embedding_whiten" -> 0, // diagnostics are a driver-built model-scale result; both moments passes are separate map-only collect jobs
-      "sim_pca_topk" -> 4) // GATE FORM: brute-force twin heap + PCA shortlist heap + rerank/semi aggs (the sim_rp_topk single-exchange core inside)
+      "sim_pca_topk" -> 4, // GATE FORM: brute-force twin heap + PCA shortlist heap + rerank/semi aggs (the sim_rp_topk single-exchange core inside)
+      // round-14 additions: scene cuts, WAV spectra, layout rebuilds
+      "multimodal_scene_cuts" -> 0, // frame deltas + per-video keyframe rank all inside the aviFramePixels flatMap: map-only, payloads never shuffle
+      "multimodal_wav_spectrum" -> 0, // fixed-point DFT + centroid computed per window inside the chunk-walk flatMap: map-only
+      "dedup_winnow_persisted_rebucket" -> 3, // probe plan unchanged after the n -> n' rebuild — the re-bucketed table still reads co-located
+      "sim_ivf_persisted_resplit_topk" -> 5) // GATE FORM: re-split pruned probe + in-memory twin under the new centroids + equality aggs
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it

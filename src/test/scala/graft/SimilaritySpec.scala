@@ -247,6 +247,37 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.compactIvfIndex(spark, path) === 0)
   }
 
+  test("resplitIvfIndex: nlist rebuild from the index itself ≡ fresh assignment; new cells appear, emptied ones vanish") {
+    val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
+    val cents8 = Similarity.trainCentroidsSampled(emb, 8, 3)
+    val cents16 = Similarity.trainCentroidsSampled(emb, 16, 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_rsp").toString + "/index"
+    Similarity.writeIvfIndex(emb, cents8, path)
+    val rowsBefore = rowSet(spark.read.parquet(path).select($"vec_id"))
+    val n = Similarity.resplitIvfIndex(spark, path, cents16)
+    assert(n > 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cellsOnDisk = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName.stripPrefix("cell=").toInt).toSet
+    assert(cellsOnDisk.size === n, "returned cell count must match the layout")
+    // rows preserved exactly; layout equals a fresh assignment under cents16
+    assert(rowSet(spark.read.parquet(path).select($"vec_id")) === rowsBefore,
+      "re-split must preserve the vector set exactly")
+    val fresh = Similarity.ivfAssignments(emb, cents16)
+    assert(rowSet(spark.read.parquet(path).select($"vec_id", $"cell")) ===
+      rowSet(fresh.select($"vec_id", $"cell")),
+      "re-split layout diverged from a fresh assignment under the new centroids")
+    assert(cellsOnDisk === fresh.select($"cell").distinct().collect()
+      .map(_.getInt(0)).toSet, "on-disk cells must be exactly the non-empty new cells")
+    // probes under the NEW centroids answer identically to in-memory
+    val queries = emb.filter($"vec_id" < 10)
+    assert(rowSet(Similarity.ivfProbePersisted(spark, path, cents16, queries, 10, nprobe = 5)) ===
+      rowSet(Similarity.ivfProbeAssigned(fresh, cents16, queries, 10, nprobe = 5)),
+      "re-split index probe diverged from the in-memory probe")
+  }
+
   test("appendIvfPqIndex: append to base index ≡ full rebuild under frozen models") {
     val emb = graft.sources.Tables.embeddings(spark, fixtureDir)
     val base = emb.filter($"vec_id" % 5 =!= 0)
