@@ -358,7 +358,31 @@ object PlanDump {
        "PCA-trained ANN gate: the sim_rp_topk architecture with a TRAINED " +
          "compressor — 16-dim variance-optimal shortlist scan + exact " +
          "rerank; the gate form adds the brute-force twin and recall aggs " +
-         "(pin 4). Training cost is one moments pass; the model broadcasts.")
+         "(pin 4). Training cost is one moments pass; the model broadcasts."),
+      ("multimodal_scene_cuts",
+       "Scene-cut / keyframe detection: per-frame deltas against the previous " +
+         "decoded frame AND the per-video keyframe rank, all inside the same " +
+         "zero-exchange typed flatMap as the frame walk (all frames of one " +
+         "video sit in one payload) — map-only, NO exchange (the pin is 0); " +
+         "only per-frame metadata rows leave the task."),
+      ("multimodal_wav_spectrum",
+       "Fixed-bin DFT spectra: per wavWindows window, exact integer inner " +
+         "products against fixed-point twiddle tables plus the per-window " +
+         "centroid rational, computed locally in the chunk-walk flatMap — " +
+         "map-only, NO exchange (the pin is 0)."),
+      ("dedup_winnow_persisted_rebucket",
+       "Bucket-count rebuild: the whole table re-clusters to n' buckets " +
+         "through the shared staged rewriteBuckets protocol and the catalog " +
+         "entry is recreated with the n' spec — so the probe keeps the " +
+         "identical 3-exchange co-located plan against the NEW layout " +
+         "(re-bucketing changes the parallelism/file-size knob, never the " +
+         "layout contract)."),
+      ("sim_ivf_persisted_resplit_topk",
+       "Cell-count rebuild: the index re-splits to a new centroid set from " +
+         "its OWN stored vectors (one map-only argmax pass — no corpus " +
+         "rescan), and the probe under the new centroids keeps the pruned " +
+         "partition-filter shape; the gate form adds the in-memory twin and " +
+         "equality aggs (pin 5).")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section
