@@ -62,7 +62,8 @@ object Bench {
     // re-split layout rebuilds
     "multimodal_scene_cuts", "multimodal_wav_spectrum",
     "w_stream_heavy_hitters", "dedup_winnow_persisted_rebucket",
-    "sim_ivf_persisted_resplit_topk")
+    "sim_ivf_persisted_resplit_topk",
+    "multimodal_keyframes", "multimodal_wav_resample")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -382,7 +382,17 @@ object PlanDump {
          "its OWN stored vectors (one map-only argmax pass — no corpus " +
          "rescan), and the probe under the new centroids keeps the pruned " +
          "partition-filter shape; the gate form adds the in-memory twin and " +
-         "equality aggs (pin 5).")
+         "equality aggs (pin 5)."),
+      ("multimodal_keyframes",
+       "Keyframe extraction: decode, scene-delta ranking, top-k selection, " +
+         "and the standalone re-encode all inside one typed flatMap — " +
+         "map-only, NO exchange (the pin is 0); only the selected frames' " +
+         "JPEG payloads and checksums leave the task."),
+      ("multimodal_wav_resample",
+       "Anti-alias FIR decimation: an L-tap fixed-point convolution per " +
+         "output sample with per-file checksums computed locally — " +
+         "map-only, NO exchange (the pin is 0); the resampled stream never " +
+         "materializes off-task, only the rounding-free integers do.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

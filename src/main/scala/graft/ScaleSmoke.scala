@@ -1386,6 +1386,20 @@ object ScaleSmoke {
           require(r.getLong(2) > 0L, "delta totals vacuous")
           r.getLong(0)
         }
+        // keyframe extraction: top-2 frames per video re-encoded standalone;
+        // selected-frame count is exact (min(m, 2) per video), and every
+        // emitted payload re-decoded (count proves it — failed round-trips
+        // are dropped rows)
+        val expectedKf = spark.range(100000)
+          .select(sum(expr("least(id % 3 + 1, 2)"))).head().getLong(0)
+        time("keyframes 100k AVIs (top-2 select + re-encode)", exactly(expectedKf)) {
+          val r = graft.operators.Multimodal.keyframes(spark,
+            graft.operators.Multimodal.syntheticAvisFromDocuments(spark, jdocs).toDF(),
+            k = 2)
+            .agg(count(lit(1)), sum(col("pixel_sum"))).head()
+          require(r.getLong(1) > 0L, "keyframe checksum total vacuous")
+          r.getLong(0)
+        }
         // fixed-bin spectra: 4 bins per wavWindows window, fixed-point DFT,
         // map-only; count proves every window of every WAV produced all 4
         // bins, and centroid_den >= each of its bin powers by construction
@@ -1399,6 +1413,20 @@ object ScaleSmoke {
           require(r.getLong(1) > 0L, "spectral power total vacuous")
           require(r.getLong(2) == 0L,
             "a window's centroid_den undercut one of its own bin powers")
+          r.getLong(0)
+        }
+        // FIR decimation: one row per clip; Σ n_out must equal the exact
+        // ceil(n/2) arithmetic — a dropped or double-counted output sample
+        // anywhere in 100k clips breaks it
+        val expectedOut = spark.range(100000)
+          .select(sum(expr("(64 + id % 37 + 1) div 2"))).head().getLong(0)
+        time("wavResample 100k WAVs (15-tap FIR decimate 2x)", exactly(100000)) {
+          val r = graft.operators.Multimodal.wavResample(spark,
+            graft.operators.Multimodal.syntheticWavsFromDocuments(spark, jdocs).toDF(),
+            factor = 2)
+            .agg(count(lit(1)), sum(col("n_out"))).head()
+          require(r.getLong(1) == expectedOut,
+            s"output sample total ${r.getLong(1)} != arithmetic $expectedOut")
           r.getLong(0)
         }
       }

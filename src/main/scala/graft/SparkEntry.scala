@@ -94,6 +94,11 @@ object SparkEntry {
     }.mkString(", ")
   }
 
+  /** `multimodal_wav_resample`'s fixed-point anti-alias FIR taps as a DuckDB
+    * list literal — same sharing discipline as [[wavSpecValuesSql]]. */
+  private val firTapsSql: String =
+    Multimodal.firLowpassTaps(2, 7, 12).mkString("[", ", ", "]")
+
   /** Segment CTEs shared by the three boilerplate-removal oracles: the planted
     * fixture (every doc gains one corpus-wide banner sentence + its doc_id%3
     * group either shares a second sentence or gets a unique tail), segmented
@@ -4164,7 +4169,77 @@ object SparkEntry {
                 CAST(p.len AS BIGINT) AS n_samples,
                 CAST(p.bin AS INT) AS bin, p.real_fp, p.imag_fp,
                 CAST(p.pw AS BIGINT) AS power, c.centroid_num, c.centroid_den
-              FROM p JOIN c ON p.doc_id = c.doc_id AND p.k = c.k""")))
+              FROM p JOIN c ON p.doc_id = c.doc_id AND p.k = c.k""")),
+
+    Q("multimodal_keyframes", // keyframe EXTRACTION (the sampling step after
+      // scene-cut detection): per video keep the top-2 frames by
+      // scene-change delta and emit each as a STANDALONE baseline JPEG —
+      // the checksums come from re-DECODING that emitted payload (flat
+      // blocks are lossless under the all-ones quant table, so re-encode
+      // round-trips bit-exactly), and the oracle recomputes the selection
+      // AND the checksums from the fixture arithmetic. A hash match proves
+      // pick + re-encode + re-decode; the jpeg payload itself is dropped
+      // from the driver row (binary is not oracle-comparable — its
+      // correctness is exactly what the re-decoded checksums witness).
+      (s, d) => Multimodal.keyframes(s,
+          Multimodal.syntheticAvisFromDocuments(s, Tables.documents(s, d)).toDF(),
+          k = 2).toDF().drop("jpeg"),
+      Some("""WITH f AS (SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 11) + 4 AS h,
+                unnest(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS i
+                FROM documents),
+              d AS (SELECT doc_id, w, h, i,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1), j ->
+                  CASE WHEN i = 0
+                  THEN (doc_id * 31 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251
+                  ELSE abs((doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251
+                         - (doc_id * 31 + (i - 1) * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)
+                  END)) AS BIGINT) AS delta_sum
+                FROM f),
+              r AS (SELECT doc_id, w, h, i,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY delta_sum DESC, i) AS rk FROM d)
+              SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+                CAST(rk AS INT) AS key_rank,
+                CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(w * h AS BIGINT) AS n_samples,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251))
+                  AS BIGINT) AS pixel_sum,
+                CAST(list_sum(list_transform(generate_series(0, w * h - 1),
+                  j -> (j + 1) * ((doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
+                  AS BIGINT) AS pixel_poly,
+                CAST((doc_id * 31 + i * 257) % 251 AS INT) AS pixel_first,
+                CAST((doc_id * 31 + i * 257 + ((h - 1) // 8) * 37 + ((w - 1) // 8) * 11) % 251 AS INT) AS pixel_last
+              FROM r WHERE rk <= 2""")),
+
+    Q("multimodal_wav_resample", // integer-factor audio RESAMPLING (8 kHz ->
+      // 4 kHz, the resample step every ASR pipeline runs): channel-0
+      // samples convolve with the fixed-point Hamming-windowed-sinc
+      // anti-alias FIR at every 2nd position — naive take-every-Nth would
+      // alias; the taps are EMBEDDED into this SQL from the same
+      // firLowpassTaps call the operator uses (the goertzelTables
+      // discipline), so both sides convolve identical integers and the
+      // per-file output checksums are exact.
+      (s, d) => Multimodal.wavResample(s,
+          Multimodal.syntheticWavsFromDocuments(s, Tables.documents(s, d)).toDF(),
+          factor = 2, halfTaps = 7, scaleBits = 12).toDF(),
+      Some(s"""WITH d AS (SELECT doc_id, 64 + doc_id % 37 AS n FROM documents),
+              o AS (SELECT doc_id, n,
+                unnest(generate_series(0, (n + 1) // 2 - 1)) AS j FROM d),
+              y AS (SELECT doc_id, n, j,
+                CAST(list_sum(list_transform(generate_series(0, 14), t ->
+                  CASE WHEN j * 2 + t - 7 >= 0 AND j * 2 + t - 7 < n
+                  THEN (((doc_id * 31 + (j * 2 + t - 7) * 7) % 4096) - 2048)
+                       * ($firTapsSql)[t + 1]
+                  ELSE 0 END)) AS BIGINT) AS yv
+                FROM o)
+              SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_in,
+                CAST(count(*) AS BIGINT) AS n_out,
+                CAST(sum(yv) AS BIGINT) AS y_sum,
+                CAST(sum((j + 1) * yv) AS BIGINT) AS y_poly,
+                CAST(min(CASE WHEN j = 0 THEN yv END) AS BIGINT) AS y_first,
+                CAST(min(CASE WHEN j = (n + 1) // 2 - 1 THEN yv END) AS BIGINT) AS y_last
+              FROM y GROUP BY doc_id, n""")))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,
@@ -4598,6 +4673,50 @@ object SparkEntry {
                   j -> (doc_id * 31 + i * 257 + ((j // w) // 8) * 37 + ((j % w) // 8) * 11) % 251)))
                   AS BIGINT) AS total_pixel_sum,
                 TRUE AS stream_equals_batch FROM f""")),
+
+    Q("w_stream_scene_cuts", // scene-cut detection on a LIVE stream: the
+      // per-frame deltas AND the per-video keyframe rank are computed
+      // entirely within one row's payload (all frames of a video sit in one
+      // AVI), so the chain is stateless end to end and runs unchanged in
+      // append mode with ZERO streaming state — the sampling gate a video
+      // ingest pipeline runs as files land on a directory. Stream-vs-batch
+      // multiset equality plus the arithmetic rank total (Σ m(m+1)/2 over
+      // each video's m frames) make the parity driver-visible.
+      (s, d) => {
+        def cuts(src: DataFrame): DataFrame =
+          Multimodal.sceneCuts(s,
+            Multimodal.syntheticAvisFromDocuments(s, src).toDF()).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wcut_sink", cuts, outputMode = "append")
+        val batch = cuts(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_frames"), sum(col("key_rank")).as("total_rank"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_frames"), col("total_rank"),
+            col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(sum(doc_id % 3 + 1) AS BIGINT) AS n_frames,
+              CAST(sum(((doc_id % 3 + 1) * (doc_id % 3 + 2)) // 2) AS BIGINT) AS total_rank,
+              TRUE AS stream_equals_batch FROM documents""")),
+
+    Q("w_stream_wav_spectrum", // spectral features on a LIVE stream: the
+      // fixed-point DFT and the per-window centroid are local to one row's
+      // payload — stateless, append mode, ZERO streaming state (the
+      // w_stream_wav_windows shape with the spectral feature inside).
+      // Stream-vs-batch multiset equality plus the arithmetic row total
+      // (4 bins × windows) make the parity driver-visible.
+      (s, d) => {
+        def spectra(src: DataFrame): DataFrame =
+          Multimodal.wavSpectrum(s,
+            Multimodal.syntheticWavsFromDocuments(s, src).toDF()).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wspec_sink", spectra, outputMode = "append")
+        val batch = spectra(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_rows"), col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(4 * sum((63 + doc_id % 37) // 16 + 1) AS BIGINT) AS n_rows,
+              TRUE AS stream_equals_batch FROM documents""")),
 
     Q("w_stream_pca_drift", // EMBEDDING-DRIFT monitor on a live stream — the
       // pipeline_token_drift idea for the vector channel: freeze a WHITENED

@@ -1950,4 +1950,158 @@ object Multimodal {
       }
     }
   }
+
+  /** One EXTRACTED keyframe: the rank-`key_rank` frame of its video under the
+    * [[sceneCuts]] ordering, re-encoded as a STANDALONE baseline JPEG
+    * (`jpeg`) — the deliverable a VLM training pipeline feeds downstream —
+    * with the checksum quartet computed by re-DECODING that emitted payload,
+    * so a hash match proves selection AND re-encode AND re-decode, not just
+    * the pick. */
+  case class Keyframe(media_id: Long, frame_idx: Int, key_rank: Int,
+                      width: Int, height: Int, n_samples: Long,
+                      pixel_sum: Long, pixel_poly: Long, pixel_first: Int,
+                      pixel_last: Int, jpeg: Array[Byte])
+
+  /** Keyframe EXTRACTION over MJPEG-in-AVI — the sampling step after
+    * [[sceneCuts]]'s detection: per video, keep only the `k` frames with the
+    * largest scene-change deltas (delta desc, frame asc — the sceneCuts
+    * rank) and emit each as a standalone baseline JPEG. Same zero-exchange
+    * typed flatMap; unlike [[sceneCuts]] the selected frames' PIXELS must
+    * survive until the ranking is known, so peak memory per video is its
+    * decoded frames (a small multiple of the payload the row already holds —
+    * acceptable because an AVI's frames sit in one payload by definition;
+    * a long-video deployment would two-pass: rank on deltas, re-walk for
+    * the winners). Gray frames re-encode directly; 4:4:4 color frames
+    * re-convert RGB→YCbCr through the [[resizeJpeg]] matrix. A frame whose
+    * re-encode fails to re-decode is dropped (refuse what cannot be
+    * faithfully round-tripped). */
+  def keyframes(spark: SparkSession, media: DataFrame, k: Int = 2): Dataset[Keyframe] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        val decoded = aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
+          decodeJpegPixels(f).map { case (w, h, c, px) => (i, w, h, c, px) }
+        }
+        var prevW = 0; var prevH = 0; var prevC = 0
+        var prev: Array[Byte] = null
+        val withDelta = decoded.map { case (i, w, h, c, px) =>
+          var delta = 0L
+          var j = 0
+          if (prev != null && w == prevW && h == prevH && c == prevC) {
+            while (j < px.length) {
+              delta += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
+            }
+          } else {
+            while (j < px.length) { delta += (px(j) & 0xff); j += 1 }
+          }
+          prev = px; prevW = w; prevH = h; prevC = c
+          (i, w, h, c, px, delta)
+        }
+        withDelta.sortBy { case (i, _, _, _, _, d) => (-d, i) }.take(k)
+          .zipWithIndex.flatMap { case ((i, w, h, c, px, _), rk) =>
+            val jpeg =
+              if (c == 1) encodeJpeg(w, h, Array(px))
+              else {
+                val planes = Array.fill(3)(new Array[Byte](w * h))
+                var p = 0
+                while (p < w * h) {
+                  val rr = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
+                  val b = px(3 * p + 2) & 0xff
+                  planes(0)(p) = jpegClampByte(0.299 * rr + 0.587 * g + 0.114 * b)
+                  planes(1)(p) = jpegClampByte(128.0 - 0.168736 * rr - 0.331264 * g + 0.5 * b)
+                  planes(2)(p) = jpegClampByte(128.0 + 0.5 * rr - 0.418688 * g - 0.081312 * b)
+                  p += 1
+                }
+                encodeJpeg(w, h, planes)
+              }
+            decodeJpegPixels(jpeg).map { case (dw, dh, _, dpx) =>
+              val (sum, poly, first, last) = sampleChecksums(dpx)
+              Keyframe(r.media_id, i, rk + 1, dw, dh, dpx.length.toLong,
+                sum, poly, first, last, jpeg)
+            }
+          }
+      }
+    }
+  }
+
+  /** Fixed-point anti-alias lowpass for [[wavResample]]: `2·halfTaps + 1`
+    * Hamming-windowed sinc taps at cutoff π/factor, each
+    * `round(h·2^scaleBits)` — PUBLIC for the same reason as
+    * [[goertzelTables]]: the oracle SQL embeds these very integers, so both
+    * sides convolve identical taps by construction. */
+  def firLowpassTaps(factor: Int, halfTaps: Int, scaleBits: Int): Array[Long] = {
+    require(factor >= 1 && halfTaps >= 1 && scaleBits >= 1,
+      s"bad fir params $factor/$halfTaps/$scaleBits")
+    val len = 2 * halfTaps + 1
+    Array.tabulate(len) { t =>
+      val x = (t - halfTaps).toDouble
+      val sinc =
+        if (x == 0.0) 1.0 / factor
+        else math.sin(math.Pi * x / factor) / (math.Pi * x)
+      val win = 0.54 - 0.46 * math.cos(2.0 * math.Pi * t / (len - 1))
+      math.round(sinc * win * (1L << scaleBits))
+    }
+  }
+
+  /** Per-file checksums of a decimated-by-`factor` PCM stream: `y_sum` /
+    * position-weighted `y_poly` / endpoints over the FILTERED output
+    * sequence `y[j] = Σ_t H[t]·x(j·factor + t − halfTaps)` (zero-padded at
+    * the edges), all exact integers at scale 2^scaleBits — the
+    * [[WavWindow]] `sum_sq` discipline: the consumer shifts/clips to PCM16,
+    * the engine emits the rounding-free integers an oracle can replay. */
+  case class WavResampled(media_id: Long, n_in: Long, n_out: Long,
+                          y_sum: Long, y_poly: Long, y_first: Long,
+                          y_last: Long)
+
+  /** Integer-factor audio RESAMPLING (decimation with a real anti-alias
+    * FIR) — the 8 kHz→4 kHz shape of the resample-to-16k step every ASR
+    * data pipeline runs before feature extraction: channel-0 samples
+    * convolve with the fixed-point windowed-sinc lowpass
+    * ([[firLowpassTaps]]) evaluated at every `factor`-th position. Naive
+    * decimation (take every Nth sample) aliases everything above the new
+    * Nyquist into band; the FIR is what makes this a resampler rather than
+    * a subsample. Typed flatMap, map-only, zero exchanges; per output
+    * sample the work is one L-tap integer dot product. Overflow headroom:
+    * |y| ≤ L·2048·2^scaleBits (≈1.3e8 at the defaults), and the checksums
+    * stay far inside Long at any clip length a row can hold. */
+  def wavResample(spark: SparkSession, media: DataFrame, factor: Int = 2,
+                  halfTaps: Int = 7, scaleBits: Int = 12): Dataset[WavResampled] = {
+    require(factor >= 2, s"decimation factor must be >= 2, got $factor")
+    val taps = firLowpassTaps(factor, halfTaps, scaleBits)
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        wavPcm16Layout(r.payload) match {
+          case None => Iterator.empty
+          case Some((channels, dataOff, dataLen)) =>
+            val b = r.payload
+            val frameBytes = 2 * channels
+            val n = dataLen / frameBytes
+            val nOut = (n + factor - 1) / factor
+            def x(i: Int): Long =
+              if (i < 0 || i >= n) 0L
+              else {
+                val base = dataOff + i * frameBytes
+                ((b(base) & 0xff) | (b(base + 1) << 8)).toShort.toLong
+              }
+            var sum = 0L; var poly = 0L; var first = 0L; var last = 0L
+            var j = 0
+            while (j < nOut) {
+              var y = 0L
+              var t = 0
+              while (t < taps.length) {
+                y += taps(t) * x(j * factor + t - halfTaps); t += 1
+              }
+              sum += y; poly += (j + 1) * y
+              if (j == 0) first = y
+              if (j == nOut - 1) last = y
+              j += 1
+            }
+            Iterator.single(
+              WavResampled(r.media_id, n.toLong, nOut.toLong, sum, poly, first, last))
+        }
+      }
+    }
+  }
 }

@@ -879,6 +879,47 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.media_id == 1L), "non-video rows must emit nothing")
   }
 
+  test("keyframes: top-k by delta, re-encode round-trips flat frames exactly, rank order") {
+    import spark.implicits._
+    val f0 = Multimodal.encodeJpegGray(2, 1, (_, _) => 100) // delta vs black 200
+    val f1 = Multimodal.encodeJpegGray(2, 1, (_, _) => 106) // delta 12
+    val f2 = Multimodal.encodeJpegGray(2, 1, (_, _) => 10)  // delta 192
+    val media = Seq(Multimodal.MediaRecord(1L, "video/avi",
+      Multimodal.encodeAviMjpeg(2, 1, Seq(f0, f1, f2)))).toDS().toDF()
+    val rows = Multimodal.keyframes(spark, media, k = 2).collect().sortBy(_.key_rank)
+    // top-2 by (delta desc, idx asc): frame 0 (200) rank 1, frame 2 (192) rank 2
+    assert(rows.map(r => (r.frame_idx, r.key_rank)).toSeq === Seq((0, 1), (2, 2)))
+    // re-decoded checksums equal the flat originals (lossless round trip)
+    assert(rows.map(r => (r.pixel_sum, r.pixel_first)).toSeq ===
+      Seq((200L, 100), (20L, 10)))
+    // the emitted payload IS a standalone decodable JPEG of the frame
+    val Some((kw, kh, kc, kpx)) = Multimodal.decodeJpegPixels(rows(0).jpeg)
+    assert((kw, kh, kc) === ((2, 1, 1)) && kpx.forall(b => (b & 0xff) == 100))
+    // k larger than the video: every decodable frame comes back, ranked
+    assert(Multimodal.keyframes(spark, media, k = 10).collect().length === 3)
+  }
+
+  test("wavResample: anti-alias FIR decimation matches an independent convolution; taps sane") {
+    import spark.implicits._
+    val taps = Multimodal.firLowpassTaps(2, 7, 12)
+    // center tap = round(0.5 * 4096) under a unity Hamming center; symmetric
+    assert(taps(7) === 2048L)
+    assert((0 to 14).forall(t => taps(t) == taps(14 - t)), "taps must be symmetric")
+    val media = Seq(Multimodal.MediaRecord(3L, "audio/wav",
+      Multimodal.encodeWavPcm16(5, 8000, seed = 3L))).toDS().toDF()
+    val rows = Multimodal.wavResample(spark, media, factor = 2).collect()
+    assert(rows.length === 1 && rows(0).n_in === 5L && rows(0).n_out === 3L)
+    def x(i: Int): Long =
+      if (i < 0 || i >= 5) 0L else (3L * 31 + i * 7) % 4096 - 2048
+    val y = (0 until 3).map(j => (0 until 15).map(t => taps(t) * x(2 * j + t - 7)).sum)
+    assert(rows(0).y_sum === y.sum)
+    assert(rows(0).y_poly === y.zipWithIndex.map { case (v, j) => (j + 1) * v }.sum)
+    assert(rows(0).y_first === y.head && rows(0).y_last === y.last)
+    // non-WAV rows emit nothing
+    assert(Multimodal.wavResample(spark,
+      Seq(Multimodal.MediaRecord(9L, "text/plain", "no".getBytes)).toDS().toDF()).isEmpty)
+  }
+
   test("wavSpectrum: fixed-point bins match the table inner product AND track a double Goertzel; centroid exact") {
     import spark.implicits._
     val bins = Seq(1, 2, 4, 8)

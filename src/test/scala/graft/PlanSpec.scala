@@ -516,7 +516,9 @@ class PlanSpec extends SparkSpec {
       "multimodal_scene_cuts" -> 0, // frame deltas + per-video keyframe rank all inside the aviFramePixels flatMap: map-only, payloads never shuffle
       "multimodal_wav_spectrum" -> 0, // fixed-point DFT + centroid computed per window inside the chunk-walk flatMap: map-only
       "dedup_winnow_persisted_rebucket" -> 3, // probe plan unchanged after the n -> n' rebuild — the re-bucketed table still reads co-located
-      "sim_ivf_persisted_resplit_topk" -> 5) // GATE FORM: re-split pruned probe + in-memory twin under the new centroids + equality aggs
+      "sim_ivf_persisted_resplit_topk" -> 5, // GATE FORM: re-split pruned probe + in-memory twin under the new centroids + equality aggs
+      "multimodal_keyframes" -> 0, // decode + rank + re-encode + re-decode all inside one typed flatMap: map-only, payloads never shuffle
+      "multimodal_wav_resample" -> 0) // L-tap fixed-point convolution per output sample, per-file checksums local: map-only
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
