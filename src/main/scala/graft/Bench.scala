@@ -63,7 +63,8 @@ object Bench {
     "multimodal_scene_cuts", "multimodal_wav_spectrum",
     "w_stream_heavy_hitters", "dedup_winnow_persisted_rebucket",
     "sim_ivf_persisted_resplit_topk",
-    "multimodal_keyframes", "multimodal_wav_resample")
+    "multimodal_keyframes", "multimodal_wav_resample",
+    "multimodal_dhash", "dedup_image_clusters")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

@@ -392,7 +392,17 @@ object PlanDump {
        "Anti-alias FIR decimation: an L-tap fixed-point convolution per " +
          "output sample with per-file checksums computed locally — " +
          "map-only, NO exchange (the pin is 0); the resampled stream never " +
-         "materializes off-task, only the rounding-free integers do.")
+         "materializes off-task, only the rounding-free integers do."),
+      ("multimodal_dhash",
+       "Perceptual image fingerprint: decode + 9×8 nearest-neighbor sample " +
+         "+ 64 gradient comparisons, one typed flatMap — map-only, NO " +
+         "exchange (the pin is 0); 16 bytes of hash leave the task per " +
+         "image, never pixels."),
+      ("dedup_image_clusters",
+       "Visual exact-dup clusters: the dedup_exact shape with a perceptual " +
+         "key — map-only decode+hash, then ONE aggregation exchange keyed " +
+         "by the 16-byte hash (pin 1); one row per distinct image, never a " +
+         "pair list that goes quadratic in an image's copy count.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

@@ -1415,6 +1415,28 @@ object ScaleSmoke {
             "a window's centroid_den undercut one of its own bin powers")
           r.getLong(0)
         }
+        // perceptual image hashing + visual dedup: decode + 9x8 sample + 64
+        // comparisons per image (count exact), then the clone-planted
+        // cluster form — Σ n_images must round-trip every input and the
+        // cluster count is bounded by the 100 planted classes
+        time("imageDHash 100k real JPEGs (decode + 9x8 dHash)", exactly(100000)) {
+          graft.operators.Multimodal.imageDHash(spark,
+            graft.operators.Multimodal.syntheticJpegsFromDocuments(spark, jdocs).toDF())
+            .count()
+        }
+        locally {
+          val t0 = System.nanoTime()
+          val cl = graft.operators.Multimodal.imageDupClusters(spark,
+            graft.operators.Multimodal.syntheticCloneJpegsFromDocuments(spark, jdocs,
+              classes = 100).toDF())
+            .agg(count(lit(1)), sum(col("n_images"))).head()
+          val secs = (System.nanoTime() - t0) / 1e9
+          require(cl.getLong(1) == 100000L,
+            s"cluster membership total ${cl.getLong(1)} != 100000 inputs")
+          require(cl.getLong(0) <= 100L,
+            s"${cl.getLong(0)} clusters from 100 planted classes")
+          emit(f"SCALE ${"imageDupClusters 100k clones -> 100 classes"}%-52s $secs%8.2f s  rows=${cl.getLong(0)}  ok(membership == 100000; clusters <= 100)")
+        }
         // FIR decimation: one row per clip; Σ n_out must equal the exact
         // ceil(n/2) arithmetic — a dropped or double-counted output sample
         // anywhere in 100k clips breaks it

@@ -4239,7 +4239,61 @@ object SparkEntry {
                 CAST(sum((j + 1) * yv) AS BIGINT) AS y_poly,
                 CAST(min(CASE WHEN j = 0 THEN yv END) AS BIGINT) AS y_first,
                 CAST(min(CASE WHEN j = (n + 1) // 2 - 1 THEN yv END) AS BIGINT) AS y_last
-              FROM y GROUP BY doc_id, n""")))
+              FROM y GROUP BY doc_id, n""")),
+
+    Q("multimodal_dhash", // perceptual image fingerprint (dHash): 9x8
+      // nearest-neighbor grid over genuinely DECODED JPEG pixels, bit
+      // k = y*8+x set when the right neighbor is brighter, emitted as two
+      // 32-bit halves so the oracle arithmetic never touches the Long sign
+      // bit. DuckDB recomputes every bit from the fixture's pixel formula
+      // at the sampled grid positions, so a hash match proves decode +
+      // sampling + comparison + bit packing.
+      (s, d) => Multimodal.imageDHash(s,
+          Multimodal.syntheticJpegsFromDocuments(s, Tables.documents(s, d)).toDF())
+        .toDF(),
+      Some("""WITH d AS (SELECT doc_id, (doc_id % 23) + 4 AS w, (doc_id % 17) + 4 AS h
+                FROM documents),
+              b AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM d),
+              v AS (SELECT doc_id, w, h, k,
+                CASE WHEN
+                  (doc_id * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
+                > (doc_id * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                FROM b)
+              SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+              FROM v GROUP BY doc_id, w, h""")),
+
+    Q("dedup_image_clusters", // visual exact-dup CLUSTERS over a clone-
+      // planted fixture (payload a pure function of doc_id % 100, so same-
+      // class docs are byte-identical images under different ids): group by
+      // dHash, emit copy count + canonical id — the group-by form that
+      // stays one row per distinct image at 100 TB where a pair list goes
+      // quadratic in an image's copy count. The oracle recomputes the hash
+      // arithmetically per class and groups identically, so accidental
+      // cross-class dHash collisions (flat-block images have sparse bits)
+      // are faithfully reproduced on both sides.
+      (s, d) => Multimodal.imageDupClusters(s,
+          Multimodal.syntheticCloneJpegsFromDocuments(s,
+            Tables.documents(s, d), classes = 100).toDF()),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS seed,
+                (doc_id % 100 % 23) + 4 AS w, (doc_id % 100 % 17) + 4 AS h
+                FROM documents),
+              b AS (SELECT doc_id, seed, w, h, unnest(generate_series(0, 63)) AS k FROM d),
+              v AS (SELECT doc_id, seed, w, h, k,
+                CASE WHEN
+                  (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
+                > (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                FROM b),
+              hashes AS (SELECT doc_id,
+                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM v GROUP BY doc_id)
+              SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
+                CAST(min(doc_id) AS BIGINT) AS canonical_id
+              FROM hashes GROUP BY dhash_hi, dhash_lo""")))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,

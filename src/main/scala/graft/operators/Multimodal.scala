@@ -2104,4 +2104,119 @@ object Multimodal {
       }
     }
   }
+
+  /** 64-bit difference hash (dHash) of a decoded image — the perceptual
+    * image fingerprint web-scale VLM corpora dedup on (the LAION-style
+    * near-dup key): gray-convert (integer luma `(299r+587g+114b)/1000`,
+    * truncating division — oracle-replayable), nearest-neighbor sample to a
+    * 9×8 grid (`sx = x·w/9`, `sy = y·h/8` — the resize convention), and set
+    * bit `y·8+x` when `g(x+1, y) > g(x, y)`. Robust to re-encoding and
+    * resolution changes by construction (it hashes coarse gradient
+    * structure, not bytes). Emitted as two 32-bit halves (`dhash_hi` =
+    * bits 32..63, `dhash_lo` = bits 0..31) so oracle arithmetic never
+    * touches the Long sign bit. Decodes JPEG and PNG payloads (the two
+    * pixel-decodable formats here); others emit nothing. */
+  case class ImageDHash(media_id: Long, width: Int, height: Int,
+                        dhash_hi: Long, dhash_lo: Long)
+
+  def imageDHash(spark: SparkSession, media: DataFrame): Dataset[ImageDHash] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeJpegPixels(r.payload).orElse(decodePngPixels(r.payload))
+          .flatMap { case (w, h, c, px) =>
+            if (w < 1 || h < 1 || (c != 1 && c != 3 && c != 4)) None
+            else {
+              def gray(x: Int, y: Int): Int = {
+                val sx = x * w / 9; val sy = y * h / 8
+                val o = (sy * w + sx) * c
+                if (c == 1) px(o) & 0xff
+                else (299 * (px(o) & 0xff) + 587 * (px(o + 1) & 0xff) +
+                  114 * (px(o + 2) & 0xff)) / 1000
+              }
+              var hi = 0L; var lo = 0L
+              var k = 0
+              while (k < 64) {
+                val x = k % 8; val y = k / 8
+                if (gray(x + 1, y) > gray(x, y)) {
+                  if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+                }
+                k += 1
+              }
+              Some(ImageDHash(r.media_id, w, h, hi, lo))
+            }
+          }
+      }
+    }
+  }
+
+  /** Clone-planted JPEG fixture for the image-dedup gates: the payload is a
+    * pure function of `doc_id % classes`, so two docs in the same class are
+    * byte-identical images under DIFFERENT media ids — the exact-duplicate
+    * regime a crawl's re-hosted images produce. Same dims/pixel arithmetic
+    * as [[syntheticJpegsFromDocuments]], seeded by the class. */
+  def syntheticCloneJpegsFromDocuments(spark: SparkSession, docs: DataFrame,
+                                       classes: Int = 100): Dataset[MediaRecord] = {
+    require(classes >= 1, s"classes must be >= 1, got $classes")
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val seed = id % classes
+        val w = (seed % 23).toInt + 4; val h = (seed % 17).toInt + 4
+        MediaRecord(id, "image/jpeg",
+          encodeJpegGray(w, h,
+            (x, y) => ((seed * 31 + (y / 8) * 37 + (x / 8) * 11) % 251).toInt))
+      }
+    }
+  }
+
+  /** Visual duplicate CLUSTERS by dHash — the image edition of exact dedup's
+    * group-by-fingerprint (never all-pairs: at 100 TB the pair list of a
+    * popular image is quadratic in its copy count, the cluster row is one):
+    * per distinct hash, the copy count and the canonical (smallest) media
+    * id. Downstream keeps `media_id == canonical_id` rows. One map-only
+    * decode+hash pass, one 16-byte-keyed aggregation — the `dedup_exact`
+    * shape with a perceptual key. Near-dups (small nonzero Hamming) are
+    * [[imageNearDupPairs]] over these clusters' representatives. */
+  def imageDupClusters(spark: SparkSession, media: DataFrame): DataFrame =
+    imageDHash(spark, media).toDF()
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("media_id")).as("canonical_id"))
+
+  /** Near-duplicate image PAIRS by banded dHash Hamming distance — the
+    * MinHash-LSH shape on the 64-bit perceptual key: candidates must share
+    * at least one of the four 16-bit bands (pigeonhole: two hashes within
+    * Hamming distance ≤ 3 differ in at most 3 bands, so one band matches
+    * exactly — recall 1 at the default threshold), then verify with
+    * `bit_count(xor)` over both halves. Run it over [[imageDupClusters]]'s
+    * canonical representatives, never the raw corpus: pairing inside an
+    * exact-dup cluster is quadratic in an image's copy count and carries no
+    * information the cluster row lacks. */
+  def imageNearDupPairs(spark: SparkSession, hashes: DataFrame,
+                        maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only for Hamming <= 3, got $maxHamming")
+    def banded(idAs: String, hiAs: String, loAs: String): DataFrame =
+      hashes.select(col("media_id").as(idAs), col("dhash_hi").as(hiAs),
+          col("dhash_lo").as(loAs))
+        .withColumn("b", explode(array(
+          struct(lit(0).as("band"), col(loAs).bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(1).as("band"),
+            shiftright(col(loAs), 16).bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(2).as("band"), col(hiAs).bitwiseAND(lit(0xffffL)).as("key")),
+          struct(lit(3).as("band"),
+            shiftright(col(hiAs), 16).bitwiseAND(lit(0xffffL)).as("key")))))
+        .select(col(idAs), col(hiAs), col(loAs),
+          col("b.band").as("band"), col("b.key").as("key"))
+    val a = banded("id_a", "hi_a", "lo_a")
+    val b = banded("id_b", "hi_b", "lo_b")
+    a.join(b, a("band") === b("band") && a("key") === b("key") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

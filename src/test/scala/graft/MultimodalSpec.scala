@@ -899,6 +899,45 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.keyframes(spark, media, k = 10).collect().length === 3)
   }
 
+  test("imageDHash: hand-computed bits; clones collide; banded near-dup recalls Hamming 1") {
+    import spark.implicits._
+    // 18x64 step image, flat per 8x8 block: columns >= 16 bright. Sampled
+    // 9x8 grid: sx = 2x, sy = 8y — every sampled row reads g = [10 x8, 200],
+    // so the only rising transition is at x = 7 → bit 8y+7 for every y:
+    // lo = hi = bits {7,15,23,31} = 0x80808080.
+    val a = Multimodal.encodeJpegGray(18, 64, (x, _) => if (x >= 16) 200 else 10)
+    // B differs ONLY in block row y in [8,16) (sampled row 1), whose left
+    // blocks brighten to 220: that row reads [220 x8, 200] — no rising
+    // transition — so exactly bit 15 drops: Hamming(A, B) = 1.
+    val bimg = Multimodal.encodeJpegGray(18, 64,
+      (x, y) => if (x >= 16) 200 else if (y >= 8 && y < 16) 220 else 10)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image/jpeg", a),
+      Multimodal.MediaRecord(2L, "image/jpeg", bimg),
+      Multimodal.MediaRecord(3L, "image/jpeg", a), // byte-identical clone of A
+      Multimodal.MediaRecord(9L, "text/plain", "no".getBytes)).toDS().toDF()
+    val h = Multimodal.imageDHash(spark, media).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(h.keySet === Set(1L, 2L, 3L), "non-image rows must emit nothing")
+    assert(h(1L).dhash_hi === 0x80808080L && h(1L).dhash_lo === 0x80808080L)
+    assert(h(3L).dhash_hi === h(1L).dhash_hi && h(3L).dhash_lo === h(1L).dhash_lo)
+    assert(h(2L).dhash_lo === 0x80800080L && h(2L).dhash_hi === 0x80808080L)
+    // clusters: the clone pair collapses to one row with the smallest id
+    val clusters = Multimodal.imageDupClusters(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(clusters((0x80808080L, 0x80808080L)) === ((2L, 1L)))
+    assert(clusters((0x80808080L, 0x80800080L)) === ((1L, 2L)))
+    // banded near-dup: (1,2) and (2,3) at Hamming 1, (1,3) at 0 — all found
+    val hashesDf = Multimodal.imageDHash(spark, media).toDF()
+    val pairs = Multimodal.imageNearDupPairs(spark, hashesDf, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 0L)))
+    // PNG payloads hash through the same path
+    val png = Multimodal.syntheticPngsFromDocuments(spark,
+      Seq((5L, "x")).toDF("doc_id", "text")).toDF()
+    assert(Multimodal.imageDHash(spark, png).count() === 1L)
+  }
+
   test("wavResample: anti-alias FIR decimation matches an independent convolution; taps sane") {
     import spark.implicits._
     val taps = Multimodal.firLowpassTaps(2, 7, 12)

@@ -518,7 +518,9 @@ class PlanSpec extends SparkSpec {
       "dedup_winnow_persisted_rebucket" -> 3, // probe plan unchanged after the n -> n' rebuild — the re-bucketed table still reads co-located
       "sim_ivf_persisted_resplit_topk" -> 5, // GATE FORM: re-split pruned probe + in-memory twin under the new centroids + equality aggs
       "multimodal_keyframes" -> 0, // decode + rank + re-encode + re-decode all inside one typed flatMap: map-only, payloads never shuffle
-      "multimodal_wav_resample" -> 0) // L-tap fixed-point convolution per output sample, per-file checksums local: map-only
+      "multimodal_wav_resample" -> 0, // L-tap fixed-point convolution per output sample, per-file checksums local: map-only
+      "multimodal_dhash" -> 0, // decode + 9x8 sample + 64 comparisons inside one typed flatMap: map-only
+      "dedup_image_clusters" -> 1) // map-only decode+hash, ONE 16-byte-keyed aggregation exchange — the dedup_exact shape with a perceptual key
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
