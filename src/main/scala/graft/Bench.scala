@@ -64,7 +64,8 @@ object Bench {
     "w_stream_heavy_hitters", "dedup_winnow_persisted_rebucket",
     "sim_ivf_persisted_resplit_topk",
     "multimodal_keyframes", "multimodal_wav_resample",
-    "multimodal_dhash", "dedup_image_clusters")
+    "multimodal_dhash", "dedup_image_clusters",
+    "w_stream_heavy_hitters_sketch", "w_stream_image_clusters")
 
   /** Reported-number reproducibility gate: the statistic of record is the
     * per-query MIN over sweeps, so stability means "the minimum reproduces",

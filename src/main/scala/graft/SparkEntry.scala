@@ -5893,6 +5893,60 @@ object SparkEntry {
                 FROM events GROUP BY 1, 2)
               WHERE rank <= 3""")),
 
+    Q("w_stream_heavy_hitters_sketch", // the BOUNDED-STATE streaming heavy
+      // hitter (unbounded item domains): one capacity-bounded Misra-Gries
+      // sketch per window inside flatMapGroupsWithState — state is
+      // windows × capacity whatever the stream carries — settled by the
+      // max-n_updates emission (the streamFunnel argmax discipline) and
+      // ranked read-side. Capacity 64 exceeds the event_type domain, so no
+      // decrement fires and the settled counts are EXACT: the same oracle
+      // as the exact-count twin gates the whole sketch path.
+      (s, d) => {
+        val emissions = StreamingViews.runToMemory(s, s"$d/events.parquet",
+          "graft_whhs_sink", src => StreamingViews.streamHeavyHittersSketch(
+            Tables.normalizeEventTs(src).withColumn("ts", col("ts").cast("timestamp")),
+            itemCol = "event_type", capacity = 64),
+          outputMode = "update")
+        StreamingViews.topKPerWindow(
+          StreamingViews.settleSketch(emissions).withColumnRenamed("est_count", "cnt"),
+          "hour_bucket", "item", "cnt", k = 3)
+      },
+      Some("""SELECT hour_bucket, item, cnt, rank FROM (
+                SELECT strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H') AS hour_bucket,
+                  event_type AS item, count(*) AS cnt,
+                  row_number() OVER (
+                    PARTITION BY strftime(CAST(ts AS TIMESTAMP), '%Y%m%d%H')
+                    ORDER BY count(*) DESC, event_type) AS rank
+                FROM events GROUP BY 1, 2)
+              WHERE rank <= 3""")),
+
+    Q("w_stream_image_clusters", // visual dedup on a LIVE stream: the
+      // map-only decode+dHash runs stateless; the cluster group-by is the
+      // one stateful op (complete mode, state = distinct hashes — bounded
+      // by distinct IMAGES, not corpus size). Settled output must equal the
+      // batch clusters — the dedup_image_clusters oracle gates the whole
+      // streaming path.
+      (s, d) => StreamingViews.runToMemory(s, s"$d/documents.parquet",
+        "graft_wimg_sink", src => Multimodal.imageDupClusters(s,
+          Multimodal.syntheticCloneJpegsFromDocuments(s, src, classes = 100).toDF())),
+      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS seed,
+                (doc_id % 100 % 23) + 4 AS w, (doc_id % 100 % 17) + 4 AS h
+                FROM documents),
+              b AS (SELECT doc_id, seed, w, h, unnest(generate_series(0, 63)) AS k FROM d),
+              v AS (SELECT doc_id, seed, w, h, k,
+                CASE WHEN
+                  (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
+                > (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+                FROM b),
+              hashes AS (SELECT doc_id,
+                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+                FROM v GROUP BY doc_id)
+              SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
+                CAST(min(doc_id) AS BIGINT) AS canonical_id
+              FROM hashes GROUP BY dhash_hi, dhash_lo""")),
+
     Q("w_stream_anomalies", // streaming counter anomalies: live hourly counts
       // per type flagged against a frozen batch-fit baseline (stream-static
       // broadcast enrich BEFORE the agg — stateless; only count state).

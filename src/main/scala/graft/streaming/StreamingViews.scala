@@ -69,6 +69,72 @@ object StreamingViews {
                               watermark: String = "1 day"): DataFrame =
     hourCounts(events, itemCol, watermark)
 
+  /** Carried per-window Misra-Gries state: update counter + the bounded
+    * counter map. */
+  case class MgSketchState(nUpdates: Long, counts: Map[String, Long])
+
+  /** Streaming Misra-Gries heavy hitters with BOUNDED state per window — the
+    * unbounded-item-domain form [[streamHeavyHitterCounts]] defers to: the
+    * exact windowed count keeps one state row per (window, item), which an
+    * unbounded domain (URLs, user agents, raw tokens) grows without limit;
+    * here `flatMapGroupsWithState` keyed by the hour bucket keeps ONE
+    * capacity-bounded sketch per window (the `Ops.approxHeavyHitters` update
+    * rule: increment, claim a free slot, or decrement-all-and-drop-zeros),
+    * so state is `windows × capacity` whatever the stream carries. Each
+    * trigger emits the window's current counters tagged with the state's
+    * update counter — settle by max `n_updates` per window (the
+    * [[streamFunnel]] argmax discipline), then rank with [[topKPerWindow]].
+    * With capacity ≥ the window's distinct items no decrement ever fires and
+    * the settled counts are EXACT (the driver-gated regime, equal to the
+    * batch windowed count); the approximate regime inherits the batch
+    * sketch's guarantees — never overcounts, per-window undercount ≤
+    * n_window/(capacity+1), every item above that bound survives. */
+  def streamHeavyHittersSketch(events: DataFrame, itemCol: String = "event_type",
+                               capacity: Int = 64): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
+        col(itemCol).cast("string").as("item"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgSketchState, (String, Long, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        case (bucket, rows, state) =>
+          val prev = state.getOption.getOrElse(MgSketchState(0L, Map.empty))
+          val counts = scala.collection.mutable.HashMap[String, Long](prev.counts.toSeq: _*)
+          rows.foreach { case (_, v) =>
+            if (counts.contains(v) || counts.size < capacity)
+              counts.update(v, counts.getOrElse(v, 0L) + 1L)
+            else counts.keys.toArray.foreach { k =>
+              val c = counts(k)
+              if (c == 1L) counts.remove(k) else counts.update(k, c - 1L)
+            }
+          }
+          val next = MgSketchState(prev.nUpdates + 1, counts.toMap)
+          state.update(next)
+          next.counts.iterator.map { case (item, c) =>
+            (bucket, next.nUpdates, item, c)
+          }
+      }
+      .toDF("hour_bucket", "n_updates", "item", "est_count")
+  }
+
+  /** Settle [[streamHeavyHittersSketch]]'s update-mode emissions: per
+    * window, keep the LAST emission's counters (max `n_updates` — each
+    * micro-batch that touched the window emitted once with a higher
+    * counter). Input is sketch-bounded (windows × capacity per emission),
+    * so the settle window sort is over sketch rows, never events. */
+  def settleSketch(emissions: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hour_bucket"))
+    emissions
+      .withColumn("__max", max(col("n_updates")).over(w))
+      .filter(col("n_updates") === col("__max"))
+      .select(col("hour_bucket"), col("item"), col("est_count"))
+  }
+
   /** Per-window top-k over a settled (windowCol, itemCol, cntCol) aggregate:
     * rank = `row_number` by (cnt DESC, item ASC) — the library's standard
     * deterministic tie-break — filtered to k. Input is already aggregated

@@ -43,6 +43,37 @@ class StreamingSpec extends SparkSpec {
     assert(rowSet(streamed) === rowSet(batch))
   }
 
+  test("streamHeavyHittersSketch: exact when roomy; bounded and never overcounting when tight") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(capacity: Int, sink: String): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[TestEvent]
+      val q = StreamingViews.streamHeavyHittersSketch(stream.toDF(), capacity = capacity)
+        .writeStream.outputMode("update").format("memory").queryName(sink).start()
+      try {
+        stream.addData(allEvents.take(2)); q.processAllAvailable()
+        stream.addData(allEvents.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+      StreamingViews.settleSketch(spark.table(sink))
+    }
+    // roomy regime (capacity >> distinct items): settled counts are EXACT
+    val settled = run(64, "t_hh_sketch")
+    val batch = allEvents.toDF()
+      .groupBy(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
+        col("event_type").as("item"))
+      .agg(count(lit(1)).as("est_count"))
+    assert(rowSet(settled) === rowSet(batch))
+    // tight regime (capacity 1): at most one surviving counter per window,
+    // and the sketch NEVER overcounts any (window, item)
+    val tight = run(1, "t_hh_sketch_tight").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val trueCounts = batch.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tight.keys.groupBy(_._1).values.forall(_.size <= 1),
+      s"capacity-1 sketch kept more than one counter per window: $tight")
+    assert(tight.forall { case (k, c) => c <= trueCounts(k) },
+      s"sketch overcounted: $tight vs $trueCounts")
+  }
+
   test("streaming funnel equals the batch funnel, including late-signup demotion") {
     implicit val sqlCtx = spark.sqlContext
     // batch 1: signup@10:00, view@12:00 -> stage 2 under a 1 h horizon? no —
