@@ -233,10 +233,10 @@ object Bench {
     // line printed is always this small record that fits any tail window;
     // per-query numbers live in bench_full.json (and the headline line above
     // it, when the tail happens to be long enough).
-    def summaryLine(rs: Seq[(String, Double)]): String = {
+    def summaryLine(rs: Seq[(String, Double)], queriesIn: String): String = {
       val probeMedian = median(accepted.map(_.nullT))
       val total = rs.map(_._2).sum
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_normalized":${f(total / probeMedian)},"normalization":"sum_of_per_query_minima / median(accepted-run null probes, each median-of-3)","n_queries":${rs.size},"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"spread":${f(spread)},"null_query_min":${f(nullTimes.min)},"null_query_median":${f(probeMedian)},"queries_in":"bench_full.json"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","value_normalized":${f(total / probeMedian)},"normalization":"sum_of_per_query_minima / median(accepted-run null probes, each median-of-3)","n_queries":${rs.size},"sf":"$sfDir","runs":${matrix.size},"rejected_runs":${allRuns.size - matrix.size},"spread":${f(spread)},"null_query_min":${f(nullTimes.min)},"null_query_median":${f(probeMedian)},"queries_in":"$queriesIn"}"""
     }
     if (args.isEmpty) {
       // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
@@ -245,11 +245,14 @@ object Bench {
       val stable = spread <= SpreadGate
       if (!stable)
         System.err.println(f"[bench] UNSTABLE: spread ${spread * 100}%.1f%% after ${matrix.size} runs — writing bench_full_unstable.json")
+      // the summary's pointer names the file THIS run actually wrote — an
+      // unstable run must not send readers to a stale bench_full.json
+      val outFile = if (stable) "bench_full.json" else "bench_full_unstable.json"
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(if (stable) "bench_full.json" else "bench_full_unstable.json"),
+        java.nio.file.Paths.get(outFile),
         (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       println(jsonLine(headline.map(n => n -> byName(n))))
-      println(summaryLine(results))
+      println(summaryLine(results, outFile))
     } else println(jsonLine(results))
     spark.stop()
   }

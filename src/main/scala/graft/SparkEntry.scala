@@ -99,6 +99,35 @@ object SparkEntry {
   private val firTapsSql: String =
     Multimodal.firLowpassTaps(2, 7, 12).mkString("[", ", ", "]")
 
+  /** ONE home for the dHash oracle arithmetic (the winnowSelCtes
+    * discipline), shared by `multimodal_dhash` / `dedup_image_clusters` /
+    * `w_stream_image_clusters`: recomputes every bit of the 9×8 difference
+    * hash from the fixture pixel formula seeded by `seedExpr`, yielding a
+    * `hashes` CTE of (doc_id, w, h, dhash_hi, dhash_lo) — a fix to the bit
+    * or sampling arithmetic lands in all three gates at once. */
+  private def dHashCtes(seedExpr: String): String =
+    s"""WITH d AS (SELECT doc_id, $seedExpr AS seed,
+          (($seedExpr) % 23) + 4 AS w, (($seedExpr) % 17) + 4 AS h FROM documents),
+        b AS (SELECT doc_id, seed, w, h, unnest(generate_series(0, 63)) AS k FROM d),
+        v AS (SELECT doc_id, seed, w, h, k,
+          CASE WHEN
+            (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
+          > (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+          FROM b),
+        hashes AS (SELECT doc_id, w, h,
+          CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
+          CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
+          FROM v GROUP BY doc_id, w, h)"""
+
+  /** The cluster SELECT over [[dHashCtes]]'s `hashes` — shared verbatim by
+    * the batch and streaming image-cluster gates. */
+  private val dHashClusterSelect: String =
+    """
+        SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
+          CAST(min(doc_id) AS BIGINT) AS canonical_id
+        FROM hashes GROUP BY dhash_hi, dhash_lo"""
+
   /** Segment CTEs shared by the three boilerplate-removal oracles: the planted
     * fixture (every doc gains one corpus-wide banner sentence + its doc_id%3
     * group either shares a second sentence or gets a unique tail), segmented
@@ -4251,19 +4280,9 @@ object SparkEntry {
       (s, d) => Multimodal.imageDHash(s,
           Multimodal.syntheticJpegsFromDocuments(s, Tables.documents(s, d)).toDF())
         .toDF(),
-      Some("""WITH d AS (SELECT doc_id, (doc_id % 23) + 4 AS w, (doc_id % 17) + 4 AS h
-                FROM documents),
-              b AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS k FROM d),
-              v AS (SELECT doc_id, w, h, k,
-                CASE WHEN
-                  (doc_id * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
-                > (doc_id * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
-                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                FROM b)
-              SELECT doc_id AS media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
-              FROM v GROUP BY doc_id, w, h""")),
+      Some(dHashCtes("doc_id") + """
+              SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+                CAST(h AS INT) AS height, dhash_hi, dhash_lo FROM hashes""")),
 
     Q("dedup_image_clusters", // visual exact-dup CLUSTERS over a clone-
       // planted fixture (payload a pure function of doc_id % 100, so same-
@@ -4277,23 +4296,7 @@ object SparkEntry {
       (s, d) => Multimodal.imageDupClusters(s,
           Multimodal.syntheticCloneJpegsFromDocuments(s,
             Tables.documents(s, d), classes = 100).toDF()),
-      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS seed,
-                (doc_id % 100 % 23) + 4 AS w, (doc_id % 100 % 17) + 4 AS h
-                FROM documents),
-              b AS (SELECT doc_id, seed, w, h, unnest(generate_series(0, 63)) AS k FROM d),
-              v AS (SELECT doc_id, seed, w, h, k,
-                CASE WHEN
-                  (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
-                > (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
-                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                FROM b),
-              hashes AS (SELECT doc_id,
-                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
-                FROM v GROUP BY doc_id)
-              SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
-                CAST(min(doc_id) AS BIGINT) AS canonical_id
-              FROM hashes GROUP BY dhash_hi, dhash_lo""")))
+      Some(dHashCtes("doc_id % 100") + dHashClusterSelect)))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,
@@ -5929,23 +5932,7 @@ object SparkEntry {
       (s, d) => StreamingViews.runToMemory(s, s"$d/documents.parquet",
         "graft_wimg_sink", src => Multimodal.imageDupClusters(s,
           Multimodal.syntheticCloneJpegsFromDocuments(s, src, classes = 100).toDF())),
-      Some("""WITH d AS (SELECT doc_id, doc_id % 100 AS seed,
-                (doc_id % 100 % 23) + 4 AS w, (doc_id % 100 % 17) + 4 AS h
-                FROM documents),
-              b AS (SELECT doc_id, seed, w, h, unnest(generate_series(0, 63)) AS k FROM d),
-              v AS (SELECT doc_id, seed, w, h, k,
-                CASE WHEN
-                  (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + (((((k % 8) + 1) * w) // 9) // 8) * 11) % 251
-                > (seed * 31 + ((((k // 8) * h) // 8) // 8) * 37 + ((((k % 8) * w) // 9) // 8) * 11) % 251
-                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
-                FROM b),
-              hashes AS (SELECT doc_id,
-                CAST(sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS dhash_hi,
-                CAST(sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS dhash_lo
-                FROM v GROUP BY doc_id)
-              SELECT dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n_images,
-                CAST(min(doc_id) AS BIGINT) AS canonical_id
-              FROM hashes GROUP BY dhash_hi, dhash_lo""")),
+      Some(dHashCtes("doc_id % 100") + dHashClusterSelect)),
 
     Q("w_stream_anomalies", // streaming counter anomalies: live hourly counts
       // per type flagged against a frozen batch-fit baseline (stream-static

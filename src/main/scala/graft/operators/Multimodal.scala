@@ -1918,29 +1918,48 @@ object Multimodal {
     * frames drop without shifting later indices (the [[aviFramePixels]]
     * contract); the next frame then deltas against the last DECODED frame —
     * change-since-last-usable-frame, which is what a sampler acts on. */
+  /** Shared per-video frame-delta walk behind [[sceneCuts]] and
+    * [[keyframes]]: each decoded AVI frame in movi order, paired with its
+    * exact-integer scene-change delta vs the previous DECODED frame
+    * (cut-from-black on the first frame and on dims/channel changes;
+    * undecodable frames drop without shifting indices). Returned as an
+    * ITERATOR so callers pick their memory shape — sceneCuts drops the
+    * pixels as it advances (two decoded frames in memory), keyframes
+    * retains the frames it selects. ONE home for the delta conventions:
+    * the two operators' orderings must never drift (advisor, r14). */
+  private def frameDeltas(payload: Array[Byte])
+      : Iterator[(Int, Int, Int, Int, Array[Byte], Long)] = {
+    var prev: Array[Byte] = null
+    var prevW = 0; var prevH = 0; var prevC = 0
+    aviFrameWalk(payload).iterator.zipWithIndex.flatMap { case (f, i) =>
+      decodeJpegPixels(f).map { case (w, h, c, px) =>
+        var delta = 0L
+        var j = 0
+        if (prev != null && w == prevW && h == prevH && c == prevC) {
+          while (j < px.length) {
+            delta += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
+          }
+        } else {
+          while (j < px.length) { delta += (px(j) & 0xff); j += 1 }
+        }
+        prev = px; prevW = w; prevH = h; prevC = c
+        (i, w, h, c, px, delta)
+      }
+    }
+  }
+
   def sceneCuts(spark: SparkSession, media: DataFrame,
                 cutThresholdPerSample: Int = 30): Dataset[SceneCut] = {
     require(cutThresholdPerSample >= 0, s"bad cut threshold $cutThresholdPerSample")
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
-        var prev: Array[Byte] = null
-        var prevW = 0; var prevH = 0; var prevC = 0
-        val metas = aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
-          decodeJpegPixels(f).map { case (w, h, c, px) =>
-            var delta = 0L
-            var j = 0
-            if (prev != null && w == prevW && h == prevH && c == prevC) {
-              while (j < px.length) {
-                delta += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
-              }
-            } else {
-              while (j < px.length) { delta += (px(j) & 0xff); j += 1 }
-            }
-            prev = px; prevW = w; prevH = h; prevC = c
-            (i, w, h, px.length.toLong, delta)
-          }
-        }
+        // consume the iterator into metadata tuples IMMEDIATELY — the pixel
+        // arrays are dropped as the walk advances, keeping the two-frame
+        // memory bound
+        val metas = frameDeltas(r.payload).map { case (i, w, h, _, px, d) =>
+          (i, w, h, px.length.toLong, d)
+        }.toList
         val rankOf = metas.sortBy { case (i, _, _, _, d) => (-d, i) }
           .zipWithIndex.map { case (m, rk) => m._1 -> (rk + 1) }.toMap
         metas.map { case (i, w, h, n, d) =>
@@ -1980,25 +1999,11 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
-        val decoded = aviFrameWalk(r.payload).zipWithIndex.flatMap { case (f, i) =>
-          decodeJpegPixels(f).map { case (w, h, c, px) => (i, w, h, c, px) }
-        }
-        var prevW = 0; var prevH = 0; var prevC = 0
-        var prev: Array[Byte] = null
-        val withDelta = decoded.map { case (i, w, h, c, px) =>
-          var delta = 0L
-          var j = 0
-          if (prev != null && w == prevW && h == prevH && c == prevC) {
-            while (j < px.length) {
-              delta += math.abs((px(j) & 0xff) - (prev(j) & 0xff)); j += 1
-            }
-          } else {
-            while (j < px.length) { delta += (px(j) & 0xff); j += 1 }
-          }
-          prev = px; prevW = w; prevH = h; prevC = c
-          (i, w, h, c, px, delta)
-        }
-        withDelta.sortBy { case (i, _, _, _, _, d) => (-d, i) }.take(k)
+        // the SAME delta walk as sceneCuts (shared frameDeltas — the
+        // orderings must agree); here the decoded frames are retained until
+        // the ranking is known, the documented memory trade
+        frameDeltas(r.payload).toVector
+          .sortBy { case (i, _, _, _, _, d) => (-d, i) }.take(k)
           .zipWithIndex.flatMap { case ((i, w, h, c, px, _), rk) =>
             val jpeg =
               if (c == 1) encodeJpeg(w, h, Array(px))

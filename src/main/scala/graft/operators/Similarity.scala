@@ -487,7 +487,8 @@ object Similarity {
     * (emptied by a delete). Refreshes the path's file-listing cache so open
     * sessions see the new layout. */
   private def swapCellDirs(spark: SparkSession, path: String, staging: String,
-                           cells: Seq[Int], trashSuffix: String): Unit = {
+                           cells: Seq[Int], trashSuffix: String,
+                           newCells: Set[Int] = Set.empty): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val trash = new org.apache.hadoop.fs.Path(path + trashSuffix)
@@ -497,13 +498,16 @@ object Similarity {
     cells.foreach { c =>
       val live = new org.apache.hadoop.fs.Path(s"$path/cell=$c")
       val staged = new org.apache.hadoop.fs.Path(s"$staging/cell=$c")
-      // no live dir = a cell NEW in staging (a resplit to more cells) — only
-      // an existing dir must move aside, and a failed rename of one that
-      // exists still aborts loudly
-      if (fs.exists(live) &&
-          !fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
-        sys.error(s"swap aborted: cannot move live $live aside — " +
-          s"index unchanged for this and later cells; staging kept at $staging")
+      // only a cell the CALLER declared brand-new (a resplit landing ids the
+      // old layout never had) may legitimately lack a live dir; for every
+      // other affected cell a missing dir means the single-writer contract
+      // broke between listing and swap — refuse loudly rather than move
+      // staged rows in over an inconsistent layout (advisor, r14)
+      if (!newCells.contains(c) || fs.exists(live)) {
+        if (!fs.rename(live, new org.apache.hadoop.fs.Path(trash, s"cell=$c")))
+          sys.error(s"swap aborted: cannot move live $live aside — " +
+            s"index unchanged for this and later cells; staging kept at $staging")
+      }
       if (fs.exists(staged) && !fs.rename(staged, live)) // absent = cell emptied
         sys.error(s"swap aborted: cannot move staged $staged into place — " +
           s"recover by renaming ${trash}/cell=$c back to $live")
@@ -586,7 +590,8 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(staging)
     val stagedCells = cellIds(staging)
     swapCellDirs(spark, path, staging,
-      (oldCells ++ stagedCells).distinct.sorted, ".resplit_trash")
+      (oldCells ++ stagedCells).distinct.sorted, ".resplit_trash",
+      newCells = stagedCells.toSet -- oldCells.toSet)
     stagedCells.length
   }
 
@@ -1392,11 +1397,12 @@ object Similarity {
     * Training adds one moments pass + a d×d eigensolve; the rotation
     * broadcasts into a map-only projection in front of the PQ encode.
     *
-    * The rotated corpus MATERIALIZES once (`localCheckpoint`, the PageRank
-    * discipline): every downstream pass — each PQ training round, the
-    * encode, the ADC scan, the rerank join — would otherwise re-execute the
-    * d×d projection expression per pass (measured 2207 s vs 83 s at the
-    * 1M×32 stress, 26 s vs 2.6 s in the sf0.1 sweep). `trainMod` > 1 trains the
+    * The rotated corpus MATERIALIZES once (persist + a single count, and the
+    * cache is UNPERSISTED after the model-scale result checkpoints): every
+    * downstream pass — each PQ training round, the encode, the ADC scan, the
+    * rerank join — would otherwise re-execute the d×d projection expression
+    * per pass (measured 2207 s vs 83 s at the 1M×32 stress, 26 s vs 2.6 s in
+    * the sf0.1 sweep). `trainMod` > 1 trains the
     * codebooks on the deterministic `xxhash64(vec_id) % trainMod = 0` slice
     * — the [[trainPQ]] 100 TB note's sampling contract, applied here so the
     * training rounds never scan the full rotated corpus at scale (encode
@@ -1408,20 +1414,26 @@ object Similarity {
     val model = fitPca(corpus, dim, dim)
     def rot(df: DataFrame): DataFrame =
       pcaRotate(df, model).select(col("vec_id"), col("pca").as("embedding"))
-    val rc = rot(corpus).localCheckpoint()
+    // PERSIST (not localCheckpoint) so the release below actually releases:
+    // Dataset.unpersist on a localCheckpoint'd frame is a cache-manager
+    // no-op — the blocks belong to the internal checkpoint RDD, which only
+    // the ContextCleaner ever frees (advisor, r14) — while persist/unpersist
+    // are symmetric through the cache manager. The count() pays the d×d
+    // projection ONCE; every downstream pass (PQ training rounds, encode,
+    // ADC scan, rerank join) then reads the cache (measured 2207 s → 83 s at
+    // the 1M×32 stress when this materialization was first added, r13).
+    val rc = rot(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rc.count()
     val train = if (trainMod == 1) rc
       else rc.filter(pmod(xxhash64(col("vec_id")), lit(trainMod.toLong)) === 0L)
     if (trainMod > 1) require(!train.isEmpty,
       s"trainMod=$trainMod selected zero training rows from this corpus — " +
         "lower it (or pass 1 to train on every row)")
     val books = trainPQ(train, m, ksub, iters)
-    // Materialize the RESULT (|queries|·k rows — model-scale) and release the
-    // checkpointed rotated corpus before returning: without the unpersist,
-    // every invocation leaves a corpus-sized block set in executor storage
-    // until the ContextCleaner happens to GC the RDD — bench sweeps invoke
-    // this many times per session and would accumulate them (advisor, r13).
-    // The eager checkpoint of the small result severs its lineage from `rc`,
-    // so the unpersist is safe before the caller ever consumes the plan.
+    // Materialize the RESULT (|queries|·k rows — model-scale) so its lineage
+    // severs from `rc`, then release the corpus-sized cache before returning:
+    // bench sweeps invoke this many times per session and would otherwise
+    // accumulate a corpus of blocks per call (advisor, r13).
     try pqTopKEncoded(pqEncode(rc, books), rc, rot(queries), books, k,
       rerankFactor).localCheckpoint()
     finally rc.unpersist()

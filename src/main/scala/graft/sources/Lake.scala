@@ -198,8 +198,16 @@ object Lake {
       s"re-bucket needs a different positive bucket count, got $oldBuckets -> $newBuckets")
     val rows = spark.read.parquet(path)
     val schemaDdl = rows.schema.toDDL
+    // the affected set derives from the LIVE FILES, never the caller's
+    // oldBuckets (advisory, for the API contract above): an understated
+    // count would otherwise leave live files beyond it unswapped — stale
+    // rows that hash elsewhere under n′, silently corrupting co-located
+    // reads (the trap resplitIvfIndex avoids by listing cells from disk)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveBuckets = bucketFiles(fs, path).keys.toSeq
     rewriteBuckets(spark, path, table, bucketCol, newBuckets,
-      affected = 0 until math.max(oldBuckets, newBuckets), rows,
+      affected = (liveBuckets ++ (0 until newBuckets)).distinct.sorted, rows,
       ".rebucket_staging")
     // the files now carry the n′ layout; make the catalog's bucket spec
     // follow them (EXTERNAL table: drop touches metadata only, never files)
