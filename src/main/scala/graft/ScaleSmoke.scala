@@ -1494,7 +1494,8 @@ object ScaleSmoke {
         graft.streaming.StreamingViews.runToMemory(spark,
           streamDir.resolve("events").toString, "smoke_hh_sketch",
           src => graft.streaming.StreamingViews.streamHeavyHittersSketch(
-            src.withColumn("ts", col("ts").cast("timestamp")), capacity = 64),
+            src.withColumn("ts", col("ts").cast("timestamp")), capacity = 64,
+            shards = 4),
           outputMode = "update"))
       val exact = spark.read.parquet(streamDir.resolve("events").toString)
         .groupBy(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
@@ -1504,7 +1505,58 @@ object ScaleSmoke {
       val secs1 = (System.nanoTime() - t1) / 1e9
       require(settled.exceptAll(exact).isEmpty && exact.exceptAll(settled).isEmpty,
         "settled sketch diverged from the exact windowed counts in the roomy regime")
-      emit(f"SCALE ${"streaming MG sketch 1M events (capacity 64)"}%-52s $secs1%8.2f s  rows=$nSketch  ok(settled == exact windowed counts) (${(1000000 / secs1 / 1000).toLong}k ev/s)")
+      emit(f"SCALE ${"streaming MG sketch 1M events (capacity 64, 4 shards)"}%-52s $secs1%8.2f s  rows=$nSketch  ok(settled == exact windowed counts) (${(1000000 / secs1 / 1000).toLong}k ev/s)")
+    }
+
+    // ---- sharded MG sketch at full volume on a WIDE item domain (r14
+    // verdict ask #1): item = user_id (100k distinct, hot user 0 at ~20%),
+    // the regime the sketch exists for — exact windowed counts would keep
+    // 720 windows x 100k items of state. State keys are (window,
+    // pmod(xxhash64(item), 8)), so a window's events spread over 8 sketch
+    // groups instead of funneling the hot current-hour key through ONE task
+    // — the r14 `weak` finding. Invariants: every window's emissions really
+    // carry all 8 shards (the >1-task evidence), and the hot user survives
+    // every window with never-overcounted, bound-respecting estimates.
+    locally {
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_smoke_hh10m")
+      streamDir.toFile.deleteOnExit()
+      events.write.mode("overwrite").parquet(streamDir.resolve("events").toString)
+      val t0 = System.nanoTime()
+      val emissions = graft.streaming.StreamingViews.runToMemory(spark,
+        streamDir.resolve("events").toString, "smoke_hh_sketch_10m",
+        src => graft.streaming.StreamingViews.streamHeavyHittersSketch(
+          src.withColumn("ts", col("ts").cast("timestamp")),
+          itemCol = "user_id", capacity = 64, shards = 8),
+        outputMode = "update", shufflePartitions = 8)
+      val settled = graft.streaming.StreamingViews.settleSketch(emissions)
+      // per-window shard spread: the whole point of the re-key
+      val spread = emissions.groupBy("hour_bucket")
+        .agg(countDistinct(col("shard")).as("nsh"))
+        .agg(min(col("nsh")), count(lit(1))).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(spread.getLong(0) == 8L,
+        s"a window's sketch work ran on ${spread.getLong(0)} shards, expected 8")
+      // hot-user guarantee: never overcount; undercount within the window
+      // bound n_window/(capacity+1); present in EVERY window (its ~20%
+      // share dwarfs the bound)
+      val hot = spark.read.parquet(streamDir.resolve("events").toString)
+        .groupBy(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"))
+        .agg(count(lit(1)).as("n_window"),
+          sum(when(col("user_id") === 0L, 1L).otherwise(0L)).as("exact_hot"))
+        .join(settled.filter(col("item") === "0"), Seq("hour_bucket"), "left")
+        .select(
+          count(lit(1)),
+          sum(when(col("est_count").isNull, 1L).otherwise(0L)),
+          sum(when(col("est_count") > col("exact_hot"), 1L).otherwise(0L)),
+          sum(when(col("est_count") <
+            col("exact_hot") - col("n_window") / 65L, 1L).otherwise(0L)))
+        .head()
+      require(hot.getLong(1) == 0L, s"hot user missing from ${hot.getLong(1)} windows")
+      require(hot.getLong(2) == 0L, s"sketch OVERCOUNTED in ${hot.getLong(2)} windows")
+      require(hot.getLong(3) == 0L,
+        s"undercount beyond n_window/(capacity+1) in ${hot.getLong(3)} windows")
+      val nWin = hot.getLong(0)
+      emit(f"SCALE ${"streaming MG sketch 10M events, 100k items, 8 shards"}%-52s $secs%8.2f s  rows=$nWin  ok(all windows on 8 shards; hot user in-bounds everywhere) (${(rows / secs / 1000).toLong}k ev/s)")
     }
 
     // ---- stateful streaming at volume (r11 verdict ask #8): the event-time

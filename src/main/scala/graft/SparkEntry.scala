@@ -5897,18 +5897,22 @@ object SparkEntry {
               WHERE rank <= 3""")),
 
     Q("w_stream_heavy_hitters_sketch", // the BOUNDED-STATE streaming heavy
-      // hitter (unbounded item domains): one capacity-bounded Misra-Gries
-      // sketch per window inside flatMapGroupsWithState — state is
-      // windows × capacity whatever the stream carries — settled by the
-      // max-n_updates emission (the streamFunnel argmax discipline) and
-      // ranked read-side. Capacity 64 exceeds the event_type domain, so no
-      // decrement fires and the settled counts are EXACT: the same oracle
-      // as the exact-count twin gates the whole sketch path.
+      // hitter (unbounded item domains): capacity-bounded Misra-Gries
+      // sketches inside flatMapGroupsWithState, state keyed by
+      // (window, pmod(xxhash64(item), 4)) so a window's events spread over
+      // 4 tasks instead of funneling the hot current-hour key through one
+      // (r14 verdict) — state is windows × shards × capacity whatever the
+      // stream carries — settled by the max-n_updates emission per sketch
+      // (the streamFunnel argmax discipline) and ranked read-side. Item-
+      // deterministic sharding keeps each item's counts in ONE shard, and
+      // capacity 64 exceeds any shard's event_type domain, so no decrement
+      // fires and the settled shard union is EXACT: the same oracle as the
+      // exact-count twin gates the whole sharded sketch path.
       (s, d) => {
         val emissions = StreamingViews.runToMemory(s, s"$d/events.parquet",
           "graft_whhs_sink", src => StreamingViews.streamHeavyHittersSketch(
             Tables.normalizeEventTs(src).withColumn("ts", col("ts").cast("timestamp")),
-            itemCol = "event_type", capacity = 64),
+            itemCol = "event_type", capacity = 64, shards = 4),
           outputMode = "update")
         StreamingViews.topKPerWindow(
           StreamingViews.settleSketch(emissions).withColumnRenamed("est_count", "cnt"),

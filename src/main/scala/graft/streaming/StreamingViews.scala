@@ -77,58 +77,123 @@ object StreamingViews {
     * unbounded-item-domain form [[streamHeavyHitterCounts]] defers to: the
     * exact windowed count keeps one state row per (window, item), which an
     * unbounded domain (URLs, user agents, raw tokens) grows without limit;
-    * here `flatMapGroupsWithState` keyed by the hour bucket keeps ONE
-    * capacity-bounded sketch per window (the `Ops.approxHeavyHitters` update
-    * rule: increment, claim a free slot, or decrement-all-and-drop-zeros),
-    * so state is `windows × capacity` whatever the stream carries. Each
-    * trigger emits the window's current counters tagged with the state's
-    * update counter — settle by max `n_updates` per window (the
-    * [[streamFunnel]] argmax discipline), then rank with [[topKPerWindow]].
-    * With capacity ≥ the window's distinct items no decrement ever fires and
-    * the settled counts are EXACT (the driver-gated regime, equal to the
-    * batch windowed count); the approximate regime inherits the batch
-    * sketch's guarantees — never overcounts, per-window undercount ≤
-    * n_window/(capacity+1), every item above that bound survives. */
+    * here `flatMapGroupsWithState` keeps capacity-bounded sketches (the
+    * `Ops.approxHeavyHitters` update rule: increment, claim a free slot, or
+    * decrement-all-and-drop-zeros), so state is `windows × shards × capacity`
+    * whatever the stream carries. Each trigger emits a sketch's current
+    * counters tagged with its update counter — settle by max `n_updates` per
+    * (window, shard) ([[settleSketch]], the [[streamFunnel]] argmax
+    * discipline), then rank with [[topKPerWindow]].
+    *
+    * SHARDING (the 100 TB hot-key fix, r14 verdict): keying state by the
+    * window alone funnels EVERY event of a window through one task — and for
+    * a live stream the current hour is the single hottest possible key, so
+    * that one task serializes the whole feed. `shards > 1` re-keys state to
+    * `(hour_bucket, pmod(xxhash64(item), shards))`: a window's events spread
+    * across `shards` tasks, and because item→shard is DETERMINISTIC every
+    * item's counts live in exactly one shard, so the per-shard MG guarantee
+    * holds verbatim — never overcounts, per-(window, shard) undercount ≤
+    * n_shard/(capacity+1) (n_shard ≤ n_window, so sharding only TIGHTENS the
+    * window-level bound) — and the settled shard union is a plain union
+    * (each (window, item) appears in one shard). With capacity ≥ a shard's
+    * distinct items no decrement ever fires and the settled counts are EXACT
+    * (the driver-gated regime, equal to the batch windowed count).
+    *
+    * EVICTION (r14 verdict): `eventTimeEviction = true` watermarks the
+    * stream (`watermarkDelay`) and arms an event-time timeout per sketch at
+    * `window_end + allowedLatenessMs`: once the watermark passes it, the
+    * sketch re-emits its settled counters one last time (same `n_updates` —
+    * idempotent under the max-settle) and FREES the state, so a long-running
+    * stream holds sketches only for windows inside the lateness horizon
+    * instead of every hour bucket ever. Beyond-horizon stragglers restart a
+    * window's sketch from empty with a RESET `n_updates`; the max-settle
+    * keeps the pre-eviction emission — i.e. horizon-late data is dropped
+    * from the settled view, the same W2 divergence knob as every watermarked
+    * operator here. Off by default to preserve the exact unbounded-lateness
+    * twin. */
   def streamHeavyHittersSketch(events: DataFrame, itemCol: String = "event_type",
-                               capacity: Int = 64): DataFrame = {
+                               capacity: Int = 64, shards: Int = 1,
+                               eventTimeEviction: Boolean = false,
+                               watermarkDelay: String = "10 seconds",
+                               allowedLatenessMs: Long = 0L): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
-        col(itemCol).cast("string").as("item"))
-      .as[(String, String)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[MgSketchState, (String, Long, String, Long)](
-        org.apache.spark.sql.streaming.OutputMode.Update,
-        GroupStateTimeout.NoTimeout) {
-        case (bucket, rows, state) =>
-          val prev = state.getOption.getOrElse(MgSketchState(0L, Map.empty))
-          val counts = scala.collection.mutable.HashMap[String, Long](prev.counts.toSeq: _*)
-          rows.foreach { case (_, v) =>
-            if (counts.contains(v) || counts.size < capacity)
-              counts.update(v, counts.getOrElse(v, 0L) + 1L)
-            else counts.keys.toArray.foreach { k =>
-              val c = counts(k)
-              if (c == 1L) counts.remove(k) else counts.update(k, c - 1L)
+    // the watermarked event-time column must reach the stateful operator
+    // (EventTimeTimeout contract — see sessionize/streamFunnel), so `ts`
+    // rides the projection; window_end_ms is per-row but constant within a
+    // group (all rows of a group share the hour bucket).
+    val base = events
+      .select(col("ts").cast("timestamp").as("ts"),
+        date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
+        pmod(xxhash64(col(itemCol).cast("string")), lit(shards.toLong)).cast("int").as("shard"),
+        col(itemCol).cast("string").as("item"),
+        ((floor(unix_millis(col("ts").cast("timestamp")) / 3600000L) + 1L) * 3600000L)
+          .cast("long").as("window_end_ms"))
+    val bounded =
+      if (eventTimeEviction) base.withWatermark("ts", watermarkDelay) else base
+    val timeoutConf =
+      if (eventTimeEviction) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    bounded
+      .select(col("hour_bucket"), col("shard"), col("item"), col("window_end_ms"),
+        col("ts"))
+      .as[(String, Int, String, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[MgSketchState, (String, Int, Long, String, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update, timeoutConf) {
+        case ((bucket, shard), rows, state) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            // watermark passed window_end + lateness: final idempotent
+            // re-emission (same n_updates), then free the sketch
+            val prev = state.get
+            state.remove()
+            prev.counts.iterator.map { case (item, c) =>
+              (bucket, shard, prev.nUpdates, item, c)
+            }
+          } else {
+            val prev = state.getOption.getOrElse(MgSketchState(0L, Map.empty))
+            val counts = scala.collection.mutable.HashMap[String, Long](prev.counts.toSeq: _*)
+            var windowEndMs = 0L
+            rows.foreach { case (_, _, v, wEnd, _) =>
+              windowEndMs = wEnd
+              if (counts.contains(v) || counts.size < capacity)
+                counts.update(v, counts.getOrElse(v, 0L) + 1L)
+              else counts.keys.toArray.foreach { k =>
+                val c = counts(k)
+                if (c == 1L) counts.remove(k) else counts.update(k, c - 1L)
+              }
+            }
+            val next = MgSketchState(prev.nUpdates + 1, counts.toMap)
+            state.update(next)
+            if (eventTimeEviction)
+              // clamp above the current watermark: a legal late arrival can
+              // carry a window whose eviction deadline already passed
+              state.setTimeoutTimestamp(math.max(windowEndMs + allowedLatenessMs,
+                state.getCurrentWatermarkMs() + 1))
+            next.counts.iterator.map { case (item, c) =>
+              (bucket, shard, next.nUpdates, item, c)
             }
           }
-          val next = MgSketchState(prev.nUpdates + 1, counts.toMap)
-          state.update(next)
-          next.counts.iterator.map { case (item, c) =>
-            (bucket, next.nUpdates, item, c)
-          }
       }
-      .toDF("hour_bucket", "n_updates", "item", "est_count")
+      .toDF("hour_bucket", "shard", "n_updates", "item", "est_count")
   }
 
   /** Settle [[streamHeavyHittersSketch]]'s update-mode emissions: per
-    * window, keep the LAST emission's counters (max `n_updates` — each
-    * micro-batch that touched the window emitted once with a higher
-    * counter). Input is sketch-bounded (windows × capacity per emission),
-    * so the settle window sort is over sketch rows, never events. */
+    * (window, shard) sketch, keep the LAST emission's counters (max
+    * `n_updates` — each micro-batch that touched the sketch emitted once
+    * with a higher counter), then drop the shard tag: item-deterministic
+    * sharding puts each (window, item) in exactly one shard, so the union
+    * across settled shards has one row per (window, item) — no re-merge
+    * needed. Input is sketch-bounded (windows × shards × capacity per
+    * emission), so the settle window sort is over sketch rows, never
+    * events. Accepts pre-sharding emissions (no `shard` column) too. */
   def settleSketch(emissions: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("hour_bucket"))
+    val parts =
+      if (emissions.columns.contains("shard")) Seq(col("hour_bucket"), col("shard"))
+      else Seq(col("hour_bucket"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(parts: _*)
     emissions
       .withColumn("__max", max(col("n_updates")).over(w))
       .filter(col("n_updates") === col("__max"))

@@ -74,6 +74,92 @@ class StreamingSpec extends SparkSpec {
       s"sketch overcounted: $tight vs $trueCounts")
   }
 
+  test("streamHeavyHittersSketch sharded: shard union equals the unsharded sketch (exact regime)") {
+    implicit val sqlCtx = spark.sqlContext
+    // a wider item domain than allEvents so the 4 shards actually spread:
+    // 8 distinct items in one hour window, two batches
+    val wide = (0 until 16).map { i =>
+      TestEvent(100 + i, i, s"item_${i % 8}", ts(f"2024-01-01 10:${i * 3}%02d:00"), 0, "{}")
+    }
+    def run(shards: Int, sink: String): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[TestEvent]
+      val q = StreamingViews.streamHeavyHittersSketch(stream.toDF(),
+          capacity = 64, shards = shards)
+        .writeStream.outputMode("update").format("memory").queryName(sink).start()
+      try {
+        stream.addData(wide.take(7)); q.processAllAvailable()
+        stream.addData(wide.drop(7)); q.processAllAvailable()
+      } finally q.stop()
+      spark.table(sink)
+    }
+    val sharded = run(4, "t_hh_shards4")
+    val unsharded = run(1, "t_hh_shards1")
+    // the sharded run really used >1 state key for the window (the hot-key
+    // spread the r14 verdict asked for)
+    val shardsSeen = sharded.select("shard").distinct().collect().map(_.getInt(0)).toSet
+    assert(shardsSeen.size > 1, s"expected >1 shard over 8 items, got $shardsSeen")
+    // item-deterministic sharding: each (window, item) settles in exactly one shard
+    val settledSharded = StreamingViews.settleSketch(sharded)
+    assert(settledSharded.groupBy("hour_bucket", "item").count()
+      .filter(col("count") > 1).isEmpty, "an item settled in more than one shard")
+    // shard union ≡ unsharded ≡ exact batch counts (capacity ≥ distinct per shard)
+    assert(rowSet(settledSharded) === rowSet(StreamingViews.settleSketch(unsharded)))
+    val batch = wide.toDF()
+      .groupBy(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
+        col("event_type").as("item"))
+      .agg(count(lit(1)).as("est_count"))
+    assert(rowSet(settledSharded) === rowSet(batch))
+  }
+
+  test("streamHeavyHittersSketch eventTimeEviction frees closed-window sketches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    val q = StreamingViews.streamHeavyHittersSketch(stream.toDF(),
+        capacity = 64, shards = 1, eventTimeEviction = true,
+        watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_hh_evict").start()
+    def emissions(): Array[(String, Long, String, Long)] =
+      spark.table("t_hh_evict").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getString(3), r.getLong(4)))
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      // batch 1: two events in the 10:00 window -> sketch n_updates=1, cnt=2
+      stream.addData(Seq(
+        TestEvent(1, 1, "signup", ts("2024-01-01 10:00:00"), 0, "{}"),
+        TestEvent(2, 2, "signup", ts("2024-01-01 10:30:00"), 0, "{}")))
+      q.processAllAvailable()
+      // batch 2: one more 10:00-window event plus a 13:00 event that moves
+      // the watermark past the 11:00 deadline at end of batch
+      stream.addData(Seq(
+        TestEvent(3, 3, "signup", ts("2024-01-01 10:40:00"), 0, "{}"),
+        TestEvent(4, 4, "purchase", ts("2024-01-01 13:00:00"), 0, "{}")))
+      q.processAllAvailable()
+      // the post-watermark-advance timeout batch re-emits the settled
+      // counters (same n_updates=2 — idempotent under the max-settle) and
+      // FREES the 10-o'clock sketch
+      waitFor("10:00 window's eviction re-emission")(
+        emissions().count(_ == ("2024010110", 2L, "signup", 3L)) >= 2)
+      waitFor("state rows drop to the open window only")(
+        Option(q.lastProgress).exists(p =>
+          p.stateOperators.nonEmpty && p.stateOperators(0).numRowsTotal == 1))
+      // a beyond-horizon straggler restarts the window's sketch from empty
+      // (n_updates resets to 1) — the max-settle keeps the pre-eviction
+      // emission, i.e. horizon-late data drops from the settled view (W2)
+      stream.addData(Seq(TestEvent(5, 5, "signup", ts("2024-01-01 10:50:00"), 0, "{}")))
+      q.processAllAvailable()
+      val settled = StreamingViews.settleSketch(spark.table("t_hh_evict"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(settled === Map(
+        ("2024010110", "signup") -> 3L, ("2024010113", "purchase") -> 1L),
+        s"settled view changed after eviction: $settled")
+    } finally q.stop()
+  }
+
   test("streaming funnel equals the batch funnel, including late-signup demotion") {
     implicit val sqlCtx = spark.sqlContext
     // batch 1: signup@10:00, view@12:00 -> stage 2 under a 1 h horizon? no —
