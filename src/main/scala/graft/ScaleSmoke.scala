@@ -1113,6 +1113,24 @@ object ScaleSmoke {
         require(r.getDouble(2) <= 0.0, s"slope ${r.getDouble(2)} must be <= 0")
         1L
       }
+      // the WIDE-VOCAB regime the r14 advisory named (1e8-1e9 types at true
+      // web scale): 12M DISTINCT types, every token unique — the two-pass
+      // range rank spreads the type table over every shuffle partition where
+      // the old unpartitioned window serialized it through one task. All
+      // counts are 1, so the invariants are exact: n_types = n_tokens = 12M,
+      // constant y fits flat (slope 0, r2 1).
+      time("zipfFit 12M distinct types (two-pass rank)", exactly(1)) {
+        val wide = spark.range(1000000).select(
+          concat_ws(" ", (0 until 12).map(i =>
+            concat(lit("t"), (col("id") * 12 + lit(i)).cast("string"))): _*)
+            .as("text"))
+        val r = graft.operators.Curation.zipfFit(wide).head()
+        require(r.getLong(0) == 12000000L, s"n_types ${r.getLong(0)}")
+        require(r.getLong(1) == 12000000L, s"n_tokens ${r.getLong(1)}")
+        require(r.getDouble(2) == 0.0 && r.getDouble(3) == 1.0,
+          s"flat-count corpus must fit (0, 1), got (${r.getDouble(2)}, ${r.getDouble(3)})")
+        1L
+      }
       time("dsirWeights hashed 1M docs vs 5% target", exactly(nDocs)) {
         // both count models dense <=65536 rows; corpus pays one feature join.
         // Force the weight column and require a finite total.
@@ -1413,6 +1431,30 @@ object ScaleSmoke {
           require(r.getLong(1) > 0L, "keyframe checksum total vacuous")
           r.getLong(0)
         }
+        // FRAME-HEAVY clips (r14 verdict ask #3): 512 videos x 256 frames —
+        // the long-video regime where the buffered extractor retains every
+        // decoded frame of a clip until ranking and the two-pass form holds
+        // TWO whatever the clip length. The gate: the two-pass selection's
+        // per-video checksums EQUAL the buffered twin's at this volume (the
+        // re-walk picked exactly the ranked winners), and the count proves
+        // every winner re-encoded and re-decoded.
+        locally {
+          val longDocs = spark.range(512).select(col("id").as("doc_id"))
+          def avis = graft.operators.Multimodal
+            .syntheticLongAvisFromDocuments(spark, longDocs, framesPerVideo = 256)
+            .toDF()
+          val bufAgg = graft.operators.Multimodal.keyframesBuffered(spark, avis, k = 2)
+            .agg(count(lit(1)), sum(col("pixel_sum")), sum(col("pixel_poly"))).head()
+          time("keyframes two-pass 512 frame-heavy AVIs (256 fr)", exactly(1024)) {
+            val r = graft.operators.Multimodal.keyframes(spark, avis, k = 2)
+              .agg(count(lit(1)), sum(col("pixel_sum")), sum(col("pixel_poly"))).head()
+            require(r.getLong(0) == bufAgg.getLong(0) &&
+              r.getLong(1) == bufAgg.getLong(1) && r.getLong(2) == bufAgg.getLong(2),
+              s"two-pass keyframes diverged from buffered at 256-frame volume: " +
+                s"$r vs $bufAgg")
+            r.getLong(0)
+          }
+        }
         // fixed-bin spectra: 4 bins per wavWindows window, fixed-point DFT,
         // map-only; count proves every window of every WAV produced all 4
         // bins, and centroid_den >= each of its bin powers by construction
@@ -1449,6 +1491,41 @@ object ScaleSmoke {
           require(cl.getLong(0) <= 100L,
             s"${cl.getLong(0)} clusters from 100 planted classes")
           emit(f"SCALE ${"imageDupClusters 100k clones -> 100 classes"}%-52s $secs%8.2f s  rows=${cl.getLong(0)}  ok(membership == 100000; clusters <= 100)")
+        }
+        // persisted image-dedup index at volume (r14 verdict ask #4): build
+        // the band-bucketed table over 100k clone images' hashes, probe with
+        // a fresh 10k slice (same classes). Every probe image exact-matches
+        // its class's ~1k base copies at hamming 0, so the probe pair count
+        // is EXACTLY Σ_class |probe_c|·|base_c| plus any cross-class
+        // near-collisions — lower-bounded by the arithmetic; the build/probe
+        // split is the throughput line a live ingest gate cares about.
+        locally {
+          val dir = java.nio.file.Files.createTempDirectory("graft_smoke_imgidx").toString
+          val probeDocs = spark.range(100000, 110000).select(col("id").as("doc_id"))
+          val t0 = System.nanoTime()
+          graft.operators.Multimodal.writeImageDedupIndex(
+            graft.operators.Multimodal.imageDHash(spark,
+              graft.operators.Multimodal.syntheticCloneJpegsFromDocuments(spark,
+                jdocs, classes = 100).toDF()).toDF(),
+            s"$dir/idx", "graft_smoke_img_idx", buckets = 32)
+          val buildSecs = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val probed = graft.operators.Multimodal.imageNearDupsAgainstIndex(
+            graft.operators.Multimodal.imageDHash(spark,
+              graft.operators.Multimodal.syntheticCloneJpegsFromDocuments(spark,
+                probeDocs, classes = 100).toDF()).toDF(),
+            graft.sources.Lake.readBucketedVerified(spark, s"$dir/idx",
+              "graft_smoke_img_idx", "bkey", 32),
+            maxDf = 1000000)
+            .agg(count(lit(1)),
+              sum(when(col("hamming") === 0L, 1L).otherwise(0L))).head()
+          val probeSecs = (System.nanoTime() - t1) / 1e9
+          // 100 probe copies x 1000 base copies per class = 10,000,000
+          // hamming-0 pairs; >= because cross-class hash collisions may add
+          require(probed.getLong(1) >= 10000000L && probed.getLong(0) >= probed.getLong(1),
+            s"exact-pair count ${probed.getLong(1)} below the 10M arithmetic floor")
+          spark.sql("DROP TABLE IF EXISTS graft_smoke_img_idx")
+          emit(f"SCALE ${"imageDedupIndex build 100k + probe 10k (32 bkts)"}%-52s ${buildSecs + probeSecs}%8.2f s  rows=${probed.getLong(0)}  ok(>= 10M exact pairs; build $buildSecs%.2f s, probe $probeSecs%.2f s)")
         }
         // FIR decimation: one row per clip; Σ n_out must equal the exact
         // ceil(n/2) arithmetic — a dropped or double-counted output sample

@@ -128,6 +128,27 @@ object SparkEntry {
           CAST(min(doc_id) AS BIGINT) AS canonical_id
         FROM hashes GROUP BY dhash_hi, dhash_lo"""
 
+  /** The persisted-index probe SELECT over [[dHashCtes]]'s `hashes` —
+    * recomputes the 4×16 band keys (`bkey` = band·2¹⁶ + slice, exactly
+    * Multimodal.dHashBandRows' arithmetic), the df bound, the band-join
+    * candidates, and the exact bit_count Hamming verify — shared by the
+    * build/probe and lifecycle gates so both prove the same contract. */
+  private val dHashIndexProbeSelect: String =
+    """,
+        bands AS (SELECT doc_id, dhash_hi, dhash_lo,
+          unnest([dhash_lo & 65535, ((dhash_lo >> 16) & 65535) + 65536,
+            (dhash_hi & 65535) + 131072,
+            ((dhash_hi >> 16) & 65535) + 196608]) AS bkey FROM hashes),
+        baseb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
+        batchb AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
+        good AS (SELECT bkey FROM baseb GROUP BY bkey HAVING count(*) <= 1000)
+        SELECT DISTINCT batchb.doc_id AS batch_id, baseb.doc_id AS base_id,
+          CAST(bit_count(xor(batchb.dhash_hi, baseb.dhash_hi)) +
+            bit_count(xor(batchb.dhash_lo, baseb.dhash_lo)) AS BIGINT) AS hamming
+        FROM batchb JOIN baseb USING (bkey) JOIN good USING (bkey)
+        WHERE bit_count(xor(batchb.dhash_hi, baseb.dhash_hi)) +
+          bit_count(xor(batchb.dhash_lo, baseb.dhash_lo)) <= 3"""
+
   /** Segment CTEs shared by the three boilerplate-removal oracles: the planted
     * fixture (every doc gains one corpus-wide banner sentence + its doc_id%3
     * group either shares a second sentence or gets a unique tail), segmented
@@ -4296,7 +4317,73 @@ object SparkEntry {
       (s, d) => Multimodal.imageDupClusters(s,
           Multimodal.syntheticCloneJpegsFromDocuments(s,
             Tables.documents(s, d), classes = 100).toDF()),
-      Some(dHashCtes("doc_id % 100") + dHashClusterSelect)))
+      Some(dHashCtes("doc_id % 100") + dHashClusterSelect)),
+
+    Q("dedup_image_persisted", // the image-dedup index ON DISK (r14 verdict
+      // ask #4, giving the image modality the winnow-index lifecycle): the
+      // frozen corpus's dHashes persist as band rows bucketed on
+      // bkey = band*2^16 + slice (Multimodal.writeImageDedupIndex), the
+      // new-crawl slice decodes, hashes, and probes the table read BACK
+      // from disk through the layout-verified reader — so the hash match
+      // proves decode + banding + store/probe round trip + df bound + exact
+      // Hamming verify. Clone classes straddle the % 20 split, so every
+      // probe image exact-matches its class's base copies (hamming 0) plus
+      // any genuine cross-class near-collisions, which the oracle
+      // recomputes arithmetically.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_img_idx_${math.abs(d.hashCode)}"
+        Multimodal.writeImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            docs.filter(col("doc_id") % 20 =!= 0), classes = 100).toDF()).toDF(),
+          path, "graft_img_idx", buckets = 4)
+        Multimodal.imageNearDupsAgainstIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            docs.filter(col("doc_id") % 20 === 0), classes = 100).toDF()).toDF(),
+          graft.sources.Lake.readBucketedVerified(s, path, "graft_img_idx",
+            "bkey", 4))
+      },
+      Some(dHashCtes("doc_id % 100") + dHashIndexProbeSelect)),
+
+    Q("dedup_image_persisted_lifecycle", // the image index's APPEND + DELETE
+      // + COMPACT halves in one gate (the dedup_winnow_persisted_delete
+      // discipline): build on the base corpus, append DECOYS — the probe
+      // batch's own images under shifted media ids (the shift is a multiple
+      // of the class count, so each decoy is byte-identical to its probe
+      // image and WOULD surface as a hamming-0 pair) — then revoke exactly
+      // the decoy ids (affected bkey buckets discovered by a broadcast semi
+      // join, only those buckets' files rewritten through the shared staged
+      // swap), compact the append fragmentation, and probe. The oracle is
+      // dedup_image_persisted's base-only recompute, so the hash match IS
+      // the append-visible / delete ≡ rebuild / compaction-preserves-probes
+      // proof: one leaked decoy pair or one over-deleted base row breaks it.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val batch = docs.filter(col("doc_id") % 20 === 0)
+        val decoys = batch.select((col("doc_id") + 10000000L).as("doc_id"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_img_idx_lc_${math.abs(d.hashCode)}"
+        Multimodal.writeImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            docs.filter(col("doc_id") % 20 =!= 0), classes = 100).toDF()).toDF(),
+          path, "graft_img_idx_lc", buckets = 4)
+        Multimodal.appendImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            decoys, classes = 100).toDF()).toDF(),
+          path, "graft_img_idx_lc", buckets = 4)
+        val decoyIds = decoys.select("doc_id").collect().map(_.getLong(0))
+        val affected = Multimodal.deleteFromImageDedupIndex(s, path,
+          "graft_img_idx_lc", decoyIds, buckets = 4)
+        require(affected > 0, "decoy delete touched no bucket — fixture broken")
+        val compacted = graft.sources.Lake.compactBucketed(
+          s, path, "graft_img_idx_lc", "bkey", buckets = 4)
+        require(compacted >= 0, "compaction failed")
+        Multimodal.imageNearDupsAgainstIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            batch, classes = 100).toDF()).toDF(),
+          graft.sources.Lake.readBucketedVerified(s, path, "graft_img_idx_lc",
+            "bkey", 4))
+      },
+      Some(dHashCtes("doc_id % 100") + dHashIndexProbeSelect)))
 
   // ------------------------------------------------------------------
   // corpus governance: decontamination, domain capping, mixture sampling,
@@ -4773,6 +4860,31 @@ object SparkEntry {
           .select(col("n_rows"), col("__eq").as("stream_equals_batch"))
       },
       Some("""SELECT CAST(4 * sum((63 + doc_id % 37) // 16 + 1) AS BIGINT) AS n_rows,
+              TRUE AS stream_equals_batch FROM documents""")),
+
+    Q("w_stream_wav_resample", // anti-alias FIR resampling on a LIVE stream
+      // (r14 verdict ask #6, the one missing media streaming twin): the
+      // L-tap convolution and per-file checksums are local to one row's
+      // payload — stateless, append mode, ZERO streaming state (the
+      // w_stream_wav_spectrum shape with the resampler inside). Stream-vs-
+      // batch multiset equality plus the arithmetic output-sample total
+      // (Σ (n+1)/2 over the fixture lengths) make the parity driver-visible
+      // against the same exact-integer oracle that gates the batch form.
+      (s, d) => {
+        def resampled(src: DataFrame): DataFrame =
+          Multimodal.wavResample(s,
+            Multimodal.syntheticWavsFromDocuments(s, src).toDF(),
+            factor = 2, halfTaps = 7, scaleBits = 12).toDF()
+        val streamed = StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wresamp_sink", resampled, outputMode = "append")
+        val batch = resampled(Tables.documents(s, d))
+        batch.agg(count(lit(1)).as("n_files"), sum(col("n_out")).as("total_out"))
+          .crossJoin(multisetEqualCol(streamed, batch))
+          .select(col("n_files"), col("total_out"),
+            col("__eq").as("stream_equals_batch"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum((64 + doc_id % 37 + 1) // 2) AS BIGINT) AS total_out,
               TRUE AS stream_equals_batch FROM documents""")),
 
     Q("w_stream_pca_drift", // EMBEDDING-DRIFT monitor on a live stream — the

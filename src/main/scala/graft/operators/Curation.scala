@@ -1041,25 +1041,71 @@ object Curation {
     * defined slope and reports (slope 0, r² 1).
     *
     * Scale shape: ONE map-side-combined token-count aggregate over the corpus
-    * (the floor for any frequency statistic), then rank + the five fit
-    * moments on the vocab-BOUNDED type table (unpartitioned window + one
-    * scalar aggregate — the [[tokenDistributionDrift]] frame pattern). */
+    * (the floor for any frequency statistic), then the global frequency rank
+    * via a TWO-PASS RANGE-PARTITIONED row_number (r14 verdict ask #5 — the
+    * previous unpartitioned window serialized a true web-scale vocab,
+    * 10⁸–10⁹ types, through one task): range-exchange the type table on the
+    * rank order, take a per-partition histogram (one tiny action on the
+    * persisted frame — |shuffle partitions| rows), broadcast the cumulative
+    * offsets back, and rank = offset(partition) + row_number within the
+    * partition — every partition sorts in parallel, no single-task sort
+    * anywhere. Range partitions are non-overlapping and ordered, so the
+    * stitched rank is EXACTLY the global row_number. The fit moments then
+    * reduce to one row, computed eagerly so the range-partitioned frame can
+    * be persisted for exactly the two passes and released in `finally` (the
+    * histogram and the rank pass must see the SAME partition boundaries —
+    * repartitionByRange samples, so an unpersisted recompute could move
+    * them). */
   def zipfFit(docs: DataFrame): DataFrame = {
-    val xy = unigramCounts(docs)
-      .withColumn("rank", row_number().over(Window.orderBy(col("c").desc, col("token"))))
+    val spark = docs.sparkSession
+    val (xy, ranged) = zipfXy(docs)
+    try {
+      val nD = count(lit(1)).cast("double")
+      val sxy = nD * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
+      val sxx = nD * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
+      val syy = nD * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
+      val fit = xy.agg(
+        count(lit(1)).as("n_types"),
+        coalesce(sum(col("c")), lit(0L)).as("n_tokens"), // empty corpus: 0, not null
+        round(when(sxx > 0, sxy / sxx).otherwise(lit(0.0)), 6).as("zipf_slope"),
+        // constant y (or a single type): a flat line fits exactly -> r2 = 1
+        round(when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).otherwise(lit(1.0)), 6)
+          .as("zipf_r2"))
+      // one row — materialize it so `finally` can release the two-pass frame
+      val row = fit.collect()(0)
+      spark.createDataFrame(
+        java.util.Arrays.asList(row), fit.schema)
+    } finally { ranged.unpersist(); () }
+  }
+
+  /** [[zipfFit]]'s two-pass rank'd (c, x, y) frame — factored out so the
+    * plan pin can assert the rank shape (PlanSpec: one range exchange, the
+    * window keyed by the partition id, NO single-partition exchange).
+    * Returns the lazy fit-input frame plus the persisted range-partitioned
+    * frame backing both passes; the CALLER releases the latter when done. */
+  private[graft] def zipfXy(docs: DataFrame): (DataFrame, DataFrame) = {
+    val spark = docs.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = unigramCounts(docs)
+      .repartitionByRange(nPart, col("c").desc, col("token"))
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition histogram -> cumulative offsets (empty
+    // partitions emit no row and contribute 0 by construction)
+    val hist = ranged.groupBy("__pid").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = hist.map(_._1).zip(
+      hist.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__off")
+    // pass 2: rank within each range partition in parallel, stitched by
+    // the broadcast offsets
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("c").desc, col("token"))
+    val xy = ranged.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("rank", col("__off") + row_number().over(w))
       .select(col("c"), log2(col("rank").cast("double")).as("x"),
         log2(col("c").cast("double")).as("y"))
-    val nD = count(lit(1)).cast("double")
-    val sxy = nD * sum(col("x") * col("y")) - sum(col("x")) * sum(col("y"))
-    val sxx = nD * sum(col("x") * col("x")) - sum(col("x")) * sum(col("x"))
-    val syy = nD * sum(col("y") * col("y")) - sum(col("y")) * sum(col("y"))
-    xy.agg(
-      count(lit(1)).as("n_types"),
-      coalesce(sum(col("c")), lit(0L)).as("n_tokens"), // empty corpus: 0, not null
-      round(when(sxx > 0, sxy / sxx).otherwise(lit(0.0)), 6).as("zipf_slope"),
-      // constant y (or a single type): a flat line fits exactly -> r2 = 1
-      round(when(sxx > 0 && syy > 0, sxy * sxy / (sxx * syy)).otherwise(lit(1.0)), 6)
-        .as("zipf_r2"))
+    (xy, ranged)
   }
 
   /** Split each document into overlapping token windows — the context-length
@@ -1332,31 +1378,61 @@ object Curation {
     *
     * Scale shape: one tokenize+explode and ONE vocab-keyed count aggregate
     * per side (map-side combined — the corpus never shuffles raw text), then
-    * everything downstream — normalizers, full-outer vocab join, total, rank
-    * — runs on vocab-BOUNDED frames (the [[mixtureTemperature]] one-scan
-    * normalizer pattern; unpartitioned windows over at most |vocab| rows).
-    * At 100 TB the cost is two token-count aggregations, which is the floor
+    * everything downstream runs on vocab-BOUNDED frames with NO single-task
+    * step (r14 verdict ask #5 — the previous form funneled the vocab through
+    * unpartitioned windows for the normalizer, the total, and the rank): the
+    * per-side normalizer and js_total are scalar aggregates broadcast back
+    * via one-row crossJoins (the [[mixtureTemperature]] pattern), and the
+    * top-N is `orderBy().limit()` — Spark's TakeOrderedAndProject, a
+    * per-partition heap merged on the driver, never a global sort. At
+    * 100 TB the cost is two token-count aggregations, which is the floor
     * for any distribution comparison. */
   def tokenDistributionDrift(a: DataFrame, b: DataFrame, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"topN must be >= 1, got $topN")
-    def dist(df: DataFrame, pcol: String): DataFrame = unigramCounts(df)
-      .select(col("token"),
-        (col("c").cast("double") / sum("c").over(Window.partitionBy())).as(pcol))
-    val joined = dist(a, "p_a").join(dist(b, "p_b"), Seq("token"), "full_outer")
+    val spark = a.sparkSession
+    val (contrib, top, handles) = driftParts(a, b, topN)
+    try {
+      // the scalar total and the top-N are two passes over the SAME persisted
+      // contrib frame (an unpersisted plan would recompute the token-count
+      // subtree per reference — 2x the corpus work); the result is topN rows,
+      // so materializing it here is model-scale, exactly the zipfFit shape
+      val total = contrib
+        .agg(round(coalesce(sum("js_contrib"), lit(0.0)), 6).as("js_total"))
+        .head().getDouble(0)
+      val out = top.select(col("token"),
+        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
+        round(col("js_contrib"), 6).as("js_contrib"),
+        lit(total).as("js_total"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { handles.foreach(_.unpersist()); () }
+  }
+
+  /** [[tokenDistributionDrift]]'s lazy guts — the plan-pin hook (PlanSpec
+    * asserts the top-N is TakeOrderedAndProject over the persisted contrib
+    * frame, never a window sort). Returns (persisted contrib, lazy top-N,
+    * the persisted handles the CALLER releases when done). */
+  private[graft] def driftParts(a: DataFrame, b: DataFrame, topN: Int)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val ca = unigramCounts(a).persist(lvl)
+    val cb = unigramCounts(b).persist(lvl)
+    // per-side normalizer: a one-row broadcast crossJoin over the persisted
+    // counts (the mixtureTemperature pattern) — never an unpartitioned window
+    def dist(c: DataFrame, pcol: String): DataFrame =
+      c.crossJoin(broadcast(c.agg(sum("c").as("__tot"))))
+        .select(col("token"), (col("c").cast("double") / col("__tot")).as(pcol))
+    val joined = dist(ca, "p_a").join(dist(cb, "p_b"), Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("p_a"), lit(0.0)).as("p_a"),
         coalesce(col("p_b"), lit(0.0)).as("p_b"))
     val m = (col("p_a") + col("p_b")) / 2
     def term(p: Column): Column = when(p > 0, p * log2(p / m) * 0.5).otherwise(lit(0.0))
-    joined
+    val contrib = joined
       .withColumn("js_contrib", round(term(col("p_a")) + term(col("p_b")), 9))
-      .withColumn("js_total", round(sum("js_contrib").over(Window.partitionBy()), 6))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("js_contrib").desc, col("token"))))
-      .filter(col("rk") <= topN)
-      .select(col("token"),
-        round(col("p_a"), 6).as("p_a"), round(col("p_b"), 6).as("p_b"),
-        round(col("js_contrib"), 6).as("js_contrib"), col("js_total"))
+      .persist(lvl)
+    val top = contrib.orderBy(col("js_contrib").desc, col("token")).limit(topN)
+    (contrib, top, Seq(ca, cb, contrib))
   }
 
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for Language

@@ -979,9 +979,19 @@ object Multimodal {
     * runs on CHANNEL 0 (the [[WavWindow]] zero-crossing convention). Typed
     * flatMap, map-only — payloads never shuffle; per-window bin powers and
     * the centroid are computed locally, so the operator adds zero exchanges
-    * at any scale. Overflow headroom: |real| ≤ W·2048·2^scaleBits, so the
-    * defaults (W=32, scaleBits=12) keep power ≤ 1.5e17 and the centroid
-    * numerator ≤ 15·power — far inside Long. */
+    * at any scale.
+    *
+    * Overflow contract (advisor, r14): |real_fp| ≤ W·max|x|·2^scaleBits —
+    * the Long accumulators fit for ANY PCM16 input (≤ 2^42 at the
+    * defaults) — but `power = real² + imag²` and the centroid numerator
+    * square that, so they fit Long only while W·max|x|·2^scaleBits <
+    * ~2.1e9: true for fixture-scale audio (|x| ≤ 2048 at the defaults,
+    * power ≤ 1.5e17) and FALSE for full-scale ±32768 material (a loud
+    * square wave reaches 2^84). Rather than silently wrap and break the
+    * exact-integer contract, power/centroid accumulate via
+    * `Math.multiplyExact`/`addExact` and overflow throws an
+    * `ArithmeticException` naming the window and the fix (lower scaleBits —
+    * scaleBits ≤ 8 clears full-scale PCM16 at W = 32). */
   def wavSpectrum(spark: SparkSession, media: DataFrame,
                   windowSamples: Int = 32, hopSamples: Int = 16,
                   bins: Seq[Int] = Seq(1, 2, 4, 8),
@@ -1018,17 +1028,28 @@ object Multimodal {
                 }
                 m += 1
               }
+              val powers = new Array[Long](binArr.length)
               var num = 0L; var den = 0L
               var bi = 0
-              while (bi < binArr.length) {
-                val p = reals(bi) * reals(bi) + imags(bi) * imags(bi)
-                num += binArr(bi) * p; den += p
-                bi += 1
+              try {
+                while (bi < binArr.length) {
+                  val p = Math.addExact(Math.multiplyExact(reals(bi), reals(bi)),
+                    Math.multiplyExact(imags(bi), imags(bi)))
+                  powers(bi) = p
+                  num = Math.addExact(num, Math.multiplyExact(binArr(bi).toLong, p))
+                  den = Math.addExact(den, p)
+                  bi += 1
+                }
+              } catch {
+                case _: ArithmeticException => throw new ArithmeticException(
+                  s"wavSpectrum power/centroid overflows Long at media_id=" +
+                    s"${r.media_id} window=$k (|real_fp| up to W*max|x|*2^" +
+                    s"$scaleBits squares past 2^63): lower scaleBits — " +
+                    "scaleBits <= 8 clears full-scale PCM16 at W = 32")
               }
               binArr.indices.map { i =>
                 WavSpectrumBin(r.media_id, k, start.toLong, len.toLong, binArr(i),
-                  reals(i), imags(i),
-                  reals(i) * reals(i) + imags(i) * imags(i), num, den)
+                  reals(i), imags(i), powers(i), num, den)
               }
             }
         }
@@ -1891,6 +1912,29 @@ object Multimodal {
     }
   }
 
+  /** FRAME-HEAVY deterministic AVI fixtures — the long-video regime
+    * [[keyframes]]' two-pass walk exists for: every video carries
+    * `framesPerVideo` frames (vs [[syntheticAvisFromDocuments]]'s 1–3), flat
+    * per 8×8 block like every JPEG fixture here so re-encode round-trips
+    * exactly. Frame f of video v has block value
+    * `(v·31 + f·7 + by·37 + bx·11) mod 251`. */
+  def syntheticLongAvisFromDocuments(spark: SparkSession, docs: DataFrame,
+                                     framesPerVideo: Int, w: Int = 48,
+                                     h: Int = 32): Dataset[MediaRecord] = {
+    require(framesPerVideo >= 1 && w >= 8 && h >= 8,
+      s"bad long-AVI fixture shape ($framesPerVideo, $w, $h)")
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val frames = (0 until framesPerVideo).map { f =>
+          encodeJpegGray(w, h,
+            (x, y) => ((id * 31 + f * 7 + (y / 8) * 37 + (x / 8) * 11) % 251).toInt)
+        }
+        MediaRecord(id, "video/avi", encodeAviMjpeg(w, h, frames))
+      }
+    }
+  }
+
   /** One video frame's scene-change signal: `delta_sum` is the exact integer
     * Σ|sample − previous frame's sample| over the decoded sample stream
     * (`n_samples` = channels·w·h terms), `is_cut` flags
@@ -1981,50 +2025,92 @@ object Multimodal {
                       pixel_sum: Long, pixel_poly: Long, pixel_first: Int,
                       pixel_last: Int, jpeg: Array[Byte])
 
+  /** Shared re-encode + round-trip step of the keyframe extractors: one
+    * selected frame → standalone baseline JPEG → re-DECODED checksums. Gray
+    * frames re-encode directly; 4:4:4 color frames re-convert RGB→YCbCr
+    * through the [[resizeJpeg]] matrix. A frame whose re-encode fails to
+    * re-decode yields None (refuse what cannot be faithfully round-tripped). */
+  private def reencodeKeyframe(mediaId: Long, frameIdx: Int, rank: Int,
+                               w: Int, h: Int, c: Int,
+                               px: Array[Byte]): Option[Keyframe] = {
+    val jpeg =
+      if (c == 1) encodeJpeg(w, h, Array(px))
+      else {
+        val planes = Array.fill(3)(new Array[Byte](w * h))
+        var p = 0
+        while (p < w * h) {
+          val rr = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
+          val b = px(3 * p + 2) & 0xff
+          planes(0)(p) = jpegClampByte(0.299 * rr + 0.587 * g + 0.114 * b)
+          planes(1)(p) = jpegClampByte(128.0 - 0.168736 * rr - 0.331264 * g + 0.5 * b)
+          planes(2)(p) = jpegClampByte(128.0 + 0.5 * rr - 0.418688 * g - 0.081312 * b)
+          p += 1
+        }
+        encodeJpeg(w, h, planes)
+      }
+    decodeJpegPixels(jpeg).map { case (dw, dh, _, dpx) =>
+      val (sum, poly, first, last) = sampleChecksums(dpx)
+      Keyframe(mediaId, frameIdx, rank, dw, dh, dpx.length.toLong,
+        sum, poly, first, last, jpeg)
+    }
+  }
+
   /** Keyframe EXTRACTION over MJPEG-in-AVI — the sampling step after
     * [[sceneCuts]]'s detection: per video, keep only the `k` frames with the
     * largest scene-change deltas (delta desc, frame asc — the sceneCuts
     * rank) and emit each as a standalone baseline JPEG. Same zero-exchange
-    * typed flatMap; unlike [[sceneCuts]] the selected frames' PIXELS must
-    * survive until the ranking is known, so peak memory per video is its
-    * decoded frames (a small multiple of the payload the row already holds —
-    * acceptable because an AVI's frames sit in one payload by definition;
-    * a long-video deployment would two-pass: rank on deltas, re-walk for
-    * the winners). Gray frames re-encode directly; 4:4:4 color frames
-    * re-convert RGB→YCbCr through the [[resizeJpeg]] matrix. A frame whose
-    * re-encode fails to re-decode is dropped (refuse what cannot be
-    * faithfully round-tripped). */
+    * typed flatMap, now TWO-PASS (the long-video form the r14 doc promised):
+    * pass 1 is the [[sceneCuts]]-shaped delta walk — pixels drop as it
+    * advances, two decoded frames in memory — yielding the k winner indices;
+    * pass 2 re-walks the payload decoding ONLY the winners, one at a time.
+    * Peak memory per video is therefore two decoded frames regardless of
+    * clip length, vs the buffered twin's every-frame retention — the decode
+    * work doubles for the k winners, the right trade for minutes-long VLM
+    * clips where frames × resolution dwarfs 2× decode cost. Output is
+    * row-for-row identical to [[keyframesBuffered]] (PropertySpec A/B gate).
+    * A frame whose re-encode fails to re-decode is dropped (refuse what
+    * cannot be faithfully round-tripped). */
   def keyframes(spark: SparkSession, media: DataFrame, k: Int = 2): Dataset[Keyframe] = {
     require(k >= 1, s"k must be >= 1, got $k")
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { rows =>
       rows.flatMap { r =>
-        // the SAME delta walk as sceneCuts (shared frameDeltas — the
-        // orderings must agree); here the decoded frames are retained until
-        // the ranking is known, the documented memory trade
+        // pass 1: the SAME delta walk as sceneCuts (shared frameDeltas — the
+        // orderings must agree), consumed for (index, delta) only
+        val winners = frameDeltas(r.payload)
+          .map { case (i, _, _, _, _, d) => (i, d) }.toList
+          .sortBy { case (i, d) => (-d, i) }.take(k)
+          .zipWithIndex.map { case ((i, _), rk) => i -> (rk + 1) }.toMap
+        // pass 2: re-walk, decode only winner indices (frameDeltas indexes
+        // the RAW movi walk, so the indices line up with aviFrameWalk; a
+        // winner decoded in pass 1 decodes again here by determinism)
+        aviFrameWalk(r.payload).iterator.zipWithIndex.flatMap { case (f, i) =>
+          winners.get(i).iterator.flatMap { rk =>
+            decodeJpegPixels(f).flatMap { case (w, h, c, px) =>
+              reencodeKeyframe(r.media_id, i, rk, w, h, c, px)
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** The BUFFERED keyframe extractor — one walk retaining the decoded frames
+    * until the ranking is known (peak memory per video = its decoded
+    * frames). Kept as the A/B twin of the two-pass [[keyframes]]: for short
+    * clips it decodes each frame once, and the equality spec between the two
+    * forms is the gate that the two-pass re-walk picks exactly the frames
+    * the ranking named. */
+  def keyframesBuffered(spark: SparkSession, media: DataFrame,
+                        k: Int = 2): Dataset[Keyframe] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { rows =>
+      rows.flatMap { r =>
         frameDeltas(r.payload).toVector
           .sortBy { case (i, _, _, _, _, d) => (-d, i) }.take(k)
           .zipWithIndex.flatMap { case ((i, w, h, c, px, _), rk) =>
-            val jpeg =
-              if (c == 1) encodeJpeg(w, h, Array(px))
-              else {
-                val planes = Array.fill(3)(new Array[Byte](w * h))
-                var p = 0
-                while (p < w * h) {
-                  val rr = px(3 * p) & 0xff; val g = px(3 * p + 1) & 0xff
-                  val b = px(3 * p + 2) & 0xff
-                  planes(0)(p) = jpegClampByte(0.299 * rr + 0.587 * g + 0.114 * b)
-                  planes(1)(p) = jpegClampByte(128.0 - 0.168736 * rr - 0.331264 * g + 0.5 * b)
-                  planes(2)(p) = jpegClampByte(128.0 + 0.5 * rr - 0.418688 * g - 0.081312 * b)
-                  p += 1
-                }
-                encodeJpeg(w, h, planes)
-              }
-            decodeJpegPixels(jpeg).map { case (dw, dh, _, dpx) =>
-              val (sum, poly, first, last) = sampleChecksums(dpx)
-              Keyframe(r.media_id, i, rk + 1, dw, dh, dpx.length.toLong,
-                sum, poly, first, last, jpeg)
-            }
+            reencodeKeyframe(r.media_id, i, rk + 1, w, h, c, px)
           }
       }
     }
@@ -2067,9 +2153,17 @@ object Multimodal {
     * decimation (take every Nth sample) aliases everything above the new
     * Nyquist into band; the FIR is what makes this a resampler rather than
     * a subsample. Typed flatMap, map-only, zero exchanges; per output
-    * sample the work is one L-tap integer dot product. Overflow headroom:
-    * |y| ≤ L·2048·2^scaleBits (≈1.3e8 at the defaults), and the checksums
-    * stay far inside Long at any clip length a row can hold. */
+    * sample the work is one L-tap integer dot product.
+    *
+    * Overflow contract (advisor, r14): each |y| ≤ L·max|x|·2^scaleBits
+    * (≈1.3e8 for fixture-scale audio at the defaults, ≈2e12 for full-scale
+    * PCM16) always fits Long, but the position-weighted `y_poly` grows as
+    * n_out²·|y| — full-scale material overflows once a clip passes a few
+    * hundred thousand output samples, well inside what a 2 GB payload can
+    * hold. The checksums therefore accumulate via `Math.multiplyExact`/
+    * `addExact`: overflow throws an `ArithmeticException` naming the clip
+    * instead of silently wrapping the exact-integer contract (a DuckDB
+    * BIGINT oracle errors on the same input — loud on both sides). */
   def wavResample(spark: SparkSession, media: DataFrame, factor: Int = 2,
                   halfTaps: Int = 7, scaleBits: Int = 12): Dataset[WavResampled] = {
     require(factor >= 2, s"decimation factor must be >= 2, got $factor")
@@ -2092,16 +2186,24 @@ object Multimodal {
               }
             var sum = 0L; var poly = 0L; var first = 0L; var last = 0L
             var j = 0
-            while (j < nOut) {
-              var y = 0L
-              var t = 0
-              while (t < taps.length) {
-                y += taps(t) * x(j * factor + t - halfTaps); t += 1
+            try {
+              while (j < nOut) {
+                var y = 0L
+                var t = 0
+                while (t < taps.length) {
+                  y += taps(t) * x(j * factor + t - halfTaps); t += 1
+                }
+                sum = Math.addExact(sum, y)
+                poly = Math.addExact(poly, Math.multiplyExact((j + 1).toLong, y))
+                if (j == 0) first = y
+                if (j == nOut - 1) last = y
+                j += 1
               }
-              sum += y; poly += (j + 1) * y
-              if (j == 0) first = y
-              if (j == nOut - 1) last = y
-              j += 1
+            } catch {
+              case _: ArithmeticException => throw new ArithmeticException(
+                s"wavResample checksum overflows Long at media_id=${r.media_id} " +
+                  s"(n_out=$nOut output sample $j): y_poly grows as n_out^2*|y| " +
+                  "— lower scaleBits or checksum shorter segments")
             }
             Iterator.single(
               WavResampled(r.media_id, n.toLong, nOut.toLong, sum, poly, first, last))
@@ -2223,5 +2325,120 @@ object Multimodal {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted dHash image-dedup index — the [[graft.operators.Dedup]]
+  // winnow-index lifecycle (build / probe / append / delete / compact /
+  // re-bucket over Lake bucketed parquet) for the IMAGE modality, r14
+  // verdict ask #4: text dedup has the cross-snapshot incremental story;
+  // live image ingest needs the same — probe arriving images against the
+  // frozen corpus's hashes without ever re-decoding the base.
+  // ------------------------------------------------------------------
+
+  /** Band rows of a dHash table under the persisted-index layout: one row
+    * per (media_id, band) carrying the full hash plus `bkey` =
+    * band·2¹⁶ + that band's 16-bit slice — ONE bucketable long combining
+    * band id and band bits, so the index clusters on the exact key a probe
+    * joins. Shares [[imageNearDupPairs]]' 4×16 banding (pigeonhole:
+    * recall 1 at Hamming ≤ 3); carrying dhash_hi/lo in the row lets the
+    * probe verify exact Hamming without a second lookup. */
+  private def dHashBandRows(hashes: DataFrame): DataFrame =
+    hashes.select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+      .withColumn("bkey", explode(array(
+        col("dhash_lo").bitwiseAND(lit(0xffffL)),
+        shiftright(col("dhash_lo"), 16).bitwiseAND(lit(0xffffL)) + lit(65536L),
+        col("dhash_hi").bitwiseAND(lit(0xffffL)) + lit(131072L),
+        shiftright(col("dhash_hi"), 16).bitwiseAND(lit(0xffffL)) + lit(196608L))))
+
+  /** Persist an [[imageDHash]] snapshot as the on-disk index
+    * [[imageNearDupsAgainstIndex]] probes — band rows bucketed on `bkey`
+    * ([[graft.sources.Lake.writeBucketed]], the [[graft.operators
+    * .Dedup.writeWinnowIndex]] shape): every probe join reads co-located
+    * buckets with NO exchange on the base side; at 100 TB the corpus's
+    * hash table never re-shuffles and its images never re-decode — only
+    * batch-sized data moves. */
+  def writeImageDedupIndex(hashes: DataFrame, path: String, table: String,
+                           buckets: Int = 8): Unit =
+    graft.sources.Lake.writeBucketed(dHashBandRows(hashes), path, table,
+      "bkey", buckets)
+
+  /** APPEND a new snapshot's hashes to a persisted [[writeImageDedupIndex]]
+    * table — the build-once / append-often half (the `appendWinnowIndex`
+    * contract): the delta pays one bucketing shuffle, no existing bucket
+    * file is rewritten, and Spark refuses a mismatched bucket spec.
+    * Appended media must be NEW media_ids (a re-append would duplicate the
+    * image's band rows), the crawler's contract. */
+  def appendImageDedupIndex(hashes: DataFrame, path: String, table: String,
+                            buckets: Int = 8): Unit =
+    graft.sources.Lake.appendBucketed(dHashBandRows(hashes), path, table,
+      "bkey", buckets)
+
+  /** DELETE images from a persisted [[writeImageDedupIndex]] table
+    * (takedowns, opt-outs — the lifecycle half no production index ships
+    * without): the [[graft.operators.Dedup.deleteFromWinnowIndex]] dataflow
+    * verbatim on the image layout — affected `bkey` buckets discovered by a
+    * column-pruned broadcast semi join against the delete set, ONLY those
+    * buckets' files read back and their survivors staged + swapped via the
+    * shared checked trash-then-rename protocol. Returns the number of
+    * affected buckets. SINGLE-WRITER; serialize against probes/appends. */
+  def deleteFromImageDedupIndex(spark: SparkSession, path: String,
+                                table: String, ids: Array[Long],
+                                buckets: Int = 8): Int = {
+    if (ids.isEmpty) return 0
+    graft.sources.Lake.assertCatalogMatchesLayout(spark, path, table, "bkey", buckets)
+    import spark.implicits._
+    val idDf = ids.toSeq.toDF("media_id")
+    val bucketOf = pmod(hash(col("bkey")), lit(buckets))
+    val affected = spark.table(table)
+      .select(col("media_id"), col("bkey"))
+      .join(broadcast(idDf), Seq("media_id"), "left_semi")
+      .select(bucketOf.as("__b")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (affected.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val affectedSet = affected.toSet
+    val affectedFiles = graft.sources.Lake.bucketFiles(fs, path)
+      .filter { case (b, _) => affectedSet(b) }
+      .values.flatten.map(_.toString).toSeq
+    val survivors = spark.read.parquet(affectedFiles: _*)
+      .join(broadcast(idDf), Seq("media_id"), "left_anti")
+    graft.sources.Lake.rewriteBuckets(spark, path, table, "bkey", buckets,
+      affected.toSeq, survivors, ".delete_staging")
+    affected.length
+  }
+
+  /** Probe a batch of freshly-hashed images against a persisted
+    * [[writeImageDedupIndex]] table: band-tag the batch (it pays the one
+    * bucketing shuffle), equi-join the index on `bkey` — co-located,
+    * zero base-side exchanges (PlanSpec pins it) — verify candidates with
+    * exact `bit_count(xor)` Hamming over both halves, and emit each
+    * (batch, base) pair once. `maxDf` df-bounds the index side exactly like
+    * [[graft.operators.Dedup.winnowPairsAgainstIndex]]: a degenerate band
+    * key shared by a huge slice of the corpus (near-black images all carry
+    * zero bands) would otherwise explode the candidate join; keys past the
+    * bound drop with the same documented trade as the winnow stop-phrase
+    * cap. Hamming 0 rows are exact visual dups ([[imageDupClusters]]'s
+    * regime); 1–3 are near-dups. */
+  def imageNearDupsAgainstIndex(batchHashes: DataFrame, index: DataFrame,
+                                maxHamming: Int = 3, maxDf: Int = 1000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only for Hamming <= 3, got $maxHamming")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val probe = dHashBandRows(batchHashes)
+      .select(col("media_id").as("batch_id"), col("dhash_hi").as("hi_a"),
+        col("dhash_lo").as("lo_a"), col("bkey"))
+    val good = index.groupBy("bkey").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("bkey")
+    val base = index.join(good, Seq("bkey"), "left_semi")
+      .select(col("bkey"), col("media_id").as("base_id"),
+        col("dhash_hi").as("hi_b"), col("dhash_lo").as("lo_b"))
+    probe.join(base, Seq("bkey"))
+      .select(col("batch_id"), col("base_id"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("batch_id", "base_id")
   }
 }

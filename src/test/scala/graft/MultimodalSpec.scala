@@ -899,6 +899,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.keyframes(spark, media, k = 10).collect().length === 3)
   }
 
+  test("keyframes two-pass equals the buffered twin, undecodable frames and color included") {
+    import spark.implicits._
+    // the sceneCuts fixture shapes: an undecodable frame mid-video (raw walk
+    // indices must line up across the two passes), a dims change, and a
+    // color video — plus the documents-derived fixtures the oracle query uses
+    val f0 = Multimodal.encodeJpegGray(2, 1, (_, _) => 100)
+    val f1 = Multimodal.encodeJpegGray(2, 1, (_, _) => 106)
+    val f2 = Multimodal.encodeJpegGray(2, 1, (_, _) => 10)
+    val bad = "not a jpeg".getBytes
+    val fDim = Multimodal.encodeJpegGray(1, 1, (_, _) => 5)
+    val handMade = Seq(
+      Multimodal.MediaRecord(1L, "video/avi",
+        Multimodal.encodeAviMjpeg(2, 1, Seq(f0, f1, bad, f2, fDim))),
+      Multimodal.MediaRecord(2L, "text/plain", "x".getBytes)).toDS().toDF()
+    val docs = spark.range(40).select(col("id").as("doc_id"))
+    val synth = Multimodal.syntheticAvisFromDocuments(spark, docs).toDF()
+    for (media <- Seq(handMade, synth); k <- Seq(1, 2, 10)) {
+      val two = Multimodal.keyframes(spark, media, k).collect()
+        .map(r => (r.media_id, r.frame_idx, r.key_rank, r.width, r.height,
+          r.n_samples, r.pixel_sum, r.pixel_poly, r.pixel_first, r.pixel_last,
+          r.jpeg.toSeq)).sortBy(t => (t._1, t._3))
+      val buf = Multimodal.keyframesBuffered(spark, media, k).collect()
+        .map(r => (r.media_id, r.frame_idx, r.key_rank, r.width, r.height,
+          r.n_samples, r.pixel_sum, r.pixel_poly, r.pixel_first, r.pixel_last,
+          r.jpeg.toSeq)).sortBy(t => (t._1, t._3))
+      assert(two.toSeq === buf.toSeq, s"two-pass diverged from buffered at k=$k")
+    }
+  }
+
   test("imageDHash: hand-computed bits; clones collide; banded near-dup recalls Hamming 1") {
     import spark.implicits._
     // 18x64 step image, flat per 8x8 block: columns >= 16 bright. Sampled
@@ -936,6 +965,54 @@ class MultimodalSpec extends SparkSpec {
     val png = Multimodal.syntheticPngsFromDocuments(spark,
       Seq((5L, "x")).toDF("doc_id", "text")).toDF()
     assert(Multimodal.imageDHash(spark, png).count() === 1L)
+  }
+
+  test("persisted image-dedup index: probe == brute force; append visible; delete revokes; compact preserves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_img_idx_spec").toString
+    val path = s"$dir/idx"
+    try {
+      val docs = spark.range(60).select(col("id").as("doc_id"))
+      def hashesOf(slice: org.apache.spark.sql.DataFrame) =
+        Multimodal.imageDHash(spark,
+          Multimodal.syntheticCloneJpegsFromDocuments(spark, slice, classes = 10).toDF()).toDF()
+      val base = hashesOf(docs.filter(col("doc_id") % 3 =!= 0))
+      val batch = hashesOf(docs.filter(col("doc_id") % 3 === 0))
+      // brute-force truth: every (batch, base) pair within Hamming 3 — the
+      // 4x16 banding is recall-1 there, so the index probe must EQUAL it
+      val truth = rowSet(batch.select(col("media_id").as("batch_id"),
+          col("dhash_hi").as("ha"), col("dhash_lo").as("la"))
+        .crossJoin(base.select(col("media_id").as("base_id"),
+          col("dhash_hi").as("hb"), col("dhash_lo").as("lb")))
+        .select(col("batch_id"), col("base_id"),
+          (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+            bit_count(col("la").bitwiseXOR(col("lb")))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3))
+      assert(truth.nonEmpty, "fixture must produce matches")
+      Multimodal.writeImageDedupIndex(base, path, "graft_img_idx_spec", buckets = 4)
+      def probe() = Multimodal.imageNearDupsAgainstIndex(batch,
+        graft.sources.Lake.readBucketedVerified(spark, path,
+          "graft_img_idx_spec", "bkey", 4))
+      assert(rowSet(probe()) === truth, "store/probe round trip diverged from brute force")
+      // append decoys (batch images under ids shifted by a class multiple:
+      // byte-identical, new ids) — each probe image must now ALSO match its
+      // decoy at hamming 0
+      val decoyDocs = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000L).as("doc_id"))
+      Multimodal.appendImageDedupIndex(hashesOf(decoyDocs), path,
+        "graft_img_idx_spec", buckets = 4)
+      val withDecoys = rowSet(probe())
+      assert(withDecoys.size > truth.size, "appended decoys must be probe-visible")
+      // delete the decoys: probe answers return exactly to the pre-append truth
+      val decoyIds = decoyDocs.collect().map(_.getLong(0))
+      assert(Multimodal.deleteFromImageDedupIndex(spark, path,
+        "graft_img_idx_spec", decoyIds, buckets = 4) > 0)
+      assert(rowSet(probe()) === truth, "delete != rebuild-over-the-remainder")
+      // compaction preserves every probe answer
+      graft.sources.Lake.compactBucketed(spark, path, "graft_img_idx_spec",
+        "bkey", 4)
+      assert(rowSet(probe()) === truth, "compaction changed a probe answer")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_img_idx_spec")
   }
 
   test("wavResample: anti-alias FIR decimation matches an independent convolution; taps sane") {
@@ -1004,5 +1081,51 @@ class MultimodalSpec extends SparkSpec {
     val none = Multimodal.wavSpectrum(spark,
       Seq(Multimodal.MediaRecord(9L, "text/plain", "nope".getBytes)).toDS().toDF())
     assert(none.isEmpty)
+  }
+
+  // a fixture WAV whose samples are PATCHED to caller-chosen full-scale
+  // values — the real-world amplitude regime the fixtures' ±2048 never
+  // reaches (advisor, r14 overflow findings)
+  private def patchedWav(n: Int, pattern: Int => Int): Multimodal.MediaRecord = {
+    val w = Multimodal.encodeWavPcm16(n, 8000, seed = 1L)
+    val Some((_, off, _)) = Multimodal.wavPcm16Layout(w)
+    var i = 0
+    while (i < n) {
+      val v = pattern(i)
+      w(off + 2 * i) = (v & 0xff).toByte
+      w(off + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    Multimodal.MediaRecord(1L, "audio/wav", w)
+  }
+
+  private def causeChain(t: Throwable): Seq[String] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20)
+      .map(c => Option(c.getMessage).getOrElse("")).toSeq
+
+  test("wav overflow guards: full-scale audio fails LOUD, and the documented fix clears it") {
+    import spark.implicits._
+    // a full-scale square wave at bin 8's frequency concentrates all energy
+    // in one bin: |real_fp| = |imag_fp| = 16·32767·2^12 ≈ 2.1e9, so
+    // power/centroid square past Long — the silent-wrap case the guard
+    // converts to an ArithmeticException naming the operator
+    val square = Seq(patchedWav(64, i => if (i % 4 < 2) 32767 else -32767)).toDS().toDF()
+    val ex = intercept[Exception] { Multimodal.wavSpectrum(spark, square).collect() }
+    assert(causeChain(ex).exists(_.contains("wavSpectrum")),
+      s"expected the wavSpectrum overflow message, got: ${causeChain(ex)}")
+    // the documented fix — scaleBits ≤ 8 — clears full-scale PCM16 at W=32
+    val ok = Multimodal.wavSpectrum(spark, square, scaleBits = 8).collect()
+    assert(ok.nonEmpty && ok.forall(_.power >= 0L))
+    // resample: y_poly grows as n_out²·|y| — a 1.2M-sample full-scale clip
+    // (n_out 600k, |y| ≈ 6.7e7 at DC gain) pushes it past Long
+    val longClip = Seq(patchedWav(1200000, _ => 32767)).toDS().toDF()
+    val ex2 = intercept[Exception] { Multimodal.wavResample(spark, longClip).collect() }
+    assert(causeChain(ex2).exists(_.contains("wavResample")),
+      s"expected the wavResample overflow message, got: ${causeChain(ex2)}")
+    // a short full-scale clip checksums fine (the bound is the length, not
+    // the amplitude alone)
+    val shortClip = Seq(patchedWav(1000, _ => 32767)).toDS().toDF()
+    val r = Multimodal.wavResample(spark, shortClip).collect()
+    assert(r.length === 1 && r(0).n_out === 500L && r(0).y_poly != 0L)
   }
 }

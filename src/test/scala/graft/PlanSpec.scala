@@ -469,8 +469,8 @@ class PlanSpec extends SparkSpec {
       "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
       "text_unigram_fertility" -> 0, // map-only encode + tokenize-once word count
       "pipeline_gopher_repetition" -> 0, // map-only native kernel: NO exchange (the text_gopher_rules shape)
-      "pipeline_token_drift" -> 2, // one token-count agg per side; join/total/rank on vocab-bounded frames
-      "text_zipf_fit" -> 1, // ONE corpus token-count agg; fit moments on the vocab-bounded frame
+      "pipeline_token_drift" -> 0, // eager two-pass over a persisted contrib frame reduces to a local topN relation; the top-N subplan has its own dedicated pin below (r15)
+      "text_zipf_fit" -> 0, // the eager two-pass rank reduces to a local one-row relation; the rank subplan has its own dedicated pin below (r15)
       "pipeline_decontaminate_batch" -> 2, // bench-side cross-doc distinct + the (doc, bench)-keyed matched-row count; corpus side rides the broadcast
       "pipeline_decontaminate_batch_stateless" -> 0, // k bench models as keyed literals: map-only explode + array_intersect, NO exchange (append-mode streaming face)
       "sim_ivf_persisted_append_topk" -> 5, // GATE FORM: appended-index pruned probe + the in-memory twin + equality aggs (the sim_ivf_persisted_topk shape)
@@ -520,7 +520,10 @@ class PlanSpec extends SparkSpec {
       "multimodal_keyframes" -> 0, // decode + rank + re-encode + re-decode all inside one typed flatMap: map-only, payloads never shuffle
       "multimodal_wav_resample" -> 0, // L-tap fixed-point convolution per output sample, per-file checksums local: map-only
       "multimodal_dhash" -> 0, // decode + 9x8 sample + 64 comparisons inside one typed flatMap: map-only
-      "dedup_image_clusters" -> 1) // map-only decode+hash, ONE 16-byte-keyed aggregation exchange — the dedup_exact shape with a perceptual key
+      "dedup_image_clusters" -> 1, // map-only decode+hash, ONE 16-byte-keyed aggregation exchange — the dedup_exact shape with a perceptual key
+      // round-15 additions: the persisted image-dedup index
+      "dedup_image_persisted" -> 3, // probe-side bkey exchange + df-bound semi + pair-dedup agg; the BUCKETED base side (band rows clustered on bkey) contributes ZERO exchanges — the dedup_winnow_persisted shape on the image layout
+      "dedup_image_persisted_lifecycle" -> 3) // identical probe plan after append + delete + compact — the lifecycle must not change the read shape
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
@@ -591,6 +594,44 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty, p)
     assert(!exchanges.exists(_.contains("text")),
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("zipfFit's two-pass rank: range exchange + pid-keyed window, NO single-partition sort") {
+    // the r14 advisory: a web-scale vocab (1e8-1e9 types) must not serialize
+    // through one window task — the rank is a range exchange, a tiny
+    // histogram action, then a window PARTITIONED by the range bucket
+    val (xy, ranged) = graft.operators.Curation.zipfXy(Tables.documents(spark, d))
+    try {
+      xy.collect()
+      val p = physical(xy).split("== Initial Plan ==").head
+      assert(p.contains("Exchange rangepartitioning"),
+        s"the rank must range-partition the type table:\n$p")
+      assert(!p.contains("Exchange SinglePartition"),
+        s"the rank fell back to a single-partition exchange:\n$p")
+      assert(p.contains("hashpartitioning(__pid"),
+        s"the rank window must key on the range-partition id:\n$p")
+    } finally { ranged.unpersist(); () }
+  }
+
+  test("tokenDistributionDrift: top-N is TakeOrdered, scalars broadcast, NO window sort") {
+    val docs = Tables.documents(spark, d)
+    val (contrib, top, handles) = graft.operators.Curation.driftParts(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      topN = 20)
+    try {
+      top.collect()
+      val p = physical(top).split("== Initial Plan ==").head
+      // the r14 advisory twin of the zipf pin: the previous form funneled the
+      // vocab through unpartitioned windows (normalizer, total, rank); now
+      // the scalars broadcast, both passes share the persisted contrib frame,
+      // and the top-N is a per-partition heap
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-N must be a distributed heap, never a global sort:\n$p")
+      assert(!p.contains("Window"),
+        s"drift must carry no window operator at all:\n$p")
+      assert(!physical(contrib).split("== Initial Plan ==").head.contains("Window"),
+        "contrib must carry no window operator")
+    } finally { handles.foreach(_.unpersist()); () }
   }
 
   test("Bloom decontamination's corpus pass is map-only: zero exchanges") {
