@@ -1333,6 +1333,7 @@ object Dedup {
                             path: String, table: String, ids: Array[Long],
                             buckets: Int = 8): Int = {
     if (ids.isEmpty) return 0 // nothing revoked = no-op, the remove_ids contract
+    graft.sources.Lake.assertCatalogMatchesLayout(spark, path, table, "fp", buckets)
     import spark.implicits._
     // the delete set rides a BROADCAST through semi/anti joins — the
     // deleteFromIvfIndex lesson: an isin(ids) literal list plans O(|ids|)

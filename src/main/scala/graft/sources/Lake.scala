@@ -118,6 +118,67 @@ object Lake {
     fs.delete(new org.apache.hadoop.fs.Path(stagingPath), true)
   }
 
+  /** Name of the marker file [[rebucketBucketed]] holds through its
+    * non-atomic catalog swap (advisor, r14): written into the table path
+    * before the file swap begins, deleted only after the catalog entry
+    * matches the new file layout. Underscore-prefixed, so parquet readers
+    * and [[bucketIdOfFile]] ignore it. */
+  private[graft] val CatalogSwapMarker = "_catalog_swap_pending"
+
+  /** Verify a bucketed table's catalog spec matches its on-disk layout —
+    * the loud-failure guard the r14 advisory asked for: a crash between
+    * [[rebucketBucketed]]'s file swap and its catalog recreate leaves the
+    * catalog planning zero-exchange co-located joins against files that
+    * hash elsewhere, which silently returns WRONG results. Checks, in
+    * order: (1) no [[CatalogSwapMarker]] (an interrupted catalog swap —
+    * the marker body carries the recovery instruction); (2) no leftover
+    * `.swap_trash` (an interrupted file swap — recover by renaming back);
+    * (3) the catalog bucket spec is exactly (bucketCol, buckets); (4) no
+    * live file carries a bucket id ≥ the catalog count. Every layout
+    * mutation here runs it first, and probe paths can via
+    * [[readBucketedVerified]]. */
+  def assertCatalogMatchesLayout(spark: SparkSession, path: String,
+                                 table: String, bucketCol: String,
+                                 buckets: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, CatalogSwapMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      sys.error(s"interrupted catalog swap on $table: $body — finish the " +
+        s"recovery, then delete $marker")
+    }
+    val trash = new org.apache.hadoop.fs.Path(path + ".swap_trash")
+    if (fs.exists(trash))
+      sys.error(s"interrupted file swap on $table: $trash still holds the " +
+        "displaced files — rename them back (or complete the swap) before " +
+        "mutating or trusting this layout")
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)).bucketSpec
+    require(spec.exists(s => s.numBuckets == buckets &&
+        s.bucketColumnNames == Seq(bucketCol)),
+      s"catalog bucket spec of $table is $spec, expected ($bucketCol, " +
+        s"$buckets) — a drifted spec plans co-located joins that return " +
+        "wrong results; recreate the catalog entry to match the files")
+    val stray = bucketFiles(fs, path).keys.filter(_ >= buckets)
+    require(stray.isEmpty,
+      s"live files of $table carry bucket ids $stray >= the catalog count " +
+        s"$buckets — the files follow a newer layout than the catalog; " +
+        "recreate the catalog entry to match")
+  }
+
+  /** Read a bucketed table through [[assertCatalogMatchesLayout]] — the
+    * probe-side entry point that refuses a layout whose catalog and files
+    * disagree instead of silently planning wrong co-located joins. */
+  def readBucketedVerified(spark: SparkSession, path: String, table: String,
+                           bucketCol: String, buckets: Int): DataFrame = {
+    assertCatalogMatchesLayout(spark, path, table, bucketCol, buckets)
+    spark.table(table)
+  }
+
   /** The ONE staged bucket-rewrite protocol every bucketed-layout mutation
     * shares (compaction below, `Dedup.deleteFromWinnowIndex`): re-cluster the
     * replacement rows by the bucket spec's own hash (`pmod(hash(col), n)`, so
@@ -161,6 +222,7 @@ object Lake {
     * re-bucket (rebuild) when buckets themselves outgrow the target size. */
   def compactBucketed(spark: SparkSession, path: String, table: String,
                       bucketCol: String, buckets: Int): Int = {
+    assertCatalogMatchesLayout(spark, path, table, bucketCol, buckets)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fragmented = bucketFiles(fs, path).filter(_._2.size > 1)
@@ -196,6 +258,7 @@ object Lake {
                        bucketCol: String, oldBuckets: Int, newBuckets: Int): Unit = {
     require(oldBuckets >= 1 && newBuckets >= 1 && newBuckets != oldBuckets,
       s"re-bucket needs a different positive bucket count, got $oldBuckets -> $newBuckets")
+    assertCatalogMatchesLayout(spark, path, table, bucketCol, oldBuckets)
     val rows = spark.read.parquet(path)
     val schemaDdl = rows.schema.toDDL
     // the affected set derives from the LIVE FILES, never the caller's
@@ -206,6 +269,18 @@ object Lake {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveBuckets = bucketFiles(fs, path).keys.toSeq
+    // the catalog swap below is the non-atomic tail (acknowledged in the
+    // API doc); hold a marker through it so a crash FAILS LOUDLY at the
+    // next mutation/verified read instead of planning wrong co-located
+    // joins against a stale spec (advisor, r14)
+    val marker = new org.apache.hadoop.fs.Path(path, CatalogSwapMarker)
+    val out = fs.create(marker, false)
+    out.write((s"files of $table are moving to $newBuckets buckets but the " +
+      s"catalog may still say $oldBuckets; recover with DROP TABLE $table " +
+      s"then CREATE TABLE $table ($schemaDdl) USING PARQUET CLUSTERED BY " +
+      s"($bucketCol) SORTED BY ($bucketCol) INTO $newBuckets BUCKETS " +
+      s"LOCATION '$path'").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
     rewriteBuckets(spark, path, table, bucketCol, newBuckets,
       affected = (liveBuckets ++ (0 until newBuckets)).distinct.sorted, rows,
       ".rebucket_staging")
@@ -217,6 +292,9 @@ object Lake {
       s"INTO $newBuckets BUCKETS LOCATION '$path'")
     spark.catalog.refreshTable(table)
     spark.catalog.refreshByPath(path)
+    // catalog and files agree again — release the marker
+    fs.delete(marker, false)
+    ()
   }
 
   /** Z-order (Morton) interleave key over numeric columns: each column

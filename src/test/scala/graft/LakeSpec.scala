@@ -105,6 +105,60 @@ class LakeSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t_reb")
   }
 
+  test("assertCatalogMatchesLayout: marker, leftover trash, spec drift, stray ids all fail loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_guard").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 50).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 400).toDF(), path, "graft_t_guard", "fp", 4)
+      // healthy layout passes
+      Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 4)
+      assert(Lake.readBucketedVerified(spark, path, "graft_t_guard", "fp", 4)
+        .count() === 400L)
+      // (1) a drifted expectation fails before any wrong co-located plan runs
+      val e1 = intercept[IllegalArgumentException] {
+        Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 8)
+      }
+      assert(e1.getMessage.contains("bucket spec"))
+      // (2) a pending catalog-swap marker (crash between file swap and
+      // catalog recreate) fails loud and carries the recovery instruction
+      val fs = fsFor(path)
+      val marker = new org.apache.hadoop.fs.Path(path, Lake.CatalogSwapMarker)
+      val out = fs.create(marker, false)
+      out.write("recover: CREATE TABLE ... INTO 8 BUCKETS".getBytes("UTF-8")); out.close()
+      val e2 = intercept[RuntimeException] {
+        Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 4)
+      }
+      assert(e2.getMessage.contains("interrupted catalog swap") &&
+        e2.getMessage.contains("8 BUCKETS"))
+      fs.delete(marker, false)
+      // (3) leftover swap trash (interrupted file swap) fails loud
+      val trash = new org.apache.hadoop.fs.Path(s"$path.swap_trash")
+      fs.mkdirs(trash)
+      val e3 = intercept[RuntimeException] {
+        Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 4)
+      }
+      assert(e3.getMessage.contains("interrupted file swap"))
+      fs.delete(trash, true)
+      // (4) a completed re-bucket releases the marker and the guard follows
+      // the new spec — the old expectation now fails, the new one passes
+      Lake.rebucketBucketed(spark, path, "graft_t_guard", "fp", 4, 8)
+      assert(!fs.exists(marker), "re-bucket must release the swap marker")
+      Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 8)
+      intercept[IllegalArgumentException] {
+        Lake.assertCatalogMatchesLayout(spark, path, "graft_t_guard", "fp", 4)
+      }
+      // and mutations refuse a guarded layout: squat the marker again and
+      // compaction must not touch a file
+      val out2 = fs.create(marker, false); out2.write("x".getBytes); out2.close()
+      intercept[RuntimeException] {
+        Lake.compactBucketed(spark, path, "graft_t_guard", "fp", 8)
+      }
+      fs.delete(marker, false)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_guard")
+  }
+
   test("compactBucketed crash-abort: a failed swap start leaves the layout byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     val path = s"$dir/t"
