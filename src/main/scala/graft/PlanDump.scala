@@ -402,7 +402,16 @@ object PlanDump {
        "Visual exact-dup clusters: the dedup_exact shape with a perceptual " +
          "key — map-only decode+hash, then ONE aggregation exchange keyed " +
          "by the 16-byte hash (pin 1); one row per distinct image, never a " +
-         "pair list that goes quadratic in an image's copy count.")
+         "pair list that goes quadratic in an image's copy count."),
+      ("dedup_image_persisted",
+       "Persisted dHash image-dedup index probe (r15): the base corpus's " +
+         "band rows live BUCKETED on bkey = band·2¹⁶ + slice, so the " +
+         "candidate join reads the base co-located with ZERO exchanges — " +
+         "only the probe batch shuffles (pin 3: probe-side bkey exchange + " +
+         "df-bound semi + pair-dedup agg). The frozen corpus's images are " +
+         "never re-decoded; exact bit_count Hamming verifies in the join " +
+         "projection. At 100 TB: the winnow-index read shape on the image " +
+         "modality.")
     )
     // Entries that round 10 wrapped in driver quality gates (recall /
     // bit-equality harnesses): snapshot the OPERATOR plan the section

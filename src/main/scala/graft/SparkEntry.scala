@@ -133,7 +133,7 @@ object SparkEntry {
     * Multimodal.dHashBandRows' arithmetic), the df bound, the band-join
     * candidates, and the exact bit_count Hamming verify — shared by the
     * build/probe and lifecycle gates so both prove the same contract. */
-  private val dHashIndexProbeSelect: String =
+  private val dHashIndexCtes: String =
     """,
         bands AS (SELECT doc_id, dhash_hi, dhash_lo,
           unnest([dhash_lo & 65535, ((dhash_lo >> 16) & 65535) + 65536,
@@ -141,10 +141,22 @@ object SparkEntry {
             ((dhash_hi >> 16) & 65535) + 196608]) AS bkey FROM hashes),
         baseb AS (SELECT * FROM bands WHERE doc_id % 20 <> 0),
         batchb AS (SELECT * FROM bands WHERE doc_id % 20 = 0),
-        good AS (SELECT bkey FROM baseb GROUP BY bkey HAVING count(*) <= 1000)
+        good AS (SELECT bkey FROM baseb GROUP BY bkey HAVING count(*) <= 1000)"""
+
+  private val dHashIndexProbeSelect: String = dHashIndexCtes + """
         SELECT DISTINCT batchb.doc_id AS batch_id, baseb.doc_id AS base_id,
           CAST(bit_count(xor(batchb.dhash_hi, baseb.dhash_hi)) +
             bit_count(xor(batchb.dhash_lo, baseb.dhash_lo)) AS BIGINT) AS hamming
+        FROM batchb JOIN baseb USING (bkey) JOIN good USING (bkey)
+        WHERE bit_count(xor(batchb.dhash_hi, baseb.dhash_hi)) +
+          bit_count(xor(batchb.dhash_lo, baseb.dhash_lo)) <= 3"""
+
+  /** The flagged-ONCE select over [[dHashIndexCtes]] — the streaming image
+    * gate's settled output: each matching probe image exactly once, with
+    * its hash (the hash columns make the driver compare bit-precise). */
+  private val dHashIndexMatchSelect: String = dHashIndexCtes + """
+        SELECT DISTINCT batchb.doc_id AS media_id,
+          batchb.dhash_hi, batchb.dhash_lo
         FROM batchb JOIN baseb USING (bkey) JOIN good USING (bkey)
         WHERE bit_count(xor(batchb.dhash_hi, baseb.dhash_hi)) +
           bit_count(xor(batchb.dhash_lo, baseb.dhash_lo)) <= 3"""
@@ -6049,6 +6061,33 @@ object SparkEntry {
         "graft_wimg_sink", src => Multimodal.imageDupClusters(s,
           Multimodal.syntheticCloneJpegsFromDocuments(s, src, classes = 100).toDF())),
       Some(dHashCtes("doc_id % 100") + dHashClusterSelect)),
+
+    Q("w_stream_image_matches", // the stream-static near-dup gate family's
+      // IMAGE edition (minhash / winnow / cosine now have a visual sibling):
+      // arriving images decode + dHash map-only and probe the PERSISTED
+      // band index read back from disk; unlike the text/vector gates the
+      // index rows carry the full hash, so the exact Hamming verify runs
+      // in-stream and the flagged stream has no banding false positives.
+      // The only streaming state is the media-keyed settle. The oracle
+      // recomputes the settled matched set — each flagged image once, with
+      // its hash — arithmetically.
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_img_idx_ws_${math.abs(d.hashCode)}"
+        Multimodal.writeImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            docs.filter(col("doc_id") % 20 =!= 0), classes = 100).toDF()).toDF(),
+          path, "graft_img_idx_ws", buckets = 4)
+        val idx = graft.sources.Lake.readBucketedVerified(s, path,
+          "graft_img_idx_ws", "bkey", 4).localCheckpoint(true)
+        StreamingViews.runToMemory(s, s"$d/documents.parquet",
+          "graft_wimgm_sink", src => StreamingViews.streamImageBaseMatches(
+            Multimodal.syntheticCloneJpegsFromDocuments(s,
+              src.filter(col("doc_id") % 20 === 0), classes = 100).toDF(),
+            idx, unboundedStateOk = true),
+          outputMode = "append")
+      },
+      Some(dHashCtes("doc_id % 100") + dHashIndexMatchSelect)),
 
     Q("w_stream_anomalies", // streaming counter anomalies: live hourly counts
       // per type flagged against a frozen batch-fit baseline (stream-static

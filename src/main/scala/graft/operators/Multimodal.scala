@@ -2343,7 +2343,7 @@ object Multimodal {
     * joins. Shares [[imageNearDupPairs]]' 4×16 banding (pigeonhole:
     * recall 1 at Hamming ≤ 3); carrying dhash_hi/lo in the row lets the
     * probe verify exact Hamming without a second lookup. */
-  private def dHashBandRows(hashes: DataFrame): DataFrame =
+  private[graft] def dHashBandRows(hashes: DataFrame): DataFrame =
     hashes.select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
       .withColumn("bkey", explode(array(
         col("dhash_lo").bitwiseAND(lit(0xffffL)),

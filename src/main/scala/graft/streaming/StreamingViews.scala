@@ -504,6 +504,43 @@ object StreamingViews {
     settleOncePerKey(matched, "vec_id", watermarkCol, watermark, unboundedStateOk)
   }
 
+  /** Streaming near-dup suspect stream, IMAGE edition — completing the
+    * stream-static gate family (MinHash / winnow / cosine) for the visual
+    * modality: emits each streamed image whose dHash lies within
+    * `maxHamming` of some base-corpus image in the persisted band index
+    * ([[graft.operators.Multimodal.writeImageDedupIndex]] — band rows
+    * bucketed on `bkey`, so the static side reads co-located). Unlike the
+    * text/vector gates, this one VERIFIES in-stream: index rows carry the
+    * full 64-bit hash, so the band-candidate join is followed by the exact
+    * `bit_count(xor)` Hamming check and the flagged stream carries no
+    * banding false positives — no batch quarantine pass needed. Decode +
+    * dHash are map-only ([[graft.operators.Multimodal.imageDHash]]'s typed
+    * mapPartitions), the probe is a stateless stream-static equi join, and
+    * the only streaming state is the one media-keyed dropDuplicates
+    * (watermark-boundable via `watermarkCol`, the family contract). `maxDf`
+    * df-bounds degenerate band keys exactly like the batch probe. */
+  def streamImageBaseMatches(media: DataFrame, baseIndex: DataFrame,
+                             maxHamming: Int = 3, maxDf: Int = 1000,
+                             watermarkCol: String = "", watermark: String = "1 day",
+                             unboundedStateOk: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 banding guarantees recall only for Hamming <= 3, got $maxHamming")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    import graft.operators.Multimodal
+    val spark = media.sparkSession
+    val probe = Multimodal.dHashBandRows(
+      Multimodal.imageDHash(spark, media).toDF())
+    val good = baseIndex.groupBy("bkey").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("bkey")
+    val base = baseIndex.join(good, Seq("bkey"), "left_semi")
+      .select(col("bkey"), col("dhash_hi").as("__hi_b"), col("dhash_lo").as("__lo_b"))
+    val matched = probe.join(base, Seq("bkey"))
+      .filter((bit_count(col("dhash_hi").bitwiseXOR(col("__hi_b"))) +
+        bit_count(col("dhash_lo").bitwiseXOR(col("__lo_b")))) <= maxHamming)
+      .select(col("media_id"), col("dhash_hi"), col("dhash_lo"))
+    settleOncePerKey(matched, "media_id", watermarkCol, watermark, unboundedStateOk)
+  }
+
   /** Live approximate distinct-user counter per hour: HLL++ partial
     * aggregation (`approx_count_distinct`) — streaming state per hour bucket
     * is one fixed-size sketch, not a user set, so a bot flood of novel ids

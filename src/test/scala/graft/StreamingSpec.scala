@@ -850,6 +850,53 @@ class StreamingSpec extends SparkSpec {
     assert(wm.isStreaming)
   }
 
+  test("streaming image gate: clones flag once across batches, settled set equals brute force") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("graft_img_gate").toString
+    val docs = spark.range(40).select(col("id").as("doc_id"))
+    val baseHashes = Multimodal.imageDHash(spark,
+      Multimodal.syntheticCloneJpegsFromDocuments(spark, docs, classes = 4).toDF()).toDF()
+    Multimodal.writeImageDedupIndex(baseHashes, s"$dir/idx", "graft_img_idx_sspec",
+      buckets = 4)
+    try {
+      val idx = spark.table("graft_img_idx_sspec").localCheckpoint(true)
+      // probes: two clones of base classes under fresh ids (must flag), and
+      // a flat image (dHash 0 — flags only if some base hash really is
+      // within Hamming 3, which the brute-force expectation decides)
+      val clones = Multimodal.syntheticCloneJpegsFromDocuments(spark,
+        Seq(101L, 102L).toDF("doc_id"), classes = 4).collect()
+      val flat = Multimodal.MediaRecord(999L, "image/jpeg",
+        Multimodal.encodeJpegGray(16, 16, (_, _) => 100))
+      val probes = clones.toSeq :+ flat
+      val probeHashes = Multimodal.imageDHash(spark,
+        spark.createDataFrame(probes).toDF()).collect()
+        .map(h => (h.media_id, h.dhash_hi, h.dhash_lo))
+      val baseHs = baseHashes.collect()
+        .map(r => (r.getLong(3), r.getLong(4))) // dhash_hi, dhash_lo
+      val expected = probeHashes.filter { case (_, hi, lo) =>
+        baseHs.exists { case (bh, bl) =>
+          java.lang.Long.bitCount(hi ^ bh) + java.lang.Long.bitCount(lo ^ bl) <= 3 }
+      }.map(_._1).toSet
+      assert(expected.contains(101L) && expected.contains(102L),
+        "clone probes must be within Hamming 0 of their class")
+      val stream = MemoryStream[Multimodal.MediaRecord]
+      val q = graft.streaming.StreamingViews.streamImageBaseMatches(
+          stream.toDF(), idx, unboundedStateOk = true)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("t_img_gate").start()
+      try {
+        stream.addData(Seq(probes(0), flat)); q.processAllAvailable()
+        // batch 2: a replay of probe 0 (must NOT re-flag) plus the second clone
+        stream.addData(Seq(probes(0), probes(1))); q.processAllAvailable()
+      } finally q.stop()
+      val settled = spark.table("t_img_gate").collect().map(_.getLong(0))
+      assert(settled.toSet === expected, s"settled ${settled.toSet} != brute $expected")
+      assert(settled.length === settled.distinct.length,
+        "a replayed image re-flagged — the once-per-media settle leaked")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_img_idx_sspec")
+  }
+
   test("streaming cosine near-dup: base-neighborhood vectors flag once, novel pass") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
