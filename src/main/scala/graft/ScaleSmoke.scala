@@ -1701,6 +1701,58 @@ object ScaleSmoke {
       emit(f"SCALE ${"streamFunnel 1M events, event-time eviction"}%-52s $secs%8.2f s  rows=$users  ok(in [99.9%%, 100%%] of $expectedUsers users; ${total - uniq} eviction re-emits)")
     }
 
+    // ---- sketch eviction at volume (r14 verdict ask #2, the funnel feed
+    // discipline): 1M events through the SHARDED Misra-Gries sketch with
+    // event-time eviction, fed as time-ordered micro-batches (range-
+    // partitioned, mtime-stamped files + maxFilesPerTrigger) so the
+    // watermark genuinely advances mid-query and closed hour windows FREE
+    // their sketches. Invariants: the settled output still EQUALS the exact
+    // windowed counts (eviction re-emissions are idempotent under the
+    // max-settle, and the ordered feed leaves no beyond-horizon stragglers),
+    // and evictions really fired — a (window, shard, n_updates) emission can
+    // only repeat when a timed-out sketch re-emitted its settled counters.
+    locally {
+      val dir = java.nio.file.Files.createTempDirectory("graft_smoke_hh_evict").toString
+      events.limit(1000000).repartitionByRange(16, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) =>
+          require(f.setLastModified(1700000000000L + i * 1000L),
+            s"cannot stamp mtime on $f — event-time ordering unenforceable here")
+        }
+      val sch = spark.read.parquet(dir).schema
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val t0 = System.nanoTime()
+      try {
+        val src = spark.readStream.schema(sch)
+          .option("maxFilesPerTrigger", "4").parquet(dir)
+        val q = graft.streaming.StreamingViews.streamHeavyHittersSketch(
+            src.withColumn("ts", col("ts").cast("timestamp")),
+            capacity = 64, shards = 2, eventTimeEviction = true,
+            watermarkDelay = "0 seconds", allowedLatenessMs = 3600000L)
+          .writeStream.outputMode("update").format("memory")
+          .queryName("smoke_hh_evict").start()
+        try q.processAllAvailable() finally q.stop()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val emissions = spark.table("smoke_hh_evict")
+      val settled = graft.streaming.StreamingViews.settleSketch(emissions)
+      val exact = spark.read.parquet(dir)
+        .groupBy(date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
+          col("event_type").as("item"))
+        .agg(count(lit(1)).as("est_count"))
+      require(settled.exceptAll(exact).isEmpty && exact.exceptAll(settled).isEmpty,
+        "settled sketch diverged from exact counts under event-time eviction")
+      val total = emissions.count()
+      val uniq = emissions.distinct().count()
+      require(total > uniq,
+        "no eviction fired: the watermark never freed a closed window's sketch")
+      val nWin = settled.select("hour_bucket").distinct().count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      emit(f"SCALE ${"streaming MG sketch 1M events, event-time eviction"}%-52s $secs%8.2f s  rows=$nWin  ok(settled == exact; ${total - uniq} eviction re-emits)")
+    }
+
     time("int8 quantize full corpus", exactly(nVec)) {
       // per-row L1 of the quantized vector: in (0, 127*dim] for every row iff
       // the scale maps the max |component| to ~127 as documented

@@ -188,7 +188,11 @@ object StreamingViews {
     * across settled shards has one row per (window, item) — no re-merge
     * needed. Input is sketch-bounded (windows × shards × capacity per
     * emission), so the settle window sort is over sketch rows, never
-    * events. Accepts pre-sharding emissions (no `shard` column) too. */
+    * events. Accepts pre-sharding emissions (no `shard` column) too.
+    * The final distinct collapses event-time-eviction re-emissions, which
+    * carry the SAME `n_updates` as the sketch's last data emission by
+    * design (idempotence) and would otherwise survive the max filter as
+    * exact duplicate rows. */
   def settleSketch(emissions: DataFrame): DataFrame = {
     val parts =
       if (emissions.columns.contains("shard")) Seq(col("hour_bucket"), col("shard"))
@@ -198,6 +202,7 @@ object StreamingViews {
       .withColumn("__max", max(col("n_updates")).over(w))
       .filter(col("n_updates") === col("__max"))
       .select(col("hour_bucket"), col("item"), col("est_count"))
+      .distinct()
   }
 
   /** Per-window top-k over a settled (windowCol, itemCol, cntCol) aggregate:
