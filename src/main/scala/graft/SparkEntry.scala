@@ -3799,8 +3799,9 @@ object SparkEntry {
 
     Q("text_pmi_top", // adjacent-pair PMI collocations (Church & Hanks 1990):
       // top-50 pairs by ln(c_ab*N/(c_a*c_b)) with a min-count floor (bare PMI
-      // is maximized by hapax pairs); N rides a window over the vocab-bounded
-      // unigram frame — never a second corpus scan
+      // is maximized by hapax pairs); N is a scalar over the checkpointed
+      // vocab-bounded unigram frame riding a one-row broadcast — never a
+      // second corpus scan, never an unpartitioned window (r16)
       (s, d) => Curation.cooccurrencePmi(Tables.documents(s, d),
         minCount = 5, topN = 50),
       Some("""WITH t AS (SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
@@ -4394,6 +4395,38 @@ object SparkEntry {
             batch, classes = 100).toDF()).toDF(),
           graft.sources.Lake.readBucketedVerified(s, path, "graft_img_idx_lc",
             "bkey", 4))
+      },
+      Some(dHashCtes("doc_id % 100") + dHashIndexProbeSelect)),
+
+    Q("dedup_image_persisted_rebucket", // bucket-count REBUILD for the image
+      // index (r15 verdict ask #4 — closing the lifecycle symmetry with the
+      // winnow index's rebucket and IVF's resplit): build at 4 buckets on
+      // half the base corpus, append the other half, RE-BUCKET to 8 through
+      // the one shared Lake.rebucketBucketed staged rewrite (marker-guarded
+      // catalog swap, planted only after staging succeeds — r16), and probe
+      // through the layout-verified reader at the n′ spec. Shares
+      // dedup_image_persisted's base-only oracle, so the hash match IS the
+      // rebucket-preserves-every-probe-answer proof (the
+      // dedup_winnow_persisted_rebucket discipline on the image layout).
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.filter(col("doc_id") % 20 =!= 0)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_img_idx_reb_${math.abs(d.hashCode)}"
+        Multimodal.writeImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            base.filter(col("doc_id") % 2 === 0), classes = 100).toDF()).toDF(),
+          path, "graft_img_idx_reb", buckets = 4)
+        Multimodal.appendImageDedupIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            base.filter(col("doc_id") % 2 === 1), classes = 100).toDF()).toDF(),
+          path, "graft_img_idx_reb", buckets = 4)
+        graft.sources.Lake.rebucketBucketed(s, path, "graft_img_idx_reb",
+          "bkey", oldBuckets = 4, newBuckets = 8)
+        Multimodal.imageNearDupsAgainstIndex(
+          Multimodal.imageDHash(s, Multimodal.syntheticCloneJpegsFromDocuments(s,
+            docs.filter(col("doc_id") % 20 === 0), classes = 100).toDF()).toDF(),
+          graft.sources.Lake.readBucketedVerified(s, path, "graft_img_idx_reb",
+            "bkey", 8))
       },
       Some(dHashCtes("doc_id % 100") + dHashIndexProbeSelect)))
 
@@ -5158,12 +5191,15 @@ object SparkEntry {
         val docs = Tables.documents(s, d)
         val target = docs.filter(col("source").isin("src0", "src1"))
         def topHalf(df: DataFrame, w: String): DataFrame = {
-          val n = df.agg(count(lit(1)).as("__n"))
-          df.crossJoin(n)
-            .withColumn("__r", row_number().over(
-              Window.orderBy(col(w).desc, col("doc_id"))))
-            .filter(col("__r") <= greatest(floor(col("__n") / 2), lit(1L)))
-            .select("doc_id")
+          // threshold selection, NOT a global row_number window (r16: an
+          // unpartitioned rank sorts the whole corpus in one task — the
+          // sweep this round's PlanSpec gate now enforces). One median
+          // aggregate broadcast back, keep everything at or above it — the
+          // qualityQuantileFilter shape; DSIR log-weights are continuous
+          // doubles, so boundary ties are measure-zero and only widen both
+          // selections symmetrically.
+          val th = df.agg(expr(s"percentile($w, 0.5)").as("__t"))
+          df.crossJoin(broadcast(th)).filter(col(w) >= col("__t")).select("doc_id")
         }
         val exact = Curation.dsirWeights(docs, target)
           .select(col("doc_id"), col("dsir_logw").as("__we"))

@@ -650,14 +650,18 @@ object Curation {
     * `kn_score` = mean ln P_kn, rounded to 6 (absorbs summation-order ulps,
     * the [[lmScore]] precedent). Fully SQL-expressible → hash-oracled.
     *
-    * Scale shape identical to [[lmScore]]: the corpus-scale bigram stream is
-    * tokenized once and pays exactly ONE equi-join against the assembled
-    * model; all model tables (bigram counts, left stats, continuation stats)
-    * are vocab²-bounded, and the distinct-type total rides an unpartitioned
-    * window over the vocab-bounded RIGHT-stats frame (the [[cooccurrencePmi]]
-    * one-scan normalizer pattern), never a second corpus scan. At 100 TB:
-    * train the counts on an [[graft.operators.Ops.hashSample]] — only the
-    * scoring pass must read every row. */
+    * Scale shape identical to [[lmScore]] with one twist: the bigram count
+    * table is `localCheckpoint`ed (eager, distributed, vocab²-bounded —
+    * megabytes for a word vocab), so left stats, continuation stats, the
+    * distinct-type total AND the model join all read materialized blocks
+    * instead of re-running the corpus aggregation per reference, and the
+    * type total is a scalar aggregate riding a one-row broadcast crossJoin
+    * (the [[tokenDistributionDrift]] normalizer pattern) — NEVER a
+    * `sum().over(Window.partitionBy())`, which would funnel the 10⁸–10⁹-row
+    * web-scale continuation table through a single task (r15 verdict). The
+    * corpus-scale bigram stream still pays exactly ONE scoring equi-join.
+    * At 100 TB: train the counts on an [[graft.operators.Ops.hashSample]] —
+    * only the scoring pass must read every row. */
   def lmScoreKneserNey(docs: DataFrame, discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1,
       s"absolute discount must be in (0,1), got $discount")
@@ -665,22 +669,29 @@ object Curation {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    // checkpoint the model's ONE corpus aggregate (vocab²-bounded rows on
+    // executor storage; the ContextCleaner frees the blocks when the plan is
+    // collected) — every model table below derives from these blocks without
+    // another corpus scan, including the scalar type total
     val bigramCounts = bigrams.groupBy(col("bg"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .localCheckpoint(true)
     // left stats: total mass and distinct-continuation count per context w1
     val leftStats = bigramCounts.groupBy("w1")
       .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
-    // continuation stats: distinct left contexts per w2; the global type
-    // total is the sum of exactly these counts, so it rides a window over
-    // this vocab-bounded frame instead of a second aggregate
+    // continuation stats: distinct left contexts per w2
     val rightStats = bigramCounts.groupBy("w2")
       .agg(count(lit(1)).as("n1p_w2"))
-      .withColumn("n_types", sum(col("n1p_w2")).over(Window.partitionBy()))
+    // the global type total is the sum of exactly these counts — a scalar
+    // aggregate broadcast back via a one-row crossJoin over the checkpointed
+    // counts, the shape [[lmScoreKneserNeyTransfer]] always had
+    val totals = rightStats.agg(sum(col("n1p_w2")).as("n_types"))
     val model = bigramCounts
       .join(leftStats, "w1")
       .join(rightStats, "w2")
+      .crossJoin(broadcast(totals))
       .select(col("bg"),
         ((col("c_bg") - lit(discount)) / col("c_w1") +
           lit(discount) * col("n1p_w1") / col("c_w1") *
@@ -726,10 +737,15 @@ object Curation {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    // checkpoint the train-side corpus aggregate once (vocab²-bounded): the
+    // three model joins, the right-stats derivation and the totals scalar all
+    // read materialized blocks instead of re-running the train scan per lazy
+    // reference (r15 verdict — the KN-family one-scan discipline)
     val trainCounts = bigramsOf(train).groupBy(col("bg"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .localCheckpoint(true)
     val leftStats = trainCounts.groupBy("w1")
       .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
     val rightStats = trainCounts.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
@@ -770,10 +786,16 @@ object Curation {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
+    // checkpoint the frozen model's corpus aggregate once: a stream-static
+    // join re-evaluates its static side EVERY micro-batch, so without the
+    // checkpoint each trigger would re-tokenize and re-aggregate the whole
+    // train corpus — with it, every batch (and the nTypes scalar below)
+    // reads vocab²-bounded materialized blocks
     val trainCounts = bigramsOf(train).groupBy(col("bg"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .localCheckpoint(true)
     val leftStats = trainCounts.groupBy("w1")
       .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
     val rightStats = trainCounts.groupBy("w2").agg(count(lit(1)).as("n1p_w2"))
@@ -817,7 +839,11 @@ object Curation {
                         discount: Double = 0.75): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 100,
       s"nBuckets must be in [2,100], got $nBuckets")
-    val scored = lmScoreKneserNey(docs, discount)
+    // checkpoint the per-doc scores (3 narrow columns, distributed): the
+    // threshold aggregate and the assignment pass are two references to this
+    // frame, and an unmaterialized plan would run the whole KN scoring join
+    // — a corpus scan — once per reference (r15 verdict discipline)
+    val scored = lmScoreKneserNey(docs, discount).localCheckpoint(true)
     val ps = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     val th = scored
       .agg(expr(s"percentile(kn_score, array(${ps.mkString(",")}))").as("__ths"))
@@ -940,9 +966,13 @@ object Curation {
     *
     * Scale shape: unigram and bigram counts are each ONE explode + count
     * aggregation over the tokenize-once projection (vocab- and
-    * distinct-bigram-bounded outputs); N rides an unpartitioned window over
-    * the vocab-bounded unigram frame (the [[mixtureTemperature]] one-scan
-    * normalizer pattern — never a second corpus scan); the PMI join is
+    * distinct-bigram-bounded outputs); the unigram table is
+    * `localCheckpoint`ed (eager, distributed, vocab-bounded) because THREE
+    * references read it — both PMI join sides and the normalizer N, which is
+    * a scalar aggregate riding a one-row broadcast crossJoin (the
+    * [[tokenDistributionDrift]] pattern) — NEVER a
+    * `sum().over(Window.partitionBy())`, which would funnel a web-scale
+    * vocab (10⁸–10⁹ types) through one task (r15 verdict); the PMI join is
     * equi-keyed on single tokens against the vocab-bounded count tables and
     * the final top-N is TakeOrderedAndProject. */
   def cooccurrencePmi(docs: DataFrame, minCount: Long = 5, topN: Int = 100): DataFrame = {
@@ -950,7 +980,8 @@ object Curation {
     val uni = toks.select(explode(col("toks")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c_w"))
-      .withColumn("n_total", sum(col("c_w")).over(Window.partitionBy()))
+      .localCheckpoint(true)
+    val totals = uni.agg(sum(col("c_w")).as("n_total"))
     val big = toks
       .select(explode(TextFns.shinglesFromTokens(col("toks"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab"))
@@ -958,8 +989,9 @@ object Curation {
       .select(element_at(split(col("bg"), " "), 1).as("a"),
         element_at(split(col("bg"), " "), 2).as("b"), col("c_ab"))
     big
-      .join(uni.select(col("w").as("a"), col("c_w").as("c_a"), col("n_total")), "a")
+      .join(uni.select(col("w").as("a"), col("c_w").as("c_a")), "a")
       .join(uni.select(col("w").as("b"), col("c_w").as("c_b")), "b")
+      .crossJoin(broadcast(totals))
       .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
         round(log(col("c_ab").cast("double") * col("n_total") / (col("c_a") * col("c_b"))), 6)
           .as("pmi"))

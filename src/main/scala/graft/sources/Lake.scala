@@ -120,9 +120,11 @@ object Lake {
 
   /** Name of the marker file [[rebucketBucketed]] holds through its
     * non-atomic catalog swap (advisor, r14): written into the table path
-    * before the file swap begins, deleted only after the catalog entry
-    * matches the new file layout. Underscore-prefixed, so parquet readers
-    * and [[bucketIdOfFile]] ignore it. */
+    * after staging completes, immediately before the file swap begins
+    * (advisor, r15 — never before staging, whose failure leaves the table
+    * fully correct), deleted only after the catalog entry matches the new
+    * file layout. Underscore-prefixed, so parquet readers and
+    * [[bucketIdOfFile]] ignore it. */
   private[graft] val CatalogSwapMarker = "_catalog_swap_pending"
 
   /** Verify a bucketed table's catalog spec matches its on-disk layout —
@@ -193,12 +195,18 @@ object Lake {
                                     table: String, bucketCol: String,
                                     buckets: Int, affected: Seq[Int],
                                     replacement: DataFrame,
-                                    stagingSuffix: String): Unit = {
+                                    stagingSuffix: String,
+                                    beforeSwap: () => Unit = () => ()): Unit = {
     val stagingPath = path + stagingSuffix
     val stagingTable = table + stagingSuffix.replace('.', '_')
     try {
       writeBucketed(replacement.repartition(buckets, col(bucketCol)),
         stagingPath, stagingTable, bucketCol, buckets)
+      // hook between staging and swap: [[rebucketBucketed]] plants its
+      // catalog-swap marker HERE — after staging succeeded (a staging
+      // failure leaves layout + catalog untouched, so no marker should
+      // outlive it) and before the first live file can move (advisor, r15)
+      beforeSwap()
       swapBucketFiles(spark, path, stagingPath, affected)
     } finally spark.sql(s"DROP TABLE IF EXISTS $stagingTable")
     spark.catalog.refreshTable(table)
@@ -269,21 +277,54 @@ object Lake {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val liveBuckets = bucketFiles(fs, path).keys.toSeq
-    // the catalog swap below is the non-atomic tail (acknowledged in the
-    // API doc); hold a marker through it so a crash FAILS LOUDLY at the
+    // the file-then-catalog swap is the non-atomic tail (acknowledged in
+    // the API doc); hold a marker through it so a crash FAILS LOUDLY at the
     // next mutation/verified read instead of planning wrong co-located
-    // joins against a stale spec (advisor, r14)
+    // joins against a stale spec (advisor, r14). The marker is written
+    // AFTER staging succeeds, immediately before the first live file can
+    // move (advisor, r15): a crash during staging leaves files AND catalog
+    // at oldBuckets — correct, no recovery needed — and a marker written
+    // earlier would instruct recreating a newBuckets catalog over
+    // oldBuckets files, passing the stray-id check when growing and
+    // silently mis-planning every co-located join. With this ordering the
+    // marker's recreate-into-newBuckets instruction is right in every
+    // crash window it can survive: mid-swap (trash present — its own
+    // recovery runs first) or between swap and catalog recreate.
     val marker = new org.apache.hadoop.fs.Path(path, CatalogSwapMarker)
-    val out = fs.create(marker, false)
-    out.write((s"files of $table are moving to $newBuckets buckets but the " +
-      s"catalog may still say $oldBuckets; recover with DROP TABLE $table " +
-      s"then CREATE TABLE $table ($schemaDdl) USING PARQUET CLUSTERED BY " +
-      s"($bucketCol) SORTED BY ($bucketCol) INTO $newBuckets BUCKETS " +
-      s"LOCATION '$path'").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    rewriteBuckets(spark, path, table, bucketCol, newBuckets,
+    def plantMarker(): Unit = {
+      val out = fs.create(marker, false)
+      out.write((s"files of $table are re-clustering from $oldBuckets to " +
+        s"$newBuckets buckets (staging complete, file swap started) but the " +
+        s"catalog may still say $oldBuckets; recover: (1) if $path.swap_trash " +
+        "exists, finish the interrupted file swap (or rename the trash files " +
+        s"back) first; (2) confirm the live files follow the $newBuckets " +
+        s"layout (max file bucket id < $newBuckets and >= $oldBuckets for a " +
+        "grown count); (3) DROP TABLE " +
+        s"$table then CREATE TABLE $table ($schemaDdl) USING PARQUET " +
+        s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $newBuckets " +
+        s"BUCKETS LOCATION '$path'; (4) delete this marker")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+    try rewriteBuckets(spark, path, table, bucketCol, newBuckets,
       affected = (liveBuckets ++ (0 until newBuckets)).distinct.sorted, rows,
-      ".rebucket_staging")
+      ".rebucket_staging", beforeSwap = plantMarker)
+    catch { case e: Throwable =>
+      // clean aborts must not brick a healthy table (advisor, r15): if no
+      // live file reached the trash, the layout is byte-identical and the
+      // catalog still correct — release the marker (and the empty trash
+      // dir the refused swap may have created; the entry guard proved no
+      // pre-existing trash, so any trash here is this call's own). Once a
+      // live file sits in trash the marker and trash both stay: recovery
+      // really is pending.
+      val trashP = new org.apache.hadoop.fs.Path(path + ".swap_trash")
+      val swapStarted = fs.exists(trashP) && fs.listStatus(trashP).nonEmpty
+      if (!swapStarted) {
+        if (fs.exists(trashP)) fs.delete(trashP, true)
+        fs.delete(marker, false)
+      }
+      throw e
+    }
     // the files now carry the n′ layout; make the catalog's bucket spec
     // follow them (EXTERNAL table: drop touches metadata only, never files)
     spark.sql(s"DROP TABLE IF EXISTS $table")

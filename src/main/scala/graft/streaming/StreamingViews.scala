@@ -129,7 +129,14 @@ object StreamingViews {
         date_format(col("ts"), "yyyyMMddHH").as("hour_bucket"),
         pmod(xxhash64(col(itemCol).cast("string")), lit(shards.toLong)).cast("int").as("shard"),
         col(itemCol).cast("string").as("item"),
-        ((floor(unix_millis(col("ts").cast("timestamp")) / 3600000L) + 1L) * 3600000L)
+        // end of the SESSION-TIMEZONE hour, like hour_bucket above (r15
+        // advisory): raw UTC epoch-hour arithmetic diverges from
+        // date_format's bucket in a fractional-offset session (e.g.
+        // +05:30), letting the eviction deadline land mid-bucket — the
+        // sketch would evict early and the max-settle could keep either
+        // emission. date_trunc truncates in the session zone, so bucket
+        // and deadline always move together (identical under UTC).
+        (unix_millis(date_trunc("hour", col("ts").cast("timestamp"))) + lit(3600000L))
           .cast("long").as("window_end_ms"))
     val bounded =
       if (eventTimeEviction) base.withWatermark("ts", watermarkDelay) else base
@@ -260,24 +267,78 @@ object StreamingViews {
     * wall-clock write race replaced by deterministic (event time, id) ordering.
     * Run in `update` output mode; each batch emits the current winner for every
     * key that saw traffic. Scale: state is one 16-byte record per key, hash
-    * partitioned — 10^9 keys ≈ tens of GB across a cluster's state stores. */
-  def latestPerKeyStateful(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    * partitioned — 10^9 keys ≈ tens of GB across a cluster's state stores.
+    *
+    * IDLE TTL (r15 verdict): the default keeps every key's record forever —
+    * exact reference parity (Cassandra rows don't expire either). For bounded
+    * deployments, `eventIdleTimeout` (milliseconds of EVENT time) arms an
+    * event-time timeout per key at `winner_ts + ttl` — the winner's ts is the
+    * newest event time the key has seen, so the deadline is monotone within a
+    * state lifetime — and `watermarkDelay` watermarks the source (the
+    * EventTimeTimeout contract, as [[streamFunnel]]/[[streamHeavyHittersSketch]]).
+    * When the watermark passes the deadline the key's state FREES silently
+    * (no re-emission — the winner was already emitted, and a duplicate would
+    * poison multiset stream≡batch gates): the SETTLED view (argmax over all
+    * emissions per key) is unchanged, because per-lifetime winners are
+    * monotone and the global argmax equals the true LWW answer; only the
+    * transient per-batch "current winner" can restart lower after a
+    * post-eviction straggler — the same W2 divergence knob as every
+    * watermarked operator here. */
+  def latestPerKeyStateful(events: DataFrame, keyCol: String = "user_id",
+                           eventIdleTimeout: Long = 0L,
+                           watermarkDelay: String = "10 seconds"): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .select(col(keyCol).cast("long"),
-        unix_micros(col("ts").cast("timestamp")),
-        col("event_id").cast("long"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState[LwwState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
-        case (key, rows, state) =>
-          val best = (rows.map(r => LwwState(r._2, r._3)) ++ state.getOption)
-            .maxBy(s => (s.tsMicros, s.eventId))
-          state.update(best)
-          (key, best.tsMicros, best.eventId)
-      }
-      .toDF(keyCol, "ts_micros", "event_id")
+    if (eventIdleTimeout <= 0L)
+      events
+        .select(col(keyCol).cast("long"),
+          unix_micros(col("ts").cast("timestamp")),
+          col("event_id").cast("long"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState[LwwState, (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+          case (key, rows, state) =>
+            val best = (rows.map(r => LwwState(r._2, r._3)) ++ state.getOption)
+              .maxBy(s => (s.tsMicros, s.eventId))
+            state.update(best)
+            (key, best.tsMicros, best.eventId)
+        }
+        .toDF(keyCol, "ts_micros", "event_id")
+    else {
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+      events
+        // the watermarked event-time column itself must reach the stateful
+        // op (the EventTimeTimeout contract — see sessionize/the MG sketch)
+        .select(col(keyCol).cast("long").as("k"),
+          col("ts").cast("timestamp").as("ts"),
+          col("event_id").cast("long").as("eid"))
+        .withWatermark("ts", watermarkDelay)
+        .as[(Long, java.sql.Timestamp, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[LwwState, (Long, Long, Long)](
+          org.apache.spark.sql.streaming.OutputMode.Update,
+          GroupStateTimeout.EventTimeTimeout) {
+          case (key, rows, state) =>
+            if (rows.isEmpty && state.hasTimedOut) {
+              // idle past the TTL: free the 16-byte record, emit nothing
+              // (the winner is already in the emission history)
+              state.remove()
+              Iterator.empty
+            } else {
+              val best = (rows.map(r => LwwState(micros(r._2), r._3)) ++ state.getOption)
+                .maxBy(s => (s.tsMicros, s.eventId))
+              state.update(best)
+              // clamp above the current watermark: a legal late arrival can
+              // carry a winner whose idle deadline already passed
+              state.setTimeoutTimestamp(math.max(
+                best.tsMicros / 1000L + eventIdleTimeout,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator((key, best.tsMicros, best.eventId))
+            }
+        }
+        .toDF(keyCol, "ts_micros", "event_id")
+    }
   }
 
   /** Accumulating session state: bounds + count of the in-flight session. */
@@ -537,8 +598,16 @@ object StreamingViews {
       Multimodal.imageDHash(spark, media).toDF())
     val good = baseIndex.groupBy("bkey").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("bkey")
+    // materialize the df-bounded base slice ONCE at query construction (r15
+    // advisory): a stream-static join re-evaluates its static subtree every
+    // micro-batch, so an unmaterialized plan would re-scan the full index
+    // AND re-run the df aggregation shuffle per trigger — defeating the
+    // zero-base-exchange probe at scale. The checkpointed slice is
+    // (bkey, hi, lo) per band row — a fraction of index size — and
+    // LogicalRDD preserves its bkey clustering for the per-batch join.
     val base = baseIndex.join(good, Seq("bkey"), "left_semi")
       .select(col("bkey"), col("dhash_hi").as("__hi_b"), col("dhash_lo").as("__lo_b"))
+      .localCheckpoint(true)
     val matched = probe.join(base, Seq("bkey"))
       .filter((bit_count(col("dhash_hi").bitwiseXOR(col("__hi_b"))) +
         bit_count(col("dhash_lo").bitwiseXOR(col("__lo_b")))) <= maxHamming)

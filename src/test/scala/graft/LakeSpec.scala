@@ -105,6 +105,53 @@ class LakeSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t_reb")
   }
 
+  test("rebucketBucketed staging failure: clean abort — no marker, layout byte-identical, table usable") {
+    // r15 advisory (medium): the swap marker used to be planted BEFORE
+    // staging, so a staging crash left a marker instructing a newBuckets
+    // catalog over oldBuckets files — assertCatalogMatchesLayout passes when
+    // growing (old ids all < newBuckets) and co-located joins silently
+    // mis-plan. The marker now lands only after staging succeeds, and a
+    // clean abort releases it, so a healthy table never bricks.
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebucket_crash").toString
+    val path = s"$dir/t"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 50).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 400).toDF(), path, "graft_t_stagefail", "fp", 4)
+      val fs = fsFor(path)
+      def layout() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isFile).map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+        .toSet
+      val before = layout()
+      // plant a garbage "bucket file" in the live table: staging's
+      // read-back of the table fails mid-write (or at schema planning),
+      // i.e. the rebuild dies BEFORE any live file moves
+      val corrupt = new org.apache.hadoop.fs.Path(path,
+        "part-99999-corrupt_00003.c000.snappy.parquet")
+      val o = fs.create(corrupt, false)
+      o.write("not a parquet file".getBytes("UTF-8")); o.close()
+      intercept[Exception] {
+        Lake.rebucketBucketed(spark, path, "graft_t_stagefail", "fp", 4, 8)
+      }
+      val marker = new org.apache.hadoop.fs.Path(path, Lake.CatalogSwapMarker)
+      assert(!fs.exists(marker),
+        "a staging failure must not leave the catalog-swap marker — the " +
+          "files and catalog are both still at oldBuckets, recovery would corrupt")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.swap_trash")),
+        "a staging failure must not leave swap trash")
+      fs.delete(corrupt, false)
+      assert(layout() === before, "aborted re-bucket must not touch a live file")
+      // the table is NOT bricked: the guard passes and reads keep working
+      Lake.assertCatalogMatchesLayout(spark, path, "graft_t_stagefail", "fp", 4)
+      assert(Lake.readBucketedVerified(spark, path, "graft_t_stagefail", "fp", 4)
+        .count() === 400L)
+      // and with the corruption cleared the same rebucket succeeds
+      Lake.rebucketBucketed(spark, path, "graft_t_stagefail", "fp", 4, 8)
+      assert(dataFiles(path).keySet.forall(_ < 8))
+      assert(spark.table("graft_t_stagefail").count() === 400L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_t_stagefail")
+  }
+
   test("assertCatalogMatchesLayout: marker, leftover trash, spec drift, stray ids all fail loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_guard").toString
     val path = s"$dir/t"

@@ -317,17 +317,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
   }
 
-  test("Kneser-Ney LM score: model joins broadcast; type total windows the vocab frame") {
+  test("Kneser-Ney LM score: model joins broadcast; NO window node anywhere") {
     val df = graft.operators.Curation.lmScoreKneserNey(Tables.documents(spark, d))
     df.collect()
     val p = physical(df)
     assert(p.contains("BroadcastHashJoin"), s"KN model must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"vocab-sized side degraded to shuffle join:\n$p")
-    // the distinct-type total must ride the vocab-bounded right-stats frame
-    // (one unpartitioned Window node), never a second corpus aggregate
+    // r15 verdict: the distinct-type total is a scalar aggregate over the
+    // CHECKPOINTED count table riding a one-row broadcast crossJoin — the
+    // plan must carry no Window at all (the old form rode an unpartitioned
+    // window that would funnel a web-scale continuation table through one
+    // task) and no single-partition hash exchange of the vocab frame
     val finalPlan = p.split("== Initial Plan ==")(0)
-    assert(finalPlan.sliding("Window [".length).count(_ == "Window [") == 1,
-      s"expected exactly one Window (the n_types normalizer):\n$p")
+    assert(!finalPlan.contains("Window ["),
+      s"KN score must carry no window operator:\n$p")
+  }
+
+  test("cooccurrencePmi: normalizer is a broadcast scalar; NO window node anywhere") {
+    val df = graft.operators.Curation.cooccurrencePmi(
+      Tables.documents(spark, d), minCount = 5, topN = 50)
+    df.collect()
+    val p = physical(df).split("== Initial Plan ==")(0)
+    // r15 verdict twin of the KN pin: N must not ride an unpartitioned
+    // window over the (web-scale) unigram vocab; top-N stays a heap
+    assert(!p.contains("Window ["),
+      s"PMI must carry no window operator:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PMI top-N must be a distributed heap, never a global sort:\n$p")
   }
 
   test("transfer KN score: frozen model re-attaches via broadcast left joins") {
@@ -419,7 +435,7 @@ class PlanSpec extends SparkSpec {
       "sim_rp_topk" -> 1, // ONE query-keyed heap-topk exchange (shortlist); rerank joins broadcast, final heap reuses the tiny shortlist
       "dedup_incremental_minhash" -> 8, // two sig aggs (batch+base) + self-pair sig agg + the two banded candidate joins' dedups + keep-flag joins; every exchange carries ids/sigs/buckets, never text
       "pipeline_embedding_outliers" -> 1, // ONE (dim)-keyed centroid avg (map-side partials); scoring is a broadcast crossJoin, map-only
-      "text_pmi_top" -> 3, // unigram agg + bigram agg + one PMI-join exchange; count tables vocab-bounded, joins broadcast at fixture stats
+      "text_pmi_top" -> 1, // r16: unigram counts CHECKPOINT once (both join sides + the scalar N read the blocks); bigram agg is the one live exchange, joins broadcast at fixture stats, top-N is a heap
       "pipeline_weighted_sample" -> 0, // ES key is map-only content arithmetic; top-k is TakeOrderedAndProject — NO exchange
       "dedup_embedding_incremental" -> 7, // GATE FORM (r10): the verdict plan (candidate dedup + base-count agg + keep-flag joins — ids/buckets only, never vectors) + the exact all-pairs truth and witness joins of the recall gate
       "search_domain_keywords" -> 4, // (domain,term) tf agg + term-keyed df window + domain-keyed rank window + distinct-domain count agg; all post-agg frames vocab-bounded
@@ -461,9 +477,9 @@ class PlanSpec extends SparkSpec {
       "text_nb_calibration" -> 9, // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
       "q_triangle_count" -> 8, // edge dedup + degree agg + orientation joins + wedge/closure equi-joins + node count; every exchange carries 8-byte endpoints
       // round-10 session additions: the KN LM family + unigram tokenizer
-      "text_lm_score_kn" -> 6, // model assembly (bigram agg + left/right stats — vocab²-bounded) appears per reference plus the per-doc score agg; model joins broadcast, the n_types window is a single-partition exchange (not hash)
-      "text_lm_score_kn_transfer" -> 8, // train-side model aggs + the score stream's per-doc agg; the three model joins broadcast, totals ride a one-row broadcast
-      "pipeline_perplexity_buckets" -> 8, // the KN score subtree + ONE percentile threshold agg; assignment is a broadcast crossJoin, map-only — never an ntile sort
+      "text_lm_score_kn" -> 4, // r16: bigram counts CHECKPOINT once; left/right stats re-derive from the blocks (2 vocab-bounded aggs) + scoring bigram re-tokenize + per-doc agg; model joins broadcast, n_types is a one-row broadcast scalar (the window is gone)
+      "text_lm_score_kn_transfer" -> 4, // r16: train counts CHECKPOINT once; left/right stat aggs read the blocks + the score stream's per-doc agg; the three model joins broadcast, totals ride a one-row broadcast
+      "pipeline_perplexity_buckets" -> 0, // r16: the KN scores CHECKPOINT (threshold agg + assignment both read the blocks — one scoring pass, not two); the percentile agg is a benign one-row SinglePartition, assignment a broadcast crossJoin
       "text_unigram_token_count" -> 0, // EM fit is driver-side (word-freq agg runs in training, not this plan); the scored plan is the map-only native encode
       "text_unigram_encode_fixed" -> 0, // pinned-vocab Viterbi: map-only
       "text_unigram_encode_sampled" -> 0, // lattice sampling: map-only (content-hash draws)
@@ -488,7 +504,7 @@ class PlanSpec extends SparkSpec {
       "pipeline_cluster_prune" -> 1, // same dataflow, prototypicality rank
       "sim_hard_negatives" -> 1, // anchor-broadcast NLJ (label filter in the condition) + one heap-topk exchange
       "sim_hard_negatives_ivf" -> 4, // GATE FORM: exact twin + cell-keyed probe join + heap-topk + recall aggs
-      "pipeline_curriculum_order" -> 8, // the perplexity-buckets subtree (pinned 8 above) + a map-only key projection
+      "pipeline_curriculum_order" -> 0, // r16: the perplexity-buckets checkpoint subtree (pinned 0 above) + a map-only key projection
       "pipeline_vocab_coverage" -> 0, // frozen-vocab map-only probe, the OOV monitor runs at scan speed
       "multimodal_resize" -> 0, // typed mapPartitions chain (encode -> resize -> parse): payloads never shuffle
       // round-12 additions: format-aware multimodal + the persisted winnow index
@@ -523,7 +539,38 @@ class PlanSpec extends SparkSpec {
       "dedup_image_clusters" -> 1, // map-only decode+hash, ONE 16-byte-keyed aggregation exchange — the dedup_exact shape with a perceptual key
       // round-15 additions: the persisted image-dedup index
       "dedup_image_persisted" -> 3, // probe-side bkey exchange + df-bound semi + pair-dedup agg; the BUCKETED base side (band rows clustered on bkey) contributes ZERO exchanges — the dedup_winnow_persisted shape on the image layout
-      "dedup_image_persisted_lifecycle" -> 3) // identical probe plan after append + delete + compact — the lifecycle must not change the read shape
+      "dedup_image_persisted_lifecycle" -> 3, // identical probe plan after append + delete + compact — the lifecycle must not change the read shape
+      // round-16 addition: the image index's bucket-count rebuild
+      "dedup_image_persisted_rebucket" -> 3) // identical probe plan after the n -> n' rebuild — the re-bucketed table still reads co-located (the dedup_winnow_persisted_rebucket shape)
+    // r15 verdict task 2: queries whose FINAL plan may carry a Window fed by
+    // an Exchange SinglePartition — each with the bound that makes the
+    // single task safe at 100 TB. Any OTHER query growing one fails below.
+    val singlePartitionWindowOk = Map(
+      "pipeline_mixture_temperature" ->
+        "|domains|-row rate table (one row per corpus source, never per doc)",
+      "q_heavy_hitters_by_key" ->
+        "|groups|*capacity merged sketch rows (capacity<=100, groups dim-bounded)",
+      "search_hybrid_rrf" ->
+        "<=2*kRetrieval fused channel rows per query",
+      "search_hybrid_rrf_batch" ->
+        "<=|queries|*2*kRetrieval fused channel rows")
+    def singlePartitionWindows(p: String): Int = {
+      // a single-partition WindowExec prints as Window -> Sort ->
+      // (ShuffleQueryStage/AQEShuffleRead wrappers) -> Exchange SinglePartition;
+      // walk each Window line's children to see what exchange feeds its sort
+      val lines = p.linesIterator.toArray
+      lines.indices.count { i =>
+        lines(i).contains("Window [") && {
+          var j = i + 1
+          while (j < lines.length && (lines(j).contains("Sort ") ||
+            lines(j).contains("ShuffleQueryStage") ||
+            lines(j).contains("AQEShuffleRead") ||
+            lines(j).contains("WholeStageCodegen") ||
+            lines(j).contains("InputAdapter"))) j += 1
+          j < lines.length && lines(j).contains("Exchange SinglePartition")
+        }
+      }
+    }
     val actual = pinned.keys.toSeq.sorted.map { name =>
       val df = SparkEntry.queries(name)(spark, d)
       df.collect() // finalize the adaptive plan before reading it
@@ -532,6 +579,9 @@ class PlanSpec extends SparkSpec {
       val p = physical(df).split("== Initial Plan ==").head
       assert(!p.contains("CartesianProduct"),
         s"$name grew a cartesian product:\n$p")
+      if (!singlePartitionWindowOk.contains(name))
+        assert(singlePartitionWindows(p) == 0,
+          s"$name grew a single-partition window over an unbounded input:\n$p")
       name -> "Exchange hashpartitioning".r.findAllIn(p).size
     }.toMap
     val drift = actual.filter { case (n, c) => c > pinned(n) }

@@ -525,6 +525,51 @@ class StreamingSpec extends SparkSpec {
       rowSet(Views.latestInfo(allEvents.toDF()).select("user_id", "event_id")))
   }
 
+  test("stateful LWW idle TTL frees expired keys on the watermark; settled view unchanged") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[TestEvent]
+    // r15 verdict ask 3: opt-in event-time idle TTL (1 h) — the default
+    // NoTimeout form keeps reference parity; this spec drives the bounded
+    // deployment knob
+    val q = StreamingViews.latestPerKeyStateful(stream.toDF(),
+        eventIdleTimeout = 3600000L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("t_lww_ttl").start()
+    def stateRows: Long = Option(q.lastProgress)
+      .filter(_.stateOperators.nonEmpty).map(_.stateOperators(0).numRowsTotal)
+      .getOrElse(-1L)
+    def waitFor(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(50)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      // user 1 at 10:00 -> idle deadline 11:00 event time
+      stream.addData(Seq(TestEvent(1, 1, "a", ts("2024-01-01 10:00:00"), 0, "{}")))
+      q.processAllAvailable()
+      waitFor("user 1's state row")(stateRows == 1L)
+      // user 2 at 13:00 advances the watermark past user 1's deadline; the
+      // engine's post-watermark-advance batch evicts user 1's record
+      stream.addData(Seq(TestEvent(2, 2, "a", ts("2024-01-01 13:00:00"), 0, "{}")))
+      q.processAllAvailable()
+      waitFor("user 1's idle eviction")(stateRows == 1L &&
+        spark.table("t_lww_ttl").collect().exists(_.getLong(0) == 2L))
+      // eviction emitted NOTHING new for user 1 (no duplicate rows to poison
+      // a multiset settle): exactly one emission for user 1 so far
+      assert(spark.table("t_lww_ttl").collect().count(_.getLong(0) == 1L) === 1)
+      // user 1 returns in-horizon: state restarts from empty, new winner row
+      stream.addData(Seq(TestEvent(3, 1, "a", ts("2024-01-01 13:30:00"), 0, "{}")))
+      q.processAllAvailable()
+      waitFor("user 1's restart")(stateRows == 2L)
+    } finally q.stop()
+    // the settled view (argmax per key over all emissions) equals batch LWW
+    // over the same events — eviction is invisible to the settled answer
+    val settled = graft.operators.Ops.latestPerKey(spark.table("t_lww_ttl"),
+      Seq("user_id"), Seq(col("ts_micros").desc, col("event_id").desc))
+    assert(rowSet(settled.select("user_id", "event_id")) ===
+      Set(Seq(1L, 3L), Seq(2L, 2L)))
+  }
+
   test("watermark drops beyond-horizon late events (the documented W2 divergence)") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[TestEvent]
