@@ -940,6 +940,44 @@ object ScaleSmoke {
       require(r.getDouble(2) < 0, "mean log-probs must be negative (P < 1)")
       r.getLong(0)
     }
+    // the WIDE-VOCAB regime for the KN normalizer (r15 verdict ask #1 — the
+    // zipfFit 12M-type row's twin): 11.5M DISTINCT bigrams, every token
+    // unique corpus-wide, so the continuation table is 11.5M rows and the
+    // distinct-type total rides a scalar aggregate over the CHECKPOINTED
+    // counts — the old unpartitioned window serialized exactly this frame
+    // through one task. Every count is 1, so the score is closed-form:
+    // p_kn = 0.25 + 0.75/11.5e6 for every bigram, identical per doc — the
+    // min==max equality is exact across all 500k docs.
+    time("lmScoreKneserNey 11.5M distinct bigrams (scalar total)", exactly(500000)) {
+      val wide = spark.range(500000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(i =>
+          concat(lit("t"), (col("id") * 24 + lit(i)).cast("string"))): _*).as("text"))
+      val r = graft.operators.Curation.lmScoreKneserNey(wide)
+        .agg(count(lit(1)), sum(col("n_bigrams")),
+          min(col("kn_score")), max(col("kn_score"))).head()
+      require(r.getLong(1) == 23L * 500000L, s"bigram total off: ${r.getLong(1)}")
+      val expected = BigDecimal(math.log(0.25 + 0.75 / 11500000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(r.getDouble(2) == expected && r.getDouble(3) == expected,
+        s"closed-form KN score off: ${r.getDouble(2)}..${r.getDouble(3)} vs $expected")
+      r.getLong(0)
+    }
+    // PMI's wide-vocab twin (the other r15 normalizer site): 12M distinct
+    // unigrams, all counts 1, so every pair's PMI is exactly
+    // round(ln(N), 6) with N = 12M total tokens — the equality pins the
+    // scalar normalizer over the checkpointed 12M-row vocab to 6 decimals.
+    time("cooccurrencePmi 12M-token vocab (scalar N)", exactly(50)) {
+      val wide = spark.range(1000000).select(
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("t"), (col("id") * 12 + lit(i)).cast("string"))): _*).as("text"))
+      val r = graft.operators.Curation.cooccurrencePmi(wide, minCount = 1, topN = 50)
+        .agg(count(lit(1)), min(col("pmi")), max(col("pmi"))).head()
+      val expected = BigDecimal(math.log(12000000.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      require(r.getDouble(1) == expected && r.getDouble(2) == expected,
+        s"closed-form PMI off: ${r.getDouble(1)}..${r.getDouble(2)} vs $expected")
+      r.getLong(0)
+    }
     // curriculum ordering: one KN pass + percentile-threshold bucketing + a
     // map-only packed key; the invariant is the bucket-major CONTRACT itself —
     // every bucket-b key strictly below every bucket-(b+1) key, so a consumer
@@ -1527,8 +1565,36 @@ object ScaleSmoke {
           // exactly; near-dup (1-3 bit) rep matches may add pairs on top
           require(probed.getLong(1) == 10000L,
             s"${probed.getLong(1)} of 10000 arrivals hit an exact representative")
-          spark.sql("DROP TABLE IF EXISTS graft_smoke_img_idx")
           emit(f"SCALE ${"imageDedupIndex 100k->reps build + 10k arrival gate"}%-52s ${buildSecs + probeSecs}%8.2f s  rows=${probed.getLong(0)}  ok(all 10k arrivals exact-hit a rep; build $buildSecs%.2f s, probe $probeSecs%.2f s)")
+          // r15 verdict ask #4: the image index's bucket-count rebuild at
+          // the same volume — 32 -> 64 through the shared marker-guarded
+          // staged rewrite; the re-probe answer must be IDENTICAL and the
+          // files must follow the n' layout
+          val t2 = System.nanoTime()
+          graft.sources.Lake.rebucketBucketed(spark, s"$dir/idx",
+            "graft_smoke_img_idx", "bkey", oldBuckets = 32, newBuckets = 64)
+          val rebSecs = (System.nanoTime() - t2) / 1e9
+          val t3 = System.nanoTime()
+          val probed2 = graft.operators.Multimodal.imageNearDupsAgainstIndex(
+            graft.operators.Multimodal.imageDHash(spark,
+              graft.operators.Multimodal.syntheticCloneJpegsFromDocuments(spark,
+                probeDocs, classes = 100).toDF()).toDF(),
+            graft.sources.Lake.readBucketedVerified(spark, s"$dir/idx",
+              "graft_smoke_img_idx", "bkey", 64))
+            .agg(count(lit(1)),
+              countDistinct(when(col("hamming") === 0L, col("batch_id")))).head()
+          val probe2Secs = (System.nanoTime() - t3) / 1e9
+          require(probed2.getLong(0) == probed.getLong(0) &&
+            probed2.getLong(1) == 10000L,
+            s"rebucketed probe diverged: ${probed2.getLong(0)} pairs vs " +
+              s"${probed.getLong(0)}, exact hits ${probed2.getLong(1)}")
+          val fsImg = new org.apache.hadoop.fs.Path(s"$dir/idx")
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val rebFiles = graft.sources.Lake.bucketFiles(fsImg, s"$dir/idx")
+          require(rebFiles.keySet.forall(_ < 64) && rebFiles.values.forall(_.size == 1),
+            s"n'=64 layout violated: ${rebFiles.view.mapValues(_.size).toMap}")
+          spark.sql("DROP TABLE IF EXISTS graft_smoke_img_idx")
+          emit(f"SCALE ${"imageDedupIndex rebucket 32 -> 64 + re-probe"}%-52s ${rebSecs + probe2Secs}%8.2f s  rows=${probed2.getLong(0)}  ok(probe identical, all exact hits; rebucket $rebSecs%.2f s, probe $probe2Secs%.2f s)")
         }
         // FIR decimation: one row per clip; Σ n_out must equal the exact
         // ceil(n/2) arithmetic — a dropped or double-counted output sample
