@@ -600,10 +600,13 @@ object Curation {
     *
     * Scale shape: the count model is two aggregates over the exploded bigram
     * stream (vocab²-bounded — megabytes for a word vocab, independent of
-    * corpus size) and re-attaches via equi-joins that AQE broadcasts; the
-    * bigram stream is tokenize-once + one `zip_with` slice pair per doc. At
-    * 100 TB: train the counts on an [[graft.operators.Ops.hashSample]] and
-    * only the scoring pass reads every row. */
+    * corpus size), `localCheckpoint`ed once (r16: the context-total agg and
+    * the model join are two references, and an unmaterialized plan re-runs
+    * the corpus aggregation per reference) and re-attached via equi-joins
+    * that AQE broadcasts; the bigram stream is tokenize-once + one
+    * `zip_with` slice pair per doc. At 100 TB: train the counts on an
+    * [[graft.operators.Ops.hashSample]] and only the scoring pass reads
+    * every row. */
   def lmScore(docs: DataFrame): DataFrame = {
     // bigrams are 2-gram shingles — same tokenize-once kernel as the dedup
     // paths; empty array (sub-2-token doc) explodes to nothing
@@ -616,9 +619,14 @@ object Curation {
     // on the materialized non-null `bg` — joining the corpus stream twice,
     // the second time on a per-row derived split() key, would re-derive the
     // key in constraint-inference filters and double the corpus shuffle.
+    // checkpoint the one corpus aggregate (vocab²-bounded) so the context
+    // totals and the model join read materialized blocks instead of
+    // re-running the corpus scan per lazy reference — the r16 KN-family
+    // one-scan discipline, applied uniformly
     val bigramCounts = bigrams.groupBy(col("bg"))
       .agg(count(lit(1)).as("c_bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .localCheckpoint(true)
     val model = bigramCounts.join(
         bigramCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_w1")), "w1")
       .select(col("bg"), col("c_bg"), col("c_w1"))
@@ -1506,9 +1514,14 @@ object Curation {
     val rawF = feats(raw)
     val cntR = rawF.groupBy("f").agg(count(lit(1)).as("c_r"))
     val cntT = feats(target).groupBy("f").agg(count(lit(1)).as("c_t"))
+    // checkpoint the assembled count model once (hashBuckets- or
+    // union-vocab-bounded): the totals scalar and the corpus probe join are
+    // two references, and an unmaterialized plan would re-run BOTH corpus
+    // feature aggregations per reference (the r16 KN-family discipline)
     val model = cntR.join(cntT, Seq("f"), "full_outer")
       .select(col("f"), coalesce(col("c_r"), lit(0L)).as("c_r"),
         coalesce(col("c_t"), lit(0L)).as("c_t"))
+      .localCheckpoint(true)
     // graph order + totals: one single-row aggregate, broadcast into the score
     val stats = model.agg(sum(col("c_r")).as("r_tot"), sum(col("c_t")).as("t_tot"),
       count(lit(1)).cast("double").as("vocab"))

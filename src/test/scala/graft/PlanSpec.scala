@@ -460,8 +460,8 @@ class PlanSpec extends SparkSpec {
       "search_proximity" -> 1, // ONE doc-keyed position-collect agg; min-distance map-only after it
       "q_funnel" -> 3, // one user-keyed min-agg per stage; stage joins broadcast at fixture stats (user-keyed equi-joins at scale)
       "q_retention_cohorts" -> 3, // first-seen agg + (user,week) distinct + (cohort,offset) count; cohort join broadcasts at fixture stats
-      "pipeline_dsir_weights" -> 5, // two vocab-bounded count-model aggs + model full-outer + corpus feature join + doc agg; scalars broadcast
-      "pipeline_dsir_weights_hashed" -> 14, // GATE FORM (r10, tightened r16): BOTH dsir forms run (5 each, <=4096-row models on the hashed side) + the overlap join of the agreement gate; top-half selection is now a median-threshold broadcast (no global rank windows)
+      "pipeline_dsir_weights" -> 1, // r16: the count model CHECKPOINTS once (two corpus feature aggs + full-outer, all inside the eager job); the live plan is the corpus feature join (broadcast at fixture stats) + ONE doc agg; scalars broadcast
+      "pipeline_dsir_weights_hashed" -> 4, // GATE FORM (r10, tightened r16): BOTH dsir forms run (1 live exchange each — models checkpoint) + the overlap join of the agreement gate; top-half selection is a median-threshold broadcast (no global rank windows)
       "text_gopher_rules" -> 0, // map-only rule gate: NO exchange
       "q_hourly_anomalies" -> 2, // (type,hour) count agg + the types×hours window exchange — events never enter a window sort
       "text_bpe_fertility" -> 0, // map-only: pinned-merge encode + tokenize-once word count
