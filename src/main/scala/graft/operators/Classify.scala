@@ -72,18 +72,26 @@ object Classify {
     * a second smoothing pass) + per-class log priors from DOCUMENT counts. */
   private def nbModel(docs: DataFrame, toks: DataFrame,
                       labelCol: String): (DataFrame, DataFrame) = {
-    // class-conditional counts: |vocab|·|classes| upper bound, vocab-sized
+    // class-conditional counts: |vocab|·|classes| upper bound, vocab-sized.
+    // CHECKPOINT once (r16, the KN-family one-scan discipline): the class
+    // totals, the vocab distinct, the vocab size AND the dense model join
+    // are four references — an unmaterialized plan re-ran the corpus
+    // explode+aggregate per reference.
     val classTerm = toks.groupBy(col("lang").as("cand"), col("term"))
       .agg(count(lit(1)).as("c_ct"))
+      .localCheckpoint(true)
     val classTotals = classTerm.groupBy("cand").agg(sum(col("c_ct")).as("c_c"))
     val vocab = classTerm.select("term").distinct()
     val vocabSize = vocab.agg(count(lit(1)).cast("double").as("vsz"))
 
     val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // |classes| rows; checkpointed because the model assembly and the
+    // prediction argmax both read it, and its lineage is a corpus count
     val priors = docs.groupBy(col(labelCol).as("cand"))
       .agg(count(lit(1)).cast("double").as("c_docs"))
       .crossJoin(nDocs)
       .select(col("cand"), log(col("c_docs") / col("n_docs")).as("logprior"))
+      .localCheckpoint(true)
 
     val model = vocab.crossJoin(priors.select("cand"))
       .join(classTerm, Seq("term", "cand"), "left")

@@ -422,9 +422,9 @@ class PlanSpec extends SparkSpec {
       "dedup_exact_canonical_fp" -> 1, // same argmax, 8-byte fingerprint key (scale form)
       // round-6 additions: sketch bounds + the classifier layer
       "q_approx_distinct_bounds" -> 2, // distinct-agg rewrite: (type,user) partial + final
-      "text_nb_classify" -> 8, // corpus pays the term join + (doc,cand) agg + bounded argmax window; the other exchanges are vocab- or class-bounded model assembly
+      "text_nb_classify" -> 5, // r16: classTerm/priors CHECKPOINT once; corpus pays the term join + (doc,cand) agg + bounded argmax window, the rest is vocab-bounded assembly over the blocks
       "sim_centroid_classify" -> 3, // (class,dim) centroid agg + class reassembly (both model-side); corpus pays ONE argmax-agg exchange, centroids broadcast
-      "text_nb_holdout" -> 8, // same shape as text_nb_classify: model-side vocab-bounded aggs + corpus term join + (doc,cand) agg + bounded argmax
+      "text_nb_holdout" -> 5, // same shape as text_nb_classify (r16: checkpointed model): corpus term join + (doc,cand) agg + bounded argmax
       "pipeline_mixture_temperature" -> 1, // ONE domain-count agg; N/Z via windows over the |domains|-row frame, rates broadcast back
       "sim_knn_classify" -> 1, // the heap-topk agg on query_id; label re-joins broadcast at fixture stats (id-keyed equi-joins at scale)
       "sim_knn_classify_ivf" -> 2, // + the cell-keyed candidate join feeding the same heap-topk; assignment map-only
@@ -470,11 +470,11 @@ class PlanSpec extends SparkSpec {
       "q_heavy_hitters_by_key" -> 2, // sketch-row merge agg + the |groups|*capacity-row top-k window; the raw stream never shuffles
       "q_salted_join" -> 2, // (key,salt) join both sides when the dim exceeds broadcast (at fixture stats the dim broadcasts: 0)
       "q_rolling_features" -> 1, // ONE key shuffle; lags and all rolling windows share the single per-key sort
-      "text_nb_metrics" -> 14, // NB scoring plan (pinned 8 as text_nb_classify) + the classes²-bounded confusion agg and per-class total joins
+      "text_nb_metrics" -> 11, // NB scoring plan (pinned 5 as text_nb_classify, r16) + the classes²-bounded confusion agg and per-class total joins
       "pipeline_curate_audit" -> 2, // survivor-group agg + verdict re-join on the group key (re-join broadcasts at fixture stats: 1)
       "pipeline_curate_audit_fp" -> 2, // same, both exchanges carrying xxhash64 keys, never text
       "q_target_encode" -> 1, // ONE key-keyed (sum,count) agg; encode re-join + the single-row global broadcast at fixture stats
-      "text_nb_calibration" -> 9, // NB scoring (8, as text_nb_classify) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
+      "text_nb_calibration" -> 6, // NB scoring (5, as text_nb_classify, r16) + the doc-partitioned softmax window + ONE bin agg; doc partitions hold <=|classes| rows
       "q_triangle_count" -> 8, // edge dedup + degree agg + orientation joins + wedge/closure equi-joins + node count; every exchange carries 8-byte endpoints
       // round-10 session additions: the KN LM family + unigram tokenizer
       "text_lm_score_kn" -> 4, // r16: bigram counts CHECKPOINT once; left/right stats re-derive from the blocks (2 vocab-bounded aggs) + scoring bigram re-tokenize + per-doc agg; model joins broadcast, n_types is a one-row broadcast scalar (the window is gone)
