@@ -181,6 +181,42 @@ object Lake {
     spark.table(table)
   }
 
+  /** CONTENT-level layout audit (r15 advisory, the optional deep check):
+    * sample up to `perFileRows` rows from each live bucket file and verify
+    * every sampled row hashes into the bucket its FILE NAME claims under
+    * `(bucketCol, buckets)`. This is the one drift
+    * [[assertCatalogMatchesLayout]]'s structural checks cannot see — files
+    * whose ids all lie under the catalog count but whose rows follow an
+    * OLDER layout (e.g. a 4-bucket table recovered under an 8-bucket
+    * catalog: every old id < 8, the stray-id check passes, and co-located
+    * joins silently drop matches). Cost is one LIMIT-bounded scan per file
+    * (footer + first row group), so it is a maintenance-window audit, not a
+    * per-probe gate — run it after manual recovery, before re-enabling
+    * probes. Returns the number of files sampled; throws on the first file
+    * whose sample holds a row hashing elsewhere. */
+  def auditBucketContentSample(spark: SparkSession, path: String,
+                               bucketCol: String, buckets: Int,
+                               perFileRows: Int = 100): Int = {
+    require(perFileRows >= 1, s"perFileRows must be >= 1, got $perFileRows")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = bucketFiles(fs, path).toSeq.sortBy(_._1)
+    files.foreach { case (b, paths) =>
+      paths.foreach { f =>
+        val bad = spark.read.parquet(f.toString)
+          .limit(perFileRows)
+          .filter(pmod(hash(col(bucketCol)), lit(buckets)) =!= b)
+          .count()
+        require(bad == 0L,
+          s"$bad sampled rows of $f hash outside its claimed bucket $b " +
+            s"under ($bucketCol, $buckets) — the file follows a different " +
+            "bucket layout than the catalog; rebuild or recover the table " +
+            "before trusting any co-located join")
+      }
+    }
+    files.map(_._2.size).sum
+  }
+
   /** The ONE staged bucket-rewrite protocol every bucketed-layout mutation
     * shares (compaction below, `Dedup.deleteFromWinnowIndex`): re-cluster the
     * replacement rows by the bucket spec's own hash (`pmod(hash(col), n)`, so

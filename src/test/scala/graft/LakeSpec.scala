@@ -206,6 +206,40 @@ class LakeSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_t_guard")
   }
 
+  test("auditBucketContentSample: healthy layout passes; old-layout rows under a grown catalog fail") {
+    // the r15 advisory's residual hole, now directly detectable: files whose
+    // ids all lie under the catalog count but whose ROWS follow an older
+    // bucket layout (the structural checks cannot see inside the files)
+    val dir = java.nio.file.Files.createTempDirectory("graft_content_audit").toString
+    val pathA = s"$dir/a"
+    val pathB = s"$dir/b"
+    try {
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(($"id" % 50).as("fp"), $"id".as("doc_id"))
+      Lake.writeBucketed(slice(0, 400).toDF(), pathA, "graft_t_audit_a", "fp", 8)
+      assert(Lake.auditBucketContentSample(spark, pathA, "fp", 8) > 0,
+        "healthy 8-bucket table must pass the content audit")
+      // simulate the silent-corruption scenario: a 4-bucket layout's file
+      // copied under an 8-bucket table (all old ids < 8 — the stray-id
+      // structural check passes; the rows hash elsewhere under n'=8)
+      Lake.writeBucketed(slice(0, 400).toDF(), pathB, "graft_t_audit_b", "fp", 4)
+      val fs = fsFor(pathA)
+      val donor = Lake.bucketFiles(fs, pathB)(1).head
+      org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+        new org.apache.hadoop.fs.Path(pathA, donor.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+      Lake.assertCatalogMatchesLayout(spark, pathA, "graft_t_audit_a", "fp", 8)
+      val e = intercept[IllegalArgumentException] {
+        Lake.auditBucketContentSample(spark, pathA, "fp", 8)
+      }
+      assert(e.getMessage.contains("hash outside its claimed bucket"),
+        e.getMessage)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_t_audit_a")
+      spark.sql("DROP TABLE IF EXISTS graft_t_audit_b")
+    }
+  }
+
   test("compactBucketed crash-abort: a failed swap start leaves the layout byte-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
     val path = s"$dir/t"
