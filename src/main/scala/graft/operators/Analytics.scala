@@ -92,16 +92,21 @@ object Analytics {
     * integer cents, so the encoding is bit-reproducible across engines and
     * partitionings.
     *
-    * Scale shape: ONE map-side-combined (key → sum, count) aggregate; the
-    * global mean is a single-row broadcast; the encode re-join is key-keyed
-    * (broadcast when the key table is small). No window over raw rows. */
+    * Scale shape: ONE map-side-combined (key → sum, count) aggregate,
+    * `localCheckpoint`ed (r16): the global totals DERIVE from the key stats
+    * (exact long sums of long sums — no float drift), so the corpus is
+    * scanned once for the stats and once for the encode pass instead of
+    * paying a third scan for a separate global aggregate; the global mean is
+    * a single-row broadcast; the encode re-join is key-keyed (broadcast when
+    * the key table is small). No window over raw rows. */
   def targetEncodeLoo(df: DataFrame, keyCol: String, targetCol: String,
                       smoothing: Double = 0.0): DataFrame = {
     require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
     val withC = df.withColumn("__c", round(col(targetCol) * 100).cast("long"))
     val stats = withC.groupBy(keyCol)
       .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
-    val glob = withC.agg(sum(col("__c")).as("__gs"), count(lit(1)).as("__gn"))
+      .localCheckpoint(true)
+    val glob = stats.agg(sum(col("__s")).as("__gs"), sum(col("__n")).as("__gn"))
     // One fused rational, ONE float division: every term is an exact integer
     // (or integer x integral-smoothing product) below 2^53, so both engines
     // derive the identical double and the 6-decimal round cannot straddle a
