@@ -180,8 +180,14 @@ object Bench {
     // the retry budget; 2.0x only catches the genuine multi-x spikes.
     val TotalOutlierFactor = 2.0
     def accepted = {
-      val probeFloor = allRuns.map(_.nullT).min
-      val byProbe = allRuns.filter(_.nullT <= OutlierFactor * probeFloor)
+      // Reference = the session MEDIAN probe, not the minimum (r16): one
+      // anomalously FAST probe (observed: 0.069 s among 0.10-0.11 s
+      // siblings) dragged the min down and cascaded every normal sweep into
+      // rejection, leaving a degenerate min-of-ONE-run artifact. A fast
+      // probe is never evidence against the OTHER sweeps — only
+      // slower-than-typical probes mark a loaded host.
+      val probeRef = median(allRuns.map(_.nullT))
+      val byProbe = allRuns.filter(_.nullT <= OutlierFactor * probeRef)
       val totalFloor = byProbe.map(_.times.sum).min
       byProbe.filter(_.times.sum <= TotalOutlierFactor * totalFloor)
     }
@@ -253,7 +259,11 @@ object Bench {
       // Full sweep → file (immune to stdout-tail truncation); headline → stdout.
       // An unstable sweep refuses the snapshot: it lands in a sibling file so a
       // previously committed stable bench_full.json is never overwritten by noise.
-      val stable = spread <= SpreadGate
+      // ≥2 accepted runs required (r16): a single accepted sweep has spread
+      // 0.0 BY CONSTRUCTION — nothing reproduced anything — and one such
+      // degenerate min-of-one artifact overwrote a healthy committed
+      // snapshot with uniformly ~1.5× numbers before this guard.
+      val stable = spread <= SpreadGate && matrix.size >= 2
       if (!stable)
         System.err.println(f"[bench] UNSTABLE: spread ${spread * 100}%.1f%% after ${matrix.size} runs — writing bench_full_unstable.json")
       // the summary's pointer names the file THIS run actually wrote — an
