@@ -238,4 +238,10 @@ class OpsSpec extends SparkSpec {
       .map(r0 => r0.getString(0) -> r0.getLong(1)).toMap
     assert(total === Map("5min" -> 6L, "hourly" -> 6L, "daily" -> 6L))
   }
+
+  test("driver contract: SparkEntry.entry returns rows on the sf0.001 fixture") {
+    // the harness smoke-checks exactly this (rows > 0); pin it in the suite
+    // so a refactor that breaks the flagship entry fails here first
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
 }
