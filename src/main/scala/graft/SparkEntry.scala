@@ -5889,13 +5889,29 @@ object SparkEntry {
     * a symmetric directed edge list — no dangling nodes by construction;
     * [[graft.operators.Graph.pageRank]] still carries the dangling term).
     * Node ids namespaced `c:`/`s:` so the two key spaces cannot collide. */
+  /** Dev-tool accessors (graft.R16Plans): the graph queries' input frames,
+    * exposed so the plan-dump tool can capture the unrolled round tree. */
+  private[graft] def graphEdgesFor(s: SparkSession, d: String): DataFrame =
+    coPurchaseEdges(s, d)
+  private[graft] def graphSeedsFor(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .select(concat(lit("c:"), col("c_custkey")).as("node"),
+        col("c_nationkey").as("label"))
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    // group on the RAW INTEGER keys and concat the node labels only on the
+    // aggregated pair table (r16): the pre-aggregation exchange then carries
+    // two longs per lineitem row instead of two strings, and the hash
+    // aggregation hashes/compares longs — 'c:' || k is injective per prefix,
+    // so the grouped counts are identical to grouping on the concatenated
+    // strings (the oracle's GROUP BY 1, 2 over the same concat)
     val pairs = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
-      .groupBy(concat(lit("c:"), col("o_custkey")).as("c"),
-        concat(lit("s:"), col("l_suppkey")).as("s"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(count(lit(1)).cast("double").as("weight"))
+      .select(concat(lit("c:"), col("o_custkey")).as("c"),
+        concat(lit("s:"), col("l_suppkey")).as("s"), col("weight"))
     pairs.select(col("c").as("src"), col("s").as("dst"), col("weight"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst"), col("weight")))
   }

@@ -48,20 +48,54 @@ object Graph {
     def ckpt(df: DataFrame): DataFrame =
       if (!checkpoint) df // plan inspection only — an unevaluated round tree
       else { val c = df.localCheckpoint(); toFree ::= c; c }
-    val e = ckpt(
+    // Setup frames that per-round joins/aggregations key on are materialized
+    // with their PARTITIONING RECORDED (r16): under AQE, `localCheckpoint`
+    // captures `UnknownPartitioning` (the AdaptiveSparkPlanExec wrapper hides
+    // the final plan's partitioning), so every round re-exchanged the edge
+    // table; planning just these setup checkpoints statically records
+    // hashpartitioning(src|node, np) in the LogicalRDD and EnsureRequirements
+    // then elides the per-round edge/node-side exchanges outright — the local
+    // realization of the "deployment pre-partitions edges by src" story in
+    // the object doc. Rounds themselves keep AQE (its runtime broadcast of
+    // the O(|V|) rank table is exactly right there).
+    def ckptStatic(df: DataFrame): DataFrame =
+      if (!checkpoint) df
+      else {
+        val sess = df.sparkSession
+        val prev = sess.conf.get("spark.sql.adaptive.enabled")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try ckpt(df)
+        finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+      }
+    val np = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = ckpt(
       (if (weightCol.isEmpty) edges.select(col("src"), col("dst"), lit(1.0).as("w"))
        else edges.select(col("src"), col("dst"), col(weightCol).cast("double").as("w")))
         .filter(col("src").isNotNull && col("dst").isNotNull))
-    val nodes = ckpt(e.select(col("src").as("node"))
-      .unionAll(e.select(col("dst").as("node"))).distinct())
+    val nodes = ckptStatic(e0.select(col("src").as("node"))
+      .unionAll(e0.select(col("dst").as("node"))).distinct())
     // one scalar to the driver (graph order), not data
     val n = nodes.count().toDouble
-    val outw = ckpt(e.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    // out-weight is LOOP-INVARIANT: attach it to the edges ONCE, so each
+    // round's contribution pass is a single (edges ⋈ ranks) join instead of
+    // re-joining the out-weight table every round (r16: one join and its
+    // build dropped from every round; the summed expression is unchanged —
+    // still sum(rank * w / outw) grouped by dst)
+    val outw = ckptStatic(e0.groupBy(col("src")).agg(sum(col("w")).as("outw")))
+    val e = ckptStatic(e0.repartition(np, col("src")).join(outw, Seq("src")))
     // dangling set (nodes with no out-edges) is invariant across rounds —
-    // computed once, so each round's mass term is one semi-join + one
-    // single-row aggregate instead of a per-round distinct + anti-join
+    // computed once (against the |V|-row out-weight keys, not the edge
+    // table), so each round's mass term is one semi-join + one single-row
+    // aggregate instead of a per-round distinct + anti-join
     val dangNodes = ckpt(nodes.join(
-      e.select(col("src").as("node")), Seq("node"), "left_anti"))
+      outw.select(col("src").as("node")), Seq("node"), "left_anti"))
+    // a graph with NO dangling nodes (e.g. any symmetrized edge list) has a
+    // dangling term that is identically 0.0 every round — skip the per-round
+    // single-row-aggregate job outright (r16; bit-identical: d·(c + 0/n) =
+    // d·c). Only probed when checkpointing: an un-checkpointed tree is for
+    // plan inspection and must not execute jobs, so it keeps the general
+    // dangling-broadcast shape.
+    val hasDangling = !checkpoint || !dangNodes.isEmpty
     var ranks = ckpt(nodes.select(col("node"), lit(1.0 / n).as("rank")))
     var round = 0
     while (round < iters) {
@@ -69,18 +103,21 @@ object Graph {
       // reverse), partial-aggregated on dst before the exchange
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outw, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") * col("w") / col("outw")).as("contrib"))
-      // dangling mass: single-row aggregate, broadcast into the update
-      val dang = ranks.join(dangNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
-      ranks = ckpt(nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
-        .select(col("node"),
+      val base = nodes.join(contribs, Seq("node"), "left")
+      ranks = ckpt(
+        if (hasDangling) {
+          // dangling mass: single-row aggregate, broadcast into the update
+          val dang = ranks.join(dangNodes, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dang"))
+          base.crossJoin(broadcast(dang))
+            .select(col("node"),
+              (lit((1.0 - damping) / n) + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank"))
+        } else base.select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("dang") / n)).as("rank")))
+            coalesce(col("contrib"), lit(0.0))).as("rank")))
       round += 1
     }
     toFree.drop(1).foreach(df => try df.unpersist() catch { case _: Throwable => () })
@@ -141,8 +178,22 @@ object Graph {
     def ckpt(df: DataFrame): DataFrame =
       if (!checkpoint) df // plan inspection only — an unevaluated round tree
       else { val c = df.localCheckpoint(); toFree ::= c; c }
-    val e = ckpt(edges.select(col("src"), col("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull))
+    // edges materialize PARTITIONED BY src with the partitioning recorded
+    // (static plan — see pageRank's ckptStatic note; the AQE toggle wraps the
+    // eager localCheckpoint itself, which is when planning happens): every
+    // round's edges ⋈ labels join then streams the edge table, no exchange
+    val eBase = edges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    val e =
+      if (!checkpoint) eBase
+      else {
+        val sess = edges.sparkSession
+        val np = sess.sessionState.conf.numShufflePartitions
+        val prev = sess.conf.get("spark.sql.adaptive.enabled")
+        sess.conf.set("spark.sql.adaptive.enabled", "false")
+        try ckpt(eBase.repartition(np, col("src")))
+        finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+      }
     val s = ckpt(seeds.select(col("node"), col("label").cast("long").as("label")))
     var labels = s
     var round = 0
