@@ -152,9 +152,15 @@ object Bench {
       val nt = nullProbe()
       SweepRun(nt, selected.map { name =>
         val fn = SparkEntry.queries(name)
+        // Label every job with its query (guide §1.5): the UI/event log can
+        // then attribute stage and task metrics per query. Thread-local, no
+        // effect on timing.
+        spark.sparkContext.setJobDescription(s"bench:$name")
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription(null)
+        dt
       })
     }
     // allRuns grows until the min-reproducibility gate passes or the retry
